@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Enrich
+import graft.sources.Tables
+
+/** Time-window and analytic-window queries.
+  *
+  * The reference's only "windowing" is its 5-minute cron period
+  * (`/root/reference/dags/dag.py:29`, schedule "every 5 minutes"):
+  * every run is one 5-minute micro-batch. [[tumbling]] is that
+  * semantics as a first-class event-time operator — `window(ts, "5
+  * minutes")` — which is also exactly what the Structured Streaming
+  * variant of this engine groups by (see `graft.streaming`). The
+  * analytic windows (rank / lag / running sum) are the capability-class
+  * extension the pandas reference lacks entirely.
+  */
+object WindowQueries {
+
+  /** Event-time tumbling window — batch form of the reference's
+    * 5-minute schedule. Same `groupBy(window(...))` plan works under
+    * `readStream` with a watermark.
+    */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .select(col("window.start").as("w_start"), col("n_events"), col("value_sum"))
+      .orderBy(col("w_start"))
+
+  private val tumblingOracle =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS value_sum
+      |FROM events GROUP BY w_start ORDER BY w_start""".stripMargin
+
+  /** Top-N per group via row_number over an explicit (total) ordering —
+    * deterministic tie-break on the unique orderkey.
+    */
+  def rankTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  private val rankOracle =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders
+      |) WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  /** lag + running sum per user over event time — sequence analytics.
+    * The running sum accumulates in DECIMAL so the prefix sums are
+    * exact (order is defined, but double accumulation would still
+    * round differently from the oracle's). Unique (ts, event_id)
+    * ordering makes RANGE and ROWS frames coincide in both engines.
+    */
+  def lagRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_sum"))
+  }
+
+  private val lagOracle =
+    """SELECT user_id, event_id, value,
+      |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running_sum
+      |FROM events""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("window_tumbling", Some(tumblingOracle), tumbling),
+    Q("window_rank_topn", Some(rankOracle), rankTopN),
+    Q("window_lag_running", Some(lagOracle), lagRunning),
+  )
+}
