@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine. The LLM-training-pipeline core the
+  * reference approximates with its `seen_titles` set + `drop_duplicates`
+  * (`/root/reference/dags/dag.py:97,135`), generalized to fuzzy
+  * near-dup detection and designed so the candidate-generation stage is
+  * the ONLY thing that scales: at 100 TB you never compare all pairs,
+  * you band/bucket and compare within buckets.
+  *
+  * All hashing is md5-derived (see [[TextOps]]) so every stage has a
+  * bit-identical DuckDB oracle.
+  */
+object Dedup {
+
+  /** MinHash permutation family: `(a_i·h31 + b_i) mod p`, p = 2^31-1.
+    * a_i odd (coprime with p trivially since p is prime), constants
+    * deterministic — signatures are reproducible across runs/engines.
+    * a_i·h31 < 2^6 · 2^31 « 2^63: no overflow.
+    */
+  def aCoef(i: Int): Long = 2L * i + 1
+  def bCoef(i: Int): Long = 7919L * i + 13
+
+  /** id + distinct 3-shingle set + per-shingle 31-bit hashes + set size.
+    * One md5 pass per shingle; the signature permutations reuse `hs`.
+    */
+  def shingled(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"), TextOps.shingles3(TextOps.words(textCol)).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => TextOps.h31(s)))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
+
+  /** MinHash signature: array of `numHashes` permutation minima. */
+  def signature(hs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(hs, h => (h * aCoef(i) + bCoef(i)) % TextOps.P31))): _*)
+
+  /** LSH banding of a signature: array of (band index, band key) with
+    * `rows` signature values concatenated per band key.
+    */
+  def bands(sig: Column, numHashes: Int, rows: Int): Column = {
+    val nBands = numHashes / rows
+    array((0 until nBands).map { b =>
+      val key = concat_ws("_",
+        (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays, as the
+    * (intersection, union) integer pair — callers compare/divide so the
+    * threshold test stays in exact integer arithmetic
+    * (`den·j ≤ num` ⟺ `5·inter ≥ 4·union` for t=0.8).
+    */
+  def interSize(a: Column, b: Column): Column = size(array_intersect(a, b))
+
+  /** Sequential-order dot product over array<double> — accumulates
+    * left-to-right exactly like DuckDB's `list_dot_product`, so cosine
+    * similarities are bit-identical across engines (validated
+    * empirically; both reduce as `((0+x0·y0)+x1·y1)+…`).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization / hashing primitives shared by the dedup, similarity
+  * and text-analysis operators, with DuckDB-SQL twins for the oracle.
+  *
+  * Design constraint: every primitive must be EXPRESSIBLE IN BOTH
+  * ENGINES with bit-identical results, so whole pipelines (MinHash →
+  * LSH → verify) can be hash-compared end-to-end. The only hash both
+  * engines share is md5, so all integer hashes derive from it:
+  * `h60(s)` = first 15 hex digits of md5 as a 60-bit non-negative
+  * long; `h31(s)` = `h60 mod (2^31-1)` for overflow-safe affine
+  * permutations (`a·h31+b mod p` stays under 63 bits).
+  *
+  * Everything here is built-in codegen'd expressions — no UDFs — so
+  * tokenize/hash stays inside WholeStageCodegen at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the engine's `.split(' ')` convention — same
+    * as DuckDB `string_split(text,' ')`).
+    */
+  def words(c: Column): Column = split(c, " ")
+
+  val wordsSql = "string_split(text, ' ')"
+
+  /** Distinct word-3-shingles of a words array (n-gram Jaccard unit).
+    * Expressed with `transform(sequence(...))` over the words array —
+    * one pass, no explode, no shuffle.
+    */
+  def shingles3(ws: Column): Column =
+    // NB: Spark sequence(0, -1) yields a DESCENDING [0,-1], not empty —
+    // short docs must short-circuit explicitly (DuckDB generate_series
+    // is empty when start > stop, so the SQL twin needs no guard).
+    array_distinct(when(size(ws) < 3, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3)))))
+
+  /** DuckDB twin of [[shingles3]] (1-based list indexing). */
+  def shingles3Sql(ws: String): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($ws)-2, 0)), " +
+      s"i -> $ws[i]||' '||$ws[i+1]||' '||$ws[i+2]))"
+
+  /** 60-bit non-negative hash of a string: first 15 hex digits of md5. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def h60Sql(s: String): String =
+    s"CAST('0x'||substr(md5($s),1,15) AS BIGINT)"
+
+  /** Mersenne prime 2^31-1: modulus of the MinHash permutation family. */
+  val P31 = 2147483647L
+
+  /** `h60 mod p` — small enough that `a·h31+b` never overflows a long
+    * for the permutation constants used by [[Dedup]].
+    */
+  def h31(c: Column): Column = h60(c) % P31
+
+  def h31Sql(s: String): String = s"(${h60Sql(s)} % $P31)"
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Deduplication query family over `documents` / `embeddings`
+  * (SURVEY.md §7.2 M4 / the LLM-pipeline north star).
+  *
+  * Scale notes (100 TB): [[exact]] is one hash-shuffle; [[minhashLsh]]
+  * shuffles only (doc, band-key) rows and compares within buckets —
+  * never all pairs; [[jaccardPairs]] (exhaustive with a sound
+  * size-ratio block) exists as the semantics reference and is what the
+  * LSH path must reproduce; at scale you run the LSH form. SimHash
+  * pairs compare 64-bit ints — the join is the quadratic part and
+  * would be blocked by hamming-band prefixes at scale.
+  */
+object DedupQueries {
+
+  /** Exact dedup groups by full-content hash: surviving doc + copy
+    * count per group (`drop_duplicates` done scalably: one shuffle on
+    * a 128-bit key, no row comparisons).
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val exactOracle =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---- shared shingle CTE for the Jaccard-family oracles ----
+  private val shingleSql =
+    s"""WITH ws AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${TextOps.shingles3Sql("ws")} AS s FROM ws),
+       |sz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0)""".stripMargin
+
+  // the exhaustive ≥0.8 Jaccard pair SQL — oracle for BOTH the
+  // exhaustive query and the LSH query (LSH params are sized for
+  // recall ≈ 1 at t=0.8: 16 bands × 2 rows ⇒ P(miss | j=0.8) < 1e-7)
+  private val jaccardPairsSql = shingleSql +
+    """
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (a.n + b.n - len(list_intersect(a.s, b.s))), 4) AS jaccard
+      |FROM sz a JOIN sz b
+      |  ON a.doc_id < b.doc_id AND a.n*5 >= b.n*4 AND b.n*5 >= a.n*4
+      |WHERE 5*len(list_intersect(a.s, b.s)) >= 4*(a.n + b.n - len(list_intersect(a.s, b.s)))
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exhaustive n-gram (word-3-shingle) Jaccard near-dup pairs at
+    * t=0.8, with the SOUND size-ratio block (j ≥ t ⇒ t·|B| ≤ |A|):
+    * prunes without changing the answer. Threshold compared in integer
+    * arithmetic (5·∩ ≥ 4·∪) — no float boundary.
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+    val a = sz.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = sz.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    val inter = Dedup.interSize(col("sh_a"), col("sh_b"))
+    val union = col("n_a") + col("n_b") - inter
+    a.join(b, col("id_a") < col("id_b") &&
+        col("n_a") * 5 >= col("n_b") * 4 && col("n_b") * 5 >= col("n_a") * 4)
+      .filter(inter * 5 >= union * 4)
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash + LSH near-dup pairs — the 100 TB path. 32 permutation
+    * minima per doc, banded 16×2; only band-key buckets are joined;
+    * candidates are exact-verified at t=0.8. Output is identical to
+    * [[jaccardPairs]] (the oracle IS the exhaustive SQL) because the
+    * band parameters put the miss probability at j≥0.8 below 1e-7.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val numHashes = 32
+    val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+    val sig = sz.withColumn("sig", Dedup.signature(col("hs"), numHashes))
+    val bandRows = sig
+      .select(col("id"), explode(Dedup.bands(col("sig"), numHashes, rows = 2)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bandRows.alias("x")
+      .join(bandRows.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(sz.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+    val inter = Dedup.interSize(col("sh_a"), col("sh_b"))
+    val union = col("n_a") + col("n_b") - inter
+    withSets
+      .filter(inter * 5 >= union * 4)
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs: 60-bit signature = per-bit majority vote
+    * of distinct-word hashes; pairs at hamming distance ≤ 1 (the synthetic corpus has a ~31-word
+    * vocabulary, so distinct-word signatures cluster tightly; the
+    * threshold is a parameter). Signature
+    * construction is one explode + two aggregations; the pair join
+    * compares single longs (popcount of xor).
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.words(col("text")))).as("w"))
+      .select(col("doc_id"), TextOps.h60(col("w")).as("h"))
+    val sv = wd
+      .select(col("doc_id"), explode(sequence(lit(0), lit(59))).as("j"), col("h"))
+      .select(col("doc_id"), col("j"),
+        when(expr("shiftright(h, j) & 1") === 1, 1).otherwise(-1).as("v"))
+      .groupBy(col("doc_id"), col("j")).agg(sum(col("v")).as("sv"))
+    val sig = sv.groupBy(col("doc_id"))
+      .agg(sum(when(col("sv") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("sg"))
+    val a = sig.select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("sg").as("sg_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("CAST(bit_count(sg_a ^ sg_b) AS INT)"))
+      .filter(col("hamming") <= 1)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val simhashOracle =
+    s"""WITH wd AS (
+       |  SELECT doc_id, ${TextOps.h60Sql("w")} AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(${TextOps.wordsSql})) AS w
+       |        FROM documents)),
+       |sv AS (
+       |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+       |  FROM wd, generate_series(0, 59) t(j) GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sg
+       |  FROM sv GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sg, b.sg)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sg, b.sg)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    * data's similarity range). Dot products accumulate sequentially in
+    * double (see [[Dedup.dot]]) ⇒ bit-identical to the oracle's
+    * `list_dot_product`. Brute-force pairs here; the bucketed scale
+    * path is `sim_ann_lsh` in [[SimilarityQueries]].
+    */
+  def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val cos = Dedup.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(cos >= 0.45)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embeddingCosineOracle =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("dedup_exact", Some(exactOracle), exact),
+    Q("dedup_jaccard_pairs", Some(jaccardPairsSql), jaccardPairs),
+    Q("dedup_minhash_lsh", Some(jaccardPairsSql), minhashLsh),
+    Q("dedup_simhash", Some(simhashOracle), simhashPairs),
+    Q("dedup_embedding_cosine", Some(embeddingCosineOracle), embeddingCosine),
+  )
+}

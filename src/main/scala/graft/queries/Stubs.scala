@@ -4,7 +4,4 @@ package graft.queries
   * Kept as separate objects so each capability family lives in its own
   * file as it lands.
   */
-object DedupQueries { def queries: Seq[Q] = Seq.empty }
-object SimilarityQueries { def queries: Seq[Q] = Seq.empty }
-object TextQueries { def queries: Seq[Q] = Seq.empty }
 object MultimodalQueries { def queries: Seq[Q] = Seq.empty }

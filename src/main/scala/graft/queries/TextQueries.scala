@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Text-analysis query family over `documents`: token counting,
+  * quality scoring, language ID, fingerprinting. All pure narrow
+  * transformations (no shuffle except the final language-ID rollup) —
+  * at 100 TB these run as one codegen'd scan stage per partition.
+  */
+object TextQueries {
+
+  /** Token counting: whitespace tokens and regex ("BPE-ish"
+    * `[a-z0-9]+` runs) tokens per document.
+    */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextOps.words(col("text"))).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val tokensOracle =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring: length, stopword ratio, average word length,
+    * non-alphanumeric ratio, and a composite score. Ratios are
+    * int/int double divisions — deterministic across engines without
+    * rounding tricks.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nWords = size(ws)
+    val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+    val alnum = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val noSpace = length(regexp_replace(col("text"), " ", ""))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        nStop.as("n_stopwords"),
+        (nStop.cast("double") / nWords).as("stop_ratio"),
+        (noSpace.cast("double") / nWords).as("avg_word_len"),
+        ((length(col("text")) - alnum).cast("double") / length(col("text")))
+          .as("nonalnum_ratio"),
+        ((lit(1.0) - nStop.cast("double") / nWords) *
+          least(lit(1.0), nWords.cast("double") / 100.0)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityOracle = {
+    val stop = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS INT) AS n_words,
+       |    CAST(len(list_filter(ws, w -> w IN ($stop))) AS INT) AS n_stopwords,
+       |    length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS alnum,
+       |    length(regexp_replace(text, ' ', '', 'g')) AS no_space,
+       |    length(text) AS n_chars
+       |  FROM d)
+       |SELECT doc_id, n_words, n_stopwords,
+       |  CAST(n_stopwords AS DOUBLE)/n_words AS stop_ratio,
+       |  CAST(no_space AS DOUBLE)/n_words AS avg_word_len,
+       |  CAST(n_chars - alnum AS DOUBLE)/n_chars AS nonalnum_ratio,
+       |  (1.0 - CAST(n_stopwords AS DOUBLE)/n_words)
+       |    * least(1.0, CAST(n_words AS DOUBLE)/100.0) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
+  /** Language ID by marker-word counts (n-gram/stopword heuristic) —
+    * argmax with a fixed priority order for ties, 'unknown' when no
+    * marker hits. Rolled up as a (label, prediction) confusion table.
+    * (The synthetic corpus is English word-soup under every `lang`
+    * label, so the heuristic's mechanics — not corpus realism — are
+    * what the oracle checks.)
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val scores = markers.map { case (l, ms) =>
+      l -> size(filter(ws, w => w.isInCollection(ms)))
+    }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    val pred = when(en > 0 && en >= greatest(de, es, fr), "en")
+      .when(de > 0 && de >= greatest(es, fr), "de")
+      .when(es > 0 && es >= fr, "es")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), pred.as("predicted_lang"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  private val langIdOracle = {
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter(ws, w -> w IN (${ms.map(s => s"'$s'").mkString(", ")})))"
+    val Seq(en, de, es, fr) = markers.map(m => cnt(m._2))
+    s"""WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT lang,
+       |  CASE WHEN $en > 0 AND $en >= greatest($de, $es, $fr) THEN 'en'
+       |       WHEN $de > 0 AND $de >= greatest($es, $fr) THEN 'de'
+       |       WHEN $es > 0 AND $es >= $fr THEN 'es'
+       |       WHEN $fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS predicted_lang
+       |  FROM d)
+       |SELECT lang, predicted_lang, count(*) AS n_docs
+       |FROM p GROUP BY lang, predicted_lang
+       |ORDER BY lang, predicted_lang""".stripMargin
+  }
+
+  /** Document fingerprinting: content-defined md5 fingerprint over the
+    * sorted distinct-word set (word-order-insensitive) + the minimum
+    * word hash (1-of-k winnowing sample).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val dws = array_sort(array_distinct(TextOps.words(col("text"))))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", dws)).as("fingerprint"),
+        array_min(transform(dws, w => TextOps.h60(w))).as("min_word_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fingerprintOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(${TextOps.wordsSql})) AS dws
+       |  FROM documents)
+       |SELECT doc_id,
+       |  md5(array_to_string(dws, ' ')) AS fingerprint,
+       |  list_min(list_transform(dws, w -> ${TextOps.h60Sql("w")})) AS min_word_hash
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("text_tokens", Some(tokensOracle), tokens),
+    Q("text_quality", Some(qualityOracle), quality),
+    Q("text_langid", Some(langIdOracle), langId),
+    Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
+  )
+}
