@@ -4,4 +4,3 @@ package graft.queries
   * Kept as separate objects so each capability family lives in its own
   * file as it lands.
   */
-object MultimodalQueries { def queries: Seq[Q] = Seq.empty }

@@ -44,6 +44,21 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+  /** Streaming form of [[events]]: file-source over a directory of
+    * events parquet, with the same ns→µs timestamp rebuild. The
+    * directory is the streaming unit (new files = new micro-batch
+    * input), which is how a 100 TB ingest lands: writers drop files,
+    * readers stream the directory.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(dir).schema // ts arrives as nanos long
+    val raw = s.readStream.schema(rawSchema).format("parquet").load(dir)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

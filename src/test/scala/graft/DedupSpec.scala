@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now today"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles3: sizes and short-document guard") {
+    val sh = docs.select(TextOps.shingles3(TextOps.words(col("text"))).as("s"))
+      .select(size(col("s"))).as[Int].collect()
+    assert(sh(0) == 7) // 9 words → 7 shingles, all distinct
+    val short = Seq("one two", "one", "").toDF("text")
+      .select(size(TextOps.shingles3(TextOps.words(col("text"))))).as[Int].collect()
+    assert(short.toSeq == Seq(0, 0, 0))
+  }
+
+  test("identical docs have identical minhash signatures; near-dups mostly agree") {
+    val sz = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val sigs = sz.select(col("id"), Dedup.signature(col("hs"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L)) // exact dup → equal signature
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree12 > agree13) // signature agreement tracks jaccard
+  }
+
+  test("jaccard intersection arithmetic") {
+    val a = Seq((Seq("x", "y", "z"), Seq("x", "y", "w"))).toDF("a", "b")
+    assert(a.select(Dedup.interSize(col("a"), col("b"))).head().getInt(0) == 2)
+  }
+
+  test("sequential dot product matches manual accumulation") {
+    val v = Seq((Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6))).toDF("a", "b")
+    val got = v.select(Dedup.dot(col("a"), col("b"))).head().getDouble(0)
+    val want = ((0.0 + 0.1 * 0.4) + 0.2 * 0.5) + 0.3 * 0.6
+    assert(got == want) // bitwise, not approx — the oracle contract
+  }
+
+  test("h60 is non-negative and h31 < 2^31-1") {
+    val hs = docs.select(explode(TextOps.words(col("text"))).as("w"))
+      .select(TextOps.h60(col("w")).as("h60"), TextOps.h31(col("w")).as("h31"))
+      .collect()
+    hs.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
+      assert(r.getLong(1) >= 0L && r.getLong(1) < TextOps.P31)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Plan/structure assertions (the Spark analog of the reference's
+  * DagBag tests, `/root/reference/test_dag.py` — but also checking the
+  * physical properties that matter at 100 TB: scan pruning, pushdown,
+  * broadcast joins, single-shuffle aggregation).
+  */
+class QueryPlanSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  test("every registered query has a well-formed analyzed plan and schema") {
+    val qs = SparkEntry.queries
+    assert(qs.size >= 31, s"expected >=31 queries, got ${qs.size}")
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.fields.nonEmpty, s"$name: empty schema")
+      df.queryExecution.assertAnalyzed()
+    }
+  }
+
+  test("every query with an oracle aliases columns (driver compares by name)") {
+    SparkEntry.oracleSql.keys.foreach { name =>
+      val cols = SparkEntry.queries(name)(spark, sf).schema.fieldNames
+      cols.foreach(c => assert(!c.contains("("),
+        s"$name: unaliased column `$c` would break the name-sorted compare"))
+    }
+  }
+
+  test("drop_projection prunes the scan to output+filter columns and pushes the filter") {
+    val scan = plan("drop_projection").collectLeaves().head.toString
+    // 4 of 6 columns: the 3 projected + p_size (kept for the residual
+    // filter re-evaluation — Spark never drops pushed-filter columns)
+    assert(scan.contains("ReadSchema: struct<p_partkey:bigint,p_brand:string,p_size:int,p_retailprice:double>"),
+      s"scan not pruned:\n$scan")
+    assert(scan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]"),
+      s"filter not pushed:\n$scan")
+  }
+
+  test("flagship enrich broadcasts both dimension joins") {
+    val p = plan("flagship_enrich")
+    val bcasts = p.toString.split("BroadcastHashJoin").length - 1
+    assert(bcasts == 2, s"expected 2 broadcast joins:\n$p")
+  }
+
+  test("agg_group is a single-shuffle partial+final aggregation") {
+    val p = plan("agg_group")
+    val exchanges = p.collect { case e: Exchange => e }
+    // one shuffle for the groupBy, one for the final orderBy — no more
+    assert(exchanges.size <= 2, s"too many exchanges:\n$p")
+    assert(p.toString.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+}
