@@ -24,19 +24,27 @@ object Dedup {
   def aCoef(i: Int): Long = 2L * i + 1
   def bCoef(i: Int): Long = 7919L * i + 13
 
-  /** id + distinct 3-shingle set + per-shingle 31-bit hashes + set size.
-    * One md5 pass per shingle; the signature permutations reuse `hs`.
+  /** id + distinct 3-shingle set + per-shingle 60-bit hashes + set
+    * size. ONE md5 pass per shingle; every downstream consumer
+    * (inverted-index joins, MinHash permutations via `mod p`) works on
+    * the long hashes, never re-hashing and never shuffling shingle
+    * strings.
     */
   def shingled(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("id"), TextOps.shingles3(TextOps.words(textCol)).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => TextOps.h31(s)))
+      .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
       .withColumn("n", size(col("sh")))
       .filter(col("n") > 0)
 
-  /** MinHash signature: array of `numHashes` permutation minima. */
+  /** MinHash signature from an h60 array: `numHashes` permutation
+    * minima over `h mod p`. (Array-lambda form — kept for property
+    * tests; the query path uses the codegen'd aggregate form in
+    * `DedupQueries.minhashLsh`, which is ~10× faster.)
+    */
   def signature(hs: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
-      array_min(transform(hs, h => (h * aCoef(i) + bCoef(i)) % TextOps.P31))): _*)
+      array_min(transform(hs,
+        h => ((h % TextOps.P31) * aCoef(i) + bCoef(i)) % TextOps.P31))): _*)
 
   /** LSH banding of a signature: array of (band index, band key) with
     * `rows` signature values concatenated per band key.
