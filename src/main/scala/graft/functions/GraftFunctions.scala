@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of the engine's native expressions.
+  *
+  * Two install paths:
+  *  - [[GraftExtensions]] for `SparkSession.builder.withExtensions`
+  *    (the SparkSessionExtensions injection point — how a deployment
+  *    wires the engine in via `spark.sql.extensions`);
+  *  - [[ensureRegistered]] for sessions the engine doesn't build
+  *    (the driver owns the session in this harness) — idempotent
+  *    registration into the session's FunctionRegistry.
+  */
+object GraftFunctions {
+
+  val cosineSimName = "graft_cosine_sim"
+
+  private def info = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, cosineSimName)
+
+  private def builder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$cosineSimName expects 2 arguments")
+    CosineSimilarity(args.head, args(1))
+  }
+
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier(cosineSimName), info, builder _))
+
+  /** Idempotent per-session registration (safe to call per query). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(cosineSimName)
+    if (!registry.functionExists(id))
+      registry.registerFunction(id, info, builder _)
+  }
+
+  /** Column-API form of the native cosine expression. */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function(cosineSimName, a, b)
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.install(ext)
+}

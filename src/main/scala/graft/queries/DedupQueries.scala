@@ -203,10 +203,11 @@ object DedupQueries {
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(Dedup.dot(col("emb"), col("emb"))))
-    val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    val cos = Dedup.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    // native codegen'd expression (graft.functions.CosineSimilarity) —
+    // same bit-exact arithmetic as the oracle's list_dot_product form
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_a"), col("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .filter(cos >= 0.45)
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))

@@ -30,10 +30,9 @@ object SimilarityQueries {
   def topkBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(Dedup.dot(col("emb"), col("emb"))))
-    val q = e.select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
-      col("nrm").as("nrm_q")).filter(col("q_id") < NQ)
-    val cos = Dedup.dot(col("emb_q"), col("emb")) / (col("nrm_q") * col("nrm"))
+    val q = e.select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
+      .filter(col("q_id") < NQ)
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     broadcast(q).join(e, col("q_id") =!= col("vec_id"))
@@ -89,11 +88,10 @@ object SimilarityQueries {
   def topkAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(Dedup.dot(col("emb"), col("emb"))))
       .withColumn("sig", rhSignature(col("emb")))
     val q = e.select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
-      col("nrm").as("nrm_q"), col("sig").as("sig_q")).filter(col("q_id") < NQ)
-    val cos = Dedup.dot(col("emb_q"), col("emb")) / (col("nrm_q") * col("nrm"))
+      col("sig").as("sig_q")).filter(col("q_id") < NQ)
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     broadcast(q)
