@@ -18,24 +18,38 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val cosineSimName = "graft_cosine_sim"
+  val extractItemsName = "graft_extract_items"
 
-  private def info = new ExpressionInfo(
+  private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineSimName)
 
-  private def builder(args: Seq[Expression]): Expression = {
+  private def cosineBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"$cosineSimName expects 2 arguments")
     CosineSimilarity(args.head, args(1))
   }
 
-  def install(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier(cosineSimName), info, builder _))
+  private def extractInfo = new ExpressionInfo(
+    classOf[ExtractItems].getName, extractItemsName)
+
+  private def extractBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$extractItemsName expects 1 argument")
+    ExtractItems(args.head)
+  }
+
+  def install(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier(cosineSimName), cosineInfo, cosineBuilder _))
+    ext.injectFunction((FunctionIdentifier(extractItemsName), extractInfo, extractBuilder _))
+  }
 
   /** Idempotent per-session registration (safe to call per query). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(cosineSimName)
-    if (!registry.functionExists(id))
-      registry.registerFunction(id, info, builder _)
+    val cid = FunctionIdentifier(cosineSimName)
+    if (!registry.functionExists(cid))
+      registry.registerFunction(cid, cosineInfo, cosineBuilder _)
+    val gid = FunctionIdentifier(extractItemsName)
+    if (!registry.functionExists(gid))
+      registry.registerFunction(gid, extractInfo, extractBuilder _)
   }
 
   /** Column-API form of the native cosine expression. */

@@ -30,7 +30,8 @@ object Registry {
       SimilarityQueries.queries ++
       TextQueries.queries ++
       MultimodalQueries.queries ++
-      WindowQueries.queries
+      WindowQueries.queries ++
+      ScaleQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

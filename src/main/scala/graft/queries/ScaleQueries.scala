@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Enrich
+import graft.sources.Tables
+
+/** Scale-technique queries: partitioned write layout + partition
+  * pruning, skew-salted shuffle joins, literal source extraction
+  * (SURVEY §2.1 S2 as regex-over-markup), and the native Generator
+  * UDTF fan-out.
+  */
+object ScaleQueries {
+
+  /** Partition-layout sink + pruned read-back: writes orders
+    * hive-partitioned by priority, reads one partition back. The
+    * read-back scan shows `PartitionFilters` (asserted in
+    * QueryPlanSpec) — at 100 TB this is the difference between
+    * scanning one directory and the whole table. The reference's
+    * append-only INSERT loop has no layout at all.
+    */
+  def sinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("n_orders"),
+        round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"))
+  }
+
+  private val sinkPartitionedOracle =
+    """SELECT count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** Skew-salted join: a 3-key dimension joined to the fact table
+    * would put a third of 100 TB through three reducers; salting
+    * replicates each dim row `S` ways and routes fact rows by a
+    * deterministic salt, spreading each hot key over S partitions.
+    * (AQE skew-join does this adaptively; salting is the explicit,
+    * planner-independent form. Salt derives from `l_orderkey`, not
+    * rand(), so the query stays oracle-comparable.)
+    */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8
+    val dim = Seq(("A", "returned"), ("N", "current"), ("R", "refunded"))
+      .toDF("flag", "label")
+    val salted = dim.withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    val fact = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(S)).cast("int"))
+    fact.join(salted,
+        fact("l_returnflag") === salted("flag") && fact("salt") === salted("salt"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(Enrich.exactSum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy(col("label"))
+  }
+
+  private val joinSkewOracle =
+    """SELECT label, count(*) AS n_lines,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |JOIN (VALUES ('A','returned'), ('N','current'), ('R','refunded')) AS v(flag, label)
+      |  ON l_returnflag = flag
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  /** SURVEY §2.1 S2 literally: CSS-class-keyed field extraction over
+    * markup, as codegen'd regexes (the offline form of the
+    * BeautifulSoup selectors, `dag.py:87-105`). The markup is built
+    * from `part` columns so both engines extract from identical pages.
+    */
+  def extractMarkup(spark: SparkSession, sfDir: String): DataFrame = {
+    val html = concat(
+      lit("<div class=\"item\"><span class=\"name\">"), col("p_name"),
+      lit("</span><span class=\"brand\">"), col("p_brand"),
+      lit("</span><span class=\"size\">"), col("p_size").cast("string"),
+      lit("</span></div>"))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), html.as("html"))
+      .select(col("p_partkey"),
+        regexp_extract(col("html"), "<span class=\"name\">([^<]*)</span>", 1).as("name"),
+        regexp_extract(col("html"), "<span class=\"brand\">([^<]*)</span>", 1).as("brand"),
+        regexp_extract(col("html"), "<span class=\"size\">([^<]*)</span>", 1)
+          .cast("int").as("size"))
+      .filter(col("size") > 25)
+      .orderBy(col("p_partkey"))
+  }
+
+  private val extractMarkupOracle =
+    """WITH pages AS (
+      |  SELECT p_partkey,
+      |    '<div class="item"><span class="name">' || p_name ||
+      |    '</span><span class="brand">' || p_brand ||
+      |    '</span><span class="size">' || CAST(p_size AS VARCHAR) ||
+      |    '</span></div>' AS html
+      |  FROM part)
+      |SELECT p_partkey,
+      |  regexp_extract(html, '<span class="name">([^<]*)</span>', 1) AS name,
+      |  regexp_extract(html, '<span class="brand">([^<]*)</span>', 1) AS brand,
+      |  CAST(regexp_extract(html, '<span class="size">([^<]*)</span>', 1) AS INT) AS size
+      |FROM pages
+      |WHERE CAST(regexp_extract(html, '<span class="size">([^<]*)</span>', 1) AS INT) > 25
+      |ORDER BY p_partkey""".stripMargin
+
+  /** The native Generator UDTF ([[graft.functions.ExtractItems]]):
+    * one record-string per part fans out to 4 (field, value) rows in
+    * GenerateExec — the reference's page→records loop as a plan
+    * operator, exercised through SQL LATERAL VIEW.
+    */
+  def generatorItems(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val page = concat(
+      lit("name="), col("p_name"), lit(",brand="), col("p_brand"),
+      lit(";type="), col("p_type"), lit(",size="), col("p_size").cast("string"))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), page.as("page"))
+      .createOrReplaceTempView("graft_pages")
+    spark.sql(
+      s"""SELECT field, count(*) AS n, count(DISTINCT value) AS n_values
+         |FROM graft_pages
+         |LATERAL VIEW ${GraftFunctions.extractItemsName}(page) t AS item_idx, field, value
+         |GROUP BY field ORDER BY field""".stripMargin)
+  }
+
+  private val generatorOracle =
+    """SELECT field, count(*) AS n, count(DISTINCT value) AS n_values
+      |FROM (
+      |  SELECT 'name' AS field, p_name AS value FROM part
+      |  UNION ALL SELECT 'brand', p_brand FROM part
+      |  UNION ALL SELECT 'type', p_type FROM part
+      |  UNION ALL SELECT 'size', CAST(p_size AS VARCHAR) FROM part)
+      |GROUP BY field ORDER BY field""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
+    Q("join_skew_salted", Some(joinSkewOracle), joinSkewSalted),
+    Q("extract_markup", Some(extractMarkupOracle), extractMarkup),
+    Q("generator_items", Some(generatorOracle), generatorItems),
+  )
+}

@@ -47,6 +47,20 @@ class QueryPlanSpec extends SparkSpec {
     assert(bcasts == 2, s"expected 2 broadcast joins:\n$p")
   }
 
+  test("sink_partitioned read-back prunes to one hive partition") {
+    val leaves = plan("sink_partitioned").collectLeaves().map(_.toString)
+    val scan = leaves.find(_.contains("graft_sink_partitioned")).getOrElse(
+      fail(s"no partitioned scan leaf in:\n${leaves.mkString("\n")}"))
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"no partition filter:\n$scan")
+    assert(scan.contains("1-URGENT"), s"partition literal not pushed:\n$scan")
+  }
+
+  test("generator_items plans a GenerateExec fan-out (native UDTF)") {
+    val p = plan("generator_items").toString
+    assert(p.contains("Generate extractitems("), s"no Generate node:\n$p")
+  }
+
   test("agg_group is a single-shuffle partial+final aggregation") {
     val p = plan("agg_group")
     val exchanges = p.collect { case e: Exchange => e }
