@@ -35,6 +35,8 @@ case class ExtractItems(child: Expression)
     StructField("field", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
 
+  override def prettyName: String = "graft_extract_items"
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -30,11 +30,22 @@ object Dedup {
     * the long hashes, never re-hashing and never shuffling shingle
     * strings.
     */
-  def shingled(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
-    df.select(idCol.as("id"), TextOps.shingles3(TextOps.words(textCol)).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
-      .withColumn("n", size(col("sh")))
+  def shingled(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    // The persist() between the shingle construction and its consumers
+    // is a PROJECTION BARRIER, not (just) a cache: without it,
+    // CollapseProject inlines the deep shingles3 tree into sh, hs, n
+    // AND the filter — 4 evaluations per row and a generated method
+    // large enough to fall out of codegen (measured 108 s for 5000
+    // docs at sf0.1; with the barrier: ~2 s).
+    val base = df
+      .select(idCol.as("id"), TextOps.shingles3(TextOps.words(textCol)).as("sh"))
+      .persist()
+    base
+      .select(col("id"), col("sh"),
+        transform(col("sh"), s => TextOps.h60(s)).as("hs"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
+      .persist()
+  }
 
   /** MinHash signature from an h60 array: `numHashes` permutation
     * minima over `h mod p`. (Array-lambda form — kept for property

@@ -72,7 +72,8 @@ object DedupQueries {
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
-      .persist() // shared with minhashLsh via cache-manager plan match
+    // (shingled() persists internally — shared with minhashLsh via
+    // cache-manager plan matching)
     val ex = sz.select(col("id"), col("n"), explode(col("hs")).as("h"))
     val dfH = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
@@ -109,11 +110,10 @@ object DedupQueries {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 32
-    // persisted: referenced by the band self-join AND both sides of the
-    // verification join — without it the whole md5+shingle pipeline
-    // recomputes 4× (measured 150s → 12s at sf0.1)
+    // shingled() persists internally — referenced by the band self-join
+    // AND both sides of the verification join (recomputing it 4× ran
+    // 150 s at sf0.1)
     val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
-      .persist()
     // signature as ONE codegen'd aggregation (32 fused min() exprs over
     // the exploded hashes) instead of 32 interpreted array lambdas
     val ex = sz.select(col("id"), explode(col("hs")).as("h"))

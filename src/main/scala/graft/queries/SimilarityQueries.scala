@@ -134,8 +134,87 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  private val NC = 16 // IVF coarse centroids
+  private val NPROBE = 2
+
+  /** IVF-style ANN top-k: a coarse quantizer partitions the corpus
+    * (each vector assigned to its nearest centroid), queries probe
+    * only their NPROBE nearest centroid cells, and candidates are
+    * exact-reranked. At 100 TB the cell id is the partition key —
+    * each query touches NPROBE/NC of the corpus. Centroids here are
+    * the first NC corpus vectors (a deterministic stand-in for a
+    * k-means fit — training is an offline job; the QUERY path is what
+    * this exercises); the oracle reproduces the same assignment +
+    * probe + rerank, so the check validates the algorithm.
+    */
+  def topkAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = e.filter(col("vec_id") < NC)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", ccos)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id"))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("c_emb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= NPROBE)
+      .select(col("q_id"), col("emb_q"), col("c_id"))
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", cos)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ivfOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < $NC),
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id FROM (
+       |    SELECT n.vec_id, n.emb, n.nrm, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |probes AS (
+       |  SELECT q_id, emb_q, nrm_q, c_id FROM (
+       |    SELECT n.vec_id AS q_id, n.emb AS emb_q, n.nrm AS nrm_q, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent WHERE n.vec_id < $NQ) WHERE rk <= $NPROBE),
+       |s AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    list_dot_product(p.emb_q, a.emb)/(p.nrm_q*a.nrm) AS cosine
+       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND p.q_id <> a.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, vec_id, round(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_brute", Some(topkBruteOracle), topkBrute),
     Q("sim_ann_lsh", Some(annOracle), topkAnnLsh),
+    Q("sim_ann_ivf", Some(ivfOracle), topkAnnIvf),
   )
 }

@@ -58,7 +58,7 @@ class QueryPlanSpec extends SparkSpec {
 
   test("generator_items plans a GenerateExec fan-out (native UDTF)") {
     val p = plan("generator_items").toString
-    assert(p.contains("Generate extractitems("), s"no Generate node:\n$p")
+    assert(p.contains("Generate graft_extract_items("), s"no Generate node:\n$p")
   }
 
   test("agg_group is a single-shuffle partial+final aggregation") {
