@@ -31,7 +31,8 @@ object Registry {
       TextQueries.queries ++
       MultimodalQueries.queries ++
       WindowQueries.queries ++
-      ScaleQueries.queries
+      ScaleQueries.queries ++
+      SqlSurface.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
