@@ -32,7 +32,8 @@ object Registry {
       MultimodalQueries.queries ++
       WindowQueries.queries ++
       ScaleQueries.queries ++
-      SqlSurface.queries
+      SqlSurface.queries ++
+      StatsQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

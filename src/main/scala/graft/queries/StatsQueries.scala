@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Enrich
+import graft.sources.Tables
+
+/** Statistical aggregates + scalar-function breadth.
+  *
+  * stddev/variance are NOT computed with the built-ins here: Spark
+  * uses a streaming (Welford-style) accumulation whose result depends
+  * on partition merge order — unfixable for hash-compare. Instead both
+  * engines compute from EXACT decimal power sums
+  * (`n·Σx² − (Σx)²) / (n(n−1))`), which is order-free and identical.
+  */
+object StatsQueries {
+
+  /** Exact percentiles (median + p90) per return flag. Spark
+    * `percentile` and DuckDB `quantile_cont` both linearly interpolate
+    * over the sorted multiset; quantities are integral so the
+    * interpolated values are exact halves/tenths.
+    */
+  def median(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  private val medianOracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Sample stddev + variance of quantity per flag from exact integer
+    * power sums — order-independent, unlike the Welford built-ins.
+    */
+  def stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(38,0)")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxx") * col("n") - col("sx") * col("sx")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double")), 4).as("var_qty"),
+        round(sqrt((col("sxx") * col("n") - col("sx") * col("sx")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))), 4).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val statsOracle =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS HUGEINT)) AS sx,
+      |    sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(CAST(sxx * n - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 4) AS var_qty,
+      |  round(sqrt(CAST(sxx * n - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 4) AS stddev_qty
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** Scalar-function breadth in one pass: case ops, substring, pad,
+    * translate, edit distance — all codegen'd built-ins with DuckDB
+    * twins.
+    */
+  def scalarFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        lower(col("p_type")).as("type_lower"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        translate(col("p_type"), " ", "_").as("type_snake"),
+        levenshtein(col("p_brand"), substring(col("p_name"), 1, 8)).as("edit_dist"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  private val scalarOracle =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_upper,
+      |  lower(p_type) AS type_lower,
+      |  substr(p_name, 1, 8) AS name_prefix,
+      |  lpad(p_brand, 12, '*') AS brand_padded,
+      |  translate(p_type, ' ', '_') AS type_snake,
+      |  CAST(levenshtein(p_brand, substr(p_name, 1, 8)) AS INT) AS edit_dist,
+      |  CAST(length(p_name) AS INT) AS name_len
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Calendar aggregation: revenue per month (`date_trunc`) + date
+    * parts — the time-dimension rollup every ETL pipeline needs.
+    */
+  def monthly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy(col("month"))
+
+  private val monthlyOracle =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("agg_median", Some(medianOracle), median),
+    Q("agg_stats_exact", Some(statsOracle), stats),
+    Q("scalar_functions", Some(scalarOracle), scalarFunctions),
+    Q("agg_monthly", Some(monthlyOracle), monthly),
+  )
+}
