@@ -24,28 +24,32 @@ object Dedup {
   def aCoef(i: Int): Long = 2L * i + 1
   def bCoef(i: Int): Long = 7919L * i + 13
 
-  /** id + distinct 3-shingle set + per-shingle 60-bit hashes + set
-    * size. ONE md5 pass per shingle; every downstream consumer
-    * (inverted-index joins, MinHash permutations via `mod p`) works on
-    * the long hashes, never re-hashing and never shuffling shingle
-    * strings.
-    */
+  /** id + distinct 3-shingle set + set size. */
   def shingled(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     // The persist() between the shingle construction and its consumers
     // is a PROJECTION BARRIER, not (just) a cache: without it,
-    // CollapseProject inlines the deep shingles3 tree into sh, hs, n
-    // AND the filter — 4 evaluations per row and a generated method
+    // CollapseProject inlines the deep shingles3 tree into sh, n AND
+    // the filter — multiple evaluations per row and a generated method
     // large enough to fall out of codegen (measured 108 s for 5000
     // docs at sf0.1; with the barrier: ~2 s).
     val base = df
       .select(idCol.as("id"), TextOps.shingles3(TextOps.words(textCol)).as("sh"))
       .persist()
     base
-      .select(col("id"), col("sh"),
-        transform(col("sh"), s => TextOps.h60(s)).as("hs"), size(col("sh")).as("n"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
       .persist()
   }
+
+  /** (id, n, h60-of-shingle) — one row per shingle. Hashing happens
+    * AFTER the explode so md5/conv run as codegen'd row expressions: a
+    * `transform(sh, h60)` array lambda is a higher-order function and
+    * always evaluates interpreted (~15× slower — 8 s of pure hashing
+    * at sf0.1 became ~0.5 s).
+    */
+  def explodedHashes(sz: DataFrame): DataFrame =
+    sz.select(col("id"), col("n"), explode(col("sh")).as("s"))
+      .select(col("id"), col("n"), TextOps.h60(col("s")).as("h"))
 
   /** MinHash signature from an h60 array: `numHashes` permutation
     * minima over `h mod p`. (Array-lambda form — kept for property

@@ -73,8 +73,9 @@ object DedupQueries {
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
     // (shingled() persists internally — shared with minhashLsh via
-    // cache-manager plan matching)
-    val ex = sz.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    // cache-manager plan matching; hashes join on 8-byte h60 keys,
+    // never shingle strings)
+    val ex = Dedup.explodedHashes(sz)
     val dfH = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
     // prefix length for t=0.8: n − ⌈0.8·n⌉ + 1 (Column `/` is double
@@ -116,7 +117,7 @@ object DedupQueries {
     val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
     // signature as ONE codegen'd aggregation (32 fused min() exprs over
     // the exploded hashes) instead of 32 interpreted array lambdas
-    val ex = sz.select(col("id"), explode(col("hs")).as("h"))
+    val ex = Dedup.explodedHashes(sz).select(col("id"), col("h"))
     val mins = (0 until numHashes).map(i =>
       min(((col("h") % TextOps.P31) * Dedup.aCoef(i) + Dedup.bCoef(i)) % TextOps.P31)
         .as(s"m$i"))

@@ -24,6 +24,7 @@ class DedupSpec extends SparkSpec {
 
   test("identical docs have identical minhash signatures; near-dups mostly agree") {
     val sz = Dedup.shingled(docs, col("doc_id"), col("text"))
+      .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
     val sigs = sz.select(col("id"), Dedup.signature(col("hs"), 32).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(4L)) // exact dup → equal signature
