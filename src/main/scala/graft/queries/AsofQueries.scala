@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Enrich
+import graft.sources.Tables
+
+/** As-of join + sketch/date operators.
+  *
+  * The as-of join (each left row matched to the most recent right row
+  * at or before its timestamp) is the canonical "operator Spark
+  * lacks"; the scalable formulation is UNION + SORT + LAST-non-null
+  * WINDOW: tag both streams, union them, and carry the latest order
+  * attributes forward within each key's time-ordered partition. One
+  * shuffle on the key — no range join, no per-row probing — the same
+  * shape Flink/kdb as-of implementations lower to. DuckDB has a
+  * native ASOF JOIN, which is the oracle.
+  */
+object AsofQueries {
+
+  /** events ASOF orders on (user_id = o_custkey, ts ≥ o_orderdate).
+    * Orders are pre-deduped to one per (custkey, date) — max orderkey
+    * wins — because as-of ties at equal timestamps are otherwise
+    * engine-nondeterministic.
+    */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ow = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ordersD = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(ow)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey"), col("o_totalprice"))
+    val left = ordersD.select(col("k"), col("t"),
+      col("o_orderkey"), col("o_totalprice"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val right = Tables.events(spark, sfDir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(null).cast("long").as("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+      lit(1).as("is_event"), col("event_id"), col("value"))
+    // at equal t, order rows (0) sort before event rows (1) → "≥" semantics
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  private val asofOracle =
+    """WITH ordersD AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey, o_totalprice
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |      ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id,
+      |  o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+      |FROM events e ASOF JOIN ordersD o
+      |  ON e.user_id = o.k AND e.ts >= o.t
+      |ORDER BY e.event_id""".stripMargin
+
+  /** HyperLogLog sketches: approximate distinct counts next to their
+    * exact values. No SQL oracle (sketch estimates are
+    * implementation-specific) — the driver records a rows-only check;
+    * AsofSpec bounds the relative error instead.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** Date arithmetic: per-year order rollup + day-distance bounds. */
+  def dateArith(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"),
+        max(datediff(lit("2002-01-01").cast("date"), col("o_orderdate")))
+          .as("max_days_before_2002"))
+      .orderBy(col("yr"))
+
+  private val dateOracle =
+    """SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue,
+      |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INT) AS max_days_before_2002
+      |FROM orders GROUP BY yr ORDER BY yr""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("join_asof", Some(asofOracle), joinAsof),
+    Q("approx_distinct", None, approxDistinct),
+    Q("date_arith", Some(dateOracle), dateArith),
+  )
+}

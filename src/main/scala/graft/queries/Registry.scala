@@ -34,7 +34,8 @@ object Registry {
       ScaleQueries.queries ++
       SqlSurface.queries ++
       StatsQueries.queries ++
-      BreadthQueries.queries
+      BreadthQueries.queries ++
+      AsofQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
