@@ -94,8 +94,45 @@ object AsofQueries {
       |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INT) AS max_days_before_2002
       |FROM orders GROUP BY yr ORDER BY yr""".stripMargin
 
+  /** Range (band) join: events bucketed into value bands. The naive
+    * form is a theta join (`value BETWEEN lo AND hi`) — a broadcast
+    * nested loop. The scale form used here EQUI-joins on a computed
+    * bucket key (`floor(value/width)`) and keeps the band predicate as
+    * a residual filter, so it shuffles/broadcasts like any hash join;
+    * for non-uniform bands the bucket key over-approximates and the
+    * residual stays sound.
+    */
+  def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val width = 5.0
+    val bands = Seq(
+      (0, 0.0, 5.0, "tiny"), (1, 5.0, 10.0, "small"),
+      (2, 10.0, 15.0, "medium"), (3, 15.0, 20.0, "large"),
+      (4, 20.0, 25.0, "huge"))
+      .toDF("band_id", "lo", "hi", "label")
+    val fact = Tables.events(spark, sfDir)
+      .withColumn("band_id", floor(col("value") / width).cast("int"))
+    fact.join(broadcast(bands), Seq("band_id"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_events"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("label"))
+  }
+
+  private val rangeOracle =
+    """SELECT label, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS value_sum
+      |FROM events
+      |JOIN (VALUES (0.0, 5.0, 'tiny'), (5.0, 10.0, 'small'),
+      |             (10.0, 15.0, 'medium'), (15.0, 20.0, 'large'),
+      |             (20.0, 25.0, 'huge')) AS b(lo, hi, label)
+      |  ON value >= lo AND value < hi
+      |GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("join_asof", Some(asofOracle), joinAsof),
+    Q("join_range", Some(rangeOracle), joinRange),
     Q("approx_distinct", None, approxDistinct),
     Q("date_arith", Some(dateOracle), dateArith),
   )

@@ -66,14 +66,29 @@ object SimilarityQueries {
 
   /** Random-hyperplane signature: bit t = [emb · hp_t > 0], where
     * hp_t[d] = ±1 from md5("hp_t_d") parity — deterministic and
-    * engine-portable. Cost: one sequential dot per (vector, plane).
+    * engine-portable. The hyperplanes are CONSTANTS, so they are
+    * computed driver-side (same md5 arithmetic as `TextOps.h60`, so
+    * still bit-identical to the oracle's SQL derivation) and embedded
+    * as array literals; the sign test runs through the native
+    * codegen'd cosine expression (cosine and dot share sign — norms
+    * are positive) instead of an interpreted md5-per-row lambda
+    * (2M interpreted md5 calls → zero).
     */
-  private def rhSignature(emb: Column): Column = {
+  private def hpSigns(t: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { d =>
+      md.reset()
+      val hex = md.digest(s"hp_${t}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      if (h60 % 2 == 1) 1.0 else -1.0
+    }.toArray
+  }
+
+  private def rhSignature(spark: SparkSession, emb: Column): Column = {
     val bits = (0 until NHP).map { t =>
-      val signs = transform(sequence(lit(0), lit(63)),
-        d => when(TextOps.h60(concat(lit(s"hp_${t}_"), d.cast("string"))) % 2 === 1, 1.0)
-          .otherwise(-1.0))
-      when(Dedup.dot(emb, signs) > 0, 1L << t).otherwise(0L)
+      when(graft.functions.GraftFunctions.cosineSim(spark, emb, typedLit(hpSigns(t))) > 0,
+        1L << t).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -88,7 +103,7 @@ object SimilarityQueries {
   def topkAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("sig", rhSignature(col("emb")))
+      .withColumn("sig", rhSignature(spark, col("emb")))
     val q = e.select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
       col("sig").as("sig_q")).filter(col("q_id") < NQ)
     val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
