@@ -19,6 +19,7 @@ object GraftFunctions {
 
   val cosineSimName = "graft_cosine_sim"
   val extractItemsName = "graft_extract_items"
+  val sortedIntersectName = "graft_sorted_intersect_size"
 
   private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineSimName)
@@ -36,9 +37,19 @@ object GraftFunctions {
     ExtractItems(args.head)
   }
 
+  private def sortedIntersectInfo = new ExpressionInfo(
+    classOf[SortedLongIntersectSize].getName, sortedIntersectName)
+
+  private def sortedIntersectBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$sortedIntersectName expects 2 arguments")
+    SortedLongIntersectSize(args.head, args(1))
+  }
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(cosineSimName), cosineInfo, cosineBuilder _))
     ext.injectFunction((FunctionIdentifier(extractItemsName), extractInfo, extractBuilder _))
+    ext.injectFunction((FunctionIdentifier(sortedIntersectName),
+      sortedIntersectInfo, sortedIntersectBuilder _))
   }
 
   /** Idempotent per-session registration (safe to call per query). */
@@ -50,12 +61,21 @@ object GraftFunctions {
     val gid = FunctionIdentifier(extractItemsName)
     if (!registry.functionExists(gid))
       registry.registerFunction(gid, extractInfo, extractBuilder _)
+    val sid = FunctionIdentifier(sortedIntersectName)
+    if (!registry.functionExists(sid))
+      registry.registerFunction(sid, sortedIntersectInfo, sortedIntersectBuilder _)
   }
 
   /** Column-API form of the native cosine expression. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(cosineSimName, a, b)
+  }
+
+  /** Column-API form of the sorted-array intersection-size expression. */
+  def sortedIntersectSize(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function(sortedIntersectName, a, b)
   }
 }
 

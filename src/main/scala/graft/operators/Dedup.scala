@@ -31,15 +31,32 @@ object Dedup {
     // CollapseProject inlines the deep shingles3 tree into sh, n AND
     // the filter — multiple evaluations per row and a generated method
     // large enough to fall out of codegen (measured 108 s for 5000
-    // docs at sf0.1; with the barrier: ~2 s).
+    // docs at sf0.1; with the barrier: ~2 s). ONE persist only: the
+    // derived size/filter projection is cheap to recompute from the
+    // cached base, so it is not cached separately.
     val base = df
       .select(idCol.as("id"), TextOps.shingles3(TextOps.words(textCol)).as("sh"))
       .persist()
     base
       .select(col("id"), col("sh"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
-      .persist()
   }
+
+  /** (id, hs, n): each doc's SORTED distinct shingle-hash array (h60)
+    * + set size. This is the verification substrate for the near-dup
+    * pair queries: candidates join these packed long arrays (≈20×
+    * smaller than the shingle string arrays) and intersect them with
+    * the codegen'd two-pointer merge
+    * ([[graft.functions.SortedLongIntersectSize]]) instead of
+    * `array_intersect` over strings. Per-doc state only — at 100 TB
+    * this is one hash-aggregate, no pair blowup. Persisted: both
+    * verification joins reference it.
+    */
+  def hashSets(sz: DataFrame): DataFrame =
+    explodedHashes(sz)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), max(col("n")).as("n"))
+      .persist()
 
   /** (id, n, h60-of-shingle) — one row per shingle. Hashing happens
     * AFTER the explode so md5/conv run as codegen'd row expressions: a

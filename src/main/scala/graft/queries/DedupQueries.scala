@@ -14,8 +14,8 @@ import graft.sources.Tables
   * never all pairs; [[jaccardPairs]] (exhaustive with a sound
   * size-ratio block) exists as the semantics reference and is what the
   * LSH path must reproduce; at scale you run the LSH form. SimHash
-  * pairs compare 64-bit ints — the join is the quadratic part and
-  * would be blocked by hamming-band prefixes at scale.
+  * pairs are blocked by pigeonhole half-signature equi-joins — no
+  * all-pairs comparison anywhere in the family.
   */
 object DedupQueries {
 
@@ -67,15 +67,26 @@ object DedupQueries {
     *
     * A naive inverted-index join here materializes Σ df² ≈ 10⁸ rows on
     * this corpus (tiny vocabulary ⇒ huge shingle df) and ran 287 s at
-    * sf0.1; rarest-first prefixes cut it to seconds with identical
-    * output. Threshold tests stay in integer arithmetic (5·∩ ≥ 4·∪).
+    * sf0.1. Two further cuts (round 2):
+    *  - POSITIONAL filtering (PPJoin): a prefix match at 1-based ranks
+    *    (rk_a, rk_b) bounds the overlap by
+    *    `least(rk_a, rk_b) + least(n_a−rk_a, n_b−rk_b)` (matches
+    *    strictly before the ranks, this match, matches after); a pair
+    *    whose TIGHTEST bound misses `9·∩ ≥ 4·(n_a+n_b)` (⟺ j ≥ 0.8)
+    *    cannot qualify and is pruned before verification.
+    *  - verification intersects SORTED h60 LONG arrays with the
+    *    codegen'd two-pointer merge ([[Dedup.hashSets]]) instead of
+    *    `array_intersect` on shingle strings — the round-1 bench spent
+    *    most of its 733 s there.
+    * Threshold tests stay in integer arithmetic (5·∩ ≥ 4·∪).
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
-    // (shingled() persists internally — shared with minhashLsh via
-    // cache-manager plan matching; hashes join on 8-byte h60 keys,
-    // never shingle strings)
+    // (shingled() persists its base internally — shared with
+    // minhashLsh via cache-manager plan matching; hashes join on
+    // 8-byte h60 keys, never shingle strings)
     val ex = Dedup.explodedHashes(sz)
+    val hsz = Dedup.hashSets(sz)
     val dfH = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
     // prefix length for t=0.8: n − ⌈0.8·n⌉ + 1 (Column `/` is double
@@ -84,17 +95,24 @@ object DedupQueries {
     val pref = ex.join(broadcast(dfH), "h")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= prefixLen)
-      .select(col("id"), col("n"), col("h"))
-    val cand = pref.select(col("id").as("id_a"), col("n").as("n_a"), col("h"))
-      .join(pref.select(col("id").as("id_b"), col("n").as("n_b"), col("h")), Seq("h"))
+      .select(col("id"), col("n"), col("rk"), col("h"))
+    val ubound = least(col("rk_a"), col("rk_b")) +
+      least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))
+    val cand = pref
+      .select(col("id").as("id_a"), col("n").as("n_a"), col("rk").as("rk_a"), col("h"))
+      .join(pref
+        .select(col("id").as("id_b"), col("n").as("n_b"), col("rk").as("rk_b"), col("h")),
+        Seq("h"))
       .filter(col("id_a") < col("id_b") &&
         col("n_a") * 5 >= col("n_b") * 4 && col("n_b") * 5 >= col("n_a") * 4)
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+      .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))
+      .agg(min(ubound).as("ub"))
+      .filter(col("ub") * 9 >= (col("n_a") + col("n_b")) * 4)
     val withSets = cand
-      .join(sz.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-    val inter = Dedup.interSize(col("sh_a"), col("sh_b"))
+      .join(hsz.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hsz.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectSize(spark, col("hs_a"), col("hs_b"))
     val union = col("n_a") + col("n_b") - inter
     withSets
       .filter(inter * 5 >= union * 4)
@@ -111,10 +129,11 @@ object DedupQueries {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 32
-    // shingled() persists internally — referenced by the band self-join
-    // AND both sides of the verification join (recomputing it 4× ran
-    // 150 s at sf0.1)
+    // shingled() persists its base internally — referenced by the band
+    // self-join AND both sides of the verification join (recomputing it
+    // 4× ran 150 s at sf0.1)
     val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+    val hsz = Dedup.hashSets(sz)
     // signature as ONE codegen'd aggregation (32 fused min() exprs over
     // the exploded hashes) instead of 32 interpreted array lambdas
     val ex = Dedup.explodedHashes(sz).select(col("id"), col("h"))
@@ -137,9 +156,10 @@ object DedupQueries {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val withSets = cand
-      .join(sz.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-    val inter = Dedup.interSize(col("sh_a"), col("sh_b"))
+      .join(hsz.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+      .join(hsz.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectSize(spark, col("hs_a"), col("hs_b"))
     val union = col("n_a") + col("n_b") - inter
     withSets
       .filter(inter * 5 >= union * 4)
@@ -149,11 +169,17 @@ object DedupQueries {
   }
 
   /** SimHash near-dup pairs: 60-bit signature = per-bit majority vote
-    * of distinct-word hashes; pairs at hamming distance ≤ 1 (the synthetic corpus has a ~31-word
-    * vocabulary, so distinct-word signatures cluster tightly; the
-    * threshold is a parameter). Signature
-    * construction is one explode + two aggregations; the pair join
-    * compares single longs (popcount of xor).
+    * of distinct-word hashes; pairs at hamming distance ≤ 1 (the
+    * synthetic corpus has a ~31-word vocabulary, so distinct-word
+    * signatures cluster tightly; the threshold is a parameter).
+    * Signature construction is one explode + two aggregations; the
+    * pair CANDIDATES come from pigeonhole banding — a pair at hamming
+    * distance ≤ 1 differs in at most one bit, which lives in one of
+    * the two 30-bit halves, so the pair agrees EXACTLY on at least one
+    * half. Two equi-joins on the halves (hash joins, never an
+    * all-pairs nested loop) + a popcount residual replace the round-1
+    * `id_a < id_b` theta join (149 s / O(n²) at scale). The same
+    * construction generalizes to hamming ≤ k with k+1 bands.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val wd = Tables.documents(spark, sfDir)
@@ -167,13 +193,26 @@ object DedupQueries {
       when(sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)) > 0,
         1L << j).otherwise(0L)
     }.reduce(_ + _)
+    // persisted: each half-join references both sides (4 refs total)
     val sig = wd.groupBy(col("doc_id")).agg(sigExpr.as("sg"))
-    val a = sig.select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
-    val b = sig.select(col("doc_id").as("id_b"), col("sg").as("sg_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("hamming", expr("CAST(bit_count(sg_a ^ sg_b) AS INT)"))
-      .filter(col("hamming") <= 1)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .withColumn("hi", expr("shiftright(sg, 30)"))
+      .withColumn("lo", expr("sg & 1073741823"))
+      .persist()
+    def side(p: String) = sig.select(
+      col("doc_id").as(s"id_$p"), col("sg").as(s"sg_$p"),
+      col("hi").as(s"hi_$p"), col("lo").as(s"lo_$p"))
+    val a = side("a")
+    val b = side("b")
+    // popcount residual INSIDE each join (before the union-distinct):
+    // the distinct then shuffles only true near-dup pairs, not every
+    // bucket pair — on a clustered corpus that's orders of magnitude
+    // fewer rows
+    def half(key: String) =
+      a.join(b, col(s"${key}_a") === col(s"${key}_b") && col("id_a") < col("id_b"))
+        .withColumn("hamming", expr("CAST(bit_count(sg_a ^ sg_b) AS INT)"))
+        .filter(col("hamming") <= 1)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    half("hi").unionByName(half("lo")).distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -95,23 +95,39 @@ object SimilarityQueries {
 
   /** LSH-bucketed ANN top-k: candidates = corpus vectors whose 16-bit
     * hyperplane signature is within hamming distance 4 of the query's
-    * (multi-probe), exact-cosine-reranked to top-k. At 100 TB the
-    * signature is the shuffle key (bucket join); here the oracle
-    * reproduces the identical candidate sets, so the check validates
-    * the ALGORITHM (brute-force top-k above validates quality).
+    * (multi-probe), exact-cosine-reranked to top-k.
+    *
+    * The signature IS the join key: each query row explodes into the
+    * 2517 probe signatures `sig_q ^ mask` (all constant 16-bit masks
+    * with popcount ≤ 4 — enumerating the hamming ball exactly, so no
+    * residual predicate is needed) and EQUI-joins the corpus on `sig`.
+    * That is a broadcast hash join on the bucket key — the shape that
+    * survives 100 TB (corpus shuffled/bucketed by signature, probes
+    * broadcast) — replacing the round-1 `bit_count(sig_q ^ sig) <= 4`
+    * theta join, which nested-loop-scanned the whole corpus per query.
+    * Each corpus vector matches at most one probe per query (masks are
+    * distinct ⇒ probe signatures are distinct), so no dedup is needed.
     */
+  private val probeMasks: Seq[Long] =
+    (0 until (1 << NHP)).filter(Integer.bitCount(_) <= 4).map(_.toLong)
+
   def topkAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("sig", rhSignature(spark, col("emb")))
     val q = e.select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
       col("sig").as("sig_q")).filter(col("q_id") < NQ)
+    val probes = q
+      .select(col("q_id"), col("emb_q"), col("sig_q"),
+        explode(typedLit(probeMasks)).as("mask"))
+      .select(col("q_id"), col("emb_q"),
+        col("sig_q").bitwiseXOR(col("mask")).as("sig"))
     val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    broadcast(q)
-      .join(e, col("q_id") =!= col("vec_id") &&
-        expr("bit_count(sig_q ^ sig)") <= 4)
+    broadcast(probes)
+      .join(e, Seq("sig"))
+      .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cosine", cos)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)

@@ -61,6 +61,31 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("Generate graft_extract_items("), s"no Generate node:\n$p")
   }
 
+  test("dedup_simhash is banded: hash joins on signature halves, no nested loop") {
+    val p = plan("dedup_simhash").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"simhash must not compare all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected equi-joins on the signature halves:\n$p")
+  }
+
+  test("sim_ann_lsh equi-joins the corpus on the probe signature key") {
+    val p = plan("sim_ann_lsh").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"ANN candidates must come from a bucket join, not a corpus scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected a hash join on sig:\n$p")
+  }
+
+  test("dedup pair verification runs the codegen'd sorted-hash merge, not array_intersect") {
+    Seq("dedup_jaccard_pairs", "dedup_minhash_lsh").foreach { name =>
+      val p = plan(name).toString
+      assert(p.contains("sorted_intersect_size"),
+        s"$name: verification should use the native merge expression:\n$p")
+      assert(!p.contains("array_intersect"),
+        s"$name: string-array intersection left in the hot path:\n$p")
+    }
+  }
+
   test("agg_group is a single-shuffle partial+final aggregation") {
     val p = plan("agg_group")
     val exchanges = p.collect { case e: Exchange => e }
