@@ -15,15 +15,26 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
+    // 1 warmup + median of 3 timed runs per query: the warmup absorbs
+    // one-time costs that aren't the query's (whole-stage codegen
+    // compilation, JIT, parquet footer caches), the median rides out
+    // host-contention spikes that made single-shot round-1 numbers cry
+    // wolf (join_semi 44s vs join_anti 2.5s on the same shape).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query persisted frames: keeps storage memory from
-      // crowding execution memory across 35+ queries in one JVM, and
-      // makes each timing independent of run order
-      spark.catalog.clearCache()
-      name -> dt
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted frames: keeps storage memory from
+        // crowding execution memory across 35+ queries in one JVM, and
+        // makes each timing independent of run order
+        spark.catalog.clearCache()
+        dt
+      }
+      once() // warmup (not recorded)
+      val runs = Seq.fill(reps)(once()).sorted
+      name -> runs(reps / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

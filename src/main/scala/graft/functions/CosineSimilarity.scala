@@ -15,11 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * stage (measured ~4× over the `zip_with`+`aggregate` higher-order
   * form on the brute-force pair queries).
   *
-  * Semantics are EXACTLY the engine's portable-cosine contract
-  * (`Dedup.dot` / DuckDB `list_dot_product`): one left-to-right pass,
-  * double accumulation, `dot / (sqrt(na)·sqrt(nb))` — bit-identical
-  * to the oracle in both interpreted and codegen'd form (spec'd in
-  * CosineSimilaritySpec).
+  * Semantics: one left-to-right pass, double accumulation,
+  * `dot / (sqrt(na)·sqrt(nb))` — bit-identical to the engine's
+  * portable-cosine contract (`Dedup.dot` / DuckDB `list_dot_product`)
+  * for EQUAL-LENGTH, non-zero inputs (spec'd in CosineSimilaritySpec).
+  * Edge cases differ from the `zip_with` form and are deliberate:
+  * ragged arrays are truncated to the shorter length (`zip_with`
+  * yields null there), and a zero-norm input yields NaN (0/0) rather
+  * than an error. The dedup/similarity pipelines only ever feed it
+  * fixed-width (64-dim) non-zero embeddings, where the three forms
+  * coincide.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

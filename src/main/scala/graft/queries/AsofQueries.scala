@@ -64,10 +64,12 @@ object AsofQueries {
       |  ON e.user_id = o.k AND e.ts >= o.t
       |ORDER BY e.event_id""".stripMargin
 
-  /** HyperLogLog sketches: approximate distinct counts next to their
-    * exact values. No SQL oracle (sketch estimates are
-    * implementation-specific) — the driver records a rows-only check;
-    * AsofSpec bounds the relative error instead.
+  /** HyperLogLog sketches: approximate distinct counts. No SQL oracle
+    * for the estimates (sketch values are implementation-specific) —
+    * the driver records a rows-only check here; AsofSpec bounds the
+    * relative error, and [[approxDistinctExact]] hash-checks the exact
+    * side of the same aggregation so only the estimates ride the
+    * weaker check.
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -77,6 +79,23 @@ object AsofQueries {
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
+
+  /** Exact companion of [[approxDistinct]]: the oracle-expressible
+    * columns of the sketch query, fully hash-checked.
+    */
+  def approxDistinctExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private val approxExactOracle =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Date arithmetic: per-year order rollup + day-distance bounds. */
   def dateArith(spark: SparkSession, sfDir: String): DataFrame =
@@ -134,6 +153,7 @@ object AsofQueries {
     Q("join_asof", Some(asofOracle), joinAsof),
     Q("join_range", Some(rangeOracle), joinRange),
     Q("approx_distinct", None, approxDistinct),
+    Q("approx_distinct_exact", Some(approxExactOracle), approxDistinctExact),
     Q("date_arith", Some(dateOracle), dateArith),
   )
 }
