@@ -1,8 +1,12 @@
 package graft
 
+import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.operators.Standardise
+import graft.sources.PageStreamProvider
 import graft.streaming.Streaming
 import graft.streaming.Streaming.Evt
 
@@ -56,6 +60,72 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("dd").count() == 2)
     } finally q.stop()
+  }
+
+  test("DSv2 page stream replays scrape pages through standardise → enrich (S1 end-to-end)") {
+    val raw = spark.readStream.format(classOf[PageStreamProvider].getName)
+      .option("pages", "3").option("rowsPerPage", "4").load()
+    // the reference's standardise stage, verbatim on the stream
+    val cleaned = raw
+      .withColumn("title", Standardise.trimmed(col("title")))
+      .select(col("page"), col("title"), col("author"), col("book_type"),
+        Standardise.parsePrice(col("price")).as("price"),
+        Standardise.extractRating(col("rating")).as("rating"),
+        Standardise.parseCount(col("rating_count")).as("rating_count"))
+    val q = cleaned.writeStream.format("memory").queryName("pages_clean")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("pages_clean")
+      assert(rows.count() == 12)
+      assert(rows.select("page").distinct().count() == 3)
+      // pagesPerTrigger=1 (default): each page admitted in its own micro-batch
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+      // cleaning really ran: titles trimmed, "x.y out of 5 stars" parsed,
+      // "not rated" (n % 7 == 0) is null
+      assert(rows.filter(col("title").startsWith(" ")).count() == 0)
+      assert(rows.filter(col("rating").isNull).count() == 2) // n ∈ {0, 7}
+      assert(rows.schema("price").dataType.typeName == "double")
+    } finally q.stop()
+
+    // enrich on the same stream: per-author aggregate (complete mode)
+    val enriched = cleaned.groupBy(col("author")).agg(
+      count(lit(1)).as("book_count"), sum(col("rating_count")).as("total_rating_count"))
+    val q2 = enriched.writeStream.format("memory").queryName("pages_enriched")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q2.processAllAvailable()
+      val agg = spark.table("pages_enriched")
+      assert(agg.count() == 11) // authors A-0..A-10, 12 rows mod 11
+      assert(agg.agg(sum("book_count")).head().getLong(0) == 12L)
+    } finally q2.stop()
+  }
+
+  test("restart from checkpoint resumes mid-stream with no duplicate windows (§2.7 retries)") {
+    implicit val sq = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val in = MemoryStream[Evt]
+    in.addData(
+      Evt(1, ts(0, 10), 1, "click", 1.50),
+      Evt(2, ts(1, 20), 1, "click", 2.25),
+      Evt(3, ts(6, 0), 2, "view", 4.00)) // watermark → closes window 0-5
+    val q1 = Streaming.startPipeline(in.toDF(), ckpt, out,
+      trigger = Trigger.ProcessingTime(0))
+    try q1.processAllAvailable() finally q1.stop() // "kill" mid-stream
+
+    in.addData(Evt(4, ts(20, 0), 2, "view", 1.00)) // closes window 5-10
+    val q2 = Streaming.startPipeline(in.toDF(), ckpt, out,
+      trigger = Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val all = spark.read.parquet(s"$out/batch_*")
+    // exactly the two closed windows, each exactly once: the restarted
+    // query resumed from the committed offset instead of replaying
+    assert(all.count() == 2)
+    assert(all.select("w_start", "event_type").distinct().count() == 2)
+    val windows = all.select("w_start").as[Timestamp].collect().toSet
+    assert(windows == Set(ts(0), ts(5)))
   }
 
   test("sessionize closes sessions on event-time gaps") {
