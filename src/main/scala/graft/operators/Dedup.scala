@@ -97,6 +97,62 @@ object Dedup {
     */
   def interSize(a: Column, b: Column): Column = size(array_intersect(a, b))
 
+  /** Connected components over a near-dup pair list → (id, cluster)
+    * with cluster = smallest reachable id. This is the step that turns
+    * PAIRS into DEDUP DECISIONS (keep one doc per cluster): pairs from
+    * MinHash/LSH chain transitively (A~B, B~C ⇒ {A,B,C} even when A,C
+    * were never compared).
+    *
+    * Pregel-style min-label propagation: every node starts labeled with
+    * its own id; each round takes the min of its own and its
+    * neighbors' labels; fixpoint after O(diameter) rounds. Near-dup
+    * clusters have tiny diameters (they're near-cliques), so the loop
+    * terminates in a few rounds — the driver-side part is ONLY the
+    * fixpoint check (one count per round), never row data. Each round
+    * is one shuffle join + one aggregation; at 100 TB this is the
+    * standard distributed-CC shape (alternating-star optimizations —
+    * Kiveris et al., "Connected Components in MapReduce" — halve the
+    * round count but keep the same per-round plan).
+    *
+    * Each round's labels are `localCheckpoint`ed: persist() alone
+    * caches DATA but the logical plan still accumulates one join per
+    * round, and Catalyst re-analysis of the growing lineage goes
+    * super-linear after ~10 rounds (observed: minutes of pure planner
+    * time on a 10-node path graph). Checkpointing truncates the plan
+    * to the materialized result — on a cluster use
+    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` for the
+    * fault-tolerant variant; the shape is identical.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_lbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_lbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
   /** Sequential-order dot product over array<double> — accumulates
     * left-to-right exactly like DuckDB's `list_dot_product`, so cosine
     * similarities are bit-identical across engines (validated

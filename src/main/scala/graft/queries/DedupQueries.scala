@@ -40,18 +40,21 @@ object DedupQueries {
        |sh AS (SELECT doc_id, ${TextOps.shingles3Sql("ws")} AS s FROM ws),
        |sz AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0)""".stripMargin
 
-  // the exhaustive ≥0.8 Jaccard pair SQL — oracle for BOTH the
-  // exhaustive query and the LSH query (LSH params are sized for
-  // recall ≈ 1 at t=0.8: 16 bands × 2 rows ⇒ P(miss | j=0.8) < 1e-7)
-  private val jaccardPairsSql = shingleSql +
-    """
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  // the exhaustive ≥0.8 Jaccard pair SELECT (no ORDER BY — reused as a
+  // CTE body by the clustering oracle)
+  private val pairSelect =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / (a.n + b.n - len(list_intersect(a.s, b.s))), 4) AS jaccard
       |FROM sz a JOIN sz b
       |  ON a.doc_id < b.doc_id AND a.n*5 >= b.n*4 AND b.n*5 >= a.n*4
-      |WHERE 5*len(list_intersect(a.s, b.s)) >= 4*(a.n + b.n - len(list_intersect(a.s, b.s)))
-      |ORDER BY id_a, id_b""".stripMargin
+      |WHERE 5*len(list_intersect(a.s, b.s)) >= 4*(a.n + b.n - len(list_intersect(a.s, b.s)))""".stripMargin
+
+  // oracle for BOTH the exhaustive query and the LSH query (LSH params
+  // are sized for recall ≈ 1 at t=0.8: 16 bands × 2 rows ⇒
+  // P(miss | j=0.8) < 1e-7)
+  private val jaccardPairsSql =
+    shingleSql + "\n" + pairSelect + "\nORDER BY id_a, id_b"
 
   /** Exact n-gram (word-3-shingle) Jaccard near-dup pairs at t=0.8 via
     * PREFIX FILTERING (AllPairs/PPJoin-style similarity join — the
@@ -216,6 +219,33 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the LSH pair list
+    * (pairs chain transitively — A~B, B~C ⇒ one cluster {A,B,C} even
+    * though A,C were never compared). Candidate pairs come from the
+    * scale path ([[minhashLsh]]); the component labels come from
+    * Pregel-style min-label propagation
+    * ([[Dedup.connectedComponents]]). The oracle computes the same
+    * transitive closure with a recursive CTE over the exhaustive pair
+    * SQL — valid because the LSH pair set is oracle-identical to the
+    * exhaustive one.
+    */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.connectedComponents(
+        minhashLsh(spark, sfDir).select(col("id_a"), col("id_b")))
+      .orderBy(col("id"))
+
+  private val clustersOracle =
+    shingleSql.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      "pairs AS (\n" + pairSelect + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin
+
   private val simhashOracle =
     s"""WITH wd AS (
        |  SELECT doc_id, ${TextOps.h60Sql("w")} AS h
@@ -269,6 +299,7 @@ object DedupQueries {
     Q("dedup_exact", Some(exactOracle), exact),
     Q("dedup_jaccard_pairs", Some(jaccardPairsSql), jaccardPairs),
     Q("dedup_minhash_lsh", Some(jaccardPairsSql), minhashLsh),
+    Q("dedup_clusters", Some(clustersOracle), clusters),
     Q("dedup_simhash", Some(simhashOracle), simhashPairs),
     Q("dedup_embedding_cosine", Some(embeddingCosineOracle), embeddingCosine),
   )

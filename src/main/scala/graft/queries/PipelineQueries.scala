@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Training-data curation operators beyond dedup/similarity: the
+  * pipeline stages that sit between "raw corpus" and "training mix".
+  *
+  * Scale notes (100 TB):
+  *  - [[sampleStratified]] is a pure narrow filter (hash-mod on a
+  *    per-row key) — zero shuffles, trivially parallel, and the SAME
+  *    rows are kept on any cluster size or rerun (md5-derived
+  *    membership, no RNG state).
+  *  - [[packSequences]] windows WITHIN a partition key (language here,
+  *    a shard key in production) — running sums never cross the key,
+  *    so the window is a per-key sort, not a global one.
+  *  - [[mergeUpsert]] is one shuffle on the merge key (the standard
+  *    CDC upsert shape: union + row_number, latest version wins).
+  *  - [[embCentroids]] is one partial+final aggregation over
+  *    (cell, dim) — the k-means update step as a groupBy, no
+  *    driver-side math.
+  */
+object PipelineQueries {
+
+  // ---- stratified sampling --------------------------------------------
+
+  /** Deterministic stratified sampling with per-language quotas:
+    * membership = `h60("samp_" || doc_id) % 100 < rate(lang)`.
+    * Hash-derived (not RNG) ⇒ reproducible across engines, reruns and
+    * cluster sizes — the property a training-data mix needs for
+    * auditability. Rates: en 60%, others 25%.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 60).otherwise(25)
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        TextOps.h60(concat(lit("samp_"), col("doc_id").cast("string"))) % 100)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleOracle =
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE ${TextOps.h60Sql("('samp_' || CAST(doc_id AS VARCHAR))")} % 100
+       |  < (CASE WHEN lang = 'en' THEN 60 ELSE 25 END)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- sequence packing -----------------------------------------------
+
+  private val PackBudget = 2048
+
+  /** Sequence packing: assign documents (in deterministic doc_id
+    * order, per language) to fixed token-budget bins — the
+    * context-window packing step of a training pipeline. A document
+    * starts in the bin its running predecessor-token-count falls in
+    * (`floor(tokens_before / budget)`), so bin assignment is a window
+    * running sum + arithmetic: no pairwise bin-fitting loop, and the
+    * window never crosses the partition key.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = size(TextOps.words(col("text")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0)))
+      .withColumn("bin_id", floor(col("tokens_before") / PackBudget))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin_id"))
+  }
+
+  private val packOracle =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+       |  FROM t)
+       |SELECT lang, CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
+
+  // ---- snapshot merge / upsert ----------------------------------------
+
+  /** CDC-style upsert: a delta snapshot (every 7th doc re-crawled with
+    * appended content) merged into the base corpus, latest version
+    * winning. One shuffle on the merge key via the deterministic
+    * row_number form — the incremental-refresh operator a recurring
+    * crawl pipeline needs (the reference re-scrapes everything each
+    * run).
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), lit(1).as("version"))
+    val delta = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" updated v2")).as("text"),
+        lit(2).as("version"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+    base.unionByName(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("version"), length(col("text")).as("n_chars_final"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mergeOracle =
+    """WITH merged AS (
+      |  SELECT doc_id, text, 1 AS version FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text || ' updated v2', 2 FROM documents WHERE doc_id % 7 = 0),
+      |r AS (
+      |  SELECT doc_id, version, text,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+      |  FROM merged)
+      |SELECT doc_id, version, CAST(length(text) AS INT) AS n_chars_final
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---- embedding centroids (k-means update step) -----------------------
+
+  private val NC = 16 // coarse cells (same quantizer as sim_ann_ivf)
+
+  /** Per-cell embedding centroids — the UPDATE step of a k-means /
+    * IVF-training iteration, as one aggregation: assign each vector to
+    * its nearest seed centroid (cosine, deterministic tie-break), then
+    * average per (cell, dimension).
+    *
+    * Cross-engine exactness: each component is quantized to an integer
+    * (`floor(x·1000)` — float→double widening, one IEEE multiply and
+    * floor are bit-identical in both engines), summed exactly as
+    * longs, and the final centroid is ONE double division of exact
+    * integers — no summation-order or rounding hazard anywhere.
+    */
+  def embCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = e.filter(col("vec_id") < NC)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", ccos)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id"))
+    assigned
+      .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .select(col("c_id"), (col("pos") + 1).as("dim"),
+        floor(col("v") * 1000).as("q"))
+      .groupBy(col("c_id"), col("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("q")).as("sum_q"))
+      .withColumn("centroid", col("sum_q").cast("double") / (col("n_members") * 1000.0))
+      .select(col("c_id"), col("dim"), col("n_members"), col("centroid"))
+      .orderBy(col("c_id"), col("dim"))
+  }
+
+  private val centroidsOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < $NC),
+       |assigned AS (
+       |  SELECT vec_id, emb, c_id FROM (
+       |    SELECT n.vec_id, n.emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |q AS (
+       |  SELECT c_id, d.dim, CAST(floor(emb[d.dim] * 1000) AS BIGINT) AS q
+       |  FROM assigned, generate_series(1, 64) AS d(dim))
+       |SELECT c_id, CAST(dim AS INT) AS dim, count(*) AS n_members,
+       |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1000.0) AS centroid
+       |FROM q GROUP BY c_id, dim ORDER BY c_id, dim""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("sample_stratified", Some(sampleOracle), sampleStratified),
+    Q("pack_sequences", Some(packOracle), packSequences),
+    Q("merge_upsert", Some(mergeOracle), mergeUpsert),
+    Q("emb_centroids", Some(centroidsOracle), embCentroids),
+  )
+}

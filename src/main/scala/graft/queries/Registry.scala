@@ -35,7 +35,8 @@ object Registry {
       SqlSurface.queries ++
       StatsQueries.queries ++
       BreadthQueries.queries ++
-      AsofQueries.queries
+      AsofQueries.queries ++
+      PipelineQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

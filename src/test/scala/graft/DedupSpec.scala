@@ -38,6 +38,34 @@ class DedupSpec extends SparkSpec {
     assert(a.select(Dedup.interSize(col("a"), col("b"))).head().getInt(0) == 2)
   }
 
+  test("sorted_intersect_size: two-pointer merge equals set intersection") {
+    val rows = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(3L, 4L, 5L, 10L), 2), // {3,5}
+      (Seq(1L, 2L), Seq(3L, 4L), 0),
+      (Seq.empty[Long], Seq(1L), 0),
+      (Seq(7L), Seq(7L), 1),
+    ).toDF("a", "b", "want")
+    val got = rows.select(
+      graft.functions.GraftFunctions.sortedIntersectSize(spark, col("a"), col("b")).as("got"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("connectedComponents: transitive chains merge, separate clusters stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: long chain converges within maxIter") {
+    // path graph 0-1-2-...-9: worst-case diameter for min-propagation
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(0L))
+  }
+
   test("sequential dot product matches manual accumulation") {
     val v = Seq((Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6))).toDF("a", "b")
     val got = v.select(Dedup.dot(col("a"), col("b"))).head().getDouble(0)
