@@ -148,10 +148,86 @@ object TextQueries {
        |  list_min(list_transform(dws, w -> ${TextOps.h60Sql("w")})) AS min_word_hash
        |FROM d ORDER BY doc_id""".stripMargin
 
+  private val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val idRe = "[0-9]{9}[0-9]*"
+
+  /** PII redaction — the scrub pass a training corpus runs before
+    * anything else sees the text. The contact line is SYNTHESIZED
+    * deterministically from customer keys (the testdata has no real
+    * phone column; the redaction MECHANICS are what the oracle
+    * checks): phone-shaped tokens and long digit runs (the 9-digit
+    * customer ids inside `c_name`) are replaced with typed
+    * placeholders, match counts kept as audit columns. Pure narrow
+    * codegen'd regex ops — zero shuffles at any scale.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("c_custkey")
+    val phone = concat(
+      (lit(10) + k % 90).cast("string"), lit("-"),
+      (lit(100) + (k * 7) % 900).cast("string"), lit("-"),
+      (lit(100) + (k * 13) % 900).cast("string"), lit("-"),
+      (lit(1000) + (k * 31) % 9000).cast("string"))
+    val raw = concat_ws(" ", col("c_name"), lit("call me at"), phone,
+      lit("segment"), col("c_mktsegment"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(col("c_custkey"),
+        regexp_replace(regexp_replace(col("raw"), phoneRe, "[PHONE]"),
+          idRe, "[ID]").as("redacted"),
+        size(expr(s"regexp_extract_all(raw, '$phoneRe', 0)")).as("n_phones"),
+        size(expr(s"regexp_extract_all(raw, '$idRe', 0)")).as("n_ids"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val piiOracle =
+    s"""WITH r AS (
+       |  SELECT c_custkey,
+       |    c_name || ' call me at ' ||
+       |    CAST(10 + c_custkey % 90 AS VARCHAR) || '-' ||
+       |    CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||
+       |    CAST(100 + (c_custkey * 13) % 900 AS VARCHAR) || '-' ||
+       |    CAST(1000 + (c_custkey * 31) % 9000 AS VARCHAR) ||
+       |    ' segment ' || c_mktsegment AS raw
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  regexp_replace(regexp_replace(raw, '$phoneRe', '[PHONE]', 'g'),
+       |    '$idRe', '[ID]', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(raw, '$phoneRe')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(raw, '$idRe')) AS INT) AS n_ids
+       |FROM r ORDER BY c_custkey""".stripMargin
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the canonical-form pass that feeds dedup (exact
+    * dedup on normalized text catches case/punctuation variants).
+    * Runs over the part catalog strings (mixed case + '#').
+    */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(raw), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), norm.as("normalized"))
+      .withColumn("n_tokens", size(split(col("normalized"), " ")))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val normalizeOracle =
+    """WITH n AS (
+      |  SELECT p_partkey,
+      |    trim(regexp_replace(regexp_replace(
+      |      lower(p_name || ' ' || p_brand || ' ' || p_type),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS normalized
+      |  FROM part)
+      |SELECT p_partkey, normalized,
+      |  CAST(len(string_split(normalized, ' ')) AS INT) AS n_tokens
+      |FROM n ORDER BY p_partkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
     Q("text_quality", Some(qualityOracle), quality),
     Q("text_langid", Some(langIdOracle), langId),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
+    Q("text_pii_redact", Some(piiOracle), piiRedact),
+    Q("text_normalize", Some(normalizeOracle), normalize),
   )
 }
