@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{Enrich, Standardise}
+import graft.operators.{Dedup, Enrich, Standardise}
 
 /** Property-based checks (SURVEY §5 strategy item 2): algebraic laws
   * the operators must satisfy on arbitrary inputs, not just fixtures.
@@ -43,6 +43,62 @@ class PropertySpec extends SparkSpec {
       val lo = vs.map(_._1).min
       val hi = vs.map(_._1).max
       assert(avg >= lo - 0.0001 && avg <= hi + 0.0001, s"$avg not in [$lo,$hi]")
+    }
+  }
+
+  test("sorted_intersect_size agrees with Scala Set intersection on arbitrary sets") {
+    val setGen = Gen.zip(
+      Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct.sorted),
+      Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct.sorted))
+    samples(setGen, 30).foreach { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.GraftFunctions
+          .sortedIntersectSize(spark, col("a"), col("b")))
+        .head().getInt(0)
+      assert(got == a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("connectedComponents: same component iff connected (vs Scala union-find)") {
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L))).map(
+      _.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(got.keySet == nodes.toSet)
+      nodes.foreach { n =>
+        // cluster label = min node of the component
+        val members = nodes.filter(m => find(m) == find(n))
+        assert(got(n) == members.min, s"node $n in $edges")
+      }
+    }
+  }
+
+  test("pack/merge invariants: packing conserves tokens; upsert is idempotent on keys") {
+    // packing: sum of bin token counts equals sum of doc token counts
+    val docs = samples(Gen.nonEmptyListOf(Gen.chooseNum(1, 500)), 6)
+    docs.foreach { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "n_tokens")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val packed = df
+        .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0)))
+        .withColumn("bin", floor(col("before") / 256))
+        .groupBy(col("bin")).agg(sum(col("n_tokens")).as("bin_tokens"))
+      val total = packed.agg(sum(col("bin_tokens"))).head().getLong(0)
+      assert(total == toks.map(_.toLong).sum)
     }
   }
 
