@@ -161,11 +161,42 @@ object BreadthQueries {
       |  round(CAST(sum(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE), 4) AS acctbal_sum
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** CUBE over (status, priority): all four grouping-set combinations
+    * in one pass (the full grouping-sets surface next to `rollup_agg`'s
+    * hierarchical one). `grouping()` flags disambiguate real NULLs
+    * from subtotal rows.
+    */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"))
+      .select(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+
+  private val cubeOracle =
+    """SELECT
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |  o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("from_json_typed", Some(fromJsonOracle), fromJsonTyped),
     Q("array_functions", Some(arrayOracle), arrayFunctions),
     Q("null_handling", Some(nullOracle), nullHandling),
     Q("window_partition_avg", Some(windowAvgOracle), windowPartitionAvg),
     Q("ddl_catalog", Some(ddlOracle), ddlCatalog),
+    Q("cube_agg", Some(cubeOracle), cubeAgg),
   )
 }

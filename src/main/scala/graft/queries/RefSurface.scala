@@ -383,6 +383,32 @@ object RefSurface {
       |FROM orders WHERE o_orderstatus = 'O'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** K2/K3 through the LITERAL target technology: a set-based
+    * `df.write.format("jdbc")` into an embedded Derby table (the
+    * reference INSERTs row-by-row into Postgres,
+    * `dag.py:203-204,224-225`), read back over JDBC, aggregated. The
+    * oracle aggregates the base table directly, so the hash check
+    * proves the RDBMS round-trip is lossless.
+    */
+  def sinkJdbc(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graft_sink;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    graft.sources.JdbcSink.write(
+      Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal")),
+      url, "supplier_sink", driver)
+    graft.sources.JdbcSink.read(spark, url, "supplier_sink", driver)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(Enrich.exactSum(col("s_acctbal")), 4).as("acctbal_sum"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val sinkJdbcOracle =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |  round(CAST(sum(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE), 4) AS acctbal_sum
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("flagship_enrich", Some(flagshipOracle), flagshipEnrich),
     Q("standardise_books", Some(standardiseOracle), standardiseBooks),
@@ -396,5 +422,6 @@ object RefSurface {
     Q("agg_group", Some(aggGroupOracle), aggGroup),
     Q("empty_guard", Some(emptyGuardOracle), emptyGuard),
     Q("sink_roundtrip", Some(sinkRoundtripOracle), sinkRoundtrip),
+    Q("sink_jdbc", Some(sinkJdbcOracle), sinkJdbc),
   )
 }

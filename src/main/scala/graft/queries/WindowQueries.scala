@@ -82,9 +82,38 @@ object WindowQueries {
       |    PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running_sum
       |FROM events""".stripMargin
 
+  /** Distribution windows: ntile quartiles, percent_rank, and the
+    * per-partition maximum via first_value over a descending order.
+    * Order keys include `o_orderkey` so every rank is fully
+    * deterministic (ties in price cannot flip assignments).
+    */
+  def ntileRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wDesc = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("price_quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        first_value(col("o_totalprice")).over(wDesc).as("status_max_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val ntileOracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  ntile(4) OVER w AS price_quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  first_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS status_max_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("window_tumbling", Some(tumblingOracle), tumbling),
     Q("window_rank_topn", Some(rankOracle), rankTopN),
     Q("window_lag_running", Some(lagOracle), lagRunning),
+    Q("window_ntile", Some(ntileOracle), ntileRank),
   )
 }
