@@ -68,6 +68,46 @@ object ScaleQueries {
       |  ON l_returnflag = flag
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Bucketed co-located join: both sides written with
+    * `bucketBy(8, key).sortBy(key)` so the sort-merge join reads
+    * matching buckets DIRECTLY — no Exchange under the join
+    * (plan-asserted in QueryPlanSpec). At 100 TB this is the
+    * pre-shuffle-once-join-forever layout: fact tables bucketed on
+    * their join key skip the per-query all-to-all entirely. The
+    * `merge` hint pins the SMJ path (a broadcast would also avoid the
+    * shuffle but wouldn't exercise bucket alignment).
+    */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Seq("graft_orders_b", "graft_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(s"$wh/$t"))
+    }
+    Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_orders_b")
+    Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_lineitem_b")
+    spark.table("graft_lineitem_b").hint("merge")
+      .join(spark.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(Enrich.exactSum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val joinBucketedOracle =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** SURVEY §2.1 S2 literally: CSS-class-keyed field extraction over
     * markup, as codegen'd regexes (the offline form of the
     * BeautifulSoup selectors, `dag.py:87-105`). The markup is built
@@ -138,6 +178,7 @@ object ScaleQueries {
   def queries: Seq[Q] = Seq(
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("join_skew_salted", Some(joinSkewOracle), joinSkewSalted),
+    Q("join_bucketed", Some(joinBucketedOracle), joinBucketed),
     Q("extract_markup", Some(extractMarkupOracle), extractMarkup),
     Q("generator_items", Some(generatorOracle), generatorItems),
   )

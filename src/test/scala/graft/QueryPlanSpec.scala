@@ -86,6 +86,18 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bucketed: sort-merge join reads buckets directly, no Exchange under the join") {
+    // (string assertions: TreeNode.collect cannot descend through the
+    // AdaptiveSparkPlanExec wrapper, whose children list is empty)
+    val p = plan("join_bucketed").toString
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(p.split("Bucketed: true").length - 1 == 2,
+      s"both scans must be bucketed:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
   test("agg_group is a single-shuffle partial+final aggregation") {
     val p = plan("agg_group")
     val exchanges = p.collect { case e: Exchange => e }
