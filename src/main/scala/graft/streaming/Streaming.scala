@@ -92,6 +92,30 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each "click" event matched to the
+    * same user's "view" events from the preceding `windowMinutes`.
+    * Both sides are watermarked so the join state is BOUNDED — Spark
+    * drops buffered rows once the watermark passes the interval (the
+    * property that keeps a 100 TB/day stream-stream join from
+    * accumulating unbounded state). The reference has no streaming
+    * join at all; its analog would be a full re-scrape + batch merge.
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+                   windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Launch the windowed pipeline with the reference's cadence and an
     * idempotent parquet sink: `foreachBatch` writes each micro-batch
     * to a batch-id-named directory (rerun of a batch overwrites, never

@@ -128,6 +128,26 @@ class StreamingSpec extends SparkSpec {
     assert(windows == Set(ts(0), ts(5)))
   }
 
+  test("stream-stream interval join matches views in the lookback window only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Evt]
+    val views = MemoryStream[Evt]
+    val q = Streaming.intervalJoin(clicks.toDF(), views.toDF(), windowMinutes = 10)
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Evt(100, ts(0), 1, "view", 1.0), // 5 min before click → match
+        Evt(101, ts(20), 1, "view", 1.0), // after the click → no match
+        Evt(102, ts(1), 2, "view", 1.0)) // other user → no match
+      clicks.addData(Evt(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("click_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("file-source pipeline end-to-end: parquet drop dir → windows → idempotent sink") {
     // the real-source form of the verify recipe: copy an events parquet
     // into a fresh drop directory, stream it through startPipeline with
