@@ -176,6 +176,50 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == 0, "streamed window values diverge from batch plan")
   }
 
+  test("the whole reference pipeline, streaming: scrape pages → standardise → enrich → RDBMS") {
+    // dag.py end-to-end on Spark primitives: PageStream is the paginated
+    // scrape (S1), the select is standardise (P2-P7), foreachBatch
+    // appends cleaned books (K2) and idempotently recomputes the
+    // enriched aggregate table (K3) — both over JDBC like the reference.
+    val url = "jdbc:derby:memory:graftpipe;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val raw = spark.readStream.format(classOf[PageStreamProvider].getName)
+      .option("pages", "3").option("rowsPerPage", "8").load()
+    val cleaned = raw
+      .withColumn("title", Standardise.trimmed(col("title")))
+      .select(col("page"), col("title"), col("author"),
+        Standardise.parsePrice(col("price")).as("price"),
+        Standardise.extractRating(col("rating")).as("rating"),
+        Standardise.parseCount(col("rating_count")).as("rating_count"))
+    val q = cleaned.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-run dedup happens on the BATCH frame (the reference's
+        // seen-set is per-run too); cross-run state lives in the DB
+        val deduped = Standardise.dedupFirst(batch,
+          Seq(col("title")), Seq(col("page"), col("author")))
+        graft.sources.JdbcSink.write(deduped, url, "books_stream", driver,
+          mode = org.apache.spark.sql.SaveMode.Append,
+          columnTypes = Some("title VARCHAR(64), author VARCHAR(32)"))
+        // K3: full idempotent recompute from the sink (rerun-safe)
+        val enriched = graft.sources.JdbcSink.read(spark, url, "books_stream", driver)
+          .groupBy(col("author"))
+          .agg(count(lit(1)).as("book_count"),
+            sum(col("rating_count")).as("total_rating_count"))
+        graft.sources.JdbcSink.write(enriched, url, "enriched_stream", driver,
+          columnTypes = Some("author VARCHAR(32)"))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val books = graft.sources.JdbcSink.read(spark, url, "books_stream", driver)
+    assert(books.count() == 24) // 3 pages × 8 rows, all titles distinct
+    assert(books.filter(col("title").startsWith(" ")).count() == 0)
+    val enriched = graft.sources.JdbcSink.read(spark, url, "enriched_stream", driver)
+    assert(enriched.count() == 11) // authors A-0..A-10
+    assert(enriched.agg(sum(col("book_count"))).head().getLong(0) == 24L)
+  }
+
   test("sessionize closes sessions on event-time gaps") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Evt]
