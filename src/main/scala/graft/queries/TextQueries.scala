@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextOps
 import graft.sources.Tables
@@ -222,6 +223,45 @@ object TextQueries {
       |  CAST(len(string_split(normalized, ' ')) AS INT) AS n_tokens
       |FROM n ORDER BY p_partkey""".stripMargin
 
+  /** N-gram statistics: top-5 bigrams per language by frequency
+    * (deterministic tie-break on the bigram itself) — the vocabulary /
+    * language-model-stats pass of a corpus pipeline. Bigrams are
+    * built positionally with `transform(sequence(...))` (one pass, no
+    * shuffle), then one count aggregation + one per-language window
+    * top-k; at 100 TB the count is partial-aggregated map-side and
+    * the top-k is WindowGroupLimit-pushed.
+    */
+  def ngramVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val ngramOracle =
+    """WITH b AS (
+      |  SELECT lang, unnest(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+      |  FROM documents),
+      |c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram),
+      |r AS (
+      |  SELECT lang, bigram, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      |  FROM c)
+      |SELECT lang, CAST(rk AS INT) AS rk, bigram, n
+      |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
     Q("text_quality", Some(qualityOracle), quality),
@@ -229,5 +269,6 @@ object TextQueries {
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
     Q("text_pii_redact", Some(piiOracle), piiRedact),
     Q("text_normalize", Some(normalizeOracle), normalize),
+    Q("text_ngram_vocab", Some(ngramOracle), ngramVocab),
   )
 }
