@@ -1,5 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":"total",...,"queries":{...}}.
+  *
+  * Methodology (round-2/3 lessons):
+  *  - 1 warmup + median-of-3 per query: the warmup absorbs one-time costs
+  *    that aren't the query's (whole-stage-codegen compile, JIT, parquet
+  *    footer caches); the median rides out host-contention spikes that made
+  *    single-shot round-1 numbers cry wolf (join_semi 44s vs join_anti 2.5s
+  *    on the same plan shape).
+  *  - ADAPTIVE reps: a query whose warmup already took >SPARK_GRAFT_SLOW_SEC
+  *    runs only one timed rep — 4x runs of a slow query buys noise
+  *    reduction nobody needs at 4x the wall-clock.
+  *  - SOFT deadline (SPARK_GRAFT_DEADLINE_SEC, default 900): once
+  *    cumulative elapsed passes it, remaining queries run 0 warmup + 1 rep.
+  *  - HARD deadline (SPARK_GRAFT_HARD_DEADLINE_SEC, default 2400): past it,
+  *    remaining queries are skipped and listed under a "skipped" key.
+  *  - PER-QUERY watchdog (SPARK_GRAFT_QUERY_TIMEOUT_SEC, default 300): each
+  *    run executes under a Spark job group that a timer thread cancels at
+  *    the timeout, so one pathological query cannot eat the whole budget.
+  *  The round-2 driver run was killed at >54 min with no JSON emitted while
+  *  the same commit benched locally in 4 min — the host is subject to
+  *  15x contention windows (Firecracker noisy neighbor). A bench that
+  *  degrades its methodology but always emits the JSON line beats one that
+  *  is rigorous and dead.
+  *  - Per-query progress on stderr: even a hard external kill leaves
+  *    evidence of which query was running.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,31 +43,65 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
-    // 1 warmup + median of 3 timed runs per query: the warmup absorbs
-    // one-time costs that aren't the query's (whole-stage codegen
-    // compilation, JIT, parquet footer caches), the median rides out
-    // host-contention spikes that made single-shot round-1 numbers cry
-    // wolf (join_semi 44s vs join_anti 2.5s on the same shape).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = selected.map { case (name, fn) =>
+    def envD(k: String, d: Double) = sys.env.get(k).map(_.toDouble).getOrElse(d)
+    val reps = envD("SPARK_GRAFT_REPS", 3).toInt
+    val slowSec = envD("SPARK_GRAFT_SLOW_SEC", 10)
+    val softDeadline = envD("SPARK_GRAFT_DEADLINE_SEC", 900)
+    val hardDeadline = envD("SPARK_GRAFT_HARD_DEADLINE_SEC", 2400)
+    val queryTimeoutMs = (envD("SPARK_GRAFT_QUERY_TIMEOUT_SEC", 300) * 1000).toLong
+    val bench0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - bench0) / 1e9
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+
+    val skipped = List.newBuilder[String]
+    val results = selected.flatMap { case (name, fn) =>
       def once(): Double = {
+        val group = s"bench-$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val cancel = new java.util.TimerTask {
+          def run(): Unit = {
+            System.err.println(s"[bench] $name watchdog fired, cancelling jobs")
+            spark.sparkContext.cancelJobGroup(group)
+          }
+        }
+        watchdog.schedule(cancel, queryTimeoutMs)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        finally {
+          cancel.cancel()
+          spark.sparkContext.clearJobGroup()
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted frames: keeps storage memory from
-        // crowding execution memory across 35+ queries in one JVM, and
+        // crowding execution memory across 65+ queries in one JVM, and
         // makes each timing independent of run order
         spark.catalog.clearCache()
         dt
       }
-      once() // warmup (not recorded)
-      val runs = Seq.fill(reps)(once()).sorted
-      name -> runs(reps / 2)
+      if (elapsed > hardDeadline) {
+        System.err.println(f"[bench] $name%-28s SKIPPED (hard deadline, elapsed=$elapsed%.0fs)")
+        skipped += name
+        None
+      } else if (elapsed > softDeadline) {
+        val dt = once() // degraded mode: single cold run, no warmup
+        System.err.println(
+          f"[bench] $name%-28s $dt%8.2fs (deadline mode, elapsed=$elapsed%.0fs)")
+        Some(name -> dt)
+      } else {
+        val w = once() // warmup (not recorded)
+        val n = if (w > slowSec) 1 else reps
+        val runs = Seq.fill(n)(once()).sorted
+        val med = runs(n / 2)
+        System.err.println(
+          f"[bench] $name%-28s $med%8.2fs (warmup=$w%.2fs reps=$n elapsed=$elapsed%.0fs)")
+        Some(name -> med)
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sk = skipped.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
