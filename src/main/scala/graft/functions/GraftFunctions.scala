@@ -79,8 +79,11 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point:
+  * native expressions + custom-operator planner strategies. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.install(ext)
+    graft.plans.GraftPlans.install(ext)
+  }
 }

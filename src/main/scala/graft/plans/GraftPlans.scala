@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftPlanApi, SparkSession, SparkSessionExtensions}
+
+/** DataFrame-level API + registration for the engine's custom logical
+  * operators (currently [[AsofJoin]]).
+  *
+  * Two install paths, mirroring [[graft.functions.GraftFunctions]]:
+  *  - [[install]] for `SparkSession.builder.withExtensions` /
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`;
+  *  - [[ensureStrategy]] for sessions the engine doesn't build (the
+  *    driver owns the session in this harness) — idempotent append to
+  *    `spark.experimental.extraStrategies`, the public per-session
+  *    planner hook.
+  */
+object GraftPlans {
+
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+
+  /** Idempotent per-session strategy registration. */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsofJoinStrategy
+  }
+
+  /** `left ASOF JOIN right ON left[keyL] = right[keyR] AND
+    * left[timeL] >= right[timeR]` (inner; latest right row wins).
+    * Column names resolve against each side, so the two sides may
+    * share names — disambiguate with renames before joining if the
+    * OUTPUT needs distinct names.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyL: String, timeL: String,
+      keyR: String, timeR: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = GraftPlanApi.analyzed(left)
+    val rPlan = GraftPlanApi.analyzed(right)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+    GraftPlanApi.ofRows(spark,
+      AsofJoin(lPlan, rPlan,
+        attr(lPlan, keyL), attr(rPlan, keyR),
+        attr(lPlan, timeL), attr(rPlan, timeR)))
+  }
+}

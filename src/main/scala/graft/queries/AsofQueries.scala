@@ -51,6 +51,33 @@ object AsofQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Same as-of semantics through the NATIVE whole-operator path:
+    * [[graft.plans.AsofJoin]] logical node → [[graft.plans.AsofJoinExec]]
+    * sort-merge as-of (one clustered shuffle per side, per-partition
+    * streaming merge with O(1) state), planned via the injected
+    * [[graft.plans.AsofJoinStrategy]]. Shares [[joinAsof]]'s DuckDB
+    * ASOF JOIN oracle — two implementations, one truth.
+    */
+  def joinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ow = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ordersD = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(ow)).filter(col("rn") === 1)
+      // date → timestamp cast matches the implicit union-coercion in
+      // [[joinAsof]] (and DuckDB's DATE-vs-TIMESTAMP comparison)
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("t"),
+        col("o_orderkey"), col("o_totalprice"))
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.GraftPlans
+      .asofJoin(events, ordersD, "user_id", "ts", "k", "t")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   private val asofOracle =
     """WITH ordersD AS (
       |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey, o_totalprice
@@ -151,6 +178,7 @@ object AsofQueries {
 
   def queries: Seq[Q] = Seq(
     Q("join_asof", Some(asofOracle), joinAsof),
+    Q("join_asof_native", Some(asofOracle), joinAsofNative),
     Q("join_range", Some(rangeOracle), joinRange),
     Q("approx_distinct", None, approxDistinct),
     Q("approx_distinct_exact", Some(approxExactOracle), approxDistinctExact),

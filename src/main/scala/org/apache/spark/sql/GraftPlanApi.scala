@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge for turning a custom [[LogicalPlan]] into a DataFrame.
+  *
+  * `Dataset.ofRows` is `private[sql]`, so an extension library that
+  * defines its own logical operators needs one file in the
+  * `org.apache.spark.sql` namespace to reach it — the standard pattern
+  * for Spark-native operator libraries. Nothing else lives here; all
+  * engine code is under `graft.*`.
+  */
+object GraftPlanApi {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Analyzed logical plan + resolved output attributes of a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
