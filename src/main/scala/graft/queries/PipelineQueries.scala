@@ -184,8 +184,48 @@ object PipelineQueries {
        |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1000.0) AS centroid
        |FROM q GROUP BY c_id, dim ORDER BY c_id, dim""".stripMargin
 
+  // ---- int8 embedding quantization --------------------------------------
+
+  /** Symmetric int8 quantization of each embedding (the storage/ANN
+    * compression step): q = floor(v / maxabs(vec) * 127). Per-vector
+    * state only — posexplode + a partition-window max + one
+    * re-aggregation; no cross-vector communication, so it scales as a
+    * single shuffle on vec_id. floor (not round) keeps the cross-engine
+    * comparison exact: identical IEEE doubles in, identical ints out.
+    * Reported as per-vector code statistics (sum/min/max), which pin
+    * every code's value through the oracle hash.
+    */
+  def embQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .withColumn("maxabs", max(abs(col("v"))).over(w))
+      .select(col("vec_id"),
+        when(col("maxabs") > 0, floor(col("v") / col("maxabs") * 127))
+          .otherwise(lit(0L)).cast("int").as("q"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q")).as("q_sum"), min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"), count(lit(1)).as("dims"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val quantizeOracle =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |x AS (SELECT vec_id, unnest(emb) AS v FROM e),
+      |m AS (SELECT vec_id, v, max(abs(v)) OVER (PARTITION BY vec_id) AS maxabs FROM x),
+      |q AS (SELECT vec_id,
+      |  CASE WHEN maxabs > 0 THEN CAST(floor(v/maxabs*127) AS INT) ELSE 0 END AS q
+      |  FROM m)
+      |SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum, min(q) AS q_min,
+      |  max(q) AS q_max, count(*) AS dims
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sample_stratified", Some(sampleOracle), sampleStratified),
+    Q("emb_quantize", Some(quantizeOracle), embQuantize),
     Q("pack_sequences", Some(packOracle), packSequences),
     Q("merge_upsert", Some(mergeOracle), mergeUpsert),
     Q("emb_centroids", Some(centroidsOracle), embCentroids),

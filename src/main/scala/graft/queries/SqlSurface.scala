@@ -46,6 +46,99 @@ object SqlSurface {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q5 shape as raw SQL: a 6-table star join (3 small dims, a
+    * mid dim, two facts). At scale Catalyst broadcasts region/nation/
+    * supplier and AQE picks join order from runtime stats — the plan
+    * every warehouse engine must get right. Decimal-exact revenue,
+    * rounded in DECIMAL space before the double cast (midpoint-safe).
+    */
+  def sqlTpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(view(spark, sfDir, _))
+    spark.sql(
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  private val q5Oracle =
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q1 (pricing summary report): one scan, one shuffle, 8
+    * aggregates — the canonical partial+final aggregation benchmark.
+    * Every sum is exact fixed-point decimal; the averages use
+    * [[Enrich.roundDiv4]] integer arithmetic so the result is
+    * bit-identical across engines (see SURVEY §7.4).
+    */
+  def aggTpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    val qInt = (col("l_quantity").cast("decimal(18,4)") * 10000)
+      .cast("decimal(38,0)")
+    val pInt = (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+      .cast("decimal(38,0)")
+    val dInt = (col("l_discount").cast("decimal(18,4)") * 10000)
+      .cast("decimal(38,0)")
+    val ep = col("l_extendedprice").cast("decimal(12,4)")
+    val disc = col("l_discount").cast("decimal(12,4)")
+    val tax = col("l_tax").cast("decimal(12,4)")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(Enrich.exactSum(col("l_quantity")), 4).as("sum_qty"),
+        round(Enrich.exactSum(col("l_extendedprice")), 4).as("sum_base_price"),
+        (round(sum(ep * (lit(1) - disc)), 4)).cast("double").as("sum_disc_price"),
+        (round(sum(ep * (lit(1) - disc) * (lit(1) + tax)), 4)).cast("double").as("sum_charge"),
+        Enrich.roundDiv4(sum(qInt), count(lit(1)) * 10000).as("avg_qty"),
+        Enrich.roundDiv4(sum(pInt), count(lit(1)) * 10000).as("avg_price"),
+        Enrich.roundDiv4(sum(dInt), count(lit(1)) * 10000).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q1Oracle = {
+    def div4(n: String, d: String) = Enrich.roundDiv4Sql(n, d)
+    s"""SELECT l_returnflag, l_linestatus,
+       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_base_price,
+       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+       |    (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+       |    (1 - CAST(l_discount AS DECIMAL(12,4))) *
+       |    (1 + CAST(l_tax AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_charge,
+       |  ${div4("sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS HUGEINT))", "count(*) * 10000")} AS avg_qty,
+       |  ${div4("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT))", "count(*) * 10000")} AS avg_price,
+       |  ${div4("sum(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS HUGEINT))", "count(*) * 10000")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
   /** ROLLUP: per-(returnflag, linestatus) subtotals + per-flag + grand
     * total in one pass — the multi-dimensional aggregate class the
     * reference can't express at all.
@@ -138,6 +231,8 @@ object SqlSurface {
 
   def queries: Seq[Q] = Seq(
     Q("sql_tpch_q3", Some(q3Oracle), sqlTpchQ3),
+    Q("sql_tpch_q5", Some(q5Oracle), sqlTpchQ5),
+    Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
     Q("rollup_agg", Some(rollupOracle), rollupAgg),
     Q("pivot_flags", Some(pivotOracle), pivotFlags),
     Q("setops_chain", Some(setOpsOracle), setOps),

@@ -262,8 +262,112 @@ object TextQueries {
       |SELECT lang, CAST(rk AS INT) AS rk, bigram, n
       |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** Repetition signals (the Gopher-style near-gibberish detectors):
+    * type-token ratio, top-word share, duplicate-bigram ratio. The
+    * per-word counts are an explode + two-level aggregation — at
+    * 100 TB one shuffle on (doc, word), partial-aggregated map-side;
+    * the bigram stats never leave the row (array expressions).
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val bi = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(ws).as("w"),
+        size(bi).as("n_bi"), size(array_distinct(bi)).as("n_bi_d"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"), max(col("n_bi")).as("n_bi"),
+        max(col("n_bi_d")).as("n_bi_d"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("max_c"),
+        max(col("n_bi")).as("n_bi"), max(col("n_bi_d")).as("n_bi_d"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        (col("max_c").cast("double") / col("n_words")).as("top_word_share"),
+        (col("n_distinct_words").cast("double") / col("n_words"))
+          .as("type_token_ratio"),
+        when(col("n_bi") > 0,
+          lit(1.0) - col("n_bi_d").cast("double") / col("n_bi"))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, ws,
+      |  list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+      |    i -> ws[i]||' '||ws[i+1]) AS bi FROM d),
+      |w AS (SELECT doc_id, unnest(ws) AS w FROM g),
+      |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |  count(*) AS n_distinct_words, max(c) AS max_c FROM c GROUP BY doc_id),
+      |b AS (SELECT doc_id, CAST(len(bi) AS INT) AS n_bi,
+      |  CAST(len(list_distinct(bi)) AS INT) AS n_bi_d FROM g)
+      |SELECT a.doc_id, n_words, n_distinct_words,
+      |  CAST(max_c AS DOUBLE)/n_words AS top_word_share,
+      |  CAST(n_distinct_words AS DOUBLE)/n_words AS type_token_ratio,
+      |  CASE WHEN n_bi > 0 THEN 1.0 - CAST(n_bi_d AS DOUBLE)/n_bi
+      |       ELSE 0.0 END AS dup_bigram_ratio
+      |FROM a JOIN b ON a.doc_id = b.doc_id ORDER BY a.doc_id""".stripMargin
+
+  /** Quality-filter funnel (the C4/Gopher-style keep/drop decision):
+    * each document gets the FIRST failing rule as its rejection
+    * reason; the rollup reports the funnel. One narrow scan + one
+    * tiny aggregation — the decision column itself is what a real
+    * pipeline writes back to the corpus.
+    */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nWords = size(ws)
+    val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+    val noSpace = length(regexp_replace(col("text"), " ", ""))
+    val alnum = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val avgWordLen = noSpace.cast("double") / nWords
+    val nonalnum = (length(col("text")) - alnum).cast("double") / length(col("text"))
+    val stopRatio = nStop.cast("double") / nWords
+    val reason = when(nWords < 20, "too_short")
+      .when(nWords > 5000, "too_long")
+      .when(avgWordLen < 3.0 || avgWordLen > 12.0, "word_len")
+      .when(nonalnum > 0.3, "symbols")
+      .when(stopRatio < 0.01, "no_stopwords")
+      .otherwise("keep")
+    Tables.documents(spark, sfDir)
+      .select(reason.as("reason"), col("n_chars"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
+      .orderBy(col("reason"))
+  }
+
+  private val funnelOracle = {
+    val stop = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT n_chars,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS INT) AS n_stop,
+       |    length(regexp_replace(text, ' ', '', 'g')) AS no_space,
+       |    length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS alnum,
+       |    length(text) AS len_text
+       |  FROM documents),
+       |r AS (
+       |  SELECT n_chars,
+       |    CASE WHEN n_words < 20 THEN 'too_short'
+       |         WHEN n_words > 5000 THEN 'too_long'
+       |         WHEN CAST(no_space AS DOUBLE)/n_words < 3.0
+       |           OR CAST(no_space AS DOUBLE)/n_words > 12.0 THEN 'word_len'
+       |         WHEN CAST(len_text - alnum AS DOUBLE)/len_text > 0.3 THEN 'symbols'
+       |         WHEN CAST(n_stop AS DOUBLE)/n_words < 0.01 THEN 'no_stopwords'
+       |         ELSE 'keep' END AS reason
+       |  FROM m)
+       |SELECT reason, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total
+       |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
+    Q("text_repetition", Some(repetitionOracle), repetition),
+    Q("docs_filter_funnel", Some(funnelOracle), filterFunnel),
     Q("text_quality", Some(qualityOracle), quality),
     Q("text_langid", Some(langIdOracle), langId),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),

@@ -110,8 +110,59 @@ object WindowQueries {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Batch sessionization: a session break is a >30-minute gap in a
+    * user's event stream; session ids are the running count of breaks.
+    * Two stacked windows over the SAME (user_id, ts, event_id) sort —
+    * Catalyst plans one shuffle + one sort for both — then a rollup per
+    * session. The streaming twin of this operator is
+    * `session_window(ts, "30 minutes")` in `graft.streaming`. Times
+    * compared in whole epoch seconds (both engines truncate the same
+    * way on post-epoch data); unique event_id tie-break keeps the
+    * running count deterministic.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val es = col("ts").cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = es - lag(es, 1).over(w)
+    Tables.events(spark, sfDir)
+      .withColumn("is_new",
+        when(gap.isNull || gap > 1800L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(es).as("t_start"), max(es).as("t_end"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val sessionOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    ts
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, value, es,
+      |    es - lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+      |    ts
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, value, es,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(es) AS t_start, max(es) AS t_end,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS value_sum
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("window_tumbling", Some(tumblingOracle), tumbling),
+    Q("window_session", Some(sessionOracle), sessionize),
     Q("window_rank_topn", Some(rankOracle), rankTopN),
     Q("window_lag_running", Some(lagOracle), lagRunning),
     Q("window_ntile", Some(ntileOracle), ntileRank),
