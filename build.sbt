@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs inherit sbt's stdout directly instead of being pumped
+// through sbt's logger (which prefixed every line with [info] and —
+// worse — silently dropped the bench's final JSON line when sbt itself
+// was SIGTERM'd by the driver's timeout while the fork survived as an
+// orphan (BENCH_r02 rc=124, parsed=null). With StdoutOutput the fork's
+// writes land on the driver-captured pipe even if sbt is already dead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,13 +18,16 @@ import org.apache.spark.sql.SparkSession
   *  - HARD deadline (SPARK_GRAFT_HARD_DEADLINE_SEC, default 2400): past it,
   *    remaining queries are skipped and listed under a "skipped" key.
   *  - PER-QUERY watchdog (SPARK_GRAFT_QUERY_TIMEOUT_SEC, default 300): each
-  *    run executes under a Spark job group that a timer thread cancels at
-  *    the timeout, so one pathological query cannot eat the whole budget.
-  *  The round-2 driver run was killed at >54 min with no JSON emitted while
-  *  the same commit benched locally in 4 min — the host is subject to
-  *  15x contention windows (Firecracker noisy neighbor). A bench that
-  *  degrades its methodology but always emits the JSON line beats one that
-  *  is rigorous and dead.
+  *    run executes on a daemon thread under a Spark job group; at timeout
+  *    the job group is cancelled AND the thread is abandoned, so even a
+  *    hang Spark cannot cancel (driver-side analysis/planning) cannot eat
+  *    the whole budget.
+  *  - SHUTDOWN HOOK: if the process is killed (the round-2 driver run was
+  *    SIGTERM'd at >54 min with no JSON emitted while the same commit
+  *    benched locally in 4 min — 15x Firecracker noisy-neighbor windows),
+  *    the hook emits the partial JSON line with whatever completed, marked
+  *    "partial":true. A bench that degrades its methodology but always
+  *    emits the JSON line beats one that is rigorous and dead.
   *  - Per-query progress on stderr: even a hard external kill leaves
   *    evidence of which query was running.
   */
@@ -53,11 +56,66 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - bench0) / 1e9
     val watchdog = new java.util.Timer("bench-watchdog", true)
 
-    val skipped = List.newBuilder[String]
-    val results = selected.flatMap { case (name, fn) =>
+    // Results land here as they complete so the shutdown hook can emit a
+    // partial line at any instant. LinkedHashMap keeps registry order.
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    val skipped = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
+      import scala.jdk.CollectionConverters._
+      val rs = done.asScala.toSeq
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val sk = skipped.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = rs.map(_._2).sum
+      val part = if (partial) ""","partial":true""" else ""
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk$part,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    val hook = new Thread(() => {
+      System.err.println(f"[bench] shutdown signal at elapsed=$elapsed%.0fs — emitting partial JSON")
+      emit(partial = true)
+    }, "bench-emit-hook")
+    Runtime.getRuntime.addShutdownHook(hook)
+    // Orphan watch: the driver's `timeout` SIGTERMs sbt, and the forked
+    // bench JVM survives as an orphan with nobody reading its results
+    // (observed: BENCH_r02). Detect the reparent (PPID flips to init) and
+    // emit the partial line — stdout is inherited from sbt (StdoutOutput
+    // in build.sbt), so the write still reaches the driver's pipe.
+    val parent0 = ProcessHandle.current().parent()
+      .map[java.lang.Long](p => java.lang.Long.valueOf(p.pid())).orElse(null)
+    val orphanWatch = new Thread(() => {
+      while (true) {
+        Thread.sleep(2000)
+        val p = ProcessHandle.current().parent()
+          .map[java.lang.Long](p => java.lang.Long.valueOf(p.pid())).orElse(null)
+        if (parent0 != null && p != parent0) {
+          System.err.println(f"[bench] parent (sbt) died at elapsed=$elapsed%.0fs — emitting partial JSON")
+          emit(partial = true)
+          Runtime.getRuntime.halt(3)
+        }
+      }
+    }, "bench-orphan-watch")
+    orphanWatch.setDaemon(true)
+    orphanWatch.start()
+
+    selected.foreach { case (name, fn) =>
+      // One timed run. The query body executes on a daemon thread: the
+      // job-group cancel kills running Spark jobs at the watchdog timeout,
+      // and if the thread STILL doesn't return (driver-side planning hangs
+      // are not cancellable), we abandon it and move on — the failed run
+      // reports the timeout value rather than blocking the bench.
       def once(): Double = {
         val group = s"bench-$name"
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val dtBox = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val runner = new Thread(() => {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          finally spark.sparkContext.clearJobGroup()
+          dtBox.set(System.nanoTime() - t0)
+        }, s"bench-run-$name")
+        runner.setDaemon(true)
         val cancel = new java.util.TimerTask {
           def run(): Unit = {
             System.err.println(s"[bench] $name watchdog fired, cancelling jobs")
@@ -65,28 +123,26 @@ object Bench {
           }
         }
         watchdog.schedule(cancel, queryTimeoutMs)
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        finally {
-          cancel.cancel()
-          spark.sparkContext.clearJobGroup()
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
+        runner.start()
+        runner.join(queryTimeoutMs + 30000L) // grace for the cancel to land
+        cancel.cancel()
+        if (runner.isAlive)
+          System.err.println(s"[bench] $name run thread abandoned (uncancellable)")
         // drop per-query persisted frames: keeps storage memory from
-        // crowding execution memory across 65+ queries in one JVM, and
+        // crowding execution memory across 70+ queries in one JVM, and
         // makes each timing independent of run order
-        spark.catalog.clearCache()
-        dt
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        val dt = dtBox.get()
+        if (dt >= 0) dt / 1e9 else (queryTimeoutMs + 30000L) / 1e3
       }
       if (elapsed > hardDeadline) {
         System.err.println(f"[bench] $name%-28s SKIPPED (hard deadline, elapsed=$elapsed%.0fs)")
-        skipped += name
-        None
+        skipped.add(name)
       } else if (elapsed > softDeadline) {
         val dt = once() // degraded mode: single cold run, no warmup
         System.err.println(
           f"[bench] $name%-28s $dt%8.2fs (deadline mode, elapsed=$elapsed%.0fs)")
-        Some(name -> dt)
+        done.add(name -> dt)
       } else {
         val w = once() // warmup (not recorded)
         val n = if (w > slowSec) 1 else reps
@@ -94,14 +150,14 @@ object Bench {
         val med = runs(n / 2)
         System.err.println(
           f"[bench] $name%-28s $med%8.2fs (warmup=$w%.2fs reps=$n elapsed=$elapsed%.0fs)")
-        Some(name -> med)
+        done.add(name -> med)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sk = skipped.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"sf":"$sfDir"}""")
+    Runtime.getRuntime.removeShutdownHook(hook)
+    emit(partial = false)
     spark.stop()
+    // daemon run threads may have been abandoned; don't let anything
+    // non-daemon (e.g. a sink's leftover pool) block JVM exit
+    System.exit(0)
   }
 }
