@@ -267,23 +267,33 @@ object TextQueries {
     * per-word counts are an explode + two-level aggregation — at
     * 100 TB one shuffle on (doc, word), partial-aggregated map-side;
     * the bigram stats never leave the row (array expressions).
+    *
+    * The bigram stats are a SEPARATE per-doc branch joined back on
+    * doc_id: putting `size(bi)` in the same select as `explode(ws)`
+    * plans the Project ABOVE the Generate, re-evaluating the
+    * interpreted bigram lambdas once per exploded word row — O(W²)
+    * per doc (measured 28 s for 500 docs at sf0.01; this shape is
+    * 0.5 s). The join is per-doc-keyed and broadcast-size relative
+    * to the exploded word table at any scale.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val ws = TextOps.words(col("text"))
     val bi = when(size(ws) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(ws) - 2),
         i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+    val biStats = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bi.as("bi"))
+      .select(col("doc_id"), size(col("bi")).as("n_bi"),
+        size(array_distinct(col("bi"))).as("n_bi_d"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(ws).as("w"),
-        size(bi).as("n_bi"), size(array_distinct(bi)).as("n_bi_d"))
+      .select(col("doc_id"), explode(ws).as("w"))
       .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("c"), max(col("n_bi")).as("n_bi"),
-        max(col("n_bi_d")).as("n_bi_d"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),
         count(lit(1)).as("n_distinct_words"),
-        max(col("c")).as("max_c"),
-        max(col("n_bi")).as("n_bi"), max(col("n_bi_d")).as("n_bi_d"))
+        max(col("c")).as("max_c"))
+      .join(biStats, "doc_id")
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
         (col("max_c").cast("double") / col("n_words")).as("top_word_share"),
         (col("n_distinct_words").cast("double") / col("n_words"))
