@@ -20,6 +20,7 @@ object GraftFunctions {
   val cosineSimName = "graft_cosine_sim"
   val extractItemsName = "graft_extract_items"
   val sortedIntersectName = "graft_sorted_intersect_size"
+  val wordNGramsName = "graft_word_ngrams"
 
   private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineSimName)
@@ -45,11 +46,26 @@ object GraftFunctions {
     SortedLongIntersectSize(args.head, args(1))
   }
 
+  private def wordNGramsInfo = new ExpressionInfo(
+    classOf[WordNGrams].getName, wordNGramsName)
+
+  private def wordNGramsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$wordNGramsName expects 2 arguments")
+    val n = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$wordNGramsName: n must be an integer literal, got $other")
+    }
+    WordNGrams(args.head, n)
+  }
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(cosineSimName), cosineInfo, cosineBuilder _))
     ext.injectFunction((FunctionIdentifier(extractItemsName), extractInfo, extractBuilder _))
     ext.injectFunction((FunctionIdentifier(sortedIntersectName),
       sortedIntersectInfo, sortedIntersectBuilder _))
+    ext.injectFunction((FunctionIdentifier(wordNGramsName),
+      wordNGramsInfo, wordNGramsBuilder _))
   }
 
   /** Idempotent per-session registration (safe to call per query). */
@@ -64,6 +80,9 @@ object GraftFunctions {
     val sid = FunctionIdentifier(sortedIntersectName)
     if (!registry.functionExists(sid))
       registry.registerFunction(sid, sortedIntersectInfo, sortedIntersectBuilder _)
+    val nid = FunctionIdentifier(wordNGramsName)
+    if (!registry.functionExists(nid))
+      registry.registerFunction(nid, wordNGramsInfo, wordNGramsBuilder _)
   }
 
   /** Column-API form of the native cosine expression. */
@@ -76,6 +95,12 @@ object GraftFunctions {
   def sortedIntersectSize(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(sortedIntersectName, a, b)
+  }
+
+  /** Column-API form of the native n-gram expression. */
+  def wordNGrams(spark: SparkSession, words: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    call_function(wordNGramsName, words, org.apache.spark.sql.functions.lit(n))
   }
 }
 

@@ -35,7 +35,8 @@ object Dedup {
     // derived size/filter projection is cheap to recompute from the
     // cached base, so it is not cached separately.
     val base = df
-      .select(idCol.as("id"), TextOps.shingles3(TextOps.words(textCol)).as("sh"))
+      .select(idCol.as("id"),
+        TextOps.shingles3(df.sparkSession, TextOps.words(textCol)).as("sh"))
       .persist()
     base
       .select(col("id"), col("sh"), size(col("sh")).as("n"))

@@ -27,18 +27,14 @@ object TextOps {
   val wordsSql = "string_split(text, ' ')"
 
   /** Distinct word-3-shingles of a words array (n-gram Jaccard unit).
-    * Expressed with `transform(sequence(...))` over the words array —
-    * one pass, no explode, no shuffle.
+    * One pass, no explode, no shuffle — and fully codegen'd: built on
+    * the native [[graft.functions.WordNGrams]] expression rather than
+    * the interpreted `transform(sequence(...))` higher-order-function
+    * spelling (HOF lambdas never enter whole-stage codegen; the
+    * interpreted path dominated cold runs of the shingle pipelines).
     */
-  def shingles3(ws: Column): Column =
-    // NB: Spark sequence(0, -1) yields a DESCENDING [0,-1], not empty —
-    // short docs must short-circuit explicitly (DuckDB generate_series
-    // is empty when start > stop, so the SQL twin needs no guard).
-    array_distinct(when(size(ws) < 3, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3)))))
+  def shingles3(spark: org.apache.spark.sql.SparkSession, ws: Column): Column =
+    array_distinct(graft.functions.GraftFunctions.wordNGrams(spark, ws, 3))
 
   /** DuckDB twin of [[shingles3]] (1-based list indexing). */
   def shingles3Sql(ws: String): String =

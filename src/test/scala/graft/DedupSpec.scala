@@ -14,11 +14,11 @@ class DedupSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("shingles3: sizes and short-document guard") {
-    val sh = docs.select(TextOps.shingles3(TextOps.words(col("text"))).as("s"))
+    val sh = docs.select(TextOps.shingles3(spark, TextOps.words(col("text"))).as("s"))
       .select(size(col("s"))).as[Int].collect()
     assert(sh(0) == 7) // 9 words → 7 shingles, all distinct
     val short = Seq("one two", "one", "").toDF("text")
-      .select(size(TextOps.shingles3(TextOps.words(col("text"))))).as[Int].collect()
+      .select(size(TextOps.shingles3(spark, TextOps.words(col("text"))))).as[Int].collect()
     assert(short.toSeq == Seq(0, 0, 0))
   }
 
