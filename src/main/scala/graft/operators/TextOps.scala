@@ -36,10 +36,18 @@ object TextOps {
   def shingles3(spark: org.apache.spark.sql.SparkSession, ws: Column): Column =
     array_distinct(graft.functions.GraftFunctions.wordNGrams(spark, ws, 3))
 
-  /** DuckDB twin of [[shingles3]] (1-based list indexing). */
-  def shingles3Sql(ws: String): String =
-    s"list_distinct(list_transform(generate_series(1, greatest(len($ws)-2, 0)), " +
-      s"i -> $ws[i]||' '||$ws[i+1]||' '||$ws[i+2]))"
+  /** DuckDB twin of distinct word n-grams (1-based list indexing) —
+    * the SQL form of `array_distinct(graft_word_ngrams(ws, n))`.
+    */
+  def ngramsDistinctSql(ws: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(k => if (k == 0) s"$ws[i]" else s"$ws[i+$k]").mkString("||' '||")
+    s"list_distinct(list_transform(generate_series(1, greatest(len($ws)-${n - 1}, 0)), " +
+      s"i -> $parts))"
+  }
+
+  /** DuckDB twin of [[shingles3]]. */
+  def shingles3Sql(ws: String): String = ngramsDistinctSql(ws, 3)
 
   /** 60-bit non-negative hash of a string: first 15 hex digits of md5. */
   def h60(c: Column): Column =

@@ -223,8 +223,80 @@ object PipelineQueries {
       |  max(q) AS q_max, count(*) AS dims
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- train/val/test split ---------------------------------------------
+
+  /** Deterministic train/val/test split (80/10/10) by hashed doc_id —
+    * the split must be a pure function of the document identity so it
+    * survives recrawls, reshards and engine swaps (no RNG state, no
+    * ordering dependence). Reported as per-split corpus statistics.
+    * At 100 TB this is a narrow map + one tiny aggregation.
+    */
+  def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = TextOps.h60(concat(lit("split_"), col("doc_id").cast("string"))) % 10
+    val split = when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    Tables.documents(spark, sfDir)
+      .select(split.as("split"), col("n_chars"), col("lang"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+  }
+
+  private val splitOracle = {
+    val bucket = s"${TextOps.h60Sql("('split_' || CAST(doc_id AS VARCHAR))")} % 10"
+    s"""SELECT CASE WHEN $bucket < 8 THEN 'train'
+       |            WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  count(DISTINCT lang) AS n_langs
+       |FROM documents GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  // ---- benchmark contamination check ------------------------------------
+
+  /** Benchmark-contamination scan: which training documents share ≥ 3
+    * distinct word-5-grams with a held-out benchmark set (every 29th
+    * doc)? The canonical eval-integrity check before a training run.
+    * Shape at 100 TB: the benchmark n-gram index is SMALL (benchmarks
+    * are thousands of docs, not billions) — broadcast it; the corpus
+    * side explodes to (doc, 5-gram-hash) and hash-joins, so the scan
+    * is one pass, no shuffle of the corpus, and the per-pair distinct
+    * count is a partial-aggregated groupBy on matches only.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val isBench = col("doc_id") % 29 === 0
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(array_distinct(graft.functions.GraftFunctions.wordNGrams(
+          spark, TextOps.words(col("text")), 5))).as("g"))
+      .select(col(idAs), TextOps.h60(col("g")).as("h"))
+    val docs = Tables.documents(spark, sfDir)
+    val bench = grams(docs.filter(isBench), "bench_id")
+    val train = grams(docs.filter(!isBench), "train_id")
+    train.join(broadcast(bench), "h")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  private val contaminationOracle = {
+    val g5 = TextOps.ngramsDistinctSql("string_split(text, ' ')", 5)
+    s"""WITH g AS (
+       |  SELECT doc_id, ${TextOps.h60Sql("g.g")} AS h
+       |  FROM (SELECT doc_id, unnest($g5) AS g FROM documents) g),
+       |bench AS (SELECT doc_id AS bench_id, h FROM g WHERE doc_id % 29 = 0),
+       |train AS (SELECT doc_id AS train_id, h FROM g WHERE doc_id % 29 <> 0)
+       |SELECT train_id, bench_id, count(*) AS n_shared
+       |FROM train JOIN bench USING (h)
+       |GROUP BY train_id, bench_id
+       |HAVING count(*) >= 3
+       |ORDER BY train_id, bench_id""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("sample_stratified", Some(sampleOracle), sampleStratified),
+    Q("sample_split", Some(splitOracle), sampleSplit),
+    Q("contamination_check", Some(contaminationOracle), contamination),
     Q("emb_quantize", Some(quantizeOracle), embQuantize),
     Q("pack_sequences", Some(packOracle), packSequences),
     Q("merge_upsert", Some(mergeOracle), mergeUpsert),

@@ -139,6 +139,75 @@ object SqlSurface {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** TPC-H Q6 (forecasting revenue change): the canonical
+    * scan-filter-aggregate — no join, no group-by, one partial+final
+    * agg to a single row. The point at scale: `.explain` shows all
+    * three predicates as parquet PushedFilters, so row groups outside
+    * the shipdate year never leave storage, and the whole query is a
+    * single narrow codegen'd stage.
+    */
+  def sqlTpchQ6(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "lineitem")
+    spark.sql(
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(l_discount AS DECIMAL(12,4))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  private val q6Oracle =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    CAST(l_discount AS DECIMAL(12,4))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting): fact-to-fact join + two dims,
+    * group by a high-cardinality customer key, top-20 by revenue. At
+    * scale: nation broadcasts, customer⋈orders and orders⋈lineitem
+    * shuffle on their keys, and the final TakeOrdered replaces a full
+    * sort. Ties broken by c_custkey so the LIMIT is deterministic.
+    */
+  def sqlTpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach(view(spark, sfDir, _))
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue,
+        |  n_name
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  private val q10Oracle =
+    """SELECT c_custkey, c_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** ROLLUP: per-(returnflag, linestatus) subtotals + per-flag + grand
     * total in one pass — the multi-dimensional aggregate class the
     * reference can't express at all.
@@ -232,6 +301,8 @@ object SqlSurface {
   def queries: Seq[Q] = Seq(
     Q("sql_tpch_q3", Some(q3Oracle), sqlTpchQ3),
     Q("sql_tpch_q5", Some(q5Oracle), sqlTpchQ5),
+    Q("sql_tpch_q6", Some(q6Oracle), sqlTpchQ6),
+    Q("sql_tpch_q10", Some(q10Oracle), sqlTpchQ10),
     Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
     Q("rollup_agg", Some(rollupOracle), rollupAgg),
     Q("pivot_flags", Some(pivotOracle), pivotFlags),

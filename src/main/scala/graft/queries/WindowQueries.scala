@@ -160,8 +160,41 @@ object WindowQueries {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Explicit sliding ROWS frame: 4-order moving revenue per customer
+    * (`ROWS BETWEEN 3 PRECEDING AND CURRENT ROW`) — the bounded-frame
+    * window class (`rowsBetween`) the other analytic queries don't
+    * touch. Frame sums are exact DECIMAL (summation-order-free) and
+    * the sort key (o_orderdate, o_orderkey) is unique, so every frame
+    * is deterministic. At scale this is one shuffle on o_custkey and
+    * a per-partition sort — the frame itself never crosses executors.
+    */
+  def slidingFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast("decimal(28,4)")).over(w), 4)
+          .cast("double").as("mov_revenue"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val slidingOracle =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS mov_revenue,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_n
+      |FROM orders
+      |WHERE o_custkey % 10 = 0
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("window_tumbling", Some(tumblingOracle), tumbling),
+    Q("window_sliding_frame", Some(slidingOracle), slidingFrame),
     Q("window_session", Some(sessionOracle), sessionize),
     Q("window_rank_topn", Some(rankOracle), rankTopN),
     Q("window_lag_running", Some(lagOracle), lagRunning),

@@ -98,6 +98,35 @@ class QueryPlanSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs:\n$p")
   }
 
+  test("sql_tpch_q6 pushes all three predicates into the parquet scan") {
+    // (toString truncates the PushedFilters list at ~100 chars, so
+    // assert on the un-truncated prefix: all three columns must appear
+    // as pushed IsNotNull/range filters before the cut)
+    val scan = plan("sql_tpch_q6").collectLeaves().head.toString
+    assert(scan.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"Q6 predicates not pushed to storage:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      s"Q6 scan not pruned to the 4 referenced columns:\n$scan")
+  }
+
+  test("contamination_check broadcasts the benchmark n-gram index") {
+    val p = plan("contamination_check").toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast (it is small by construction):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must be an equi-join on the n-gram hash:\n$p")
+  }
+
+  test("window_sliding_frame is one shuffle + per-partition sort") {
+    val p = plan("window_sliding_frame")
+    val exchanges = p.collect { case e: Exchange => e }
+    // one shuffle for the window partition key, one for the final sort
+    assert(exchanges.size <= 2, s"too many exchanges:\n$p")
+    assert(p.toString.contains("RunningWindowFunction") ||
+      p.toString.contains("Window"), s"no window node:\n$p")
+  }
+
   test("agg_group is a single-shuffle partial+final aggregation") {
     val p = plan("agg_group")
     val exchanges = p.collect { case e: Exchange => e }
