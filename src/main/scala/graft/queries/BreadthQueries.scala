@@ -191,8 +191,61 @@ object BreadthQueries {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** UNPIVOT (melt) — the inverse reshape of `pivot_flags`: wide
+    * numeric columns to (key, metric, value) long form, the shape
+    * feature stores and metric pipelines ingest. Narrow map-only
+    * operator (each input row emits k rows, no shuffle until the
+    * final sort).
+    */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("acctbal"), col("nationkey")), "metric", "value")
+      .orderBy(col("c_custkey"), col("metric"))
+
+  private val unpivotOracle =
+    """SELECT c_custkey, metric, value FROM (
+      |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+      |    CAST(c_nationkey AS DOUBLE) AS nationkey FROM customer)
+      |UNPIVOT (value FOR metric IN (acctbal, nationkey))
+      |ORDER BY c_custkey, metric""".stripMargin
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose
+    * join key is NULL still match the NULL group — the semantics a
+    * plain `=` join silently drops. Key is synthesized with `nullif`
+    * so both engines build identical NULL populations. Plans as a
+    * normal hash/sort-merge join (null-safe keys are still shuffle
+    * keys), so the scale shape is unchanged.
+    */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = nullif(col("c_nationkey") % 5, lit(0))
+    val left = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), key.as("k"))
+    val dim = Tables.customer(spark, sfDir)
+      .groupBy(key.as("k")).agg(count(lit(1)).as("n_in_group"))
+      .select(col("k").as("dk"), col("n_in_group"))
+    left.join(dim, col("k") <=> col("dk"))
+      .select(col("c_custkey"), col("k"), col("n_in_group"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val nullSafeOracle =
+    """WITH l AS (
+      |  SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
+      |d AS (
+      |  SELECT nullif(c_nationkey % 5, 0) AS k, count(*) AS n_in_group
+      |  FROM customer GROUP BY 1)
+      |SELECT l.c_custkey, l.k, d.n_in_group
+      |FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+      |ORDER BY l.c_custkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("from_json_typed", Some(fromJsonOracle), fromJsonTyped),
+    Q("unpivot_metrics", Some(unpivotOracle), unpivotMetrics),
+    Q("join_null_safe", Some(nullSafeOracle), joinNullSafe),
     Q("array_functions", Some(arrayOracle), arrayFunctions),
     Q("null_handling", Some(nullOracle), nullHandling),
     Q("window_partition_avg", Some(windowAvgOracle), windowPartitionAvg),

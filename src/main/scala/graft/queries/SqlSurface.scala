@@ -208,6 +208,38 @@ object SqlSurface {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    * subquery — the decorrelation surface. Catalyst rewrites the
+    * EXISTS into a LEFT SEMI join on l_orderkey, so at scale this is
+    * one shuffle pair, not a per-row probe. (The reference schema has
+    * no commit/receipt dates; the existence predicate is "has a
+    * returned line", same plan class.)
+    */
+  def sqlTpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(view(spark, sfDir, _))
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q4Oracle =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** ROLLUP: per-(returnflag, linestatus) subtotals + per-flag + grand
     * total in one pass — the multi-dimensional aggregate class the
     * reference can't express at all.
@@ -301,6 +333,7 @@ object SqlSurface {
   def queries: Seq[Q] = Seq(
     Q("sql_tpch_q3", Some(q3Oracle), sqlTpchQ3),
     Q("sql_tpch_q5", Some(q5Oracle), sqlTpchQ5),
+    Q("sql_tpch_q4", Some(q4Oracle), sqlTpchQ4),
     Q("sql_tpch_q6", Some(q6Oracle), sqlTpchQ6),
     Q("sql_tpch_q10", Some(q10Oracle), sqlTpchQ10),
     Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
