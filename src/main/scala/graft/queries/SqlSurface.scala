@@ -240,6 +240,71 @@ object SqlSurface {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q14 shape (promotion effect): conditional aggregation over
+    * a fact⋈dim join — promo revenue share as a ratio of two exact
+    * DECIMAL sums, divided once in double and rounded (no per-row
+    * float accumulation anywhere). At scale `part` broadcasts.
+    */
+  def sqlTpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(view(spark, sfDir, _))
+    spark.sql(
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |         (1 - CAST(l_discount AS DECIMAL(12,4)))
+        |    ELSE CAST(0 AS DECIMAL(16,8)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+  }
+
+  private val q14Oracle =
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |         (1 - CAST(l_discount AS DECIMAL(12,4)))
+      |    ELSE CAST(0 AS DECIMAL(16,8)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE), 4) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume customers): IN subquery over a
+    * grouped HAVING — the second correlated-subquery class next to
+    * Q4's EXISTS. Catalyst plans the IN as a left-semi join against
+    * the pre-aggregated subquery, so the fact table is aggregated
+    * once and probed once.
+    */
+  def sqlTpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(view(spark, sfDir, _))
+    spark.sql(
+      """SELECT c_custkey, o_orderkey,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 210)
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 25""".stripMargin)
+  }
+
+  private val q18Oracle =
+    """SELECT c_custkey, o_orderkey,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 210)
+      |GROUP BY c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+
   /** ROLLUP: per-(returnflag, linestatus) subtotals + per-flag + grand
     * total in one pass — the multi-dimensional aggregate class the
     * reference can't express at all.
@@ -336,6 +401,8 @@ object SqlSurface {
     Q("sql_tpch_q4", Some(q4Oracle), sqlTpchQ4),
     Q("sql_tpch_q6", Some(q6Oracle), sqlTpchQ6),
     Q("sql_tpch_q10", Some(q10Oracle), sqlTpchQ10),
+    Q("sql_tpch_q14", Some(q14Oracle), sqlTpchQ14),
+    Q("sql_tpch_q18", Some(q18Oracle), sqlTpchQ18),
     Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
     Q("rollup_agg", Some(rollupOracle), rollupAgg),
     Q("pivot_flags", Some(pivotOracle), pivotFlags),
