@@ -265,22 +265,55 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding-cosine near-dup pairs (threshold tuned to the synthetic
-    * data's similarity range). Dot products accumulate sequentially in
-    * double (see [[Dedup.dot]]) ⇒ bit-identical to the oracle's
-    * `list_dot_product`. Brute-force pairs here; the bucketed scale
-    * path is `sim_ann_lsh` in [[SimilarityQueries]].
+    * data's similarity range — measured max pairwise cosine is 0.51,
+    * so sub-quadratic blocking is impossible HERE: at 63° the
+    * hyperplane-agreement probability is 0.65/bit, too weak for LSH
+    * recall, and triangle-inequality cell blocking admits every cell
+    * pair on a near-orthogonal corpus. Exact all-pairs at a loose
+    * threshold is inherently O(n²) compute; the sub-quadratic paths
+    * for genuinely clustered corpora are `sim_ann_lsh`/`sim_ann_ivf`).
+    *
+    * What CAN be fixed at scale is the SHAPE of the O(n²): the round-1
+    * `id_a < id_b` theta join planned a BroadcastNestedLoopJoin — one
+    * copy of the whole table on every executor and a single-threaded
+    * pair loop per partition. This is now a 1-Bucket-Theta grid join
+    * (Okcan & Riedewald, SIGMOD'11): each vector lands in one of B
+    * row-blocks; the B(B+1)/2 block-pairs are the EQUI-join key; each
+    * row replicates to the ≤B buckets whose pair includes its block.
+    * Shuffle volume is O(n·B) rows, every bucket holds (n/B)² work,
+    * and the plan is a hash/sort-merge join — no broadcast of the
+    * corpus, no nested loop, perfectly balanced compute. Dot products
+    * accumulate sequentially in double ([[Dedup.dot]]) ⇒ bit-identical
+    * to the oracle's `list_dot_product`.
     */
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 8 // at scale: B ≈ sqrt(n² / rows-per-task); 8 keeps 36 buckets on 32 cores
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+      .withColumn("blk", (col("vec_id") % B).cast("int"))
+    // block k feeds buckets (k, j≥k) as the LEFT side and (i≤k, k) as
+    // the RIGHT side; bucket id = i*B + j. Plain sequence + arithmetic
+    // (codegen'd), no higher-order functions.
+    val left = e
+      .withColumn("j", explode(expr(s"sequence(blk, ${B - 1})")))
+      .select((col("blk") * B + col("j")).as("bp"),
+        col("vec_id").as("id_l"), col("emb").as("emb_l"), col("blk").as("blk_l"))
+    val right = e
+      .withColumn("i", explode(expr("sequence(0, blk)")))
+      .select((col("i") * B + col("blk")).as("bp"),
+        col("vec_id").as("id_r"), col("emb").as("emb_r"), col("blk").as("blk_r"))
     // native codegen'd expression (graft.functions.CosineSimilarity) —
     // same bit-exact arithmetic as the oracle's list_dot_product form
-    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_a"), col("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // (argument order is irrelevant: same index-order multiply-add)
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_l"), col("emb_r"))
+    left.join(right, "bp")
+      // diagonal buckets pair a block with itself: keep each unordered
+      // pair once; off-diagonal buckets see each pair exactly once
+      .filter(col("blk_l") < col("blk_r") || col("id_l") < col("id_r"))
       .filter(cos >= 0.45)
-      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(cos, 6).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

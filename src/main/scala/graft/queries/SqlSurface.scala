@@ -305,6 +305,144 @@ object SqlSurface {
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 25""".stripMargin
 
+  /** TPC-H Q7 (volume shipping): the two-sided dimension filter — the
+    * same `nation` table joins twice under different roles (supplier's
+    * vs customer's nation), with a symmetric disjunction over the pair.
+    * At scale both nation replicas broadcast and the fact chain
+    * shuffles once per key; the year() projection is pre-aggregation,
+    * so the group-by keys are tiny.
+    */
+  def sqlTpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation")
+      .foreach(view(spark, sfDir, _))
+    spark.sql(q7Sql)
+  }
+
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(round(sum(vol), 4) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |      (1 - CAST(l_discount AS DECIMAL(12,4))) AS vol
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 (national market share): conditional share-of-total over
+    * an 8-table star join — numerator and denominator as two exact
+    * DECIMAL sums in ONE aggregation pass, divided once in double.
+    * (`lineitem` is the part↔supplier bridge; the reduced schema has
+    * no partsupp.)
+    */
+  def sqlTpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      .foreach(view(spark, sfDir, _))
+    spark.sql(q8Sql)
+  }
+
+  private val q8Sql =
+    """SELECT o_year,
+      |  round(CAST(sum(CASE WHEN nation = 'NATION_3'
+      |      THEN vol ELSE CAST(0 AS DECIMAL(16,8)) END) AS DOUBLE) /
+      |    CAST(sum(vol) AS DOUBLE), 4) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |      (1 - CAST(l_discount AS DECIMAL(12,4))) AS vol,
+      |    n1.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region   ON n2.n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): LEFT OUTER join with an
+    * ON-clause filter on the null-producing side (semantics a WHERE
+    * cannot express), then a second aggregation over the first —
+    * customers per order-count bucket, including the zero bucket.
+    */
+  def sqlTpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach(view(spark, sfDir, _))
+    spark.sql(q13Sql)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue): a 3-way disjunction of conjunct
+    * bands over both join sides. Catalyst extracts the common
+    * `p_partkey = l_partkey` equi-key, pushes the part-only and
+    * lineitem-only predicate unions down to the scans, and leaves the
+    * cross-band residual on the join — disjunctions don't defeat
+    * pushdown.
+    */
+  def sqlTpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(view(spark, sfDir, _))
+    spark.sql(q19Sql)
+  }
+
+  private val q19Sql =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 21)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity): scalar aggregate subquery
+    * feeding a per-row predicate + NOT EXISTS anti-join. The
+    * above-average test is exact — `bal·cnt > total` in DECIMAL
+    * integer arithmetic instead of comparing against a float mean, so
+    * boundary rows can't flip between engines. At scale the scalar
+    * subquery is one tiny broadcast and the anti-join shuffles on
+    * custkey.
+    */
+  def sqlTpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach(view(spark, sfDir, _))
+    spark.sql(q22Sql)
+  }
+
+  private val q22Sql =
+    """WITH s AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS tot, count(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS totacctbal
+      |FROM customer, s
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * cnt > tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   /** ROLLUP: per-(returnflag, linestatus) subtotals + per-flag + grand
     * total in one pass — the multi-dimensional aggregate class the
     * reference can't express at all.
@@ -403,6 +541,11 @@ object SqlSurface {
     Q("sql_tpch_q10", Some(q10Oracle), sqlTpchQ10),
     Q("sql_tpch_q14", Some(q14Oracle), sqlTpchQ14),
     Q("sql_tpch_q18", Some(q18Oracle), sqlTpchQ18),
+    Q("sql_tpch_q7", Some(q7Sql), sqlTpchQ7),
+    Q("sql_tpch_q8", Some(q8Sql), sqlTpchQ8),
+    Q("sql_tpch_q13", Some(q13Sql), sqlTpchQ13),
+    Q("sql_tpch_q19", Some(q19Sql), sqlTpchQ19),
+    Q("sql_tpch_q22", Some(q22Sql), sqlTpchQ22),
     Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
     Q("rollup_agg", Some(rollupOracle), rollupAgg),
     Q("pivot_flags", Some(pivotOracle), pivotFlags),

@@ -118,6 +118,28 @@ class QueryPlanSpec extends SparkSpec {
       s"contamination must be an equi-join on the n-gram hash:\n$p")
   }
 
+  test("dedup_embedding_cosine grid-joins block pairs, no corpus broadcast loop") {
+    val p = plan("dedup_embedding_cosine").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs must be grid-partitioned (1-Bucket-Theta), not a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the block-pair id:\n$p")
+  }
+
+  test("sql_tpch_q19 pushes the disjunctive predicate unions to both scans") {
+    val leaves = plan("sql_tpch_q19").collectLeaves().map(_.toString)
+    val part = leaves.find(_.contains("p_brand")).getOrElse(
+      fail(s"no part scan leaf:\n${leaves.mkString("\n")}"))
+    val li = leaves.find(_.contains("l_quantity")).getOrElse(
+      fail(s"no lineitem scan leaf:\n${leaves.mkString("\n")}"))
+    // Catalyst unions the per-band side-local conjuncts into Or chains
+    // that reach BOTH parquet scans
+    assert(part.contains("Or(Or(And(EqualTo(p_brand"),
+      s"Q19 disjunction not pushed to the part scan:\n$part")
+    assert(li.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"Q19 disjunction not pushed to the lineitem scan:\n$li")
+  }
+
   test("window_sliding_frame is one shuffle + per-partition sort") {
     val p = plan("window_sliding_frame")
     val exchanges = p.collect { case e: Exchange => e }
