@@ -234,7 +234,9 @@ object DedupQueries {
         minhashLsh(spark, sfDir).select(col("id_a"), col("id_b")))
       .orderBy(col("id"))
 
-  private val clustersOracle =
+  // transitive-closure CTE prefix shared by the clusters and
+  // keep-best oracles: …, cc(id, cluster)
+  private val ccCte =
     shingleSql.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
       "pairs AS (\n" + pairSelect + "),\n" +
       """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -242,9 +244,56 @@ object DedupQueries {
         |reach(src, dst) AS (
         |  SELECT src, dst FROM edges
         |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS id, least(src, min(dst)) AS cluster
-        |FROM reach GROUP BY src ORDER BY id""".stripMargin
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cc AS (SELECT src AS id, least(src, min(dst)) AS cluster
+        |       FROM reach GROUP BY src)""".stripMargin
+
+  private val clustersOracle =
+    ccCte + "\nSELECT id, cluster FROM cc ORDER BY id"
+
+  /** The DEDUP DECISION: near-dup clusters joined with the quality
+    * score ([[TextQueries.quality]]'s formula) — per clustered doc,
+    * keep the highest-quality member (ties → smallest id), drop the
+    * rest. This is the step a curation pipeline actually executes:
+    * pairs → clusters → one representative per cluster. At 100 TB the
+    * cluster table is a tiny fraction of the corpus (only docs with a
+    * near-dup), the quality join shuffles on doc id, and the per-
+    * cluster argmax is one window over clusters — no full-corpus
+    * shuffle anywhere.
+    */
+  def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(
+      minhashLsh(spark, sfDir).select(col("id_a"), col("id_b")))
+    val ws = TextOps.words(col("text"))
+    val nWords = size(ws)
+    val nStop = size(filter(ws, w => w.isInCollection(TextQueries.stopwords)))
+    val q = (lit(1.0) - nStop.cast("double") / nWords) *
+      least(lit(1.0), nWords.cast("double") / 100.0)
+    val qdf = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), q.as("q"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("q").desc, col("id"))
+    cc.join(qdf, "id")
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("id"), col("cluster"),
+        round(col("q"), 6).as("quality_score"), col("keep"))
+      .orderBy(col("id"))
+  }
+
+  private val keepBestOracle = {
+    val stop = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
+    ccCte + ",\n" +
+      s"""q AS (
+         |  SELECT doc_id AS id,
+         |    (1.0 - CAST(len(list_filter(ws, w -> w IN ($stop))) AS DOUBLE)/len(ws))
+         |      * least(1.0, CAST(len(ws) AS DOUBLE)/100.0) AS q
+         |  FROM (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents))
+         |SELECT cc.id, cc.cluster, round(q.q, 6) AS quality_score,
+         |  CAST(CASE WHEN row_number() OVER (
+         |      PARTITION BY cc.cluster ORDER BY q.q DESC, cc.id) = 1
+         |    THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM cc JOIN q ON cc.id = q.id
+         |ORDER BY cc.id""".stripMargin
+  }
 
   private val simhashOracle =
     s"""WITH wd AS (
@@ -333,6 +382,7 @@ object DedupQueries {
     Q("dedup_jaccard_pairs", Some(jaccardPairsSql), jaccardPairs),
     Q("dedup_minhash_lsh", Some(jaccardPairsSql), minhashLsh),
     Q("dedup_clusters", Some(clustersOracle), clusters),
+    Q("dedup_keep_best", Some(keepBestOracle), keepBest),
     Q("dedup_simhash", Some(simhashOracle), simhashPairs),
     Q("dedup_embedding_cosine", Some(embeddingCosineOracle), embeddingCosine),
   )

@@ -520,6 +520,31 @@ object SqlSurface {
     """SELECT n_regionkey, count(*) AS n_nations
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Parquet schema evolution: two batches written with DIFFERENT
+    * schemas (a column added mid-stream — the normal life of a 100 TB
+    * table), read back as ONE table via `mergeSchema`; rows from the
+    * old batch surface the new column as null. The oracle reproduces
+    * the evolution with a CASE over the batch-split key.
+    */
+  def sourceSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_evolve"
+    val n = Tables.nation(spark, sfDir)
+    n.filter(col("n_nationkey") < 13)
+      .select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    n.filter(col("n_nationkey") >= 13)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val schemaEvolutionOracle =
+    """SELECT n_nationkey, n_name,
+      |  CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** CSV source roundtrip with explicit schema + header. */
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_csv"
@@ -552,5 +577,6 @@ object SqlSurface {
     Q("setops_chain", Some(setOpsOracle), setOps),
     Q("source_json_roundtrip", Some(jsonOracle), sourceJsonRoundtrip),
     Q("source_csv_roundtrip", Some(csvOracle), sourceCsvRoundtrip),
+    Q("source_schema_evolution", Some(schemaEvolutionOracle), sourceSchemaEvolution),
   )
 }

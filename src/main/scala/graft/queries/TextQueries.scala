@@ -31,7 +31,7 @@ object TextQueries {
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "to")
 
   /** Quality scoring: length, stopword ratio, average word length,
     * non-alphanumeric ratio, and a composite score. Ratios are

@@ -149,6 +149,38 @@ class QueryPlanSpec extends SparkSpec {
       p.toString.contains("Window"), s"no window node:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side under a selective dim filter") {
+    // At 100 TB the optimizer's injected bloom filter is what keeps a
+    // selective dim join from scanning the whole fact table; the
+    // thresholds are lowered because the test fact is tiny.
+    import org.apache.spark.sql.functions._
+    // autoBroadcastJoinThreshold=-1 models the regime where blooms
+    // matter: the filtered dim is too big to broadcast, so the join
+    // shuffles both sides and the bloom is the only thing standing
+    // between the selective dim filter and a full fact shuffle
+    // (InjectRuntimeFilter skips joins it can plan as broadcast).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val pt = graft.sources.Tables.part(spark, sf)
+        .filter(col("p_brand") === "Brand#1")
+      val j = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected BloomFilterMightContain on l_partkey:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("agg_group is a single-shuffle partial+final aggregation") {
     val p = plan("agg_group")
     val exchanges = p.collect { case e: Exchange => e }
