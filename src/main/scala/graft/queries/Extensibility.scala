@@ -84,9 +84,59 @@ object Extensibility {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word ORDER BY word""".stripMargin
 
+  /** Input row for [[typedUserGaps]] — `java.time.Instant` keeps the
+    * full microsecond precision of Spark's internal TimestampType
+    * (java.sql.Timestamp.getTime would truncate to millis and drift
+    * from the oracle's epoch_us).
+    */
+  final case class Ev(event_id: Long, ts: java.time.Instant, user_id: Long)
+  final case class UserGap(user_id: Long, n_events: Long, max_gap_us: Long)
+
+  /** The typed `KeyValueGroupedDataset.mapGroups` surface: per-user
+    * max inter-event gap, computed imperatively inside each group.
+    * This is the escape hatch for genuinely sequential per-group
+    * logic (the relational spelling is a lag window — the oracle uses
+    * exactly that). Scale contract: one shuffle on the group key,
+    * each group materialized in one task — right when groups are
+    * bounded (a user's events), wrong for whole-partition state.
+    * Deterministic: events sorted by (ts, event_id) inside the group.
+    */
+  def typedUserGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def us(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+        var mx = 0L
+        var i = 1
+        while (i < evs.length) {
+          val g = us(evs(i).ts) - us(evs(i - 1).ts)
+          if (g > mx) mx = g
+          i += 1
+        }
+        UserGap(uid, evs.length.toLong, mx)
+      }
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
+  private val userGapsOracle =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  coalesce(max(gap), 0) AS max_gap_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("udaf_weighted_avg", Some(udafOracle), udafWeightedAvg),
     Q("json_extract", Some(jsonOracle), jsonExtract),
     Q("explode_words", Some(explodeOracle), explodeWords),
+    Q("typed_mapgroups", Some(userGapsOracle), typedUserGaps),
   )
 }

@@ -50,6 +50,48 @@ object PipelineQueries {
        |  < (CASE WHEN lang = 'en' THEN 60 ELSE 25 END)
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-style source rebalancing: each source is kept at
+    * rate `min(1, K/sqrt(count))` — big sources are downsampled
+    * toward sqrt-proportional mass (the T5/data-mixing move), small
+    * sources pass through. Rates are DATA-DEPENDENT (computed from
+    * the per-source counts in the same job, broadcast back), unlike
+    * [[sampleStratified]]'s static quotas. Membership stays
+    * hash-derived and exact: `h60 < floor(rate · 2^60)` — sqrt and
+    * the /,· are IEEE-correctly-rounded in both engines, and scaling
+    * by 2^60 is an exponent shift, so the threshold is bit-identical
+    * cross-engine. At 100 TB: one partial+final count, a broadcast
+    * of #sources rows, one narrow filter pass.
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val two60 = 1152921504606846976.0 // 2^60, exact double
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val thr = floor(least(lit(1.0),
+      lit(3.0) / sqrt(col("n_docs").cast("double"))) * two60).cast("long")
+    val keep = (TextOps.h60(concat(lit("mix_"), col("doc_id").cast("string")))
+      < thr).cast("long")
+    docs.join(broadcast(counts), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), sum(keep).as("n_kept"))
+      .withColumn("achieved_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  private val mixOracle =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |k AS (
+       |  SELECT d.source, c.n_docs,
+       |    CASE WHEN ${TextOps.h60Sql("('mix_' || CAST(d.doc_id AS VARCHAR))")}
+       |      < CAST(floor(least(1.0, 3.0/sqrt(CAST(c.n_docs AS DOUBLE)))
+       |          * 1152921504606846976.0) AS BIGINT)
+       |    THEN 1 ELSE 0 END AS keep
+       |  FROM documents d JOIN c USING (source))
+       |SELECT source, max(n_docs) AS n_docs,
+       |  CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(keep) AS DOUBLE) / max(n_docs), 4) AS achieved_rate
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   // ---- sequence packing -----------------------------------------------
 
   private val PackBudget = 2048
@@ -295,6 +337,7 @@ object PipelineQueries {
 
   def queries: Seq[Q] = Seq(
     Q("sample_stratified", Some(sampleOracle), sampleStratified),
+    Q("mix_temperature", Some(mixOracle), mixTemperature),
     Q("sample_split", Some(splitOracle), sampleSplit),
     Q("contamination_check", Some(contaminationOracle), contamination),
     Q("emb_quantize", Some(quantizeOracle), embQuantize),

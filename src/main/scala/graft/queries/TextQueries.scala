@@ -373,8 +373,44 @@ object TextQueries {
        |FROM r GROUP BY reason ORDER BY reason""".stripMargin
   }
 
+  /** Sliding-window document chunking: fixed word-budget chunks
+    * (W=40) with stride S=30 (10-word overlap) — the preprocessing
+    * step that turns documents into training sequences with context
+    * carry-over. Pure narrow plan: one generator fan-out per doc, no
+    * shuffle until the final presentation sort; at 100 TB chunking is
+    * scan-bound and embarrassingly parallel.
+    */
+  def docChunking(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 40
+    val S = 30
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+    d.select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, n - 1, $S)")).as("st"))
+      .withColumn("chunk", slice(col("ws"), col("st") + lit(1), lit(W)))
+      .select(col("doc_id"), (col("st") / S).cast("int").as("chunk_id"),
+        size(col("chunk")).as("n_chunk_words"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val chunkingOracle =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(st/30 AS INT) AS chunk_id,
+      |    list_slice(ws, st + 1, least(st + 40, n)) AS chunk
+      |  FROM d, unnest(generate_series(0, n - 1, 30)) AS t(st))
+      |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_chunk_words,
+      |  array_to_string(chunk, ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
+    Q("doc_chunking", Some(chunkingOracle), docChunking),
     Q("text_repetition", Some(repetitionOracle), repetition),
     Q("docs_filter_funnel", Some(funnelOracle), filterFunnel),
     Q("text_quality", Some(qualityOracle), quality),
