@@ -47,6 +47,42 @@ case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule (`Rule[LogicalPlan]` — the (c)-tier hook next to the
+  * Strategy): push LEFT-side filter conjuncts below an [[AsofJoin]].
+  *
+  * Catalyst's own PushDownPredicates only understands built-in nodes,
+  * so without this rule a `WHERE left_col = …` above an as-of join
+  * stays above it and the scan underneath reads everything. Left
+  * conjuncts commute with the join because each left row appears at
+  * most once in the output and its match doesn't depend on other left
+  * rows. RIGHT-side conjuncts must NOT be pushed: a post-join filter
+  * on right columns rejects pairs whose LATEST row fails it, while a
+  * pre-join filter would instead match the latest row AMONG the
+  * survivors — different semantics. Non-deterministic predicates stay
+  * put (standard pushdown contract). Once pushed, the built-in rules
+  * take over and drive the filter into the parquet scan
+  * (plan-asserted in AsofNativeSpec).
+  */
+object PushFilterThroughAsofJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsofJoin) =>
+      val (pushable, rest) =
+        splitConjunctivePredicates(cond).partition { p =>
+          p.deterministic && p.references.subsetOf(j.left.outputSet)
+        }
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner rule: AsofJoin (logical) → AsofJoinExec (physical). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

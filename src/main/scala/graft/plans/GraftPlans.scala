@@ -15,14 +15,19 @@ import org.apache.spark.sql.{DataFrame, GraftPlanApi, SparkSession, SparkSession
   */
 object GraftPlans {
 
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
+  }
 
-  /** Idempotent per-session strategy registration. */
+  /** Idempotent per-session strategy + optimizer-rule registration. */
   def ensureStrategy(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsofJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsofJoin))
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsofJoin
   }
 
   /** `left ASOF JOIN right ON left[keyL] = right[keyR] AND

@@ -520,6 +520,27 @@ object SqlSurface {
     """SELECT n_regionkey, count(*) AS n_nations
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** ORC source roundtrip — the third columnar container next to
+    * parquet and the text formats; same pushdown/pruning machinery
+    * applies (`spark.sql.orc.filterPushdown` is on by default).
+    */
+  def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_orc"
+    Tables.supplier(spark, sfDir).write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter(col("s_acctbal") > 0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(Enrich.exactSum(col("s_acctbal")), 4).as("bal_total"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val orcOracle =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |  round(CAST(sum(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE), 4) AS bal_total
+      |FROM supplier WHERE s_acctbal > 0
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** Parquet schema evolution: two batches written with DIFFERENT
     * schemas (a column added mid-stream — the normal life of a 100 TB
     * table), read back as ONE table via `mergeSchema`; rows from the
@@ -578,5 +599,6 @@ object SqlSurface {
     Q("source_json_roundtrip", Some(jsonOracle), sourceJsonRoundtrip),
     Q("source_csv_roundtrip", Some(csvOracle), sourceCsvRoundtrip),
     Q("source_schema_evolution", Some(schemaEvolutionOracle), sourceSchemaEvolution),
+    Q("source_orc_roundtrip", Some(orcOracle), sourceOrcRoundtrip),
   )
 }

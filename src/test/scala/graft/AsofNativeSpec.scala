@@ -62,6 +62,55 @@ class AsofNativeSpec extends SparkSpec {
       s"children not clustered on join keys:\n$s")
   }
 
+  test("left filter pushes through AsofJoin into the parquet scan (custom Rule)") {
+    // filter applied ABOVE the custom join node: without
+    // PushFilterThroughAsofJoin it would stay above AsofJoin (built-in
+    // pushdown can't see through unknown nodes) and the events scan
+    // would read everything
+    val filtered = AsofQueries.joinAsofNative(spark, sf)
+      .filter(col("user_id") < 50)
+    val opt = filtered.queryExecution.optimizedPlan
+    // after the rule fires, no Filter remains anywhere ABOVE the
+    // AsofJoin node (it has moved to the join's left child)
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val filterAboveJoin = opt.collectFirst {
+      case fl: Filter if fl.collectFirst { case a: graft.plans.AsofJoin => a }.isDefined
+        && fl.condition.references.exists(_.name == "user_id") => fl
+    }
+    assert(filterAboveJoin.isEmpty,
+      s"left-side filter not pushed below AsofJoin:\n$opt")
+    val scans = filtered.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val ev = scans.find(_.contains("event_id")).getOrElse(
+      fail(s"no events scan leaf:\n${scans.mkString("\n")}"))
+    assert(ev.contains("LessThan(user_id,50)"),
+      s"filter did not reach the events scan:\n$ev")
+    // semantics unchanged: push-then-join == join-then-filter
+    val reference = AsofQueries.joinAsofNative(spark, sf)
+      .collect().count(_.getAs[Long]("user_id") < 50)
+    assert(filtered.count() == reference,
+      "pushed plan returns different rows than post-join filtering")
+  }
+
+  test("right-side filters are NOT pushed through AsofJoin (semantics guard)") {
+    // a post-join predicate on a RIGHT column must reject pairs whose
+    // latest row fails it — pushing it down would instead re-match
+    // among survivors. Guard: rule leaves right-referencing conjuncts
+    // above the join.
+    val right = Seq(
+      (1L, 1L, 10L), // t=1, payload 10
+      (1L, 5L, -1L), // t=5, payload -1 (latest for probes at t>=5)
+    ).toDF("k", "t", "payload")
+    val left = Seq((100L, 1L, 9L)).toDF("id", "k", "t")
+    val joined = GraftPlans.asofJoin(
+        left, right.select(col("k").as("rk"), col("t").as("rt"), col("payload")),
+        "k", "t", "rk", "rt")
+      .filter(col("payload") > 0)
+    // latest row at t<=9 is (5, -1): the pair must be REJECTED, not
+    // re-matched to (1, 10)
+    assert(joined.count() == 0L,
+      "right-side filter was pushed through the as-of join (wrong semantics)")
+  }
+
   test("merge is exact across many keys/ties against a groupBy oracle") {
     // synthetic: 200 keys x 10 right rows, 600 left probes
     val right = (0 until 2000).map { i =>
