@@ -520,6 +520,75 @@ object SqlSurface {
     """SELECT n_regionkey, count(*) AS n_nations
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Semi-structured VARIANT path (Spark 4): `parse_json` → open
+    * VARIANT column → typed `variant_get` extraction. Unlike
+    * `from_json` (fixed schema up front) the variant is
+    * schema-on-read — the shape a 100 TB event firehose actually has.
+    * Extraction stays columnar (shredded binary encoding, no JSON
+    * re-parse per access). The oracle runs DuckDB's JSON type over
+    * the same documents.
+    */
+  def variantExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    // events needs the ns→µs timestamp rebuild — not the generic view()
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  sum(variant_get(parse_json(props), '$.k', 'int')) AS k_sum,
+        |  min(variant_get(parse_json(props), '$.k', 'int')) AS k_min,
+        |  max(variant_get(parse_json(props), '$.k', 'int')) AS k_max
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val variantOracle =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_min,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): sessionization as a
+    * transitive closure — each event chains to its user's previous
+    * event when the gap is ≤ 5 minutes, and the recursion walks every
+    * chain back to its head (the event whose own predecessor link is
+    * null). The session label is that TERMINAL ancestor — not
+    * min(event_id), which would be wrong whenever ids aren't aligned
+    * with time order. Spark's recursion supports UNION ALL only; the
+    * predecessor edges strictly decrease in event time, so walks are
+    * finite and duplicate-free without a distinct. Same semantics
+    * class as `window_session` (running gap sum), expressed as graph
+    * reachability; the oracle is the identical query with DuckDB's
+    * epoch_us spelling.
+    */
+  def sqlRecursiveSession(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    spark.sql(recursiveSessionSql("unix_micros(ts)"))
+  }
+
+  private def recursiveSessionSql(us: String) =
+    s"""WITH RECURSIVE
+       |g AS (
+       |  SELECT event_id AS id,
+       |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+       |    $us - lag($us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+       |  FROM events),
+       |m AS (
+       |  SELECT id, CASE WHEN gap <= 300000000 THEN prev_id END AS prev FROM g),
+       |reach(src, dst) AS (
+       |  SELECT id AS src, prev AS dst FROM m WHERE prev IS NOT NULL
+       |  UNION ALL
+       |  SELECT r.src, m2.prev FROM reach r
+       |  JOIN m m2 ON r.dst = m2.id AND m2.prev IS NOT NULL)
+       |SELECT m.id,
+       |  coalesce(min(CASE WHEN head.prev IS NULL THEN r.dst END), m.id) AS session_head
+       |FROM m
+       |LEFT JOIN reach r ON m.id = r.src
+       |LEFT JOIN m head ON r.dst = head.id
+       |GROUP BY m.id ORDER BY m.id""".stripMargin
+
   /** ORC source roundtrip — the third columnar container next to
     * parquet and the text formats; same pushdown/pruning machinery
     * applies (`spark.sql.orc.filterPushdown` is on by default).
@@ -600,5 +669,7 @@ object SqlSurface {
     Q("source_csv_roundtrip", Some(csvOracle), sourceCsvRoundtrip),
     Q("source_schema_evolution", Some(schemaEvolutionOracle), sourceSchemaEvolution),
     Q("source_orc_roundtrip", Some(orcOracle), sourceOrcRoundtrip),
+    Q("variant_extract", Some(variantOracle), variantExtract),
+    Q("sql_recursive_session", Some(recursiveSessionSql("epoch_us(ts)")), sqlRecursiveSession),
   )
 }

@@ -199,5 +199,36 @@ object WindowQueries {
     Q("window_rank_topn", Some(rankOracle), rankTopN),
     Q("window_lag_running", Some(lagOracle), lagRunning),
     Q("window_ntile", Some(ntileOracle), ntileRank),
+    Q("window_range_interval", Some(rangeIntervalOracle), rangeInterval),
   )
+
+  /** RANGE frame over event TIME (vs the ROWS frame in
+    * `window_sliding_frame`): per user, how many events landed in the
+    * trailing hour [t−1h, t]. The frame is defined by the VALUE of
+    * the order key (epoch micros), not row position — peers at the
+    * same timestamp are all in-frame, so the result is deterministic
+    * under ties with no tiebreak column needed. One shuffle on
+    * user_id; at scale identical cost to any per-key window.
+    */
+  def rangeInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("value_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rangeIntervalOracle =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_last_hour,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }
