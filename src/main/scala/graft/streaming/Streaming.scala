@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, TTLConfig, TimeMode, Trigger}
 import java.sql.Timestamp
 
 /** Structured Streaming form of the reference pipeline.
@@ -53,6 +53,43 @@ object Streaming {
                            start: Timestamp, end: Timestamp)
   final case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
                        event_type: String, value: Double)
+
+  final case class UserRunningCount(user_id: Long, n_total: Long)
+
+  /** Spark 4 arbitrary stateful processing v2: a `StatefulProcessor`
+    * with typed `ValueState`, driven through
+    * `KeyValueGroupedDataset.transformWithState`. Emits each user's
+    * CUMULATIVE event count every micro-batch that touches the user
+    * (Update mode). Requires the RocksDB state store provider — at
+    * scale that is also the right provider (state spills off-heap,
+    * changelog checkpoints). TTL left NONE here; production counters
+    * set a TTLConfig so abandoned keys age out instead of growing
+    * state forever.
+    */
+  class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Evt, UserRunningCount] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Evt],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunningCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserRunningCount(key, n))
+    }
+  }
+
+  /** Running per-user counts over a stream via [[RunningCountProcessor]]. */
+  def runningCounts(events: Dataset[Evt]): Dataset[UserRunningCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: closes a
     * session when the event-time gap exceeds `gapMs`. Demonstrates the

@@ -128,6 +128,40 @@ class StreamingSpec extends SparkSpec {
     assert(windows == Set(ts(0), ts(5)))
   }
 
+  test("transformWithState: ValueState running counts survive across micro-batches") {
+    implicit val sq = spark.sqlContext
+    // arbitrary stateful processing v2 requires the RocksDB provider
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Evt]
+    val q = Streaming.runningCounts(in.toDS())
+      .toDF().writeStream.format("memory").queryName("twsc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        Evt(1, ts(0, 10), 1, "click", 1.0),
+        Evt(2, ts(0, 20), 1, "click", 1.0),
+        Evt(3, ts(0, 30), 2, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Evt(4, ts(1, 0), 1, "click", 1.0),
+        Evt(5, ts(1, 10), 3, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("twsc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // batch 1: u1→2, u2→1; batch 2: u1→3 (state carried), u3→1
+      assert(rows.sorted == Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)),
+        s"unexpected running counts: $rows")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches views in the lookback window only") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Evt]
