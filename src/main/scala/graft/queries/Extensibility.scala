@@ -133,10 +133,57 @@ object Extensibility {
       |  coalesce(max(gap), 0) AS max_gap_us
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  final case class Doc(doc_id: Long, text: String)
+  final case class Vec(vec_id: Long, embedding: Seq[Float])
+  final case class DocVec(doc_id: Long, n_words: Int, emb_norm: Double)
+
+  /** The typed `cogroup` surface: documents and their embedding rows
+    * co-grouped by id, one output row when both sides are present
+    * (inner-join semantics, but with BOTH groups available to
+    * imperative code — the shape `mapGroups` can't express). The
+    * norm accumulates sequentially in double, bit-identical to the
+    * oracle's `list_dot_product`. One co-shuffle on the key; each
+    * pair of groups lands in one task.
+    */
+  def typedCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[Doc]
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[Vec]
+    docs.groupByKey(_.doc_id)
+      .cogroup(vecs.groupByKey(_.vec_id)) { (id, ds, vs) =>
+        val d = ds.toSeq
+        val v = vs.toSeq
+        if (d.isEmpty || v.isEmpty) Iterator.empty
+        else {
+          val words = d.head.text.split(" ", -1).length
+          var s = 0.0
+          v.head.embedding.foreach { x => val xd = x.toDouble; s += xd * xd }
+          Iterator.single(DocVec(id, words, math.sqrt(s)))
+        }
+      }
+      .toDF()
+      // round in the DataFrame layer: Spark round() is the engine-pair
+      // already proven against DuckDB round() across this suite
+      .withColumn("emb_norm", round(col("emb_norm"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private val cogroupOracle =
+    """SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+      |  round(sqrt(list_dot_product(
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)))), 6) AS emb_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("udaf_weighted_avg", Some(udafOracle), udafWeightedAvg),
     Q("json_extract", Some(jsonOracle), jsonExtract),
     Q("explode_words", Some(explodeOracle), explodeWords),
     Q("typed_mapgroups", Some(userGapsOracle), typedUserGaps),
+    Q("typed_cogroup", Some(cogroupOracle), typedCogroup),
   )
 }

@@ -181,6 +181,29 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE TABLE feeds CBO: catalog stats reach the optimized plan") {
+    // at 100 TB the cost-based optimizer's join ordering/selectivity
+    // estimates only work if ANALYZE-collected stats actually flow
+    // into plan Statistics — pin that path
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_stats_demo")
+      graft.sources.Tables.customer(spark, sf)
+        .write.mode("overwrite").saveAsTable("graft_stats_demo")
+      spark.sql("ANALYZE TABLE graft_stats_demo COMPUTE STATISTICS " +
+        "FOR COLUMNS c_custkey, c_mktsegment")
+      val stats = spark.table("graft_stats_demo")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong > 0),
+        s"row count missing from plan stats: $stats")
+      assert(stats.attributeStats.nonEmpty,
+        "column-level stats (distinct counts) did not reach the plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_stats_demo")
+      spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("agg_group is a single-shuffle partial+final aggregation") {
     val p = plan("agg_group")
     val exchanges = p.collect { case e: Exchange => e }
