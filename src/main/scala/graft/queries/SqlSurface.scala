@@ -13,7 +13,10 @@ import graft.sources.Tables
 object SqlSurface {
 
   private def view(spark: SparkSession, sfDir: String, name: String): Unit =
-    Tables(spark, sfDir, name).createOrReplaceTempView(name)
+    // events needs the ns→µs timestamp rebuild; the generic reader
+    // would throw PARQUET_TYPE_ILLEGAL on its TIMESTAMP(NANOS) column
+    (if (name == "events") Tables.events(spark, sfDir)
+     else Tables(spark, sfDir, name)).createOrReplaceTempView(name)
 
   /** TPC-H Q3 shape written as RAW SQL text — the full parse → analyze
     * → optimize → execute path over registered views. Decimal-exact
@@ -520,6 +523,76 @@ object SqlSurface {
     """SELECT n_regionkey, count(*) AS n_nations
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** TPC-H Q12 shape (shipping-mode priority split, adapted — the
+    * reduced schema has no shipmode, so the split key is linestatus):
+    * conditional counts over a fact⋈fact join, both CASE sums in one
+    * aggregation pass.
+    */
+  def sqlTpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(view(spark, sfDir, _))
+    spark.sql(q12Sql)
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      |    AS high_line_count,
+      |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+      |    AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): a revenue CTE consumed twice —
+    * once aggregated to its global max (tiny broadcast), once joined
+    * back on equality with that max. With spark.sql.exchangeReuse the
+    * CTE's shuffle is computed once and reused.
+    */
+  def sqlTpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem").foreach(view(spark, sfDir, _))
+    spark.sql(q15Sql)
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |        (1 - CAST(l_discount AS DECIMAL(12,4)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(round(total_revenue, 4) AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): CORRELATED scalar
+    * aggregate subqueries — the decorrelation class next to Q4's
+    * EXISTS and Q18's IN. The avg-quantity threshold is exactified to
+    * integer/decimal arithmetic (`5·qty·cnt < sum` ⟺
+    * `qty < 0.2·avg`), so no float mean can flip a boundary row
+    * between engines. Catalyst rewrites both subqueries into one
+    * aggregate join on l_partkey.
+    */
+  def sqlTpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(view(spark, sfDir, _))
+    spark.sql(q17Sql)
+  }
+
+  private val q17Sql =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+      |  / 7.0, 4) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 *
+      |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |    < (SELECT sum(CAST(l_quantity AS DECIMAL(18,4)))
+      |       FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""".stripMargin
+
   /** Semi-structured VARIANT path (Spark 4): `parse_json` → open
     * VARIANT column → typed `variant_get` extraction. Unlike
     * `from_json` (fixed schema up front) the variant is
@@ -661,6 +734,9 @@ object SqlSurface {
     Q("sql_tpch_q13", Some(q13Sql), sqlTpchQ13),
     Q("sql_tpch_q19", Some(q19Sql), sqlTpchQ19),
     Q("sql_tpch_q22", Some(q22Sql), sqlTpchQ22),
+    Q("sql_tpch_q12", Some(q12Sql), sqlTpchQ12),
+    Q("sql_tpch_q15", Some(q15Sql), sqlTpchQ15),
+    Q("sql_tpch_q17", Some(q17Sql), sqlTpchQ17),
     Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
     Q("rollup_agg", Some(rollupOracle), rollupAgg),
     Q("pivot_flags", Some(pivotOracle), pivotFlags),
