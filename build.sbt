@@ -18,6 +18,10 @@ run / fork := true
 // orphan (BENCH_r02 rc=124, parsed=null). With StdoutOutput the fork's
 // writes land on the driver-captured pipe even if sbt is already dead.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." epilogue: the driver parses the bench
+// JSON out of the last 2000 chars of output, and every trailing sbt
+// line eats that budget (round 3's line was pushed out — parsed: null).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,11 +41,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional comma-separated query filter for targeted profiling
+    // optional comma-separated query filter for targeted profiling;
+    // SPARK_GRAFT_ALL=1 times the full 103-query registry (local use —
+    // the emitted line then exceeds the driver's 2000-char tail window,
+    // see Registry.headline); default is the headline set.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.contains(n))
-    }
+    val base: Seq[String] =
+      if (sys.env.contains("SPARK_GRAFT_ALL") || only.isDefined)
+        SparkEntry.queries.keys.toSeq
+      else queries.Registry.headline
+    val selected = base.filter(n => only.forall(_.contains(n)))
+      .map(n => n -> SparkEntry.queries(n))
     def envD(k: String, d: Double) = sys.env.get(k).map(_.toDouble).getOrElse(d)
     val reps = envD("SPARK_GRAFT_REPS", 3).toInt
     val slowSec = envD("SPARK_GRAFT_SLOW_SEC", 10)
@@ -64,12 +70,15 @@ object Bench {
     def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
       import scala.jdk.CollectionConverters._
       val rs = done.asScala.toSeq
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+      // 2-decimal values: the driver parses this line out of the last
+      // 2000 chars of output — full double precision overflowed that
+      // window in round 3 (parsed: null). BenchEmitSpec pins the budget.
+      val qs = rs.map { case (k, v) => f""""$k":$v%.2f""" }
         .mkString("{", ",", "}")
       val sk = skipped.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = rs.map(_._2).sum
       val part = if (partial) ""","partial":true""" else ""
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk$part,"sf":"$sfDir"}""")
+      println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"skipped":$sk$part,"sf":"$sfDir"}""")
       System.out.flush()
     }
     val hook = new Thread(() => {
@@ -155,9 +164,12 @@ object Bench {
     }
     Runtime.getRuntime.removeShutdownHook(hook)
     emit(partial = false)
-    spark.stop()
-    // daemon run threads may have been abandoned; don't let anything
-    // non-daemon (e.g. a sink's leftover pool) block JVM exit
-    System.exit(0)
+    // halt, not exit/stop: the JSON line must be the LAST bytes on the
+    // pipe — spark.stop()'s shutdown WARNs (or a sink pool's teardown)
+    // on the merged stream could push it out of the driver's 2000-char
+    // tail window. halt skips shutdown hooks and Spark teardown; the
+    // OS reclaims everything, and sbt sees exit code 0.
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -39,4 +39,49 @@ object Registry {
       PipelineQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  /** Headline bench set (the contract's "headline queries").
+    *
+    * Why a subset: the driver parses the bench JSON line out of the LAST
+    * 2000 chars of captured output. Round 3 registered 71 queries and the
+    * full-precision line grew past that window — the driver recorded
+    * `parsed: null` and the round had NO perf number. With 103 registered
+    * queries a complete line cannot fit at any useful precision, so Bench
+    * times this curated set (every perf-relevant family member, all known
+    * heavy hitters, one representative of each cheap family) and Verify
+    * still gates all 103 for correctness. BenchEmitSpec asserts the
+    * worst-case emitted line fits with margin.
+    */
+  val headline: Seq[String] = Seq(
+    // reference surface
+    "flagship_enrich", "standardise_books", "enrich_books", "dedup_limit",
+    "drop_projection", "join_inner_agg", "join_semi", "join_anti",
+    "agg_group", "sink_roundtrip", "sink_jdbc", "udaf_weighted_avg",
+    "json_extract", "explode_words",
+    // dedup family
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_keep_best", "dedup_simhash",
+    "dedup_embedding_cosine",
+    // similarity
+    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf",
+    // text analysis
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_ngram_vocab", "text_repetition", "doc_chunking",
+    // multimodal
+    "multimodal_decode", "multimodal_features",
+    // windows
+    "window_tumbling", "window_rank_topn", "window_session",
+    // scale patterns
+    "sink_partitioned", "join_skew_salted", "join_bucketed",
+    "contamination_check", "pack_sequences",
+    // SQL surface
+    "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q6", "sql_tpch_q10",
+    "sql_tpch_q18", "agg_tpch_q1", "rollup_agg", "source_json_roundtrip",
+    // stats / breadth
+    "agg_median", "agg_stats_exact", "ddl_catalog",
+    // as-of / range
+    "join_asof", "join_asof_native", "join_range", "approx_distinct_exact",
+    // training-data pipeline
+    "mix_temperature", "sample_split", "emb_centroids", "merge_upsert",
+  )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Pins the bench-emit contract: the driver recovers the JSON line from
+  * the LAST 2000 chars of captured output, so the worst-case emitted
+  * line must fit with margin. Round 3 lost its whole perf grade to this
+  * (BENCH_r03 `parsed: null`) when the registry grew past the window.
+  */
+class BenchEmitSpec extends AnyFunSuite {
+
+  test("headline names all resolve in the registry") {
+    val known = Registry.byName.keySet
+    val missing = Registry.headline.filterNot(known)
+    assert(missing.isEmpty, s"unknown headline queries: $missing")
+  }
+
+  test("headline set has no duplicates") {
+    assert(Registry.headline.distinct.size === Registry.headline.size)
+  }
+
+  test("worst-case emitted JSON line fits the driver's 2000-char tail") {
+    // Worst case: every query reports the watchdog ceiling (330.00 → 6
+    // chars; allow 7 for a hypothetical 1000.00), all queries present,
+    // none skipped, plus the partial flag.
+    val entries = Registry.headline
+      .map(n => "\"" + n + "\":" + "9999.99").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":999999.99,"unit":"sec","queries":$entries,"skipped":[],"partial":true,"sf":"/root/testdata/sf0.1"}"""
+    // 1800 leaves 200 chars of margin for a stray log line after ours.
+    assert(line.length < 1800,
+      s"emit line worst-case ${line.length} chars — trim Registry.headline")
+  }
+
+  test("headline covers every family and all known heavy hitters") {
+    val h = Registry.headline.toSet
+    // the round-3 top-10 by measured seconds must stay benched
+    val heavy = Seq("dedup_minhash_lsh", "join_bucketed", "text_ngram_vocab",
+      "enrich_books", "source_json_roundtrip", "agg_tpch_q1",
+      "dedup_embedding_cosine", "sql_tpch_q5", "ddl_catalog",
+      "dedup_jaccard_pairs")
+    assert(heavy.forall(h), s"missing heavy: ${heavy.filterNot(h)}")
+  }
+}
