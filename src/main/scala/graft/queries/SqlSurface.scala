@@ -446,6 +446,185 @@ object SqlSurface {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q2 (minimum-cost supplier): the correlated scalar-MIN
+    * subquery over a 5-table join, repeated inside and outside the
+    * correlation — the decorrelation stress test. The reduced schema
+    * has no partsupp, so the part↔supplier relationship is the
+    * distinct (l_partkey, l_suppkey) pairs in lineitem and the "cost"
+    * is the supplier's account balance; the plan class (aggregate
+    * decorrelated to a join on p_partkey, dims broadcast, DISTINCT to
+    * collapse the bridge) is exactly Q2's. Equality on s_acctbal is
+    * pure comparison — no float arithmetic — so it's engine-stable.
+    */
+  def sqlTpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "nation", "region")
+      .foreach(view(spark, sfDir, _))
+    spark.sql(q2Sql)
+  }
+
+  private val q2Sql =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE p_size = 25 AND p_type = 'LARGE' AND r_name = 'ASIA'
+      |  AND s_acctbal = (
+      |    SELECT min(s2.s_acctbal)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q9 (product-type profit): profit = revenue − cost as exact
+    * DECIMAL subtraction per line, aggregated by (nation, year). With
+    * no partsupp, cost is p_retailprice·l_quantity — same expression
+    * class as ps_supplycost·l_quantity. The LIKE filter on p_name is
+    * non-sargable-prefix (contains), which must still reach the part
+    * scan as a pushed filter; nation broadcasts, the fact chain
+    * shuffles on its join keys once each.
+    */
+  def sqlTpchQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "nation")
+      .foreach(view(spark, sfDir, _))
+    spark.sql(q9Sql)
+  }
+
+  private val q9Sql =
+    """SELECT nation, o_year,
+      |  CAST(round(sum(amount), 4) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |      (1 - CAST(l_discount AS DECIMAL(12,4))) -
+      |    CAST(p_retailprice AS DECIMAL(12,4)) *
+      |      CAST(l_quantity AS DECIMAL(12,4)) AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 (important stock): grouped value vs a FRACTION of the
+    * global total — the same aggregate computed per-group and globally,
+    * compared in exact DECIMAL (value·1000 > total, no float fraction).
+    * The inventory value per part is Σ price·qty over the lines shipped
+    * by one nation's suppliers. At scale the CTE aggregates once; the
+    * scalar total is a one-row broadcast reused from the same shuffle
+    * (exchange reuse), not a second scan.
+    */
+  def sqlTpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "nation").foreach(view(spark, sfDir, _))
+    spark.sql(q11Sql)
+  }
+
+  private val q11Sql =
+    """WITH val AS (
+      |  SELECT l_partkey AS partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |        CAST(l_quantity AS DECIMAL(12,4))) AS value
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY l_partkey)
+      |SELECT partkey, CAST(round(value, 4) AS DOUBLE) AS value
+      |FROM val
+      |WHERE value * 1000 > (SELECT sum(value) FROM val)
+      |ORDER BY value DESC, partkey""".stripMargin
+
+  /** TPC-H Q16 (supplier-part relationships): COUNT(DISTINCT) per
+    * 3-column group + a null-safe NOT IN exclusion subquery (planned as
+    * a null-aware anti join). Complaint suppliers become
+    * negative-balance suppliers in the reduced schema. The distinct
+    * count forces a two-phase aggregate (dedup shuffle on the full key,
+    * then count) — the expensive-but-correct plan every engine must
+    * produce here.
+    */
+  def sqlTpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem").foreach(view(spark, sfDir, _))
+    spark.sql(q16Sql)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 (part promotion candidates): nested IN subqueries — a
+    * grouped-HAVING inner query (suppliers who moved > 50 units of any
+    * red part in 1996) whose keys feed an outer IN against the
+    * supplier dim. Catalyst plans both INs as left-semi joins; the
+    * grouped subquery aggregates lineitem once on (suppkey, partkey).
+    */
+  def sqlTpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "nation").foreach(view(spark, sfDir, _))
+    spark.sql(q20Sql)
+  }
+
+  private val q20Sql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 50)
+      |ORDER BY s_name""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting): the double
+    * correlated EXISTS / NOT EXISTS self-join on the fact table — the
+    * hardest decorrelation in the suite. "Late" is a returned line in
+    * the reduced schema: supplier S is blamed for a finished order iff
+    * S returned a line, another supplier participated, and no OTHER
+    * supplier returned one. Catalyst turns the pair into a left-semi
+    * and a left-anti join against the same lineitem scan.
+    */
+  def sqlTpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation").foreach(view(spark, sfDir, _))
+    spark.sql(q21Sql)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders   ON o_orderkey = l1.l_orderkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   /** ROLLUP: per-(returnflag, linestatus) subtotals + per-flag + grand
     * total in one pass — the multi-dimensional aggregate class the
     * reference can't express at all.
@@ -737,6 +916,12 @@ object SqlSurface {
     Q("sql_tpch_q12", Some(q12Sql), sqlTpchQ12),
     Q("sql_tpch_q15", Some(q15Sql), sqlTpchQ15),
     Q("sql_tpch_q17", Some(q17Sql), sqlTpchQ17),
+    Q("sql_tpch_q2", Some(q2Sql), sqlTpchQ2),
+    Q("sql_tpch_q9", Some(q9Sql), sqlTpchQ9),
+    Q("sql_tpch_q11", Some(q11Sql), sqlTpchQ11),
+    Q("sql_tpch_q16", Some(q16Sql), sqlTpchQ16),
+    Q("sql_tpch_q20", Some(q20Sql), sqlTpchQ20),
+    Q("sql_tpch_q21", Some(q21Sql), sqlTpchQ21),
     Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
     Q("rollup_agg", Some(rollupOracle), rollupAgg),
     Q("pivot_flags", Some(pivotOracle), pivotFlags),
