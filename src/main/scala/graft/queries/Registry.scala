@@ -73,7 +73,7 @@ object Registry {
     "window_tumbling", "window_rank_topn", "window_session",
     // scale patterns
     "sink_partitioned", "join_skew_salted", "join_bucketed",
-    "contamination_check", "pack_sequences",
+    "zorder_cluster", "contamination_check", "pack_sequences",
     // SQL surface
     "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q6", "sql_tpch_q10",
     "sql_tpch_q18", "agg_tpch_q1", "rollup_agg", "source_json_roundtrip",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 import graft.operators.Enrich
@@ -175,10 +175,90 @@ object ScaleQueries {
       |  UNION ALL SELECT 'size', CAST(p_size AS VARCHAR) FROM part)
       |GROUP BY field ORDER BY field""".stripMargin
 
+  /** Bit-spread for 16-bit Morton interleave: zeros between the bits
+    * of a 16-bit non-negative key, as plain codegen'd column
+    * arithmetic (SURVEY §7.3 tier (a): compose built-ins before
+    * reaching for a custom Expression — shiftleft/and/or all compile
+    * into the same generated stage).
+    */
+  private def spreadBits16(x: Column): Column = {
+    val v0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton (Z-order) code: interleaves the bits of two 16-bit
+    * keys so lexicographic order on the code is locality-preserving in
+    * BOTH dimensions.
+    */
+  def morton2(x: Column, y: Column): Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+
+  /** Scales a key from [minV, maxV] onto the full 16-bit Morton
+    * domain. Without this, keys of different magnitudes interleave
+    * unfairly: raw (l_partkey ≤ 20000, l_suppkey ≤ 1000) puts
+    * partkey's bits 10+ ABOVE every suppkey bit, so a z-sort is just
+    * a partkey sort and the second dimension gets no locality at all
+    * (measured: 16/16 files hit). Same normalization step Delta's
+    * OPTIMIZE ZORDER applies (range-bound scaling) before
+    * interleaving. Integer arithmetic only — no float rounding in the
+    * layout key.
+    */
+  def normalize16(c: Column, minV: Column, maxV: Column): Column =
+    (c.cast("long") - minV) * 65535L / greatest(maxV - minV, lit(1L))
+
+  /** Z-order clustered layout + multi-dimensional data skipping: the
+    * fact table is written range-partitioned and sorted by the Morton
+    * code of (l_partkey, l_suppkey), then read back through a box
+    * predicate on BOTH keys. A single-column sort can only give
+    * min/max locality on its leading key — a filter on the second key
+    * reads every file. The Z-order layout keeps each file's (partkey,
+    * suppkey) bounding box small, so parquet file/row-group stats
+    * prune on EITHER dimension (ZOrderSpec measures the hit-set
+    * shrink vs a linear layout; at 100 TB that's the difference
+    * between scanning a quad-tree cell and the whole table — the same
+    * layout trick Delta/Iceberg OPTIMIZE ZORDER applies).
+    */
+  def zorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder"
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    // key ranges for the 16-bit normalization: one tiny stats pass
+    // over the layout keys (the same pre-pass Delta's ZORDER does)
+    val b = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val z = morton2(
+      normalize16(col("l_partkey"), lit(b.getLong(0)), lit(b.getLong(1))),
+      normalize16(col("l_suppkey"), lit(b.getLong(2)), lit(b.getLong(3))))
+    li.withColumn("z", z)
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("l_partkey").between(100, 299) &&
+        col("l_suppkey").between(10, 29))
+      .agg(count(lit(1)).as("n_lines"),
+        round(Enrich.exactSum(col("l_quantity")), 4).as("sum_qty"),
+        round(Enrich.exactSum(col("l_extendedprice")), 4).as("revenue"))
+  }
+
+  private val zorderOracle =
+    """SELECT count(*) AS n_lines,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 299
+      |  AND l_suppkey BETWEEN 10 AND 29""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("join_skew_salted", Some(joinSkewOracle), joinSkewSalted),
     Q("join_bucketed", Some(joinBucketedOracle), joinBucketed),
+    Q("zorder_cluster", Some(zorderOracle), zorderCluster),
     Q("extract_markup", Some(extractMarkupOracle), extractMarkup),
     Q("generator_items", Some(generatorOracle), generatorItems),
   )
