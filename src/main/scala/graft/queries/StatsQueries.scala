@@ -106,8 +106,28 @@ object StatsQueries {
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
       |FROM orders GROUP BY month ORDER BY month""".stripMargin
 
+  /** Approximate percentiles (Greenwald-Khanna summaries, accuracy
+    * 10000 ⇒ rank error ≤ 1e-4): the quantile member of the sketch
+    * family next to HLL (`approx_distinct`). Like HLL, the estimate is
+    * engine-specific, so the driver records a rows-only check; the
+    * EXACT percentiles on the same groups are hash-checked as
+    * `agg_median`, and StatsSpec pins the rank-error bound against
+    * them. At 100 TB this is the only viable percentile: the exact
+    * form needs a full sort per group, the sketch is one pass +
+    * constant-size merge.
+    */
+  def approxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
+          .as("approx_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Seq[Q] = Seq(
     Q("agg_median", Some(medianOracle), median),
+    Q("agg_approx_percentile", None, approxPercentile),
     Q("agg_stats_exact", Some(statsOracle), stats),
     Q("scalar_functions", Some(scalarOracle), scalarFunctions),
     Q("agg_monthly", Some(monthlyOracle), monthly),
