@@ -887,6 +887,41 @@ object SqlSurface {
       |  CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** Corrupt-record tolerance: PERMISSIVE JSON parsing with a
+    * `_corrupt_record` capture column — the engine-native form of the
+    * reference's per-row try/except skip (`dags/dag.py` catches parse
+    * failures and drops the row). A deterministic fixture interleaves
+    * malformed lines with the nation table; the query routes bad rows
+    * to a quarantine count instead of failing the job (FAILFAST) or
+    * silently losing them (DROPMALFORMED) — all three modes exercised
+    * in SourceModesSpec over the same fixture. At
+    * 100 TB malformed input is a certainty, not an edge case, and the
+    * quarantine count is the data-quality metric a pipeline alerts on.
+    */
+  def sourceCorruptRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_corrupt"
+    Tables.nation(spark, sfDir).write.mode("overwrite").json(path)
+    // 3 malformed lines dropped next to the good part-files
+    Files.writeString(Paths.get(s"$path/garbage.json"),
+      "{\"n_nationkey\": oops}\nnot json at all\n{\"n_nationkey\": 1,\n")
+    val schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    back.agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_regionkey")))
+          .as("region_sum"))
+  }
+
+  private val corruptOracle =
+    """SELECT count(*) AS n_good, CAST(3 AS BIGINT) AS n_corrupt,
+      |  CAST(sum(n_regionkey) AS BIGINT) AS region_sum
+      |FROM nation""".stripMargin
+
   /** CSV source roundtrip with explicit schema + header. */
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_csv"
@@ -928,6 +963,7 @@ object SqlSurface {
     Q("setops_chain", Some(setOpsOracle), setOps),
     Q("source_json_roundtrip", Some(jsonOracle), sourceJsonRoundtrip),
     Q("source_csv_roundtrip", Some(csvOracle), sourceCsvRoundtrip),
+    Q("source_corrupt_records", Some(corruptOracle), sourceCorruptRecords),
     Q("source_schema_evolution", Some(schemaEvolutionOracle), sourceSchemaEvolution),
     Q("source_orc_roundtrip", Some(orcOracle), sourceOrcRoundtrip),
     Q("variant_extract", Some(variantOracle), variantExtract),
