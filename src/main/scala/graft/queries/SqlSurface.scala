@@ -922,6 +922,33 @@ object SqlSurface {
       |  CAST(sum(n_regionkey) AS BIGINT) AS region_sum
       |FROM nation""".stripMargin
 
+  /** XML source roundtrip (Spark 4 native XML datasource): customer
+    * written as `<customer>` row elements, read back with an explicit
+    * schema, aggregated. The closest engine-native analog of the
+    * reference's actual input surface — HTML/markup records parsed
+    * into a DataFrame (`dags/dag.py` BeautifulSoup extraction);
+    * `extract_markup` covers the regex-over-tag-soup form, this
+    * covers well-formed markup as a first-class source with the same
+    * pushdown/pruning machinery as any file format.
+    */
+  def sourceXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_xml"
+    val cust = Tables.customer(spark, sfDir)
+    cust.write.mode("overwrite").option("rowTag", "customer")
+      .format("xml").save(path)
+    spark.read.schema(cust.schema).option("rowTag", "customer")
+      .format("xml").load(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(Enrich.exactSum(col("c_acctbal")), 4).as("bal_total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val xmlOracle =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE), 4) AS bal_total
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** CSV source roundtrip with explicit schema + header. */
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_csv"
@@ -964,6 +991,7 @@ object SqlSurface {
     Q("source_json_roundtrip", Some(jsonOracle), sourceJsonRoundtrip),
     Q("source_csv_roundtrip", Some(csvOracle), sourceCsvRoundtrip),
     Q("source_corrupt_records", Some(corruptOracle), sourceCorruptRecords),
+    Q("source_xml_roundtrip", Some(xmlOracle), sourceXmlRoundtrip),
     Q("source_schema_evolution", Some(schemaEvolutionOracle), sourceSchemaEvolution),
     Q("source_orc_roundtrip", Some(orcOracle), sourceOrcRoundtrip),
     Q("variant_extract", Some(variantOracle), variantExtract),
