@@ -160,6 +160,51 @@ object WindowQueries {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Native `session_window` operator (vs [[sessionize]]'s hand-rolled
+    * lag-chain): Spark's built-in session aggregation with a 30-minute
+    * gap. Semantics differ from the lag form at EXACT gap boundaries —
+    * the built-in window is half-open [start, last+gap), so an event
+    * landing exactly 30 min after its predecessor starts a NEW session
+    * (the lag form's `gap > 1800` keeps it) — and the oracle encodes
+    * that (`gap >= 1800` splits). At scale this is one shuffle on
+    * user_id with sessions merged inside the aggregate (no window
+    * function pass), and the SAME operator runs under `readStream` +
+    * watermark for streaming sessionization (Streaming.scala) — the
+    * batch/stream unification the hand-rolled form can't offer.
+    */
+  def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .select(col("user_id"),
+        col("w.start").cast("long").as("t_start"),
+        col("w.end").cast("long").as("t_end"),
+        col("n_events"), col("value_sum"))
+      .orderBy(col("user_id"), col("t_start"))
+
+  private val sessionNativeOracle =
+    """WITH g AS (
+      |  SELECT user_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CAST(floor(epoch(ts)) AS BIGINT) -
+      |      lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+      |    ts, event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, value, es,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM g)
+      |SELECT user_id, min(es) AS t_start, max(es) + 1800 AS t_end,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS value_sum
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, t_start""".stripMargin
+
   /** Explicit sliding ROWS frame: 4-order moving revenue per customer
     * (`ROWS BETWEEN 3 PRECEDING AND CURRENT ROW`) — the bounded-frame
     * window class (`rowsBetween`) the other analytic queries don't
@@ -196,6 +241,7 @@ object WindowQueries {
     Q("window_tumbling", Some(tumblingOracle), tumbling),
     Q("window_sliding_frame", Some(slidingOracle), slidingFrame),
     Q("window_session", Some(sessionOracle), sessionize),
+    Q("window_session_native", Some(sessionNativeOracle), sessionizeNative),
     Q("window_rank_topn", Some(rankOracle), rankTopN),
     Q("window_lag_running", Some(lagOracle), lagRunning),
     Q("window_ntile", Some(ntileOracle), ntileRank),

@@ -211,4 +211,37 @@ class QueryPlanSpec extends SparkSpec {
     assert(exchanges.size <= 2, s"too many exchanges:\n$p")
     assert(p.toString.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
+
+  test("join hints steer physical join selection (user control at 100 TB)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val o = graft.sources.Tables.orders(spark, sf)
+
+    def joined(hint: String): String =
+      li.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+
+    // The optimizer picks its own default; a hint must override it in
+    // BOTH directions — forcing the build-side hash join where it
+    // would broadcast or sort-merge, and forcing the sort-merge where
+    // a hash join looks cheaper. This is the escape hatch when 100 TB
+    // stats mislead the planner (stale CBO, skewed runtime sizes).
+    assert(joined("shuffle_hash").contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint ignored")
+    assert(joined("merge").contains("SortMergeJoin"),
+      "MERGE hint ignored")
+    assert(joined("broadcast").contains("BroadcastHashJoin"),
+      "BROADCAST hint ignored")
+  }
+
+  test("window_session_native plans MergingSessions with map-side partials, no window pass") {
+    val p = plan("window_session_native").toString
+    // the built-in sessionization lowers to partial HashAggregate →
+    // one user_id shuffle → MergingSessions → final HashAggregate:
+    // sessions merge INSIDE the aggregate (map-side partials included),
+    // never a Window-function pass over sorted rows
+    assert(p.contains("MergingSessions"), s"no MergingSessions operator:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+    assert(!p.contains("WindowExec"), s"unexpected window pass:\n$p")
+  }
 }
