@@ -102,6 +102,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("morton2 is a bijection on 16-bit pairs and preserves per-axis order") {
+    val pairGen = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+    val cases = samples(pairGen, 80).distinct
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.queries.ScaleQueries.morton2(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      // reference deinterleave: z's even bits → x, odd bits → y
+      var (dx, dy, i) = (0L, 0L, 0)
+      while (i < 16) {
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      assert((dx, dy) === ((x, y)), s"morton2($x,$y)=$z roundtrip ($dx,$dy)")
+    }
+    // monotone in each axis with the other held fixed (what makes
+    // z-ranges contiguous per quad-tree cell)
+    val byY = got.groupBy(_._2)
+    byY.values.foreach { g =>
+      val s = g.sortBy(_._1)
+      assert(s.map(_._3) === s.map(_._3).sorted, "not monotone in x")
+    }
+  }
+
   test("dedupFirst is idempotent, keys unique, first-wins by order column") {
     val listGen = Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0, 100)))
