@@ -661,6 +661,67 @@ object SqlSurface {
       |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE), 4) AS R
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping_id — the general form of
+    * ROLLUP/CUBE (`rollup_agg`/`cube_agg` are its two fixed shapes):
+    * an arbitrary set list, including the grand total, in one pass.
+    * Catalyst expands the sets into one Expand + single aggregate —
+    * one shuffle regardless of how many sets.
+    */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "lineitem")
+    spark.sql(groupingSetsSql)
+  }
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+      |  count(*) AS n_lines,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** LATERAL correlated subquery join (Spark 4): for each nation, the
+    * top-2 customers by balance via a correlated ordered-limit
+    * subquery — the "per-row top-k probe" SQL surface. Catalyst
+    * decorrelates the LATERAL into a ranked window join, so at scale
+    * this is the same one-shuffle plan as `window_rank_topn`, not a
+    * per-nation query loop.
+    */
+  def joinLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("nation", "customer").foreach(view(spark, sfDir, _))
+    spark.sql(lateralSql)
+  }
+
+  private val lateralSql =
+    """SELECT n_name, c.c_custkey, c.c_acctbal
+      |FROM nation,
+      |LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  LIMIT 2) c
+      |ORDER BY n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
+
+  /** EXCEPT ALL / INTERSECT ALL: the multiset set-ops (`setops_chain`
+    * covers the DISTINCT forms). Bag semantics keep duplicate
+    * multiplicities — Catalyst plans them as counted anti/semi
+    * aggregations, not row-level joins.
+    */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "lineitem")
+    spark.sql(setOpsAllSql)
+  }
+
+  private val setOpsAllSql =
+    """SELECT l_orderkey FROM (
+      |  (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |   EXCEPT ALL
+      |   SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag = 'R')
+      |  INTERSECT ALL
+      |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      |ORDER BY l_orderkey""".stripMargin
+
   /** Set operations: customers in BUILDING-segment minus big-balance,
     * unioned with a disjoint slice, intersected with nation-filtered —
     * UNION/INTERSECT/EXCEPT in one plan.
@@ -986,6 +1047,9 @@ object SqlSurface {
     Q("sql_tpch_q21", Some(q21Sql), sqlTpchQ21),
     Q("agg_tpch_q1", Some(q1Oracle), aggTpchQ1),
     Q("rollup_agg", Some(rollupOracle), rollupAgg),
+    Q("agg_grouping_sets", Some(groupingSetsSql), aggGroupingSets),
+    Q("join_lateral", Some(lateralSql), joinLateral),
+    Q("setops_all", Some(setOpsAllSql), setOpsAll),
     Q("pivot_flags", Some(pivotOracle), pivotFlags),
     Q("setops_chain", Some(setOpsOracle), setOps),
     Q("source_json_roundtrip", Some(jsonOracle), sourceJsonRoundtrip),
