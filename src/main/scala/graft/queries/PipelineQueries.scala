@@ -335,7 +335,56 @@ object PipelineQueries {
        |ORDER BY train_id, bench_id""".stripMargin
   }
 
+  /** One-pass column profiler — the data-QA summary (null counts,
+    * distinct cardinalities, value bounds) a pipeline runs before
+    * trusting a new corpus drop. ALL statistics compute in a single
+    * aggregation over one scan (then a constant-width unpivot), not a
+    * query per column: at 100 TB the scan is the cost and it's paid
+    * once. The reference's equivalent is pandas `.info()` eyeballing;
+    * this is the engine-native, shuffle-once form.
+    */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val row = d.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("lang")).as("lang_nonnull"),
+      count_distinct(col("lang")).as("lang_distinct"),
+      count(col("source")).as("source_nonnull"),
+      count_distinct(col("source")).as("source_distinct"),
+      count(col("text")).as("text_nonnull"),
+      count_distinct(col("text")).as("text_distinct"),
+      min(col("n_chars")).as("chars_min"),
+      max(col("n_chars")).as("chars_max"))
+    row.select(col("n_rows"), expr(
+      """stack(3,
+        |  'lang',   lang_nonnull,   lang_distinct,
+        |  'source', source_nonnull, source_distinct,
+        |  'text',   text_nonnull,   text_distinct
+        |) AS (col_name, n_nonnull, n_distinct)""".stripMargin),
+      col("chars_min"), col("chars_max"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("chars_min"), col("chars_max"))
+      .orderBy(col("col_name"))
+  }
+
+  private val profileOracle =
+    """WITH s AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(lang) AS lang_nonnull, count(DISTINCT lang) AS lang_distinct,
+      |    count(source) AS source_nonnull, count(DISTINCT source) AS source_distinct,
+      |    count(text) AS text_nonnull, count(DISTINCT text) AS text_distinct,
+      |    min(n_chars) AS chars_min, max(n_chars) AS chars_max
+      |  FROM documents)
+      |SELECT v.col_name, s.n_rows, v.n_nonnull, v.n_distinct,
+      |  s.chars_min, s.chars_max
+      |FROM s, LATERAL (VALUES
+      |  ('lang', lang_nonnull, lang_distinct),
+      |  ('source', source_nonnull, source_distinct),
+      |  ('text', text_nonnull, text_distinct)) AS v(col_name, n_nonnull, n_distinct)
+      |ORDER BY v.col_name""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("profile_columns", Some(profileOracle), profileColumns),
     Q("sample_stratified", Some(sampleOracle), sampleStratified),
     Q("mix_temperature", Some(mixOracle), mixTemperature),
     Q("sample_split", Some(splitOracle), sampleSplit),
