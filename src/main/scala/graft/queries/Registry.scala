@@ -66,7 +66,7 @@ object Registry {
     "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf",
     // text analysis
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_ngram_vocab", "text_repetition", "doc_chunking",
+    "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
     // multimodal
     "multimodal_decode", "multimodal_features",
     // windows

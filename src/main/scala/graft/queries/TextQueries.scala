@@ -408,8 +408,78 @@ object TextQueries {
       |  array_to_string(chunk, ' ') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** BM25 relevance scoring (Robertson/Spärck Jones; the "+1" robust
+    * idf variant Lucene uses) of every document against a fixed
+    * 3-term query — the retrieval primitive a training-data pipeline
+    * uses for quality-weighted sampling and benchmark-decontamination
+    * triage. Shape: one narrow codegen'd pass computes per-doc term
+    * frequencies + doc length (no explode — `filter()` over the
+    * token array keeps tf per-row); a 1-row global aggregate (N,
+    * avgdl, per-term df) broadcasts back via cross join; the score is
+    * a fixed-order closed-form sum, so no float nondeterminism. At
+    * 100 TB: corpus-scan-bound, zero shuffle except the final
+    * TakeOrderedAndProject top-k.
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("vector", "spark", "key")
+    val k1 = 1.2
+    val b = 0.75
+    val ws = TextOps.words(col("text"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(ws, w => w === lit(t))).as(s"tf$i")
+    }
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: size(ws).as("dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // fixed-order sum of per-term contributions — identical expression
+    // tree in the oracle, so doubles agree bit-for-bit pre-rounding
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val norm = tf * (k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, idf * norm).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS dl,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf0,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf1,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'key'))    AS tf2
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM t),
+      |scored AS (
+      |  SELECT doc_id, round(
+      |      (CASE WHEN tf0 > 0 THEN ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5))
+      |        * (CAST(tf0 AS DOUBLE) * 2.2)/(CAST(tf0 AS DOUBLE) + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0.0 END)
+      |    + (CASE WHEN tf1 > 0 THEN ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5))
+      |        * (CAST(tf1 AS DOUBLE) * 2.2)/(CAST(tf1 AS DOUBLE) + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0.0 END)
+      |    + (CASE WHEN tf2 > 0 THEN ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5))
+      |        * (CAST(tf2 AS DOUBLE) * 2.2)/(CAST(tf2 AS DOUBLE) + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0.0 END)
+      |    , 4) AS bm25
+      |  FROM t, s)
+      |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
+    Q("text_bm25", Some(bm25Oracle), bm25),
     Q("doc_chunking", Some(chunkingOracle), docChunking),
     Q("text_repetition", Some(repetitionOracle), repetition),
     Q("docs_filter_funnel", Some(funnelOracle), filterFunnel),
