@@ -477,9 +477,59 @@ object TextQueries {
       |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Unigram language-model quality score (the CCNet/perplexity-filter
+    * shape): each document scored by its mean token log-probability
+    * under the corpus's own unigram distribution — low scores flag
+    * surprising/garbage text for filtering or re-weighting.
+    *
+    * Float determinism: a per-doc sum of doubles would depend on
+    * aggregation order, so each word's ln p(w) is quantized once to
+    * DECIMAL(20,12) (well above double ulp noise, far below any
+    * rounding midpoint), multiplied by the exact integer count, and
+    * summed as decimals — order-free. Shape at 100 TB: one (doc,word)
+    * count shuffle, a tiny vocab aggregate broadcast back, one per-doc
+    * aggregate; the vocabulary is MBs when the corpus is TBs.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+    val vocab = counts.groupBy(col("word"))
+      .agg(sum(col("cnt")).cast("long").as("cw"))
+    val tot = vocab.agg(sum(col("cw")).cast("double").as("tot"))
+    val lnp = vocab.crossJoin(broadcast(tot))
+      .select(col("word"),
+        log(col("cw").cast("double") / col("tot")).cast("decimal(20,12)").as("lnp"))
+    counts.join(broadcast(lnp), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("dl"),
+        sum(col("cnt") * col("lnp")).cast("double").as("s"))
+      .select(col("doc_id"), col("dl"),
+        round(col("s") / col("dl").cast("double"), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreOracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (
+      |  SELECT doc_id, word, CAST(count(*) AS DECIMAL(8,0)) AS cnt
+      |  FROM w GROUP BY doc_id, word),
+      |v AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cw FROM c GROUP BY word),
+      |t AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM v),
+      |q AS (SELECT word, CAST(ln(CAST(cw AS DOUBLE)/tot) AS DECIMAL(20,12)) AS lnp
+      |      FROM v, t)
+      |SELECT c.doc_id, CAST(sum(c.cnt) AS BIGINT) AS dl,
+      |  round(CAST(sum(c.cnt * q.lnp) AS DOUBLE) / CAST(sum(c.cnt) AS DOUBLE), 4)
+      |    AS avg_logprob
+      |FROM c JOIN q USING (word)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
     Q("text_bm25", Some(bm25Oracle), bm25),
+    Q("text_lm_score", Some(lmScoreOracle), lmScore),
     Q("doc_chunking", Some(chunkingOracle), docChunking),
     Q("text_repetition", Some(repetitionOracle), repetition),
     Q("docs_filter_funnel", Some(funnelOracle), filterFunnel),
