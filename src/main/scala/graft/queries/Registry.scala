@@ -81,7 +81,8 @@ object Registry {
     // stats / breadth
     "agg_median", "agg_stats_exact", "ddl_catalog",
     // as-of / range
-    "join_asof", "join_asof_native", "join_range", "approx_distinct_exact",
+    "join_asof", "join_asof_native", "join_range", "join_fuzzy_dict",
+    "approx_distinct_exact",
     // training-data pipeline
     "mix_temperature", "sample_split", "emb_centroids", "merge_upsert",
   )

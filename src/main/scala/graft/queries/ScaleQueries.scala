@@ -254,7 +254,47 @@ object ScaleQueries {
       |WHERE l_partkey BETWEEN 100 AND 299
       |  AND l_suppkey BETWEEN 10 AND 29""".stripMargin
 
+  /** Fuzzy (edit-distance ≤ 2) self-join over the part-name DICTIONARY
+    * — the entity-resolution primitive for catalog/name cleanup. The
+    * scale decision is the join UNIT: names repeat heavily (64 distinct
+    * over 2,000 rows here; catalogs at 100 TB still have ≪1e6 distinct
+    * names), so pairs are generated over the aggregated dictionary,
+    * never over rows. The dictionary side broadcasts; the only
+    * quadratic work is dict², prefiltered by the sound
+    * |len(a)−len(b)| ≤ k length band. If the dictionary itself
+    * outgrew broadcast, the published next step is PassJoin-style
+    * k+1-segment pigeonhole blocking (Li, Deng, Feng: VLDB'11) — same
+    * verify step, equi-join candidates.
+    */
+  def joinFuzzyDict(spark: SparkSession, sfDir: String): DataFrame = {
+    val dict = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("rows_n"))
+    val a = dict.select(col("p_name").as("name_a"), col("rows_n").as("rows_a"))
+    val b = dict.select(col("p_name").as("name_b"), col("rows_n").as("rows_b"))
+    a.join(broadcast(b),
+        col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"),
+        col("rows_a"), col("rows_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val joinFuzzyOracle =
+    """WITH d AS (
+      |  SELECT p_name AS name, count(*) AS rows_n FROM part GROUP BY p_name)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+      |  a.rows_n AS rows_a, b.rows_n AS rows_b
+      |FROM d a, d b
+      |WHERE a.name < b.name
+      |  AND abs(len(a.name) - len(b.name)) <= 2
+      |  AND levenshtein(a.name, b.name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("join_skew_salted", Some(joinSkewOracle), joinSkewSalted),
     Q("join_bucketed", Some(joinBucketedOracle), joinBucketed),
