@@ -82,7 +82,7 @@ object Registry {
     "agg_median", "agg_stats_exact", "ddl_catalog",
     // as-of / range
     "join_asof", "join_asof_native", "join_range", "join_fuzzy_dict",
-    "approx_distinct_exact",
+    "approx_distinct_exact", "approx_distinct_kmv",
     // training-data pipeline
     "mix_temperature", "sample_split", "emb_centroids", "merge_upsert",
   )
