@@ -428,8 +428,12 @@ object TextQueries {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(ws, w => w === lit(t))).as(s"tf$i")
     }
+    // perDoc feeds both the stats aggregate and the scoring join; it's
+    // 5 ints per doc, so caching it beats re-tokenizing the corpus
+    // (Verify/Bench clearCache() between queries)
     val perDoc = Tables.documents(spark, sfDir)
       .select(col("doc_id") +: size(ws).as("dl") +: tfCols: _*)
+      .persist()
     val statAggs = count(lit(1)).cast("double").as("n") +:
       avg(col("dl")).as("avgdl") +:
       terms.indices.map(i =>
@@ -491,10 +495,13 @@ object TextQueries {
     * aggregate; the vocabulary is MBs when the corpus is TBs.
     */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    // counts feeds the vocabulary aggregate AND the scoring join —
+    // persist so the corpus is tokenized once, not twice
     val counts = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+      .persist()
     val vocab = counts.groupBy(col("word"))
       .agg(sum(col("cnt")).cast("long").as("cw"))
     val tot = vocab.agg(sum(col("cw")).cast("double").as("tot"))
