@@ -91,16 +91,13 @@ class PageTable(totalPages: Long, rowsPerPage: Int, pagesPerTrigger: Long)
   override def name(): String = s"graft_pages($totalPages x $rowsPerPage)"
   override def schema(): StructType = PageStream.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
+  // PageScanBuilder (PageBatch.scala) serves both paths: batch scans
+  // get filter pushdown + column pruning; toMicroBatchStream keeps the
+  // paginated replay semantics for readStream.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = PageStream.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PageMicroBatchStream(totalPages, rowsPerPage, pagesPerTrigger)
-      }
-    }
+    new PageScanBuilder(totalPages, rowsPerPage, pagesPerTrigger)
 }
 
 /** Offset = number of fully fetched pages. */
