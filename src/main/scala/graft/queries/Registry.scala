@@ -67,7 +67,7 @@ object Registry {
     // text analysis
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
-    "text_lm_score",
+    "text_lm_score", "text_inverted_index",
     // multimodal
     "multimodal_decode", "multimodal_features",
     // windows

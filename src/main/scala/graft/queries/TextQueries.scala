@@ -533,10 +533,43 @@ object TextQueries {
       |FROM c JOIN q USING (word)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Inverted-index build: word → document frequency, collection
+    * frequency, and the sorted posting list — the index structure BM25
+    * serving reads from. The groupBy(word) shuffle IS the index build;
+    * at 100 TB each reducer writes one index segment, postings arrive
+    * pre-groupable and get delta/varint-compressed downstream (here
+    * they're emitted as a canonical comma-joined sorted string so both
+    * engines hash identically). Doc-frequency skew (stopwords) is the
+    * classic hot-key case — the salting pattern from
+    * `join_skew_salted` applies to the tf pre-aggregation, which this
+    * query does first so only (word, doc) pairs cross the wire, never
+    * raw occurrences.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.words(col("text"))).as("word"), col("doc_id"))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+      .orderBy(col("word"))
+  }
+
+  private val invertedIndexOracle =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word, doc_id FROM documents),
+      |c AS (SELECT word, doc_id, count(*) AS tf FROM w GROUP BY word, doc_id)
+      |SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      |FROM c GROUP BY word ORDER BY word""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
     Q("text_bm25", Some(bm25Oracle), bm25),
     Q("text_lm_score", Some(lmScoreOracle), lmScore),
+    Q("text_inverted_index", Some(invertedIndexOracle), invertedIndex),
     Q("doc_chunking", Some(chunkingOracle), docChunking),
     Q("text_repetition", Some(repetitionOracle), repetition),
     Q("docs_filter_funnel", Some(funnelOracle), filterFunnel),
