@@ -67,6 +67,38 @@ object BreadthQueries {
       |  round(list_slice(emb, 1, 3)[2], 6) AS second
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** ANSI-mode safe-cast surface: Spark 4 runs ANSI SQL semantics by
+    * default — a malformed CAST, division by zero, or arithmetic
+    * overflow THROWS instead of silently producing null (the pandas
+    * reference's `pd.to_numeric(errors='coerce')` world is the
+    * opposite default, `dag.py:150-156`). The `try_*` family is the
+    * engine's explicit opt-in to coercion: same codegen'd expressions,
+    * null on failure, error classes preserved elsewhere. Each column
+    * here exercises one failure class; AnsiSpec asserts the throwing
+    * counterparts really throw.
+    */
+  def ansiSafeCasts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        // malformed string → null (not NumberFormatException)
+        expr("try_cast(p_name AS INT)").as("bad_cast"),
+        // well-formed roundtrip stays exact
+        expr("try_cast(CAST(p_size AS STRING) AS INT)").as("good_cast"),
+        // divide by zero → null (not DIVIDE_BY_ZERO)
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+        // bigint overflow → null (not ARITHMETIC_OVERFLOW)
+        expr("try_add(9223372036854775807L, CAST(p_size AS BIGINT))").as("overflow"))
+      .orderBy(col("p_partkey"))
+      .limit(200)
+
+  private val ansiSafeOracle =
+    """SELECT p_partkey,
+      |  TRY_CAST(p_name AS INT) AS bad_cast,
+      |  TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_cast,
+      |  p_retailprice / NULLIF(p_size - p_size, 0) AS div0,
+      |  TRY_CAST(9223372036854775807 + CAST(p_size AS HUGEINT) AS BIGINT) AS overflow
+      |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin
+
   /** Null-handling functions: coalesce / nullif / nvl2-shape / null
     * counting over a column with injected nulls (acctbal < 0 → null).
     */
@@ -248,6 +280,7 @@ object BreadthQueries {
     Q("join_null_safe", Some(nullSafeOracle), joinNullSafe),
     Q("array_functions", Some(arrayOracle), arrayFunctions),
     Q("null_handling", Some(nullOracle), nullHandling),
+    Q("ansi_safe_casts", Some(ansiSafeOracle), ansiSafeCasts),
     Q("window_partition_avg", Some(windowAvgOracle), windowPartitionAvg),
     Q("ddl_catalog", Some(ddlOracle), ddlCatalog),
     Q("cube_agg", Some(cubeOracle), cubeAgg),
