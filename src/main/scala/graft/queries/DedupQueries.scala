@@ -377,8 +377,46 @@ object DedupQueries {
       |WHERE list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact substring-window dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated spans are
+    * memorization fuel even when whole documents differ). Simplified
+    * to fixed 8-word windows: every window of every doc (native
+    * codegen'd [[graft.functions.WordNGrams]] — the same kernel as
+    * `text_ngram_vocab`), distinct per doc, grouped to find spans
+    * shared by ≥ 2 documents, with sorted doc postings per span.
+    * Shape at 100 TB: one (window, doc) distinct + one window groupBy
+    * — the published suffix-array approach trades this shuffle volume
+    * for a global sort; the windowed form is embarrassingly
+    * shuffle-parallel and catches spans ≥ the window width.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordNGrams(
+          spark, TextOps.words(col("text")), 8)).as("win"))
+      .distinct()
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("win"))
+
+  private val substringOracle =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |w AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(ws, st + 1, st + 8), ' ') AS win
+      |  FROM d, unnest(generate_series(0, n - 8, 1)) AS t(st))
+      |SELECT win, count(*) AS n_docs,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      |FROM w GROUP BY win HAVING count(*) >= 2 ORDER BY win""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactOracle), exact),
+    Q("dedup_substring", Some(substringOracle), substringDedup),
     Q("dedup_jaccard_pairs", Some(jaccardPairsSql), jaccardPairs),
     Q("dedup_minhash_lsh", Some(jaccardPairsSql), minhashLsh),
     Q("dedup_clusters", Some(clustersOracle), clusters),

@@ -59,7 +59,7 @@ object Registry {
     "agg_group", "sink_roundtrip", "sink_jdbc", "udaf_weighted_avg",
     "json_extract", "explode_words",
     // dedup family
-    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_substring", "dedup_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_keep_best", "dedup_simhash",
     "dedup_embedding_cosine",
     // similarity
