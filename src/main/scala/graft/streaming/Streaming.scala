@@ -153,6 +153,44 @@ object Streaming {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-static dimension enrichment: every micro-batch hash-joins
+    * against a BATCH dimension table — the standard "enrich events
+    * with the customer record" pattern. The static side broadcasts
+    * (dimension tables are small by construction), so each micro-batch
+    * is a map-only stage: no shuffle of the stream, no join state at
+    * all (unlike stream-stream joins the static side needs no
+    * watermark). Spark re-plans the static side per micro-batch, so a
+    * dimension refresh (new parquet files) is picked up without
+    * restarting the query.
+    */
+  def dimEnriched(events: DataFrame, customerDim: DataFrame): DataFrame =
+    events.join(
+      broadcast(customerDim.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+
+  /** Windowed distinct-user estimates via the SAME KMV sketch the
+    * batch engine uses ([[graft.functions.KmvDistinct]]): the
+    * aggregator's mergeable O(k) buffer is exactly what the streaming
+    * state store needs — each window holds one ≤k-array, micro-batches
+    * merge partials into it, and the estimate finalizes when the
+    * watermark closes the window. One sketch definition, three
+    * execution contexts (batch, shuffle partials, streaming state).
+    */
+  def distinctUsersPerWindow(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val kmv = udaf(graft.functions.KmvDistinct)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), h.as("uh"))
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(round(kmv(col("uh")), 4).as("est_users"))
+      .select(col("window.start").as("w_start"), col("est_users"))
+  }
+
   /** Launch the windowed pipeline with the reference's cadence and an
     * idempotent parquet sink: `foreachBatch` writes each micro-batch
     * to a batch-id-named directory (rerun of a batch overwrites, never

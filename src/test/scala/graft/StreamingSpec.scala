@@ -44,6 +44,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dimension join enriches per micro-batch without join state") {
+    implicit val sq = spark.sqlContext
+    val dim = graft.sources.Tables.customer(spark, sf)
+    val someKey = dim.select("c_custkey").head().getLong(0)
+    val in = MemoryStream[Evt]
+    val q = Streaming.dimEnriched(in.toDF(), dim)
+      .writeStream.format("memory").queryName("dimj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Evt(1, ts(0), someKey, "click", 1.0),
+        Evt(2, ts(1), -42L, "view", 2.0)) // no dim row → UNKNOWN
+      q.processAllAvailable()
+      val bySeg = spark.table("dimj").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("segment")).toMap
+      assert(bySeg(2L) == "UNKNOWN")
+      assert(bySeg(1L) != "UNKNOWN") // real segment came from the dim table
+    } finally q.stop()
+  }
+
+  test("KMV sketch aggregates distinct users per window in streaming state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Streaming.distinctUsersPerWindow(in.toDF(), watermark = "1 minutes")
+      .writeStream.format("memory").queryName("kmvw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 30 distinct users in window 0 (< K=256 → sketch path is exact),
+      // split across two micro-batches to force a state-store merge
+      in.addData((1L to 17L).map(u => Evt(u, ts(0, u.toInt), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      in.addData((10L to 30L).map(u => Evt(100 + u, ts(1, u.toInt), u, "click", 1.0)): _*)
+      q.processAllAvailable()
+      in.addData(Evt(999, ts(20), 999, "view", 1.0)) // close window 0
+      q.processAllAvailable()
+      val rows = spark.table("kmvw").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1)))
+      assert(rows.length == 1)
+      assert(rows.head._2 == 30.0) // 30 distinct users, exact under K
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Evt]
