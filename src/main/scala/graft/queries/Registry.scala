@@ -71,7 +71,7 @@ object Registry {
     // multimodal
     "multimodal_decode", "multimodal_features",
     // windows
-    "window_tumbling", "window_rank_topn", "window_session",
+    "window_tumbling", "window_rank_topn", "window_session", "ts_gapfill",
     // scale patterns
     "sink_partitioned", "join_skew_salted", "join_bucketed",
     "zorder_cluster", "contamination_check", "pack_sequences",

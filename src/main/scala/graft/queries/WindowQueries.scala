@@ -237,7 +237,86 @@ object WindowQueries {
       |WHERE o_custkey % 10 = 0
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Time-series gap filling + linear interpolation: the observed
+    * 5-minute slots per event type are joined onto the COMPLETE slot
+    * grid (`sequence()` from min to max slot — generated, never
+    * materialized from input), and empty slots take the linear
+    * interpolation between their nearest observed neighbors
+    * (IGNORE-NULLS `last`/`first` window functions find them in one
+    * pass — no self-join). Leading/trailing gaps extend the nearest
+    * endpoint. At 100 TB the grid is ~slots×types rows (tiny relative
+    * to events); the only data shuffle is the slot aggregation, and
+    * the interpolation windows partition by type — bounded state,
+    * stream-compatible. Endpoints are pre-rounded so the
+    * interpolation arithmetic is deterministic cross-engine.
+    */
+  def tsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val slotSec = (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long")
+    val observed = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), slotSec.as("slot_sec"))
+      .agg(round(Enrich.exactSum(col("value")), 4).as("v"))
+    val grid = observed.groupBy(col("event_type"))
+      .agg(min(col("slot_sec")).as("lo"), max(col("slot_sec")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(300L))).as("slot_sec"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("slot_sec"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("slot_sec"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(col("v"), ignoreNulls = true).over(wPrev)
+    val ps = last(when(col("v").isNotNull, col("slot_sec")), ignoreNulls = true).over(wPrev)
+    val nv = first(col("v"), ignoreNulls = true).over(wNext)
+    val ns = first(when(col("v").isNotNull, col("slot_sec")), ignoreNulls = true).over(wNext)
+    grid.join(observed, Seq("event_type", "slot_sec"), "left")
+      .select(col("event_type"), col("slot_sec"), col("v"),
+        pv.as("pv"), ps.as("ps"), nv.as("nv"), ns.as("ns"))
+      .select(col("event_type"),
+        timestamp_seconds(col("slot_sec")).as("slot"),
+        col("v").isNull.cast("int").as("is_gap"),
+        // NOT re-rounded: the endpoints are already 4-decimal values and
+        // both engines evaluate this exact IEEE expression tree, so the
+        // doubles agree bit-for-bit — while round() on a result that
+        // lands on a .00005 midpoint diverges between BigDecimal-repr
+        // (Spark) and binary (DuckDB) rounding
+        coalesce(col("v"),
+          col("pv") + (col("nv") - col("pv")) *
+            (col("slot_sec") - col("ps")) / (col("ns") - col("ps")),
+          col("pv"), col("nv")).as("value_filled"))
+      .orderBy(col("event_type"), col("slot"))
+  }
+
+  private val gapfillOracle =
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS slot_sec,
+      |    round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS v
+      |  FROM events GROUP BY event_type, slot_sec),
+      |g AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(min(slot_sec), max(slot_sec), 300)) AS slot_sec
+      |  FROM b GROUP BY event_type),
+      |j AS (
+      |  SELECT g.event_type, g.slot_sec, b.v
+      |  FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.slot_sec = b.slot_sec),
+      |w AS (
+      |  SELECT event_type, slot_sec, v,
+      |    last_value(v IGNORE NULLS) OVER pw AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN slot_sec END IGNORE NULLS) OVER pw AS ps,
+      |    first_value(v IGNORE NULLS) OVER nw AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN slot_sec END IGNORE NULLS) OVER nw AS ns
+      |  FROM j
+      |  WINDOW
+      |    pw AS (PARTITION BY event_type ORDER BY slot_sec
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    nw AS (PARTITION BY event_type ORDER BY slot_sec
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, make_timestamp(slot_sec * 1000000) AS slot,
+      |  CAST(v IS NULL AS INT) AS is_gap,
+      |  coalesce(v, pv + (nv - pv) * (slot_sec - ps) / (ns - ps), pv, nv)
+      |    AS value_filled
+      |FROM w ORDER BY event_type, slot_sec""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("ts_gapfill", Some(gapfillOracle), tsGapfill),
     Q("window_tumbling", Some(tumblingOracle), tumbling),
     Q("window_sliding_frame", Some(slidingOracle), slidingFrame),
     Q("window_session", Some(sessionOracle), sessionize),
