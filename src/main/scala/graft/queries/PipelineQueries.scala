@@ -383,7 +383,135 @@ object PipelineQueries {
       |  ('text', text_nonnull, text_distinct)) AS v(col_name, n_nonnull, n_distinct)
       |ORDER BY v.col_name""".stripMargin
 
+  /** Equi-width histogram of a numeric column (`width_bucket`, 20 bins
+    * over the observed [min,max]) — the distribution profile every
+    * curation decision starts from. Two passes: a 1-row min/max
+    * aggregate broadcast back (same shape as the text scorers), then a
+    * codegen'd bucket-assign + count. At 100 TB both passes are
+    * scan-bound; the histogram itself is 20 rows regardless of input.
+    */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    // bucket computed arithmetically (not width_bucket — DuckDB lacks
+    // it): identical IEEE tree on both engines → identical buckets
+    val bucket = least(
+      floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 20) + 1, lit(20L))
+    li.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("lo"), col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("lo")) + (col("bucket") - 1) * (first(col("hi")) - first(col("lo"))) / 20.0, 4)
+          .as("bucket_lo"))
+      .select(col("bucket").cast("int").as("bucket"), col("n"), col("bucket_lo"))
+      .orderBy(col("bucket"))
+  }
+
+  private val histogramOracle =
+    """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |  FROM lineitem),
+      |x AS (
+      |  SELECT least(floor((l_extendedprice - lo) / (hi - lo) * 20) + 1, 20) AS bucket,
+      |    lo, hi
+      |  FROM lineitem, b)
+      |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+      |  round(min(lo) + (bucket - 1) * (min(hi) - min(lo)) / 20.0, 4) AS bucket_lo
+      |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Snapshot diff (the read side of CDC, `merge_upsert`'s sibling):
+    * two deterministic snapshots of orders — "yesterday" (orderdate
+    * before the cutoff) vs "today" (everything, with totals bumped for
+    * a deterministic subset) — full-outer-joined on the key and
+    * classified added / removed / changed / unchanged. One shuffle on
+    * the join key; at 100 TB this is the standard reconciliation scan,
+    * and the classification never leaves the joined row.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val old = orders
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
+    val nw = orders
+      .select(col("o_orderkey").as("k"),
+        // +1.5 (binary-exact constant): the bump must not involve a
+        // round() on a product, whose .005 midpoints diverge between
+        // BigDecimal-repr and binary rounding across engines
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice")).as("v_new"))
+    old.join(nw, Seq("k"), "full_outer")
+      .select(
+        when(col("v_old").isNull, lit("added"))
+          .when(col("v_new").isNull, lit("removed"))
+          .when(col("v_old") =!= col("v_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .groupBy(col("change")).agg(count(lit(1)).as("n"))
+      .orderBy(col("change"))
+  }
+
+  private val snapshotDiffOracle =
+    """WITH old AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v_old FROM orders
+      |  WHERE o_orderdate < DATE '1997-01-01'),
+      |nw AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+      |         ELSE o_totalprice END AS v_new
+      |  FROM orders)
+      |SELECT CASE WHEN v_old IS NULL THEN 'added'
+      |            WHEN v_new IS NULL THEN 'removed'
+      |            WHEN v_old <> v_new THEN 'changed'
+      |            ELSE 'unchanged' END AS change, count(*) AS n
+      |FROM old FULL OUTER JOIN nw USING (k)
+      |GROUP BY 1 ORDER BY change""".stripMargin
+
+  /** Rule-based data-quality expectations: each rule is a codegen'd
+    * predicate; one pass computes per-rule violation counts + rates —
+    * the batch form of `observe()` metrics (ObservabilitySpec) as an
+    * oracle-checked query. At 100 TB: one scan, one 4-row result,
+    * no shuffle beyond the final tiny aggregate.
+    */
+  def dqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val rules = Seq(
+      ("quantity_positive", col("l_quantity") > 0),
+      ("price_nonnegative", col("l_extendedprice") >= 0),
+      ("quantity_at_most_30", col("l_quantity") <= 30), // fires: quantities run higher
+
+      ("shipdate_present", col("l_shipdate").isNotNull))
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(!pred, 1).otherwise(0)).as(name)
+    }
+    val total = count(lit(1)).as("n_rows")
+    li.agg(aggs.head, aggs.tail :+ total: _*)
+      .selectExpr("stack(4, " + rules.map { case (n, _) => s"'$n', $n" }
+        .mkString(", ") + ") AS (rule, violations)", "n_rows")
+      .select(col("rule"), col("violations"),
+        graft.operators.Enrich.roundDiv4(col("violations"), col("n_rows"))
+          .as("violation_rate"))
+      .orderBy(col("rule"))
+  }
+
+  private val dqOracle =
+    s"""WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS quantity_positive,
+      |    sum(CASE WHEN NOT (l_extendedprice >= 0) THEN 1 ELSE 0 END) AS price_nonnegative,
+      |    sum(CASE WHEN NOT (l_quantity <= 30) THEN 1 ELSE 0 END) AS quantity_at_most_30,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS shipdate_present
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT 'quantity_positive' AS rule, quantity_positive AS violations, n_rows FROM a
+      |  UNION ALL SELECT 'price_nonnegative', price_nonnegative, n_rows FROM a
+      |  UNION ALL SELECT 'quantity_at_most_30', quantity_at_most_30, n_rows FROM a
+      |  UNION ALL SELECT 'shipdate_present', shipdate_present, n_rows FROM a)
+      |SELECT rule, CAST(violations AS BIGINT) AS violations,
+      |  ${graft.operators.Enrich.roundDiv4Sql("violations", "n_rows")} AS violation_rate
+      |FROM r ORDER BY rule""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("agg_histogram", Some(histogramOracle), aggHistogram),
+    Q("snapshot_diff", Some(snapshotDiffOracle), snapshotDiff),
+    Q("dq_expectations", Some(dqOracle), dqExpectations),
     Q("profile_columns", Some(profileOracle), profileColumns),
     Q("sample_stratified", Some(sampleOracle), sampleStratified),
     Q("mix_temperature", Some(mixOracle), mixTemperature),

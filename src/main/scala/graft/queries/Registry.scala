@@ -85,5 +85,6 @@ object Registry {
     "approx_distinct_exact", "approx_distinct_kmv",
     // training-data pipeline
     "mix_temperature", "sample_split", "emb_centroids", "merge_upsert",
+    "agg_histogram", "snapshot_diff", "dq_expectations",
   )
 }
