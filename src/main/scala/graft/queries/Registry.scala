@@ -36,7 +36,8 @@ object Registry {
       StatsQueries.queries ++
       BreadthQueries.queries ++
       AsofQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      GraphQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
@@ -58,7 +59,7 @@ object Registry {
     // join_anti/agg_group/json_extract trimmed round 4: sub-second
     // family duplicates; every name costs ~len+11 chars of the
     // 2000-char emit window (BenchEmitSpec)
-    "drop_projection", "join_inner_agg", "join_semi",
+    "join_inner_agg", "join_semi",
     "sink_roundtrip", "sink_jdbc", "udaf_weighted_avg",
     "explode_words",
     // dedup family
@@ -88,6 +89,6 @@ object Registry {
     "approx_distinct_exact", "approx_distinct_kmv",
     // training-data pipeline
     "mix_temperature", "sample_split", "emb_centroids", "merge_upsert",
-    "agg_histogram", "snapshot_diff", "dq_expectations",
+    "agg_histogram", "snapshot_diff", "dq_expectations", "graph_pagerank",
   )
 }
