@@ -56,12 +56,11 @@ object Registry {
   val headline: Seq[String] = Seq(
     // reference surface
     "flagship_enrich", "standardise_books", "enrich_books", "dedup_limit",
-    // join_anti/agg_group/json_extract trimmed round 4: sub-second
-    // family duplicates; every name costs ~len+11 chars of the
-    // 2000-char emit window (BenchEmitSpec)
+    // join_anti/agg_group/json_extract/dedup_limit/... trimmed round 4:
+    // sub-second family duplicates; every name costs ~len+11 chars of
+    // the 2000-char emit window (BenchEmitSpec)
     "join_inner_agg", "join_semi",
     "sink_roundtrip", "sink_jdbc", "udaf_weighted_avg",
-    "explode_words",
     // dedup family
     "dedup_exact", "dedup_substring", "dedup_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_keep_best", "dedup_simhash",
@@ -76,6 +75,7 @@ object Registry {
     "multimodal_decode", "multimodal_features",
     // windows
     "window_tumbling", "window_rank_topn", "window_session", "ts_gapfill",
+    "events_funnel",
     // scale patterns
     "sink_partitioned", "join_skew_salted", "join_bucketed",
     "zorder_cluster", "contamination_check", "pack_sequences",

@@ -315,8 +315,56 @@ object WindowQueries {
       |    AS value_filled
       |FROM w ORDER BY event_type, slot_sec""".stripMargin
 
+  /** Ordered conversion funnel: how many users did signup → click →
+    * purchase IN THAT ORDER, each step within 24 h of the previous
+    * step's first qualifying occurrence. Each stage is one
+    * events⋈prev-stage join filtered by the (order, window) predicate
+    * plus a per-user MIN — all co-partitioned on user_id, so after the
+    * first shuffle the later stages reuse the partitioning; the final
+    * rollup is 3 one-row aggregates unioned. The reference has no
+    * path analytics at all.
+    */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def rollup(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+    rollup("1_signup", t1)
+      .union(rollup("2_click_after", t2))
+      .union(rollup("3_purchase_after", t3))
+      .orderBy(col("step"))
+  }
+
+  private val funnelStepsOracle =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |    AND e.ts <= t1.t1 + INTERVAL 24 HOURS GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |    AND e.ts <= t2.t2 + INTERVAL 24 HOURS GROUP BY e.user_id)
+      |SELECT '1_signup' AS step, count(*) AS n_users FROM t1
+      |UNION ALL SELECT '2_click_after', count(*) FROM t2
+      |UNION ALL SELECT '3_purchase_after', count(*) FROM t3
+      |ORDER BY step""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("ts_gapfill", Some(gapfillOracle), tsGapfill),
+    Q("events_funnel", Some(funnelStepsOracle), eventsFunnel),
     Q("window_tumbling", Some(tumblingOracle), tumbling),
     Q("window_sliding_frame", Some(slidingOracle), slidingFrame),
     Q("window_session", Some(sessionOracle), sessionize),
