@@ -362,9 +362,101 @@ object WindowQueries {
       |UNION ALL SELECT '3_purchase_after', count(*) FROM t3
       |ORDER BY step""".stripMargin
 
+  /** Next-event transition matrix (first-order Markov over user
+    * sessions): per user, events ordered by time, each consecutive
+    * (event_type → next_event_type) pair counted, with the row-
+    * normalized transition probability. One window (lead over
+    * user_id/ts — a per-key sort, the same shuffle every per-user
+    * analysis here shares) + one small groupBy. Probabilities use
+    * exact integer rounding (roundDiv4), so the matrix hash-matches.
+    * Ties on ts are broken by event_id to keep the sequence
+    * deterministic across engines.
+    */
+  def eventsTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("row_total"))
+    pairs.join(totals, "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        Enrich.roundDiv4(col("n"), col("row_total")).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  private val transitionsOracle = {
+    val p = Enrich.roundDiv4Sql("n", "row_total")
+    s"""WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, next_type, count(*) AS n FROM s
+      |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+      |t AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total
+      |  FROM c GROUP BY event_type)
+      |SELECT c.event_type, c.next_type, c.n, $p AS p
+      |FROM c JOIN t USING (event_type)
+      |ORDER BY c.event_type, c.next_type""".stripMargin
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week, and
+    * for each later week the share still active (distinct-user count
+    * per (cohort, week-offset) over the cohort size). Two shuffles —
+    * first-seen per user, then the (cohort, offset) distinct count —
+    * both on keys that stay small however large events gets. Rates
+    * use exact integer rounding.
+    */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val sizes = firstSeen.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    Tables.events(spark, sfDir)
+      .join(firstSeen, "user_id")
+      .select(col("cohort"), col("user_id"),
+        floor((unix_timestamp(date_trunc("week", col("ts"))) -
+          unix_timestamp(col("cohort"))) / 604800).cast("int").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("active_users"),
+        Enrich.roundDiv4(col("active_users"), col("cohort_users")).as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  private val retentionOracle = {
+    val r = Enrich.roundDiv4Sql("active_users", "cohort_users")
+    s"""WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |sz AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY cohort),
+      |a AS (
+      |  SELECT DISTINCT f.cohort, e.user_id,
+      |    CAST(floor((epoch(date_trunc('week', e.ts)) - epoch(f.cohort)) / 604800)
+      |      AS INT) AS week_offset
+      |  FROM events e JOIN f USING (user_id)),
+      |c AS (
+      |  SELECT cohort, week_offset, count(*) AS active_users
+      |  FROM a GROUP BY cohort, week_offset)
+      |SELECT c.cohort, c.week_offset, c.active_users, $r AS retention
+      |FROM c JOIN sz USING (cohort)
+      |ORDER BY c.cohort, c.week_offset""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("ts_gapfill", Some(gapfillOracle), tsGapfill),
     Q("events_funnel", Some(funnelStepsOracle), eventsFunnel),
+    Q("events_transitions", Some(transitionsOracle), eventsTransitions),
+    Q("events_retention", Some(retentionOracle), eventsRetention),
     Q("window_tumbling", Some(tumblingOracle), tumbling),
     Q("window_sliding_frame", Some(slidingOracle), slidingFrame),
     Q("window_session", Some(sessionOracle), sessionize),
