@@ -34,6 +34,36 @@ object DedupQueries {
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Incremental-ingest dedup — the production form of exact dedup:
+    * an incoming batch (here docs with doc_id % 5 = 0) is admitted
+    * only if its content fingerprint is absent from the existing
+    * corpus (the rest), via LEFT ANTI join on md5(text). At 100 TB
+    * the corpus side is the big one, so the anti join shuffles on the
+    * fingerprint (SMJ/shuffled-hash — never broadcast the corpus) and
+    * Spark's InjectRuntimeFilter can bloom-prefilter the corpus scan
+    * from the batch's fingerprints (the regime QueryPlanSpec pins).
+    * In-batch duplicates collapse first (keep lowest doc_id) so a
+    * batch never admits two copies of the same content.
+    */
+  def incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    batch.join(corpus, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalOracle =
+    """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |batch AS (
+      |  SELECT fp, min(doc_id) AS doc_id FROM d WHERE doc_id % 5 = 0 GROUP BY fp)
+      |SELECT doc_id, fp FROM batch
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d c WHERE c.doc_id % 5 <> 0 AND c.fp = batch.fp)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- shared shingle CTE for the Jaccard-family oracles ----
   private val shingleSql =
     s"""WITH ws AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
@@ -416,6 +446,7 @@ object DedupQueries {
 
   def queries: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactOracle), exact),
+    Q("dedup_incremental", Some(incrementalOracle), incremental),
     Q("dedup_substring", Some(substringOracle), substringDedup),
     Q("dedup_jaccard_pairs", Some(jaccardPairsSql), jaccardPairs),
     Q("dedup_minhash_lsh", Some(jaccardPairsSql), minhashLsh),
