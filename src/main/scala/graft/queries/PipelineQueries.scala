@@ -508,7 +508,44 @@ object PipelineQueries {
       |  ${graft.operators.Enrich.roundDiv4Sql("violations", "n_rows")} AS violation_rate
       |FROM r ORDER BY rule""".stripMargin
 
+  /** Corpus composition report — the first query any training-mix
+    * owner runs: per (source, lang) cell, document count, whitespace
+    * tokens, characters, and each cell's share of total tokens. One
+    * narrow pass + one tiny groupBy; the global total re-joins via a
+    * broadcast 1-row aggregate. Shares use exact integer rounding so
+    * the report hash-matches.
+    */
+  def mixReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("toks"), col("n_chars"))
+    val cells = perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+    val total = cells.agg(sum(col("n_tokens")).cast("long").as("tot"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        graft.operators.Enrich.roundDiv4(col("n_tokens"), col("tot"))
+          .as("token_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val mixReportOracle = {
+    val share = graft.operators.Enrich.roundDiv4Sql("n_tokens", "tot")
+    s"""WITH c AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source, lang),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM c)
+      |SELECT source, lang, n_docs, n_tokens, n_chars, $share AS token_share
+      |FROM c, t ORDER BY source, lang""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("docs_mix_report", Some(mixReportOracle), mixReport),
     Q("agg_histogram", Some(histogramOracle), aggHistogram),
     Q("snapshot_diff", Some(snapshotDiffOracle), snapshotDiff),
     Q("dq_expectations", Some(dqOracle), dqExpectations),
