@@ -1023,7 +1023,36 @@ object SqlSurface {
   private val csvOracle =
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
 
+  /** Relational division ("for all" queries — Codd's ÷, the classic
+    * pattern every SQL surface should express): customers whose orders
+    * span EVERY existing order-priority class. Expressed as the
+    * count-matching form — per-customer COUNT(DISTINCT priority)
+    * equals the global distinct count (scalar subquery → 1-row
+    * broadcast) — which is one aggregation instead of the textbook
+    * double-NOT-EXISTS (two correlated anti-joins); both decorrelate,
+    * but the count form keeps a single shuffle on the division key.
+    */
+  def sqlRelationalDivision(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders").foreach(view(spark, sfDir, _))
+    spark.sql(
+      """SELECT o_custkey AS custkey, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(DISTINCT o_orderpriority) =
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY custkey""".stripMargin)
+  }
+
+  private val divisionOracle =
+    """SELECT o_custkey AS custkey, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(DISTINCT o_orderpriority) =
+      |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+      |ORDER BY custkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("sql_relational_division", Some(divisionOracle), sqlRelationalDivision),
     Q("sql_tpch_q3", Some(q3Oracle), sqlTpchQ3),
     Q("sql_tpch_q5", Some(q5Oracle), sqlTpchQ5),
     Q("sql_tpch_q4", Some(q4Oracle), sqlTpchQ4),
