@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.{GraphQueries, WindowQueries}
+import org.apache.spark.sql.functions._
+
+/** Mathematical invariants of the round-4 analytics operators —
+  * properties the DuckDB oracle cannot vouch for (an identical bug in
+  * both engines would still hash-match): PageRank remains a
+  * probability distribution, funnels are monotone, transition rows
+  * are distributions, retention starts at 1.
+  */
+class AnalyticsInvariantSpec extends SparkSpec {
+
+  test("pagerank is a probability distribution after 5 iterations") {
+    val ranks = GraphQueries.pagerank(spark, sf).collect()
+    assert(ranks.nonEmpty)
+    assert(ranks.forall(_.getDouble(1) > 0))
+    val total = ranks.map(_.getDouble(1)).sum
+    // damping mass conservation: sums to 1 up to quantization error
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass $total")
+  }
+
+  test("funnel step counts are monotone non-increasing") {
+    val steps = WindowQueries.eventsFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(steps("1_signup") >= steps("2_click_after"))
+    assert(steps("2_click_after") >= steps("3_purchase_after"))
+  }
+
+  test("each transition-matrix row is a probability distribution") {
+    val rows = WindowQueries.eventsTransitions(spark, sf)
+      .groupBy(col("event_type")).agg(sum(col("p")).as("rowsum"))
+      .collect()
+    assert(rows.nonEmpty)
+    // roundDiv4 quantizes each cell to 1e-4; 5 cells → ≤ 5e-4 drift
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 5e-4,
+      s"${r.getString(0)} sums to ${r.getDouble(1)}"))
+  }
+
+  test("cohort retention at offset 0 is 1 for every cohort") {
+    val r = WindowQueries.eventsRetention(spark, sf)
+      .filter(col("week_offset") === 0).collect()
+    assert(r.nonEmpty)
+    // every user is by construction active in their first-seen week
+    r.foreach(row => assert(row.getDouble(3) == 1.0))
+  }
+}
