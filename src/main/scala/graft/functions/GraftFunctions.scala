@@ -21,6 +21,15 @@ object GraftFunctions {
   val extractItemsName = "graft_extract_items"
   val sortedIntersectName = "graft_sorted_intersect_size"
   val wordNGramsName = "graft_word_ngrams"
+  val jaroWinklerName = "graft_jaro_winkler"
+
+  private def jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getName, jaroWinklerName)
+
+  private def jaroWinklerBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$jaroWinklerName expects 2 arguments")
+    JaroWinkler(args.head, args(1))
+  }
 
   private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineSimName)
@@ -66,6 +75,8 @@ object GraftFunctions {
       sortedIntersectInfo, sortedIntersectBuilder _))
     ext.injectFunction((FunctionIdentifier(wordNGramsName),
       wordNGramsInfo, wordNGramsBuilder _))
+    ext.injectFunction((FunctionIdentifier(jaroWinklerName),
+      jaroWinklerInfo, jaroWinklerBuilder _))
   }
 
   /** Idempotent per-session registration (safe to call per query). */
@@ -83,6 +94,9 @@ object GraftFunctions {
     val nid = FunctionIdentifier(wordNGramsName)
     if (!registry.functionExists(nid))
       registry.registerFunction(nid, wordNGramsInfo, wordNGramsBuilder _)
+    val jid = FunctionIdentifier(jaroWinklerName)
+    if (!registry.functionExists(jid))
+      registry.registerFunction(jid, jaroWinklerInfo, jaroWinklerBuilder _)
   }
 
   /** Column-API form of the native cosine expression. */
@@ -101,6 +115,12 @@ object GraftFunctions {
   def wordNGrams(spark: SparkSession, words: Column, n: Int): Column = {
     ensureRegistered(spark)
     call_function(wordNGramsName, words, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Column-API form of the native Jaro-Winkler expression. */
+  def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function(jaroWinklerName, a, b)
   }
 }
 
