@@ -63,6 +63,46 @@ object StatsQueries {
       |  round(sqrt(CAST(sxx * n - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 4) AS stddev_qty
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Pearson correlation from EXACT integer moments — the built-in
+    * `corr()` uses streaming pairwise updates whose result depends on
+    * aggregation order (cross-engine hash-matching impossible), so
+    * quantity is used as-is and price in exact cents, the five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) accumulate as decimals (order-free), and
+    * the closed form divides once in double — scale factors cancel in
+    * Pearson, so the cents scaling needs no undo. Same single-pass
+    * partial/final shape as any built-in agg.
+    */
+  def corrExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(38,0)")
+    val y = (col("l_extendedprice") * 100).cast("decimal(38,0)") // exact cents
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 4)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val corrOracle =
+    """WITH s AS (
+      |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(l_quantity AS HUGEINT)) AS sx,
+      |    sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS sy,
+      |    sum(CAST(l_quantity AS HUGEINT) * CAST(l_extendedprice * 100 AS HUGEINT)) AS sxy,
+      |    sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+      |    sum(CAST(l_extendedprice * 100 AS HUGEINT) * CAST(l_extendedprice * 100 AS HUGEINT)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+      |    AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** Scalar-function breadth in one pass: case ops, substring, pad,
     * translate, edit distance — all codegen'd built-ins with DuckDB
     * twins.
@@ -161,6 +201,7 @@ object StatsQueries {
     Q("agg_approx_percentile", None, approxPercentile),
     Q("approx_distinct_kmv", Some(kmvOracle), approxDistinctKmv),
     Q("agg_stats_exact", Some(statsOracle), stats),
+    Q("agg_corr_exact", Some(corrOracle), corrExact),
     Q("scalar_functions", Some(scalarOracle), scalarFunctions),
     Q("agg_monthly", Some(monthlyOracle), monthly),
   )
