@@ -252,21 +252,29 @@ object WindowQueries {
     */
   def tsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
     val slotSec = (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long")
+    // two consumers (grid bounds + the left join): persist so events
+    // are scanned and slot-aggregated once
     val observed = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), slotSec.as("slot_sec"))
       .agg(round(Enrich.exactSum(col("value")), 4).as("v"))
+      .persist()
     val grid = observed.groupBy(col("event_type"))
       .agg(min(col("slot_sec")).as("lo"), max(col("slot_sec")).as("hi"))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), lit(300L))).as("slot_sec"))
+    // Both neighbor lookups as RUNNING frames: Spark executes
+    // [CURRENT, UNBOUNDED FOLLOWING] frames by rescanning the rest of
+    // the partition per row — O(n²), measured 25-30 s cold on 43k
+    // slots. "First non-null after" == "last non-null before" under a
+    // DESC sort, which is a running O(n) frame (one extra sort).
     val wPrev = Window.partitionBy(col("event_type")).orderBy(col("slot_sec"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.partitionBy(col("event_type")).orderBy(col("slot_sec"))
-      .rowsBetween(0, Window.unboundedFollowing)
+    val wNextR = Window.partitionBy(col("event_type")).orderBy(col("slot_sec").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val pv = last(col("v"), ignoreNulls = true).over(wPrev)
     val ps = last(when(col("v").isNotNull, col("slot_sec")), ignoreNulls = true).over(wPrev)
-    val nv = first(col("v"), ignoreNulls = true).over(wNext)
-    val ns = first(when(col("v").isNotNull, col("slot_sec")), ignoreNulls = true).over(wNext)
+    val nv = last(col("v"), ignoreNulls = true).over(wNextR)
+    val ns = last(when(col("v").isNotNull, col("slot_sec")), ignoreNulls = true).over(wNextR)
     grid.join(observed, Seq("event_type", "slot_sec"), "left")
       .select(col("event_type"), col("slot_sec"), col("v"),
         pv.as("pv"), ps.as("ps"), nv.as("nv"), ns.as("ns"))
