@@ -17,16 +17,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * prefix boost (scale 0.1, prefix capped at 4) applied only when
   * jaro > 0.7 — DuckDB returns the unboosted value at 0.667 even with
   * a 4-char common prefix. Empty input or no matches ⇒ 0.
+  *
+  * The unit of comparison is the Unicode CODE POINT (a surrogate pair
+  * counts as one character), not the UTF-16 code unit — so lengths,
+  * match windows and prefix counts stay sane for astral-plane input.
+  * The DuckDB pin itself is verified by the oracle gate and spec on
+  * ASCII/BMP data only; non-BMP agreement depends on DuckDB also
+  * counting code points.
   */
 object JaroWinklerAlgo {
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
     compute(a.toString, b.toString)
 
-  def compute(a: String, b: String): Double = {
+  def compute(sa: String, sb: String): Double = {
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    if (sa == sb) return 1.0
+    val a = sa.codePoints().toArray
+    val b = sb.codePoints().toArray
     val la = a.length
     val lb = b.length
-    if (la == 0 || lb == 0) return 0.0
-    if (a == b) return 1.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val ma = new Array[Boolean](la)
     val mb = new Array[Boolean](lb)
@@ -37,7 +46,7 @@ object JaroWinklerAlgo {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!mb(j) && a(i) == b(j)) {
           ma(i) = true; mb(j) = true; m += 1; found = true
         }
         j += 1
@@ -51,7 +60,7 @@ object JaroWinklerAlgo {
     while (i < la) {
       if (ma(i)) {
         while (!mb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -61,7 +70,7 @@ object JaroWinklerAlgo {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(la, lb))
-    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < maxL && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }

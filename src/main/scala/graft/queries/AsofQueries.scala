@@ -91,21 +91,38 @@ object AsofQueries {
       |  ON e.user_id = o.k AND e.ts >= o.t
       |ORDER BY e.event_id""".stripMargin
 
-  /** HyperLogLog sketches: approximate distinct counts. No SQL oracle
-    * for the estimates (sketch values are implementation-specific) —
-    * the driver records a rows-only check here; AsofSpec bounds the
-    * relative error, and [[approxDistinctExact]] hash-checks the exact
-    * side of the same aggregation so only the estimates ride the
-    * weaker check.
+  /** HyperLogLog sketches: approximate distinct counts. The raw HLL
+    * estimates are implementation-specific (no cross-engine SQL twin),
+    * so the hash-checkable output is the EXACT counts plus
+    * `within_5pct` booleans bounding the sketch error against them —
+    * the oracle asserts TRUE, so a drifting estimate flips the hash
+    * red rather than riding a weaker rows-only check (the last
+    * `no_oracle` row through round 4). rsd=0.01 keeps the estimate
+    * well inside the 5% envelope; HLL register-max merging is
+    * order-independent, so the booleans are deterministic. AsofSpec
+    * additionally pins the raw relative error.
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
+          .as("parts_within_5pct"),
+        (abs(col("approx_orders") - col("exact_orders")) * 20 <= col("exact_orders"))
+          .as("orders_within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  private val approxDistinctOracle =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact companion of [[approxDistinct]]: the oracle-expressible
     * columns of the sketch query, fully hash-checked.
@@ -180,7 +197,7 @@ object AsofQueries {
     Q("join_asof", Some(asofOracle), joinAsof),
     Q("join_asof_native", Some(asofOracle), joinAsofNative),
     Q("join_range", Some(rangeOracle), joinRange),
-    Q("approx_distinct", None, approxDistinct),
+    Q("approx_distinct", Some(approxDistinctOracle), approxDistinct),
     Q("approx_distinct_exact", Some(approxExactOracle), approxDistinctExact),
     Q("date_arith", Some(dateOracle), dateArith),
   )

@@ -12,12 +12,16 @@ import graft.sources.Tables
   * [[pagerank]] runs 5 synchronous PageRank iterations over the word
   * co-occurrence graph of `documents` (nodes = words, edges = distinct
   * adjacent-word pairs, both directions). Scale shape: edges build
-  * once from one corpus pass (native n-gram kernel), the per-iteration
-  * work is one broadcast join (edges ⋈ ranks) + one aggregation on
-  * dst — at 100 TB the rank table shuffles, the edge table partitions
-  * by src once and is reused, and iteration count is fixed (5), so
-  * lineage stays bounded without checkpointing (the clusters query
-  * shows the checkpointed variant).
+  * once from one corpus pass (native n-gram kernel), are REPARTITIONED
+  * ON src AND PERSISTED, and the per-iteration work is one equi-join
+  * (ranks ⋈ edges) + one aggregation on dst — at 100 TB only the small
+  * rank table (one row per node) shuffles each iteration while the big
+  * edge table keeps its cached partitioning; no side is hint-broadcast
+  * (AQE may still elect a broadcast when the ranks side measures
+  * small, which is the right call exactly when it is cheap). Iteration
+  * count is fixed (5) so lineage stays bounded without checkpointing
+  * (the clusters query shows the checkpointed variant;
+  * [[pagerankConverged]] the delta-driven early-exit variant).
   *
   * Cross-engine float determinism (same discipline as `text_lm_score`):
   * each per-edge contribution rank/outdeg is computed in double
@@ -44,14 +48,17 @@ object GraphQueries {
       .distinct()
       .select(col("a").as("src"), col("b").as("dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(deg, "src").persist()
+    // partition the (large) edge side by the join key ONCE; every
+    // iteration's join then reuses the cached layout and only the
+    // per-node rank table moves
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
     val nn = deg.agg(count(lit(1)).as("n")).persist()
 
     val rank0 = deg.crossJoin(broadcast(nn))
       .select(col("src").as("word"), (lit(1.0) / col("n")).cast(D).as("rank"))
 
     val rank5 = (1 to 5).foldLeft(rank0) { (ranks, _) =>
-      ranks.join(broadcast(edgesDeg), ranks("word") === edgesDeg("src"))
+      ranks.join(edgesDeg, ranks("word") === edgesDeg("src"))
         .select(col("dst"),
           (col("rank").cast("double") / col("outdeg")).cast(D).as("c"))
         .groupBy(col("dst"))
@@ -63,6 +70,51 @@ object GraphQueries {
     rank5
       .select(col("word"), round(col("rank").cast("double"), 6).as("pagerank"))
       .orderBy(col("word"))
+  }
+
+  /** Delta-driven PageRank over an arbitrary `(src, dst)` edge list:
+    * the same quantized update rule as [[pagerank]], iterating until
+    * the L1 rank delta (Σ|r_i − r_{i−1}|) drops below `tol` or
+    * `maxIter` is hit — the bounded-convergence form of the Pregel
+    * loop (GraphX's `runUntilConvergence` does the same driver-side
+    * check). The delta is ONE extra 1-row aggregate per iteration
+    * fetched driver-side; `localCheckpoint` each iteration bounds the
+    * lineage an unbounded iteration count would otherwise grow
+    * (the fixed-5 [[pagerank]] doesn't need it). Returns the final
+    * ranks and the number of iterations actually run.
+    */
+  def pagerankConverged(
+      edges: DataFrame, tol: Double, maxIter: Int): (DataFrame, Int) = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    val nn = deg.agg(count(lit(1)).as("n")).persist()
+    var ranks = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("word"), (lit(1.0) / col("n")).cast(D).as("rank"))
+      .localCheckpoint()
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIter && delta >= tol) {
+      val next = ranks.join(edgesDeg, ranks("word") === edgesDeg("src"))
+        .select(col("dst"),
+          (col("rank").cast("double") / col("outdeg")).cast(D).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("word"),
+          (lit(0.15) / col("n") + lit(0.85) * col("s").cast("double")).cast(D).as("rank"))
+        .localCheckpoint()
+      delta = next.as("a")
+        .join(ranks.as("b"), col("a.word") === col("b.word"), "full_outer")
+        .agg(sum(abs(
+          coalesce(col("a.rank"), lit(0).cast(D)).cast("double") -
+            coalesce(col("b.rank"), lit(0).cast(D)).cast("double"))).as("d"))
+        .head.getDouble(0)
+      ranks.unpersist()
+      ranks = next
+      it += 1
+    }
+    edgesDeg.unpersist(); nn.unpersist()
+    (ranks, it)
   }
 
   private def iterSql(prev: String, cur: String): String =

@@ -394,9 +394,11 @@ object PipelineQueries {
     val li = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("x"))
     val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     // bucket computed arithmetically (not width_bucket — DuckDB lacks
-    // it): identical IEEE tree on both engines → identical buckets
-    val bucket = least(
-      floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 20) + 1, lit(20L))
+    // it): identical IEEE tree on both engines → identical buckets.
+    // Degenerate single-value column (hi == lo) → everything in bucket
+    // 1 instead of a 0/0 division.
+    val bucket = when(col("hi") === col("lo"), lit(1L)).otherwise(least(
+      floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 20) + 1, lit(20L)))
     li.crossJoin(broadcast(bounds))
       .select(bucket.as("bucket"), col("lo"), col("hi"))
       .groupBy(col("bucket"))
@@ -411,7 +413,8 @@ object PipelineQueries {
     """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
       |  FROM lineitem),
       |x AS (
-      |  SELECT least(floor((l_extendedprice - lo) / (hi - lo) * 20) + 1, 20) AS bucket,
+      |  SELECT CASE WHEN hi = lo THEN 1
+      |    ELSE least(floor((l_extendedprice - lo) / (hi - lo) * 20) + 1, 20) END AS bucket,
       |    lo, hi
       |  FROM lineitem, b)
       |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,

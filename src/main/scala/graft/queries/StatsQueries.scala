@@ -148,22 +148,40 @@ object StatsQueries {
 
   /** Approximate percentiles (Greenwald-Khanna summaries, accuracy
     * 10000 ⇒ rank error ≤ 1e-4): the quantile member of the sketch
-    * family next to HLL (`approx_distinct`). Like HLL, the estimate is
-    * engine-specific, so the driver records a rows-only check; the
-    * EXACT percentiles on the same groups are hash-checked as
-    * `agg_median`, and StatsSpec pins the rank-error bound against
-    * them. At 100 TB this is the only viable percentile: the exact
-    * form needs a full sort per group, the sketch is one pass +
-    * constant-size merge.
+    * family next to HLL (`approx_distinct`). The GK estimates are
+    * engine-specific, so the hash-checkable output is (a) the EXACT
+    * percentiles on the same groups and (b) `within_5pct` booleans
+    * bounding the sketch error against them — the oracle asserts TRUE,
+    * so a drifting sketch flips the hash red. (Round 4 emitted the raw
+    * `array<double>` sketch output, which the driver's rows-only
+    * comparison cannot even sort — the one `err` row that round.)
+    * StatsSpec additionally pins the tight rank-error bound. At 100 TB
+    * the sketch is the only viable percentile: the exact form needs a
+    * full sort per group, GK is one pass + constant-size merge.
     */
   def approxPercentile(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
-          .as("approx_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90"),
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        expr("percentile(l_quantity, 0.9)").as("p90_exact"),
         count(lit(1)).as("n_lines"))
+      .select(col("l_returnflag"), col("n_lines"),
+        col("p50_exact"), col("p90_exact"),
+        (abs(col("ap50") - col("p50_exact")) * 20 <= col("p50_exact"))
+          .as("p50_within_5pct"),
+        (abs(col("ap90") - col("p90_exact")) * 20 <= col("p90_exact"))
+          .as("p90_within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  private val approxPercentileOracle =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+      |  quantile_cont(l_quantity, 0.9) AS p90_exact,
+      |  TRUE AS p50_within_5pct, TRUE AS p90_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** KMV distinct-count sketch ([[graft.functions.KmvDistinct]]): the
     * deterministic member of the approx-distinct family. HLL
@@ -198,7 +216,7 @@ object StatsQueries {
 
   def queries: Seq[Q] = Seq(
     Q("agg_median", Some(medianOracle), median),
-    Q("agg_approx_percentile", None, approxPercentile),
+    Q("agg_approx_percentile", Some(approxPercentileOracle), approxPercentile),
     Q("approx_distinct_kmv", Some(kmvOracle), approxDistinctKmv),
     Q("agg_stats_exact", Some(statsOracle), stats),
     Q("agg_corr_exact", Some(corrOracle), corrExact),

@@ -74,7 +74,10 @@ final class PageScan(
     case GreaterThanOrEqual("page", v: Number) => p >= v.longValue()
     case LessThan("page", v: Number)           => p < v.longValue()
     case LessThanOrEqual("page", v: Number)    => p <= v.longValue()
-    case In("page", vs)                        => vs.exists(v => v.asInstanceOf[Number].longValue() == p)
+    // null IN-list entries match nothing (three-valued IN is never TRUE
+    // on null); non-numeric entries can't match a LongType column
+    case In("page", vs) =>
+      vs.exists { case v: Number => v.longValue() == p; case _ => false }
     case _                                     => true
   }
 

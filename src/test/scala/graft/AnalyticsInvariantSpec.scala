@@ -20,6 +20,23 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-3, s"rank mass $total")
   }
 
+  test("pagerankConverged early-exits on L1 delta and hits the fixed point") {
+    import spark.implicits._
+    // star graph a↔b, a↔c: outdeg a=2, b=c=1; the fixed point solves
+    // r_a = .05 + .85(r_b + r_c), r_b = r_c = .05 + .85·r_a/2
+    //   ⇒ r_a = 0.135/0.2775 ≈ 0.486486, r_b = r_c ≈ 0.256757
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val (ranks, iters) = GraphQueries.pagerankConverged(edges, 1e-3, 50)
+    assert(iters < 50, s"no early exit: ran $iters iterations")
+    assert(iters > 3, s"converged suspiciously fast: $iters") // geometric at ~0.72/iter
+    val m = ranks.collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(math.abs(m("a") - 0.135 / 0.2775) < 5e-3, s"a=${m("a")}")
+    assert(math.abs(m("b") - m("c")) < 1e-9)
+    assert(math.abs(m.values.sum - 1.0) < 1e-3)
+  }
+
   test("funnel step counts are monotone non-increasing") {
     val steps = WindowQueries.eventsFunnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

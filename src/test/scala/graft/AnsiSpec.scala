@@ -1,20 +1,24 @@
 package graft
 
-import org.apache.spark.SparkException
+import org.apache.spark.SparkThrowable
 
 /** Spark 4 runs ANSI SQL semantics by default: malformed casts,
   * division by zero, and arithmetic overflow are ERRORS, not silent
   * nulls. The engine leans on that (bad data fails loudly; the
   * `ansi_safe_casts` query is the explicit opt-in to coercion via
   * try_*), so the default had better actually be on — this spec pins
-  * it and the three failure classes.
+  * it and the three failure classes BY ERROR CONDITION (a catch-all
+  * "something threw" would also pass on a typo'd analysis error).
   */
 class AnsiSpec extends SparkSpec {
-  private def failsAnsi(sql: String): Unit = {
+  private def failsAnsi(sql: String, condition: String): Unit = {
     val e = intercept[Exception](spark.sql(sql).collect())
-    assert(e.isInstanceOf[SparkException] || e.getClass.getName.contains("Arithmetic")
-      || e.getClass.getName.contains("NumberFormat")
-      || e.getMessage.contains("ANSI") || e.getMessage != null)
+    val cond = e match {
+      case st: SparkThrowable => Option(st.getCondition).getOrElse("")
+      case _ => ""
+    }
+    assert(cond.contains(condition),
+      s"expected ANSI condition $condition, got ${e.getClass.getName}: $cond")
   }
 
   test("ANSI mode is the session default") {
@@ -22,9 +26,9 @@ class AnsiSpec extends SparkSpec {
   }
 
   test("malformed cast, divide-by-zero, and overflow throw under ANSI") {
-    failsAnsi("SELECT CAST('abc' AS INT)")
-    failsAnsi("SELECT 1 / 0")
-    failsAnsi("SELECT 9223372036854775807L + 1L")
+    failsAnsi("SELECT CAST('abc' AS INT)", "CAST_INVALID_INPUT")
+    failsAnsi("SELECT 1 / 0", "DIVIDE_BY_ZERO")
+    failsAnsi("SELECT 9223372036854775807L + 1L", "ARITHMETIC_OVERFLOW")
   }
 
   test("the try_* family coerces the same three classes to null") {

@@ -38,12 +38,25 @@ class AsofSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact on real data") {
-    val rows = AsofQueries.approxDistinct(spark, sf).collect()
-    rows.foreach { r =>
+    // raw HLL estimates (the registry query folds these into booleans)
+    val raw = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
       val exact = r.getAs[Long]("exact_parts").toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"approx=$approx exact=$exact")
+    }
+    // and the registry query's hash-checked bound flags are all true
+    val rows = AsofQueries.approxDistinct(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("parts_within_5pct"), s"parts bound failed: $r")
+      assert(r.getAs[Boolean]("orders_within_5pct"), s"orders bound failed: $r")
     }
   }
 }

@@ -32,6 +32,16 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(math.abs(jw("ab", "ax") - 0.6666666666666666) < 1e-12)
   }
 
+  test("non-BMP input counts code points, not UTF-16 units") {
+    // each astral char is 1 code point (2 UTF-16 units): the astral
+    // string must score exactly like its ASCII analog
+    assert(jw("𝕏𝕐ab", "𝕐𝕏ab") == jw("xyab", "yxab"))
+    // m=4, t=2 → jaro=(1+1+3/4)/3; no common prefix → unboosted
+    assert(math.abs(jw("𝕏𝕐ab", "𝕐𝕏ab") - (1.0 + 1.0 + 0.75) / 3.0) < 1e-12)
+    // one astral char vs another: disjoint singletons → 0
+    assert(jw("𝕏", "𝕐") == 0.0)
+  }
+
   test("codegen path equals the interpreted kernel") {
     val spark = SparkSpec.session
     val df = spark.createDataFrame(Seq(

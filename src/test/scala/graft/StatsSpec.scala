@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.queries.StatsQueries
 
-/** Error-bound checks for the sketch aggregates whose values are
-  * engine-specific (and therefore rows-only in the driver gate):
-  * the estimate must still be provably close to the exact answer.
+/** Error-bound checks for the sketch aggregates whose raw values are
+  * engine-specific: the estimate must still be provably close to the
+  * exact answer. The registry queries emit `within_5pct` booleans the
+  * oracle hash-checks; these specs pin the TIGHTER rank-error bound on
+  * the raw estimates the query no longer exposes.
   */
 class StatsSpec extends SparkSpec {
 
@@ -14,10 +16,15 @@ class StatsSpec extends SparkSpec {
   test("approx_percentile is within the GK rank-error bound of exact") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_quantity"))
-    val approx = StatsQueries.approxPercentile(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // raw GK estimates (the registry query folds these into booleans)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
 
-    for ((flag, Seq(a50, a90)) <- approx) {
+    for ((flag, (a50, a90)) <- approx) {
       val vals = li.filter(col("l_returnflag") === flag)
       val n = vals.count().toDouble
       // Quantities are integral (1..50) with heavy ties, so a value v
@@ -33,5 +40,15 @@ class StatsSpec extends SparkSpec {
       assert(rankOk(a90, 0.9), s"$flag p90=$a90 outside rank bound")
     }
     assert(approx.size === 3)
+  }
+
+  test("agg_approx_percentile emits all-true bound flags and exact percentiles") {
+    val rows = StatsQueries.approxPercentile(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_within_5pct"), s"p50 bound failed: $r")
+      assert(r.getAs[Boolean]("p90_within_5pct"), s"p90 bound failed: $r")
+      assert(r.getAs[Double]("p50_exact") > 0)
+    }
   }
 }
