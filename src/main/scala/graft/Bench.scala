@@ -42,8 +42,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated query filter for targeted profiling;
-    // SPARK_GRAFT_ALL=1 times the full 103-query registry (local use —
-    // the emitted line then exceeds the driver's 2000-char tail window,
+    // SPARK_GRAFT_ALL=1 times the full registry (local use — the
+    // emitted line then exceeds the driver's 2000-char tail window,
     // see Registry.headline); default is the headline set.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val base: Seq[String] =
@@ -61,6 +61,18 @@ object Bench {
     val bench0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - bench0) / 1e9
     val watchdog = new java.util.Timer("bench-watchdog", true)
+    // Host-contention evidence (round-4 lesson: the driver's total ran
+    // ~3x the same-day uncontended local number with no way to tell
+    // contention from regression afterwards). The 1-minute load average
+    // BEFORE this JVM spins up its own 32 threads is the honest
+    // baseline; per-query lines then carry the live value so any
+    // noisy-neighbor window during the run is attributable per query.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val cpuCount = Runtime.getRuntime.availableProcessors
+    System.err.println(
+      f"[bench] registry=${queries.Registry.all.size} headline=${queries.Registry.headline.size} cpus=$cpuCount loadavg_start=$loadAvg%.1f")
 
     // Results land here as they complete so the shutdown hook can emit a
     // partial line at any instant. LinkedHashMap keeps registry order.
@@ -157,8 +169,11 @@ object Bench {
         val n = if (w > slowSec) 1 else reps
         val runs = Seq.fill(n)(once()).sorted
         val med = runs(n / 2)
+        // spread (min..max of the timed reps) + live loadavg: a wide
+        // spread or a load far above this JVM's own thread count marks
+        // the number as contention-suspect in the artifact itself
         System.err.println(
-          f"[bench] $name%-28s $med%8.2fs (warmup=$w%.2fs reps=$n elapsed=$elapsed%.0fs)")
+          f"[bench] $name%-28s $med%8.2fs (warmup=$w%.2fs reps=$n spread=${runs.head}%.2f..${runs.last}%.2f load=$loadAvg%.1f elapsed=$elapsed%.0fs)")
         done.add(name -> med)
       }
     }
