@@ -444,6 +444,74 @@ object DedupQueries {
       |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       |FROM w GROUP BY win HAVING count(*) >= 2 ORDER BY win""".stripMargin
 
+  // ---- SemDeDup: cluster-bucketed semantic dedup ----------------------
+
+  private val SEM_NC = 16
+  private val SEM_EPS = 0.35
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with a coarse k-means quantizer, then search for
+    * semantic duplicates ONLY within each cluster — pairwise work
+    * drops from O(n²) to O(Σ|cell|²), and the pair search becomes an
+    * EQUI-join on the cluster id (shuffle-partitioned by cell at
+    * 100 TB; no corpus broadcast, no nested loop). Within a duplicate
+    * group the paper keeps the member with the LOWEST cosine to the
+    * cluster centroid (the "edge" point carries the most information);
+    * here: a doc is removed iff some same-cluster neighbor with
+    * cosine ≥ ε is strictly closer to the centroid (ties → lower id
+    * survives). Centroids are the same deterministic first-NC seed as
+    * `sim_ann_ivf`/`emb_centroids`, so the oracle reproduces the exact
+    * assignment and the whole decision is hash-checked.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = e.filter(col("vec_id") < SEM_NC)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", ccos)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
+    val other = assigned.select(col("c_id"), col("vec_id").as("o_id"),
+      col("emb").as("o_emb"), col("c_cos").as("o_ccos"))
+    val pcos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("o_emb"))
+    assigned.join(other, Seq("c_id"))
+      .filter(col("o_id") =!= col("vec_id"))
+      .filter(pcos >= SEM_EPS)
+      .filter(col("o_ccos") < col("c_cos") ||
+        (col("o_ccos") === col("c_cos") && col("o_id") < col("vec_id")))
+      .select(col("c_id"), col("vec_id"), col("c_cos"))
+      .distinct()
+      .select(col("c_id"), col("vec_id"), round(col("c_cos"), 6).as("centroid_cos"))
+      .orderBy(col("c_id"), col("vec_id"))
+  }
+
+  private val semanticOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < $SEM_NC),
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id, c_cos FROM (
+       |    SELECT n.vec_id, n.emb, n.nrm, cent.c_id,
+       |      list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) AS c_cos,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent) WHERE rk = 1)
+       |SELECT c_id, vec_id, round(c_cos, 6) AS centroid_cos FROM (
+       |  SELECT DISTINCT a.c_id, a.vec_id, a.c_cos
+       |  FROM assigned a JOIN assigned o
+       |    ON a.c_id = o.c_id AND a.vec_id <> o.vec_id
+       |  WHERE list_dot_product(a.emb, o.emb)/(a.nrm*o.nrm) >= $SEM_EPS
+       |    AND (o.c_cos < a.c_cos OR (o.c_cos = a.c_cos AND o.vec_id < a.vec_id)))
+       |ORDER BY c_id, vec_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactOracle), exact),
     Q("dedup_incremental", Some(incrementalOracle), incremental),
@@ -454,5 +522,6 @@ object DedupQueries {
     Q("dedup_keep_best", Some(keepBestOracle), keepBest),
     Q("dedup_simhash", Some(simhashOracle), simhashPairs),
     Q("dedup_embedding_cosine", Some(embeddingCosineOracle), embeddingCosine),
+    Q("dedup_semantic", Some(semanticOracle), semanticDedup),
   )
 }

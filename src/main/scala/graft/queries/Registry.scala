@@ -64,9 +64,9 @@ object Registry {
     // dedup family
     "dedup_exact", "dedup_substring", "dedup_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_keep_best", "dedup_simhash",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine", "dedup_semantic",
     // similarity
-    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf",
+    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivfpq",
     // text analysis
     "text_quality", "text_langid", "text_fingerprint",
     "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
@@ -84,9 +84,12 @@ object Registry {
     "sql_tpch_q18", "agg_tpch_q1", "rollup_agg", "source_json_roundtrip",
     // stats / breadth
     "agg_median", "agg_stats_exact", "ddl_catalog",
-    // as-of / range
-    "join_asof", "join_asof_native", "join_range", "join_fuzzy_dict",
-    "approx_distinct_exact", "approx_distinct_kmv",
+    // as-of / range (round 5: join_asof + approx_distinct_exact trimmed —
+    // each keeps its twin benched (join_asof_native / approx_distinct_kmv)
+    // and stays in the Verify correctness gate; freed the emit budget for
+    // dedup_semantic + sim_ann_ivfpq)
+    "join_asof_native", "join_range", "join_fuzzy_dict",
+    "approx_distinct_kmv",
     // training-data pipeline
     "mix_temperature", "sample_split", "emb_centroids", "merge_upsert",
     "agg_histogram", "snapshot_diff", "dq_expectations", "graph_pagerank",

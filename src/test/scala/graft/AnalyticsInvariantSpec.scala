@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{GraphQueries, WindowQueries}
+import graft.queries.{DedupQueries, GraphQueries, SimilarityQueries, WindowQueries}
 import org.apache.spark.sql.functions._
 
 /** Mathematical invariants of the round-4 analytics operators —
@@ -60,5 +60,48 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(r.nonEmpty)
     // every user is by construction active in their first-seen week
     r.foreach(row => assert(row.getDouble(3) == 1.0))
+  }
+
+  test("sim_ann_ivfpq: cosines never beat brute force, recall@10 >= 0.5") {
+    val brute = SimilarityQueries.topkBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val pq = SimilarityQueries.topkAnnIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.nonEmpty)
+    // rank-wise: an ANN's k-th best cosine is <= the exact k-th best
+    pq.foreach { case (q, rank, _, cos) =>
+      assert(cos <= brute((q, rank))._2 + 1e-9, s"q=$q rank=$rank ANN beat exact")
+    }
+    val bruteIds = brute.map { case ((q, _), (v, _)) => (q, v) }.toSet
+    val recall = pq.count { case (q, _, v, _) => bruteIds((q, v)) }.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"recall@10 $recall") // measured 0.68 with R=50/500
+  }
+
+  test("dedup_semantic: every cluster keeps at least one representative") {
+    import spark.implicits._
+    val removed = DedupQueries.semanticDedup(spark, sf)
+      .select(col("c_id"), col("vec_id")).as[(Long, Long)].collect()
+    assert(removed.nonEmpty) // 55 removals at this sf — non-trivial decision
+    assert(removed.map(_._2).distinct.length == removed.length)
+    // recompute the cluster assignment with the query's own quantizer
+    // and check SemDeDup's survivor guarantee: the member closest to
+    // "least central" (min c_cos, then min id) is never removable, so
+    // removals per cluster must be strictly below the cluster size
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val sizes = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("c_id")).count()
+      .as[(Long, Long)].collect().toMap
+    removed.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.length < sizes(c), s"cluster $c removed all ${sizes(c)} members")
+    }
   }
 }

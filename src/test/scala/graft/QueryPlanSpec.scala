@@ -126,6 +126,24 @@ class QueryPlanSpec extends SparkSpec {
       s"expected an equi-join on the block-pair id:\n$p")
   }
 
+  test("dedup_semantic pair search is an equi-join on the cluster id") {
+    val p = plan("dedup_semantic").toString
+    // the O(n²/k) within-cluster search must key on c_id — never a
+    // cartesian pair scan; the only nested-loop joins allowed are the
+    // 16-row centroid broadcasts of the assignment step
+    assert(p.contains("SortMergeJoin [c_id") || p.contains("HashJoin [c_id"),
+      s"expected the pair join keyed on c_id:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair scan:\n$p")
+  }
+
+  test("sim_ann_ivfpq plans only broadcast hash joins (codebook + LUT + rerank)") {
+    val p = plan("sim_ann_ivfpq").toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"PQ path must never nested-loop the corpus:\n$p")
+    val bcasts = p.split("BroadcastHashJoin").length - 1
+    assert(bcasts >= 4, s"expected >=4 broadcast hash joins, got $bcasts:\n$p")
+  }
+
   test("sql_tpch_q19 pushes the disjunctive predicate unions to both scans") {
     val leaves = plan("sql_tpch_q19").collectLeaves().map(_.toString)
     val part = leaves.find(_.contains("p_brand")).getOrElse(
