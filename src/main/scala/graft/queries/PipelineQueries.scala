@@ -547,7 +547,90 @@ object PipelineQueries {
       |FROM c, t ORDER BY source, lang""".stripMargin
   }
 
+  // ---- DSIR: importance resampling for data selection ------------------
+
+  private val DSIR_NB = 1024 // hashed feature buckets
+  private val DSIR_N = 100 // selected documents
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram distribution is —
+    * `log w(x) = Σ_b n_b(x)·(ln p_target(b) − ln p_raw(b))` over
+    * [[DSIR_NB]] hashed word buckets with +1 smoothing — and keep the
+    * top-[[DSIR_N]] (the paper's deterministic top-k variant; its
+    * Gumbel-noise resampling adds RNG on top of the same weights).
+    * Target here: the `lang='en'` slice of the same corpus, standing
+    * in for the real small clean target corpus.
+    *
+    * 100 TB shape: features never materialize per word — one hashed
+    * bucket histogram per side (≤ NB rows each, broadcast back), one
+    * per-doc (doc, bucket) aggregate, scoring via broadcast join, and
+    * the selection is TakeOrdered (sort+limit), never a global sort.
+    * Cross-engine exactness: each `ln` quantizes to decimal(20,12)
+    * BEFORE the subtraction (the `text_lm_score` pattern), so the
+    * per-doc sum is exact decimal arithmetic with no
+    * float-summation-order hazard; ranking ties break on doc_id.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("word"))
+      .select(col("doc_id"), col("lang"),
+        (TextOps.h31(col("word")) % DSIR_NB).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("n"))
+      .persist() // feeds both histograms and the scoring join
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("n")).cast("long").as("cr"))
+    val tgt = perDoc.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("n")).cast("long").as("ct"))
+    val hist = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    val tots = hist.agg(sum(col("cr")).cast("long").as("tr"),
+      sum(col("ct")).cast("long").as("tt"))
+    val lw = hist.crossJoin(broadcast(tots)).select(col("b"),
+      (log((col("ct") + 1).cast("double") / (col("tt") + DSIR_NB).cast("double"))
+          .cast("decimal(20,12)")
+        - log((col("cr") + 1).cast("double") / (col("tr") + DSIR_NB).cast("double"))
+          .cast("decimal(20,12)")).as("dlw"))
+    val scored = perDoc.join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("n") * col("dlw")).as("logw"))
+    scored.orderBy(col("logw").desc, col("doc_id")).limit(DSIR_N)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("logw").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"),
+        round(col("logw").cast("double"), 6).as("importance"))
+      .orderBy(col("rank"))
+  }
+
+  private val dsirOracle =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, (${TextOps.h31Sql("word")} % $DSIR_NB) AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)),
+       |pd AS (
+       |  SELECT doc_id, lang, b, CAST(count(*) AS DECIMAL(10,0)) AS n
+       |  FROM f GROUP BY doc_id, lang, b),
+       |raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM pd GROUP BY b),
+       |tgt AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM pd
+       |        WHERE lang = 'en' GROUP BY b),
+       |hist AS (
+       |  SELECT raw.b, cr, COALESCE(ct, 0) AS ct
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       |tots AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+       |                CAST(sum(ct) AS BIGINT) AS tt FROM hist),
+       |lw AS (
+       |  SELECT b,
+       |    CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $DSIR_NB AS DOUBLE)) AS DECIMAL(20,12))
+       |  - CAST(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $DSIR_NB AS DOUBLE)) AS DECIMAL(20,12)) AS dlw
+       |  FROM hist, tots),
+       |s AS (SELECT doc_id, sum(n * dlw) AS logw
+       |      FROM pd JOIN lw USING (b) GROUP BY doc_id),
+       |r AS (SELECT doc_id, logw,
+       |        row_number() OVER (ORDER BY logw DESC, doc_id) AS rank FROM s)
+       |SELECT rank, doc_id, round(CAST(logw AS DOUBLE), 6) AS importance
+       |FROM r WHERE rank <= $DSIR_N ORDER BY rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("dsir_select", Some(dsirOracle), dsirSelect),
     Q("docs_mix_report", Some(mixReportOracle), mixReport),
     Q("agg_histogram", Some(histogramOracle), aggHistogram),
     Q("snapshot_diff", Some(snapshotDiffOracle), snapshotDiff),

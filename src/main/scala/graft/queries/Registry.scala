@@ -90,8 +90,10 @@ object Registry {
     // dedup_semantic + sim_ann_ivfpq)
     "join_asof_native", "join_range", "join_fuzzy_dict",
     "approx_distinct_kmv",
-    // training-data pipeline
-    "mix_temperature", "sample_split", "emb_centroids", "merge_upsert",
+    // training-data pipeline (round 5: sample_split → dsir_select — the
+    // narrow-filter split stays oracle-gated; DSIR's histogram+join
+    // shape is the perf-relevant family member)
+    "mix_temperature", "dsir_select", "emb_centroids", "merge_upsert",
     "agg_histogram", "snapshot_diff", "dq_expectations", "graph_pagerank",
   )
 }

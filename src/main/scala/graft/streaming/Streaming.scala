@@ -48,6 +48,21 @@ object Streaming {
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Guaranteed-bounded-state variant: `dropDuplicates` with id-only
+    * keys never evicts state (the watermark column is not part of the
+    * key, so a key seen once is remembered forever — unbounded state
+    * growth on a 100 TB/day stream). `dropDuplicatesWithinWatermark`
+    * (Spark 3.5+) keys on the id alone but expires each entry once the
+    * watermark passes its event time, deduplicating retries whose
+    * RE-EMITTED timestamps differ (a (id, ts) composite key would miss
+    * those) while keeping state proportional to the watermark window,
+    * not the key cardinality.
+    */
+  def dedupStreamWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** A user session (gap-based) assembled with custom state. */
   final case class Session(user_id: Long, n_events: Int,
                            start: Timestamp, end: Timestamp)

@@ -77,6 +77,20 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 $recall") // measured 0.68 with R=50/500
   }
 
+  test("dsir_select skews toward the target language distribution") {
+    import spark.implicits._
+    val sel = graft.queries.PipelineQueries.dsirSelect(spark, sf)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(sel.size == 100)
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val baseEn = langs.count(_._2 == "en").toDouble / langs.length
+    val selEn = langs.count { case (id, l) => sel(id) && l == "en" }.toDouble / sel.size
+    // importance weighting must over-select the target slice vs the
+    // corpus base rate (0.50 vs 0.436 on this deterministic corpus)
+    assert(selEn > baseEn, s"selected en=$selEn <= base=$baseEn")
+  }
+
   test("dedup_semantic: every cluster keeps at least one representative") {
     import spark.implicits._
     val removed = DedupQueries.semanticDedup(spark, sf)

@@ -104,6 +104,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups retries with re-emitted timestamps") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Streaming.dedupStreamWithinWatermark(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ddw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Evt(1, ts(0), 1, "click", 1.0),
+        Evt(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      // the retry re-emits id 1 with a DIFFERENT event time — an
+      // (id, ts) composite dedup key would pass it through; the
+      // within-watermark form drops it on the id alone
+      in.addData(Evt(1, ts(2, 30), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("ddw").count() == 2)
+    } finally q.stop()
+  }
+
   test("DSv2 page stream replays scrape pages through standardise → enrich (S1 end-to-end)") {
     val raw = spark.readStream.format(classOf[PageStreamProvider].getName)
       .option("pages", "3").option("rowsPerPage", "4").load()
