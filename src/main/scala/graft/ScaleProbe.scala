@@ -45,9 +45,34 @@ object ScaleProbe {
     val n0 = base.count(); val n1 = spark.read.parquet(s"$scaledDir/documents.parquet").count()
     System.err.println(s"[probe] corpus: $n0 docs -> $n1 docs")
 
+    // 10x embeddings: replica k gets a SIGNED PERMUTATION of the
+    // dimensions (cyclic shift by 7k — coprime to 64, so all 10 shifts
+    // are distinct — plus a replica-dependent sign pattern). A signed
+    // permutation is orthogonal: intra-replica dot products (and so
+    // every cosine the dedup/ANN queries compute) are preserved
+    // EXACTLY, while cross-replica cosines decorrelate to ~0 on this
+    // near-orthogonal corpus — each replica reproduces the original
+    // similarity structure without cross-replica duplicate blow-up.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxVid = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val embScaled = (0 until 10).map { k =>
+      val shift = (7 * k) % 64
+      embBase.withColumn("vec_id", col("vec_id") + lit(k * maxVid))
+        .withColumn("embedding", expr(
+          s"""transform(sequence(0, 63), i ->
+             |  CAST(CASE WHEN (i * 31 + $k * 17) % 2 = 0 THEN 1.0 ELSE -1.0 END
+             |       * element_at(embedding, ((i + $shift) % 64) + 1) AS FLOAT))"""
+            .stripMargin))
+    }.reduce(_ unionByName _)
+    embScaled.write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    System.err.println(s"[probe] embeddings: $maxVid vecs -> ${maxVid * 10} vecs")
+
     val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_jaccard_pairs", "dedup_simhash", "dedup_clusters",
-      "dedup_minhash_lsh").map(n => n -> SparkEntry.queries(n))
+      "dedup_minhash_lsh",
+      // embedding family (round 5) + DSIR over the salted documents
+      "dedup_embedding_cosine", "dedup_semantic", "sim_ann_ivfpq",
+      "dsir_select").map(n => n -> SparkEntry.queries(n))
 
     targets.foreach { case (name, fn) =>
       def run(dir: String): (Double, Long) = {
