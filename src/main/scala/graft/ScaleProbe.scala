@@ -71,8 +71,8 @@ object ScaleProbe {
       "dedup_jaccard_pairs", "dedup_simhash", "dedup_clusters",
       "dedup_minhash_lsh",
       // embedding family (round 5) + DSIR over the salted documents
-      "dedup_embedding_cosine", "dedup_semantic", "sim_ann_ivfpq",
-      "dsir_select").map(n => n -> SparkEntry.queries(n))
+      "dedup_embedding_cosine", "dedup_semantic", "sim_ann_pq",
+      "sim_ann_ivfpq", "dsir_select").map(n => n -> SparkEntry.queries(n))
 
     targets.foreach { case (name, fn) =>
       def run(dir: String): (Double, Long) = {

@@ -66,7 +66,8 @@ object Registry {
     "dedup_clusters", "dedup_keep_best", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_semantic",
     // similarity
-    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivfpq",
+    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
+    "sim_ann_ivfpq",
     // text analysis
     "text_quality", "text_langid", "text_fingerprint",
     "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
@@ -87,8 +88,9 @@ object Registry {
     // as-of / range (round 5: join_asof + approx_distinct_exact trimmed —
     // each keeps its twin benched (join_asof_native / approx_distinct_kmv)
     // and stays in the Verify correctness gate; freed the emit budget for
-    // dedup_semantic + sim_ann_ivfpq)
-    "join_asof_native", "join_range", "join_fuzzy_dict",
+    // dedup_semantic + sim_ann_pq)
+    // (join_range trimmed with them for sim_ann_ivfpq — same rule)
+    "join_asof_native", "join_fuzzy_dict",
     "approx_distinct_kmv",
     // training-data pipeline (round 5: sample_split → dsir_select — the
     // narrow-filter split stays oracle-gated; DSIR's histogram+join

@@ -247,7 +247,7 @@ object SimilarityQueries {
   private val PQ_KS = 16 // codewords per subspace (subvectors of the first KS corpus vectors)
   private val PQ_R = 50 // ADC candidates per query before exact rerank
 
-  /** IVF-PQ-style ANN top-k (Jégou et al. 2011, "Product Quantization
+  /** Flat-PQ ANN top-k (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): each 64-dim vector splits into
     * [[PQ_M]] 8-dim subvectors; each subspace quantizes independently
     * to its nearest of [[PQ_KS]] codewords (L2², computed as
@@ -270,7 +270,7 @@ object SimilarityQueries {
     * codebook is an offline k-means job; the encode/query path is what
     * this exercises, same stance as `sim_ann_ivf`).
     */
-  def topkAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def topkAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val sub = e
@@ -318,7 +318,7 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val ivfPqOracle =
+  private val pqOracle =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
@@ -364,10 +364,162 @@ object SimilarityQueries {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  private val IVFPQ_NPROBE = 4 // coarse cells probed per query (of NC)
+
+  /** Full IVF-PQ ANN top-k (Jégou et al. 2011, the IVFADC structure;
+    * codes quantize raw vectors, not residuals — FAISS `IndexIVFPQ`
+    * with `by_residual=false`): the coarse quantizer of `sim_ann_ivf`
+    * (NC cells) partitions the corpus into inverted lists; a query
+    * probes its [[IVFPQ_NPROBE]] nearest cells and ADC-scores ONLY the
+    * codes in those lists, then exact-reranks the top-[[PQ_R]].
+    *
+    * This composes the two scale levers the flat variants demonstrate
+    * separately: `sim_ann_ivf` prunes the corpus to NPROBE/NC but
+    * reads full floats for every candidate; `sim_ann_pq` compresses
+    * every vector to M bytes but scans all of them. IVF-PQ scans
+    * NPROBE/NC of the corpus AT M bytes per vector — at 100 TB the
+    * cell id is the partition key, the per-cell code lists are the
+    * only thing read, and full floats surface for just the R rerank
+    * candidates. Same exact-long ADC determinism as `sim_ann_pq`.
+    */
+  def topkAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // coarse assignment (identical to sim_ann_ivf's quantizer)
+    val cent = e.filter(col("vec_id") < NC)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", ccos)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("c_emb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IVFPQ_NPROBE)
+      .select(col("q_id"), col("c_id"))
+    // PQ encode + per-query LUT (identical to sim_ann_pq)
+    val sub = e
+      .select(col("vec_id"), col("emb"),
+        explode(typedLit((0 until PQ_M).toList)).as("m"))
+      .select(col("vec_id"), col("m"),
+        expr("slice(emb, m*8+1, 8)").as("sub"))
+    val cb = sub.filter(col("vec_id") < PQ_KS)
+      .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("cw"))
+    val d2 = Dedup.dot(col("sub"), col("sub")) -
+      lit(2.0) * Dedup.dot(col("sub"), col("cw")) +
+      Dedup.dot(col("cw"), col("cw"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("k"))
+    val encoded = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val lut = sub.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("k").as("code"),
+        floor(Dedup.dot(col("qsub"), col("cw")) * 1e6).cast("long").as("partial"))
+    // ADC over the probed inverted lists only
+    val adc = encoded.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes), Seq("c_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("partial")).as("adc"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cands = adc
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= PQ_R)
+      .select(col("q_id"), col("vec_id"))
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cos)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ivfPqOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < $NC),
+       |assigned AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT n.vec_id AS q_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent WHERE n.vec_id < $NQ) WHERE rk <= $IVFPQ_NPROBE),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(emb, m*8+1, m*8+8) AS sub
+       |  FROM e, generate_series(0, ${PQ_M - 1}) t(m)),
+       |cb AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cw
+       |       FROM sub WHERE vec_id < $PQ_KS),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, cb.k AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sub, s.sub)
+       |          - 2*list_dot_product(s.sub, cb.cw)
+       |          + list_dot_product(cb.cw, cb.cw) ASC, cb.k) AS rk
+       |    FROM sub s JOIN cb ON s.m = cb.m) WHERE rk = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.m, cb.k AS code,
+       |    CAST(floor(list_dot_product(s.sub, cb.cw) * 1000000) AS BIGINT) AS partial
+       |  FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQ),
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id, sum(l.partial) AS adc
+       |  FROM enc c
+       |  JOIN assigned a ON c.vec_id = a.vec_id
+       |  JOIN probes p ON a.c_id = p.c_id
+       |  JOIN lut l ON p.q_id = l.q_id AND c.m = l.m AND c.code = l.code
+       |  WHERE l.q_id <> c.vec_id
+       |  GROUP BY l.q_id, c.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crk
+       |    FROM adc) WHERE crk <= $PQ_R),
+       |s AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_dot_product(q.emb, x.emb)/(q.nrm*x.nrm) AS cosine
+       |  FROM cand c
+       |  JOIN n x ON c.vec_id = x.vec_id
+       |  JOIN n q ON c.q_id = q.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, vec_id, round(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_brute", Some(topkBruteOracle), topkBrute),
     Q("sim_ann_lsh", Some(annOracle), topkAnnLsh),
     Q("sim_ann_ivf", Some(ivfOracle), topkAnnIvf),
+    Q("sim_ann_pq", Some(pqOracle), topkAnnPq),
     Q("sim_ann_ivfpq", Some(ivfPqOracle), topkAnnIvfPq),
   )
 }

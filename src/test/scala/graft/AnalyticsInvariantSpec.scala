@@ -62,10 +62,10 @@ class AnalyticsInvariantSpec extends SparkSpec {
     r.foreach(row => assert(row.getDouble(3) == 1.0))
   }
 
-  test("sim_ann_ivfpq: cosines never beat brute force, recall@10 >= 0.5") {
+  test("sim_ann_pq: cosines never beat brute force, recall@10 >= 0.5") {
     val brute = SimilarityQueries.topkBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    val pq = SimilarityQueries.topkAnnIvfPq(spark, sf).collect()
+    val pq = SimilarityQueries.topkAnnPq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(pq.nonEmpty)
     // rank-wise: an ANN's k-th best cosine is <= the exact k-th best
@@ -75,6 +75,18 @@ class AnalyticsInvariantSpec extends SparkSpec {
     val bruteIds = brute.map { case ((q, _), (v, _)) => (q, v) }.toSet
     val recall = pq.count { case (q, _, v, _) => bruteIds((q, v)) }.toDouble / bruteIds.size
     assert(recall >= 0.5, s"recall@10 $recall") // measured 0.68 with R=50/500
+  }
+
+  test("sim_ann_ivfpq: cell-restricted ADC beats flat PQ recall here, >= 0.6") {
+    val brute = SimilarityQueries.topkBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = SimilarityQueries.topkAnnIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 50)
+    val recall = got.count(brute).toDouble / brute.size
+    // measured 0.86: probing 4/16 cells REMOVES spurious global-ADC
+    // candidates, so the top-50 rerank pool is cleaner than flat PQ's
+    assert(recall >= 0.6, s"recall@10 $recall")
   }
 
   test("dsir_select skews toward the target language distribution") {

@@ -136,12 +136,20 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian pair scan:\n$p")
   }
 
-  test("sim_ann_ivfpq plans only broadcast hash joins (codebook + LUT + rerank)") {
-    val p = plan("sim_ann_ivfpq").toString
+  test("sim_ann_pq plans only broadcast hash joins (codebook + LUT + rerank)") {
+    val p = plan("sim_ann_pq").toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"PQ path must never nested-loop the corpus:\n$p")
     val bcasts = p.split("BroadcastHashJoin").length - 1
     assert(bcasts >= 4, s"expected >=4 broadcast hash joins, got $bcasts:\n$p")
+  }
+
+  test("sim_ann_ivfpq broadcasts probes+LUT; no cartesian anywhere") {
+    val p = plan("sim_ann_ivfpq").toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in the IVF-PQ path:\n$p")
+    val bcasts = p.split("BroadcastHashJoin").length - 1
+    assert(bcasts >= 3,
+      s"probes/LUT/rerank must broadcast, got $bcasts hash-join broadcasts:\n$p")
   }
 
   test("sql_tpch_q19 pushes the disjunctive predicate unions to both scans") {
