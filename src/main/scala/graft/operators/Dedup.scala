@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
@@ -161,4 +162,38 @@ object Dedup {
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** SemDeDup (Abbas et al. 2023) as a reusable operator: cluster
+    * `vecs` (columns `vec_id: long`, `emb: array<double>`) with a
+    * coarse quantizer (centroids = the first `nCent` ids — swap in a
+    * trained set upstream for production), then flag every vector
+    * that has a same-cluster neighbor with cosine ≥ `eps` strictly
+    * closer to the centroid (ties → lower id survives). Returns the
+    * REMOVED rows as (c_id, vec_id, c_cos), unordered/unrounded —
+    * callers pick presentation. The pair search is an equi-join on the
+    * cluster id: O(Σ|cell|²) compute, shuffle-partitioned by cell.
+    */
+  def semanticDedup(spark: SparkSession, vecs: DataFrame,
+      nCent: Int, eps: Double): DataFrame = {
+    val cent = vecs.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = vecs.crossJoin(broadcast(cent))
+      .withColumn("c_cos", ccos)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
+    val other = assigned.select(col("c_id"), col("vec_id").as("o_id"),
+      col("emb").as("o_emb"), col("c_cos").as("o_ccos"))
+    val pcos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("o_emb"))
+    assigned.join(other, Seq("c_id"))
+      .filter(col("o_id") =!= col("vec_id"))
+      .filter(pcos >= eps)
+      .filter(col("o_ccos") < col("c_cos") ||
+        (col("o_ccos") === col("c_cos") && col("o_id") < col("vec_id")))
+      .select(col("c_id"), col("vec_id"), col("c_cos"))
+      .distinct()
+  }
 }

@@ -467,26 +467,7 @@ object DedupQueries {
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val cent = e.filter(col("vec_id") < SEM_NC)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", ccos)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
-    val other = assigned.select(col("c_id"), col("vec_id").as("o_id"),
-      col("emb").as("o_emb"), col("c_cos").as("o_ccos"))
-    val pcos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("o_emb"))
-    assigned.join(other, Seq("c_id"))
-      .filter(col("o_id") =!= col("vec_id"))
-      .filter(pcos >= SEM_EPS)
-      .filter(col("o_ccos") < col("c_cos") ||
-        (col("o_ccos") === col("c_cos") && col("o_id") < col("vec_id")))
-      .select(col("c_id"), col("vec_id"), col("c_cos"))
-      .distinct()
+    Dedup.semanticDedup(spark, e, SEM_NC, SEM_EPS)
       .select(col("c_id"), col("vec_id"), round(col("c_cos"), 6).as("centroid_cos"))
       .orderBy(col("c_id"), col("vec_id"))
   }

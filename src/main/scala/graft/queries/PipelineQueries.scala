@@ -572,27 +572,9 @@ object PipelineQueries {
     * float-summation-order hazard; ranking ties break on doc_id.
     */
   def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        explode(TextOps.words(col("text"))).as("word"))
-      .select(col("doc_id"), col("lang"),
-        (TextOps.h31(col("word")) % DSIR_NB).as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).cast("decimal(10,0)").as("n"))
-      .persist() // feeds both histograms and the scoring join
-    val raw = perDoc.groupBy(col("b")).agg(sum(col("n")).cast("long").as("cr"))
-    val tgt = perDoc.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(sum(col("n")).cast("long").as("ct"))
-    val hist = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
-    val tots = hist.agg(sum(col("cr")).cast("long").as("tr"),
-      sum(col("ct")).cast("long").as("tt"))
-    val lw = hist.crossJoin(broadcast(tots)).select(col("b"),
-      (log((col("ct") + 1).cast("double") / (col("tt") + DSIR_NB).cast("double"))
-          .cast("decimal(20,12)")
-        - log((col("cr") + 1).cast("double") / (col("tr") + DSIR_NB).cast("double"))
-          .cast("decimal(20,12)")).as("dlw"))
-    val scored = perDoc.join(broadcast(lw), Seq("b"))
-      .groupBy(col("doc_id")).agg(sum(col("n") * col("dlw")).as("logw"))
+    val scored = graft.operators.Selection.dsirLogWeights(
+      Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), col("lang") === "en", DSIR_NB)
     scored.orderBy(col("logw").desc, col("doc_id")).limit(DSIR_N)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("logw").desc, col("doc_id"))))

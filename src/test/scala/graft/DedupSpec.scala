@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L))
   }
 
+  test("semanticDedup golden: keeps the least-central member of each dup group") {
+    // 2-dim fixture, nCent=2 (centroids = v0, v1), eps=0.9:
+    //   cell0 = {v0=(1,0), v2=(.9,.1), v3=(.95,.05)}, cell1 = {v1=(0,1)}
+    //   ccos: v0=1.0, v2=.9939, v3=.9986; all cell0 pairs ≥ .99
+    // SemDeDup keeps the member FARTHEST from the centroid: v2 (lowest
+    // ccos) survives; v0 and v3 are removed; v1 is alone and survives.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.9, 0.1)), (3L, Seq(0.95, 0.05)),
+    ).toDF("vec_id", "emb")
+    val removed = Dedup.semanticDedup(spark, vecs, nCent = 2, eps = 0.9)
+      .select(col("c_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(removed == Set((0L, 0L), (0L, 3L)))
+  }
+
   test("sequential dot product matches manual accumulation") {
     val v = Seq((Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6))).toDF("a", "b")
     val got = v.select(Dedup.dot(col("a"), col("b"))).head().getDouble(0)
