@@ -166,7 +166,11 @@ object WindowQueries {
     * the built-in window is half-open [start, last+gap), so an event
     * landing exactly 30 min after its predecessor starts a NEW session
     * (the lag form's `gap > 1800` keeps it) — and the oracle encodes
-    * that (`gap >= 1800` splits). At scale this is one shuffle on
+    * that (`gap_us >= 1800000000` splits, at MICROSECOND precision:
+    * the operator compares raw timestamps, so an oracle that floors to
+    * whole seconds first inflates a 1799.34 s gap to 1800 and splits a
+    * session Spark merges — caught by the sf0.1 cross-scale gate,
+    * round 5). At scale this is one shuffle on
     * user_id with sessions merged inside the aggregate (no window
     * function pass), and the SAME operator runs under `readStream` +
     * watermark for streaming sessionization (Streaming.scala) — the
@@ -187,14 +191,14 @@ object WindowQueries {
     """WITH g AS (
       |  SELECT user_id, value,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
-      |    CAST(floor(epoch(ts)) AS BIGINT) -
-      |      lag(CAST(floor(epoch(ts)) AS BIGINT))
-      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+      |    epoch_us(ts) -
+      |      lag(epoch_us(ts))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
       |    ts, event_id
       |  FROM events),
       |s AS (
       |  SELECT user_id, value, es,
-      |    CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+      |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |      AS session_id
