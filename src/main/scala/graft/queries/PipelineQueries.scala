@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextOps
@@ -611,7 +611,124 @@ object PipelineQueries {
        |SELECT rank, doc_id, round(CAST(logw AS DOUBLE), 6) AS importance
        |FROM r WHERE rank <= $DSIR_N ORDER BY rank""".stripMargin
 
+  // ---- in-engine quality classifier (logistic regression) -------------
+
+  private val QC_NB = 4096 // hashed feature buckets
+  private val QC_ITERS = 8 // full-batch gradient steps
+
+  /** Quality classifier trained IN the engine: the GPT-3/CCNet
+    * curation pattern (Brown et al. 2020 §2.2 — a linear classifier
+    * separating target-like from raw text, its score used to filter
+    * the crawl) as pure DataFrame aggregates — no MLlib, no driver
+    * math. Logistic regression over hashed word buckets, weak label
+    * y = (lang='en'), [[QC_ITERS]] full-batch gradient steps, then the
+    * whole corpus scored with the learned weights.
+    *
+    * Every training step is EXACT integer arithmetic, so the oracle
+    * replays it bit-identically: residuals quantize to 1e-6 longs
+    * (`floor((y−σ)·10⁶)`), weights live in 1e-10-unit longs, and the
+    * learning rate 1e-4 makes the weight update `w += Σ n·resid`
+    * with NO division (1e-6 · 1e-4 = the 1e-10 weight unit). The only
+    * floats are the sigmoid evaluations, each immediately floor-
+    * quantized — the `ln`-quantization pattern of `text_lm_score`
+    * applied to `exp`.
+    *
+    * 100 TB shape per step: one broadcast join of the ≤[[QC_NB]]-row
+    * weight vector, one per-doc aggregate (the forward pass), one
+    * per-bucket aggregate (the gradient) — 2 shuffles per iteration,
+    * weights never leave broadcast size. Mini-batching and Gumbel
+    * sampling are RNG layers over the same shapes.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
+        explode(TextOps.words(col("text"))).as("word"))
+      .select(col("doc_id"), col("y"), (TextOps.h31(col("word")) % QC_NB).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    def sigma(xq: Column): Column =
+      lit(1.0) / (lit(1.0) + exp(-(xq.cast("double") * lit(1e-10))))
+    def forward(w: DataFrame): DataFrame =
+      perDoc.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("n") * col("wq")).as("xq"))
+    var w = perDoc.select(col("b")).distinct().withColumn("wq", lit(0L))
+    for (_ <- 0 until QC_ITERS) {
+      val resid = forward(w).select(col("doc_id"),
+        floor((col("y").cast("double") - sigma(col("xq"))) * 1e6)
+          .cast("long").as("rq"))
+      val grad = perDoc.join(resid, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("n") * col("rq")).as("gq"))
+      // localCheckpoint: w is ≤QC_NB rows, but 8 chained iterations
+      // grow a deep self-referential plan whose ANALYSIS dominates
+      // wall-clock (persist alone bounds recompute, not plan depth —
+      // measured 153 s → ~10 s; same lineage-truncation pattern as
+      // Dedup.connectedComponents / graph_pagerank)
+      w = w.join(grad, Seq("b"), "left").na.fill(0L, Seq("gq"))
+        .select(col("b"), (col("wq") + col("gq")).as("wq"))
+        .localCheckpoint()
+    }
+    forward(w)
+      .select(col("doc_id"), col("y").as("is_en"),
+        round(sigma(col("xq")), 6).as("p_target"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle UNROLLS the training loop: iteration i's CTEs are
+    * generated from the same [[QC_ITERS]] constant the Scala loop
+    * uses, so the two can never drift. w0 = 0 ⇒ σ = 0.5 exactly, so
+    * the first residual needs no sigmoid — the generator special-cases
+    * it the way the arithmetic does anyway.
+    */
+  private val qcOracle = {
+    def sig(x: String) = s"1.0/(1.0 + exp(-(CAST($x AS DOUBLE) * 1e-10)))"
+    val iters = (1 to QC_ITERS).map { i =>
+      val (prevW, resid) =
+        if (i == 1)
+          ("", s"""r1 AS (
+             |  SELECT doc_id, CAST(floor((y - 0.5) * 1000000) AS BIGINT) AS rq
+             |  FROM (SELECT DISTINCT doc_id, y FROM pd))""".stripMargin)
+        else
+          (s"w${i - 1}", s"""x$i AS (
+             |  SELECT pd.doc_id, y, CAST(sum(n * wq) AS BIGINT) AS xq
+             |  FROM pd JOIN w${i - 1} USING (b) GROUP BY pd.doc_id, y),
+             |r$i AS (
+             |  SELECT doc_id,
+             |    CAST(floor((y - ${sig("xq")}) * 1000000) AS BIGINT) AS rq
+             |  FROM x$i)""".stripMargin)
+      val update =
+        if (i == 1)
+          s"""w1 AS (
+             |  SELECT b, CAST(sum(n * rq) AS BIGINT) AS wq
+             |  FROM pd JOIN r1 USING (doc_id) GROUP BY b)""".stripMargin
+        else
+          s"""g$i AS (
+             |  SELECT b, CAST(sum(n * rq) AS BIGINT) AS gq
+             |  FROM pd JOIN r$i USING (doc_id) GROUP BY b),
+             |w$i AS (
+             |  SELECT $prevW.b, wq + COALESCE(gq, 0) AS wq
+             |  FROM $prevW LEFT JOIN g$i ON $prevW.b = g$i.b)""".stripMargin
+      s"$resid,\n$update"
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, (${TextOps.h31Sql("word")} % $QC_NB) AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)),
+       |pd AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, b,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f GROUP BY doc_id, y, b),
+       |$iters,
+       |xf AS (
+       |  SELECT pd.doc_id, y, CAST(sum(n * wq) AS BIGINT) AS xq
+       |  FROM pd JOIN w$QC_ITERS USING (b) GROUP BY pd.doc_id, y)
+       |SELECT doc_id, y AS is_en, round(${sig("xq")}, 6) AS p_target
+       |FROM xf ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("quality_classifier", Some(qcOracle), qualityClassifier),
     Q("dsir_select", Some(dsirOracle), dsirSelect),
     Q("docs_mix_report", Some(mixReportOracle), mixReport),
     Q("agg_histogram", Some(histogramOracle), aggHistogram),

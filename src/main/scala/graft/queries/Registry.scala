@@ -94,7 +94,10 @@ object Registry {
     "approx_distinct_kmv",
     // training-data pipeline (round 5: sample_split → dsir_select — the
     // narrow-filter split stays oracle-gated; DSIR's histogram+join
-    // shape is the perf-relevant family member)
+    // shape is the perf-relevant family member. quality_classifier is
+    // Verify-gated but NOT benched: the iterative-loop perf shape is
+    // already represented by dedup_clusters + graph_pagerank, and the
+    // emit window is full)
     "mix_temperature", "dsir_select", "emb_centroids", "merge_upsert",
     "agg_histogram", "snapshot_diff", "dq_expectations", "graph_pagerank",
   )

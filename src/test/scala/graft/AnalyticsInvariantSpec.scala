@@ -103,6 +103,20 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(selEn > baseEn, s"selected en=$selEn <= base=$baseEn")
   }
 
+  test("quality_classifier learns: en scores separate from non-en (AUC > 0.55)") {
+    val sc = graft.queries.PipelineQueries.qualityClassifier(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    val en = sc.filter(_._1 == 1).map(_._2)
+    val non = sc.filter(_._1 == 0).map(_._2)
+    assert(en.nonEmpty && non.nonEmpty)
+    val auc = en.map(e => non.count(n => e > n) + 0.5 * non.count(n => e == n))
+      .sum / (en.length.toDouble * non.length)
+    // measured 0.6124 after 8 full-batch steps on this weak-signal
+    // synthetic corpus; the assertion pins "the loop actually learns"
+    assert(auc > 0.55, s"AUC $auc")
+    assert(en.sum / en.length > non.sum / non.length)
+  }
+
   test("dedup_semantic: every cluster keeps at least one representative") {
     import spark.implicits._
     val removed = DedupQueries.semanticDedup(spark, sf)
