@@ -155,6 +155,65 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"): converges in O(log n) rounds REGARDLESS of graph
+    * diameter, where [[connectedComponents]]'s min-label propagation
+    * needs O(diameter) — on a path-graph dup chain (doc A ≈ B ≈ C ≈ …)
+    * label-prop pays one shuffle round per hop, this pays log.
+    *
+    * large-star: every neighbor v > u re-attaches to m = min(Γ⁺(u));
+    * small-star: every smaller neighbor (and u) attaches to the min of
+    * the smaller neighborhood. Both are one groupBy(min) + one join —
+    * the same shuffle shapes as label-prop, just fewer rounds. At the
+    * fixpoint edges form stars rooted at component minima.
+    *
+    * Returns (id, cluster) for every node — identical output contract
+    * (and oracle) as [[connectedComponents]]: two independent
+    * implementations of the same published primitive cross-check each
+    * other through one DuckDB transitive-closure oracle.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct().localCheckpoint(true)
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val moved = dir.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      moved.unionByName(self)
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      converged = changed == 0
+      iter += 1
+    }
+    nodes.join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+  }
+
   /** Sequential-order dot product over array<double> — accumulates
     * left-to-right exactly like DuckDB's `list_dot_product`, so cosine
     * similarities are bit-identical across engines (validated

@@ -264,6 +264,17 @@ object DedupQueries {
         minhashLsh(spark, sfDir).select(col("id_a"), col("id_b")))
       .orderBy(col("id"))
 
+  /** Same clusters via the alternating large-star/small-star algorithm
+    * (O(log n) rounds vs label-prop's O(diameter) — see
+    * [[Dedup.connectedComponentsStar]]); shares [[clusters]]' oracle,
+    * so the two independent CC implementations cross-check each other
+    * through one transitive-closure ground truth.
+    */
+  def clustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.connectedComponentsStar(
+        minhashLsh(spark, sfDir).select(col("id_a"), col("id_b")))
+      .orderBy(col("id"))
+
   // transitive-closure CTE prefix shared by the clusters and
   // keep-best oracles: …, cc(id, cluster)
   private val ccCte =
@@ -500,6 +511,7 @@ object DedupQueries {
     Q("dedup_jaccard_pairs", Some(jaccardPairsSql), jaccardPairs),
     Q("dedup_minhash_lsh", Some(jaccardPairsSql), minhashLsh),
     Q("dedup_clusters", Some(clustersOracle), clusters),
+    Q("dedup_clusters_star", Some(clustersOracle), clustersStar),
     Q("dedup_keep_best", Some(keepBestOracle), keepBest),
     Q("dedup_simhash", Some(simhashOracle), simhashPairs),
     Q("dedup_embedding_cosine", Some(embeddingCosineOracle), embeddingCosine),

@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L))
   }
 
+  test("connectedComponentsStar agrees with label propagation on every fixture") {
+    val fixtures = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)), // two clusters, transitive chain
+      (0L until 19L).map(i => (i, i + 1)), // 20-node path: diameter stress
+      Seq((5L, 1L), (9L, 5L), (3L, 9L), (7L, 2L), (2L, 8L), (100L, 100L)), // shuffled ids + self loop
+      Seq((4L, 4L)), // only a self loop: single node, own cluster
+    )
+    fixtures.foreach { f =>
+      val pairs = f.toDF("id_a", "id_b")
+      val lp = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == lp, s"fixture $f: star=$star lp=$lp")
+    }
+  }
+
   test("semanticDedup golden: keeps the least-central member of each dup group") {
     // 2-dim fixture, nCent=2 (centroids = v0, v1), eps=0.9:
     //   cell0 = {v0=(1,0), v2=(.9,.1), v3=(.95,.05)}, cell1 = {v1=(0,1)}
