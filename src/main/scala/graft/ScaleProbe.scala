@@ -69,7 +69,7 @@ object ScaleProbe {
 
     val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_jaccard_pairs", "dedup_simhash", "dedup_clusters",
-      "dedup_minhash_lsh",
+      "dedup_clusters_star", "dedup_minhash_lsh",
       // embedding family (round 5) + DSIR over the salted documents
       "dedup_embedding_cosine", "dedup_semantic", "sim_ann_pq",
       "sim_ann_ivfpq", "dsir_select").map(n => n -> SparkEntry.queries(n))
