@@ -57,10 +57,16 @@ object ScaleProbe {
     val maxVid = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
     val embScaled = (0 until 10).map { k =>
       val shift = (7 * k) % 64
+      // sign pattern is GENUINELY replica-dependent: bit (k % 6) of the
+      // dimension index flips sign, so replicas 0..5 flip on different
+      // index bits (the round-5 form (i*31 + k*17) % 2 reduced to
+      // (i+k) % 2 — only two distinct patterns; the distinct cyclic
+      // shifts were doing all the decorrelation work)
       embBase.withColumn("vec_id", col("vec_id") + lit(k * maxVid))
         .withColumn("embedding", expr(
           s"""transform(sequence(0, 63), i ->
-             |  CAST(CASE WHEN (i * 31 + $k * 17) % 2 = 0 THEN 1.0 ELSE -1.0 END
+             |  CAST(CASE WHEN (shiftright(i, ${k % 6}) + $k) % 2 = 0
+             |            THEN 1.0 ELSE -1.0 END
              |       * element_at(embedding, ((i + $shift) % 64) + 1) AS FLOAT))"""
             .stripMargin))
     }.reduce(_ unionByName _)

@@ -152,6 +152,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // non-converged label-prop returns one row per node (structurally
+    // valid) but labels may not yet be component minima — surface it
+    if (!converged) System.err.println(
+      s"[graft] WARN connectedComponents hit maxIter=$maxIter before fixpoint; " +
+        "labels may be non-minimal")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
@@ -210,6 +215,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // At the fixpoint every surviving edge is (node -> component min),
+    // i.e. a star. If maxIter ran out first the edge set may still
+    // contain non-star edges, and the final left join would then emit
+    // DUPLICATE (id, cluster) rows / non-minimal labels with no signal
+    // to the caller — fail loud instead of returning corrupt clusters
+    // (O(log n) convergence makes this unreachable at sane maxIter).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
     nodes.join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
   }
@@ -239,11 +252,18 @@ object Dedup {
     val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
+    // localCheckpoint: `other` below re-aliases this same subtree, and
+    // without a materialization barrier Catalyst plans the assignment
+    // (a corpus x centroids broadcast join + window) TWICE — at
+    // production NC that is a full second pass over the corpus. The
+    // checkpoint makes both join inputs read one materialized
+    // assignment (round-5 verdict nit; same pattern as `shingled`).
     val assigned = vecs.crossJoin(broadcast(cent))
       .withColumn("c_cos", ccos)
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
+      .localCheckpoint()
     val other = assigned.select(col("c_id"), col("vec_id").as("o_id"),
       col("emb").as("o_emb"), col("c_cos").as("o_ccos"))
     val pcos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("o_emb"))

@@ -20,15 +20,23 @@ object Selection {
     * `log w(x) = Σ_b n_b(x)·(ln p_target(b) − ln p_raw(b))`
     * with +1 smoothing.
     *
-    * Returns (doc_id, logw) for EVERY input doc, logw an exact
-    * decimal: each `ln` is quantized to decimal(20,12) before the
-    * subtraction, so per-doc sums have no float-summation-order
-    * hazard and compare exactly across engines and partitionings.
-    * Callers rank/limit (the paper's Gumbel resampling adds RNG on
-    * top of these same weights).
+    * Returns (doc_id, logw) for every input doc WITH at least one
+    * word: a NULL (or empty) `textCol` explodes to zero word rows, so
+    * such docs produce no output row — callers that need a row per
+    * doc coalesce the text to '' upstream and left-join the result.
+    * logw is an exact decimal: each `ln` is quantized to
+    * decimal(20,12) before the subtraction, so per-doc sums have no
+    * float-summation-order hazard and compare exactly across engines
+    * and partitionings. Callers rank/limit (the paper's Gumbel
+    * resampling adds RNG on top of these same weights).
     *
     * Scale shape: two ≤`nBuckets`-row histograms broadcast back, one
-    * per-doc (doc, bucket) aggregate, scoring via broadcast join.
+    * per-doc (doc, bucket) aggregate, scoring via broadcast join. The
+    * internal per-doc feature table stays persisted after return (the
+    * returned plan references it lazily, so it cannot be unpersisted
+    * here); the CALLER owns the cache — `spark.catalog.clearCache()`
+    * or unpersist via the session after materializing, as Verify/Bench
+    * do between queries.
     */
   def dsirLogWeights(docs: DataFrame, idCol: Column, textCol: Column,
       isTarget: Column, nBuckets: Int): DataFrame = {

@@ -625,13 +625,21 @@ object PipelineQueries {
     * whole corpus scored with the learned weights.
     *
     * Every training step is EXACT integer arithmetic, so the oracle
-    * replays it bit-identically: residuals quantize to 1e-6 longs
-    * (`floor((y−σ)·10⁶)`), weights live in 1e-10-unit longs, and the
+    * replays it bit-identically: residuals quantize to 1e-5 longs
+    * (`floor((y−σ)·10⁵)`), weights live in 1e-9-unit longs, and the
     * learning rate 1e-4 makes the weight update `w += Σ n·resid`
-    * with NO division (1e-6 · 1e-4 = the 1e-10 weight unit). The only
+    * with NO division (1e-5 · 1e-4 = the 1e-9 weight unit). The only
     * floats are the sigmoid evaluations, each immediately floor-
     * quantized — the `ln`-quantization pattern of `text_lm_score`
-    * applied to `exp`.
+    * applied to `exp`. The 1e-5 grid (round 6; was 1e-6) adds floor-
+    * boundary headroom: the gate flips only if the engines' `exp`
+    * disagree by more than the residual's distance to an integer
+    * boundary — measured min 1.4e-7 grid-units (= 1.4e-12 in σ, ~6e3
+    * ulps) across all 8 iterations at sf0.01/sf0.1, vs 1-ulp exp
+    * noise of ~2e-16. Saturated docs (σ ≈ 5e-17, so y−σ rounds to
+    * exactly 1.0 in BOTH engines — ~1e14 ulps from the 2⁻⁵⁴ rounding
+    * boundary) sit exactly ON an integer by construction; that case
+    * is deterministic, not marginal.
     *
     * 100 TB shape per step: one broadcast join of the ≤[[QC_NB]]-row
     * weight vector, one per-doc aggregate (the forward pass), one
@@ -648,7 +656,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"))
       .persist()
     def sigma(xq: Column): Column =
-      lit(1.0) / (lit(1.0) + exp(-(xq.cast("double") * lit(1e-10))))
+      lit(1.0) / (lit(1.0) + exp(-(xq.cast("double") * lit(1e-9))))
     def forward(w: DataFrame): DataFrame =
       perDoc.join(broadcast(w), Seq("b"))
         .groupBy(col("doc_id"), col("y"))
@@ -656,7 +664,7 @@ object PipelineQueries {
     var w = perDoc.select(col("b")).distinct().withColumn("wq", lit(0L))
     for (_ <- 0 until QC_ITERS) {
       val resid = forward(w).select(col("doc_id"),
-        floor((col("y").cast("double") - sigma(col("xq"))) * 1e6)
+        floor((col("y").cast("double") - sigma(col("xq"))) * 1e5)
           .cast("long").as("rq"))
       val grad = perDoc.join(resid, Seq("doc_id"))
         .groupBy(col("b")).agg(sum(col("n") * col("rq")).as("gq"))
@@ -682,12 +690,12 @@ object PipelineQueries {
     * it the way the arithmetic does anyway.
     */
   private val qcOracle = {
-    def sig(x: String) = s"1.0/(1.0 + exp(-(CAST($x AS DOUBLE) * 1e-10)))"
+    def sig(x: String) = s"1.0/(1.0 + exp(-(CAST($x AS DOUBLE) * 1e-9)))"
     val iters = (1 to QC_ITERS).map { i =>
       val (prevW, resid) =
         if (i == 1)
           ("", s"""r1 AS (
-             |  SELECT doc_id, CAST(floor((y - 0.5) * 1000000) AS BIGINT) AS rq
+             |  SELECT doc_id, CAST(floor((y - 0.5) * 100000) AS BIGINT) AS rq
              |  FROM (SELECT DISTINCT doc_id, y FROM pd))""".stripMargin)
         else
           (s"w${i - 1}", s"""x$i AS (
@@ -695,7 +703,7 @@ object PipelineQueries {
              |  FROM pd JOIN w${i - 1} USING (b) GROUP BY pd.doc_id, y),
              |r$i AS (
              |  SELECT doc_id,
-             |    CAST(floor((y - ${sig("xq")}) * 1000000) AS BIGINT) AS rq
+             |    CAST(floor((y - ${sig("xq")}) * 100000) AS BIGINT) AS rq
              |  FROM x$i)""".stripMargin)
       val update =
         if (i == 1)

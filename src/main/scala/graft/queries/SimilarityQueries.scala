@@ -527,6 +527,15 @@ object SimilarityQueries {
     * across engines), LUT entries quantize to `floor(dot·10⁶)` longs,
     * the cell-affinity term `dot(q, c)` rides in the same integer
     * units, and every ranking tie-breaks on id.
+    *
+    * Known deviation from Jégou §III's inner-product expansion: the
+    * ADC score here is `dot(q,c) + Σ_m dot(q−c, cw_m)`, which differs
+    * from `dot(q,c) + Σ_m dot(q, cw_m)` by the per-candidate bias
+    * `Σ_m dot(c, cw_m)` (the paper folds that constant into the code's
+    * stored term). Both engines compute the same expression so the
+    * hash gate is unaffected, and the exact top-R rerank bounds the
+    * ranking effect; kept because the q−c LUT reuses the residual
+    * codebook rows verbatim.
     */
   def topkAnnIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)

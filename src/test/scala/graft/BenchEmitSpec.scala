@@ -35,10 +35,15 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("headline covers every family and all known heavy hitters") {
     val h = Registry.headline.toSet
-    // the round-3 top-10 by measured seconds must stay benched
+    // the round-3 top-10 by measured seconds must stay benched —
+    // except dedup_embedding_cosine, demoted round 6: it is the
+    // intentionally-quadratic exact oracle (15.1x wall at 10x data in
+    // the scale probe) and must NOT be benched; it stays Verify-gated
+    assert(!h("dedup_embedding_cosine"),
+      "the quadratic exact all-pairs query must stay out of the headline bench")
     val heavy = Seq("dedup_minhash_lsh", "join_bucketed", "text_ngram_vocab",
       "enrich_books", "source_json_roundtrip", "agg_tpch_q1",
-      "dedup_embedding_cosine", "sql_tpch_q5", "ddl_catalog",
+      "sql_tpch_q5", "ddl_catalog",
       "dedup_jaccard_pairs")
     assert(heavy.forall(h), s"missing heavy: ${heavy.filterNot(h)}")
   }
