@@ -236,19 +236,19 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** SemDeDup (Abbas et al. 2023) as a reusable operator: cluster
-    * `vecs` (columns `vec_id: long`, `emb: array<double>`) with a
-    * coarse quantizer (centroids = the first `nCent` ids — swap in a
-    * trained set upstream for production), then flag every vector
-    * that has a same-cluster neighbor with cosine ≥ `eps` strictly
-    * closer to the centroid (ties → lower id survives). Returns the
-    * REMOVED rows as (c_id, vec_id, c_cos), unordered/unrounded —
-    * callers pick presentation. The pair search is an equi-join on the
-    * cluster id: O(Σ|cell|²) compute, shuffle-partitioned by cell.
+    * `vecs` (columns `vec_id: long`, `emb: array<double>`) with the
+    * given coarse quantizer `cent` (columns `c_id`, `c_emb` —
+    * production path: [[Quantizer.trainedCentroids]]; the seed-based
+    * overload below exists for small golden tests), then flag every
+    * vector that has a same-cluster neighbor with cosine ≥ `eps`
+    * strictly closer to the centroid (ties → lower id survives).
+    * Returns the REMOVED rows as (c_id, vec_id, c_cos),
+    * unordered/unrounded — callers pick presentation. The pair search
+    * is an equi-join on the cluster id: O(Σ|cell|²) compute,
+    * shuffle-partitioned by cell.
     */
   def semanticDedup(spark: SparkSession, vecs: DataFrame,
-      nCent: Int, eps: Double): DataFrame = {
-    val cent = vecs.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      cent: DataFrame, eps: Double): DataFrame = {
     val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
@@ -275,4 +275,15 @@ object Dedup {
       .select(col("c_id"), col("vec_id"), col("c_cos"))
       .distinct()
   }
+
+  /** Seed-quantizer convenience overload: centroids = the first
+    * `nCent` vec_ids (the deterministic stand-in used by golden
+    * tests; query paths train via [[Quantizer.trainedCentroids]]).
+    */
+  def semanticDedup(spark: SparkSession, vecs: DataFrame,
+      nCent: Int, eps: Double): DataFrame =
+    semanticDedup(spark, vecs,
+      vecs.filter(col("vec_id") < nCent)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb")),
+      eps)
 }

@@ -471,14 +471,18 @@ object DedupQueries {
     * cluster centroid (the "edge" point carries the most information);
     * here: a doc is removed iff some same-cluster neighbor with
     * cosine ≥ ε is strictly closer to the centroid (ties → lower id
-    * survives). Centroids are the same deterministic first-NC seed as
-    * `sim_ann_ivf`/`emb_centroids`, so the oracle reproduces the exact
-    * assignment and the whole decision is hash-checked.
+    * survives). Centroids are TRAINED in-engine (round 6):
+    * [[graft.operators.Quantizer.trainedCentroids]] runs Lloyd
+    * iterations from the deterministic first-NC seed, and the oracle
+    * replays the same training with exact arithmetic
+    * ([[graft.operators.Quantizer.trainedCentroidsSql]]), so the
+    * trained assignment and the whole decision stay hash-checked.
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    Dedup.semanticDedup(spark, e, SEM_NC, SEM_EPS)
+    val cent = graft.operators.Quantizer.trainedCentroids(spark, e, SEM_NC)
+    Dedup.semanticDedup(spark, e, cent, SEM_EPS)
       .select(col("c_id"), col("vec_id"), round(col("c_cos"), 6).as("centroid_cos"))
       .orderBy(col("c_id"), col("vec_id"))
   }
@@ -488,7 +492,7 @@ object DedupQueries {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < $SEM_NC),
+       |${graft.operators.Quantizer.trainedCentroidsSql(SEM_NC)},
        |assigned AS (
        |  SELECT vec_id, emb, nrm, c_id, c_cos FROM (
        |    SELECT n.vec_id, n.emb, n.nrm, cent.c_id,
