@@ -22,6 +22,15 @@ object GraftFunctions {
   val sortedIntersectName = "graft_sorted_intersect_size"
   val wordNGramsName = "graft_word_ngrams"
   val jaroWinklerName = "graft_jaro_winkler"
+  val bpeEncodeName = "graft_bpe_encode"
+
+  private def bpeEncodeInfo = new ExpressionInfo(
+    classOf[BpeEncode].getName, bpeEncodeName)
+
+  private def bpeEncodeBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$bpeEncodeName expects 2 arguments")
+    BpeEncode(args.head, args(1))
+  }
 
   private def jaroWinklerInfo = new ExpressionInfo(
     classOf[JaroWinkler].getName, jaroWinklerName)
@@ -77,6 +86,8 @@ object GraftFunctions {
       wordNGramsInfo, wordNGramsBuilder _))
     ext.injectFunction((FunctionIdentifier(jaroWinklerName),
       jaroWinklerInfo, jaroWinklerBuilder _))
+    ext.injectFunction((FunctionIdentifier(bpeEncodeName),
+      bpeEncodeInfo, bpeEncodeBuilder _))
   }
 
   /** Idempotent per-session registration (safe to call per query). */
@@ -97,6 +108,9 @@ object GraftFunctions {
     val jid = FunctionIdentifier(jaroWinklerName)
     if (!registry.functionExists(jid))
       registry.registerFunction(jid, jaroWinklerInfo, jaroWinklerBuilder _)
+    val bid = FunctionIdentifier(bpeEncodeName)
+    if (!registry.functionExists(bid))
+      registry.registerFunction(bid, bpeEncodeInfo, bpeEncodeBuilder _)
   }
 
   /** Column-API form of the native cosine expression. */
@@ -121,6 +135,12 @@ object GraftFunctions {
   def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(jaroWinklerName, a, b)
+  }
+
+  /** Column-API form of the native greedy-BPE-encode expression. */
+  def bpeEncode(spark: SparkSession, word: Column, vocab: Column): Column = {
+    ensureRegistered(spark)
+    call_function(bpeEncodeName, word, vocab)
   }
 }
 

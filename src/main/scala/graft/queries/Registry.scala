@@ -72,7 +72,9 @@ object Registry {
     // similarity
     "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
     "sim_ann_ivfpq",
-    // text analysis
+    // text analysis (round 6: + text_bpe_tokens — learned-vocab
+    // subword tokenization, the family's heaviest member)
+    "text_bpe_tokens",
     "text_quality", "text_langid", "text_fingerprint",
     "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
     "text_lm_score", "text_inverted_index",

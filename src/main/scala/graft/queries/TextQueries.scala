@@ -33,6 +33,105 @@ object TextQueries {
 
   private[queries] val stopwords = Seq("the", "a", "of", "and", "to")
 
+  // ---- BPE subword tokenization ----------------------------------------
+
+  private val BPE_VOCAB = 64 // learned multi-char subword tokens
+
+  /** Subword token accounting with a LEARNED vocabulary — the real
+    * token counting an LLM pipeline runs (the whitespace + regex
+    * counts in [[tokens]] are the cheap proxies). Three stages, all
+    * deterministic and replayed verbatim by the DuckDB oracle:
+    *
+    *  1. VOCAB LEARNING: candidate tokens = every within-word
+    *     character n-gram of length 2..[[graft.functions.BpeEncode.MaxTokenLen]],
+    *     weighted by word occurrence frequency; vocab = top-[[BPE_VOCAB]]
+    *     under the total order (weight DESC, length DESC, token ASC).
+    *     This is the frequency-merge spirit of BPE (Sennrich 2016)
+    *     collapsed to one pass: instead of m sequential pair merges,
+    *     rank all multi-char candidates at once — every stage stays a
+    *     hash aggregate (no m-round driver loop at 100 TB).
+    *  2. ENCODING: greedy longest-match per DISTINCT word via the
+    *     native codegen'd [[graft.functions.BpeEncode]] expression
+    *     (dictionary encoding — each distinct word is encoded once,
+    *     occurrences join the result; the vocab rides along as a
+    *     broadcast one-row array).
+    *  3. ACCOUNTING: per-doc word and subword-token counts plus the
+    *     corpus grand total in one ROLLUP aggregate.
+    *
+    * The oracle replays the greedy scan with a recursive CTE over
+    * (word, position) states — possible at oracle scale because the
+    * state space is DISTINCT WORDS x positions, not corpus tokens.
+    * Round-trip decode (concat(tokens) == word) is pinned in BpeSpec.
+    */
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxL = graft.functions.BpeEncode.MaxTokenLen
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    // distinct words + occurrence counts: feeds vocab learning AND the
+    // dictionary-encoding join
+    val wf = docWords.groupBy(col("w")).agg(count(lit(1)).as("freq")).persist()
+    val cand = wf
+      .select(col("w"), col("freq"),
+        explode(expr(s"sequence(2, $maxL)")).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(col("w"), col("freq"), col("L"),
+        explode(expr("sequence(1, length(w) - L + 1)")).as("st"))
+      .select(expr("substring(w, st, L)").as("tok"), col("freq"))
+    val vocab = cand.groupBy(col("tok"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, length(col("tok")).desc, col("tok"))
+      .limit(BPE_VOCAB)
+    val varr = vocab.agg(collect_list(col("tok")).as("vocab"))
+    val wenc = wf.crossJoin(broadcast(varr))
+      .select(col("w"),
+        size(graft.functions.GraftFunctions.bpeEncode(
+          spark, col("w"), col("vocab"))).as("ntok"))
+    docWords.join(wenc, Seq("w"))
+      .rollup(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bpeOracle = {
+    val maxL = graft.functions.BpeEncode.MaxTokenLen
+    s"""WITH RECURSIVE dw AS (
+       |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS freq FROM dw GROUP BY w),
+       |cand AS (
+       |  SELECT substr(w, t.st, l.L) AS tok, freq
+       |  FROM wf,
+       |       generate_series(2, $maxL) AS l(L),
+       |       unnest(generate_series(1, len(w) - l.L + 1)) AS t(st)
+       |  WHERE len(w) >= l.L),
+       |cnts AS (SELECT tok, CAST(sum(freq) AS BIGINT) AS cnt
+       |         FROM cand GROUP BY tok),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok,
+       |      row_number() OVER (ORDER BY cnt DESC, len(tok) DESC, tok) AS rn
+       |    FROM cnts) WHERE rn <= $BPE_VOCAB),
+       |mt AS (
+       |  SELECT wf.w, t.pos, max(l.L) AS bl
+       |  FROM wf,
+       |       generate_series(2, $maxL) AS l(L),
+       |       unnest(generate_series(1, len(w) - l.L + 1)) AS t(pos)
+       |  WHERE len(wf.w) >= l.L
+       |    AND substr(wf.w, t.pos, l.L) IN (SELECT tok FROM vocab)
+       |  GROUP BY wf.w, t.pos),
+       |rec(w, pos, ntok) AS (
+       |  SELECT w, 1, 0 FROM wf
+       |  UNION ALL
+       |  SELECT rec.w, rec.pos + COALESCE(mt.bl, 1), rec.ntok + 1
+       |  FROM rec LEFT JOIN mt ON mt.w = rec.w AND mt.pos = rec.pos
+       |  WHERE rec.pos <= len(rec.w)),
+       |wenc AS (SELECT w, ntok FROM rec WHERE pos > len(w))
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN wenc USING (w)
+       |GROUP BY ROLLUP(doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality scoring: length, stopword ratio, average word length,
     * non-alphanumeric ratio, and a composite score. Ratios are
     * int/int double divisions — deterministic across engines without
@@ -567,6 +666,7 @@ object TextQueries {
 
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
+    Q("text_bpe_tokens", Some(bpeOracle), bpeTokens),
     Q("text_bm25", Some(bm25Oracle), bm25),
     Q("text_lm_score", Some(lmScoreOracle), lmScore),
     Q("text_inverted_index", Some(invertedIndexOracle), invertedIndex),
