@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, TextOps}
 import graft.operators.Multimodal.{Asset, Decoded, Features}
 import graft.sources.Tables
 
@@ -88,8 +88,154 @@ object MultimodalQueries {
        |    i -> substr(text, CAST(i*16+1 AS INT), 1)), '')) AS sample_md5
        |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ---- cross-modal retrieval / fusion dedup (round 6) ------------------
+
+  private val TEXT_DIMS = 64 // hashed-word buckets = image embedding dims
+  private val CAP_NQ = 5 // caption queries: doc_id < CAP_NQ
+  private val FUSE_NC = 8 // fusion SemDeDup coarse cells
+  private val FUSE_EPS = 0.4
+
+  /** Deterministic text-side embedding: a [[TEXT_DIMS]]-bucket hashed
+    * word histogram per doc, as `array<double>` — the engine-portable
+    * stand-in for a text-tower encoder (a real deployment swaps in
+    * model inference via the [[Multimodal]] mapPartitions shape; every
+    * downstream join/ANN stage is unchanged). One codegen'd hash
+    * aggregate: 64 fused `sum(when(b = d))` expressions, the simhash
+    * pattern — no explode-regroup, no HOF.
+    */
+  private def textEmbedding(docs: DataFrame): DataFrame = {
+    val wd = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"), (TextOps.h31(col("w")) % TEXT_DIMS).as("b"))
+    val aggs = (0 until TEXT_DIMS).map(d =>
+      sum(when(col("b") === d, 1L).otherwise(0L)).cast("double").as(s"e$d"))
+    wd.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until TEXT_DIMS).map(d => col(s"e$d")): _*).as("temb"))
+  }
+
+  /** DuckDB twin of [[textEmbedding]] as a CTE chain ending in
+    * `temb(doc_id, emb)`; `filter` restricts the doc set (SQL over
+    * `documents`), '' = all docs.
+    */
+  private def textEmbSql(filter: String): String = {
+    val where = if (filter.isEmpty) "" else s" WHERE $filter"
+    s"""tw AS (
+       |  SELECT doc_id, (${TextOps.h31Sql("w")} % $TEXT_DIMS) AS b
+       |  FROM (SELECT doc_id, unnest(${TextOps.wordsSql}) AS w
+       |        FROM documents$where)),
+       |tc AS (SELECT doc_id, b, count(*) AS c FROM tw GROUP BY doc_id, b),
+       |grid AS (
+       |  SELECT d.doc_id, g.b
+       |  FROM (SELECT DISTINCT doc_id FROM documents$where) d,
+       |       generate_series(0, ${TEXT_DIMS - 1}) g(b)),
+       |temb AS (
+       |  SELECT grid.doc_id,
+       |    list(CAST(COALESCE(tc.c, 0) AS DOUBLE) ORDER BY grid.b) AS emb
+       |  FROM grid LEFT JOIN tc ON grid.doc_id = tc.doc_id AND grid.b = tc.b
+       |  GROUP BY grid.doc_id)""".stripMargin
+  }
+
+  /** Unit-normalize an `array<double>` column (elementwise divide by
+    * the sequential-accumulation norm — both ops bit-identical to the
+    * DuckDB twin `list_transform(v, x -> x / sqrt(list_dot_product))`).
+    */
+  private def l2normalize(spark: SparkSession, v: Column): Column = {
+    val nrm = sqrt(graft.operators.Dedup.dot(v, v))
+    transform(v, x => x / nrm)
+  }
+
+  /** Caption-to-image retrieval (the CLIP-style two-tower query): the
+    * first [[CAP_NQ]] docs' text embeddings retrieve top-k nearest
+    * IMAGE embeddings through the `sim_ann_pq` machinery —
+    * [[SimilarityQueries.pqTopkPlan]] PQ-encodes the image corpus,
+    * broadcasts the per-caption ADC lookup tables, and exact-reranks;
+    * `excludeSelf = false` because caption i retrieving image i is
+    * the alignment target, not a self-match artifact. On synthetic
+    * data the cross-modal cosines are arbitrary — what's validated is
+    * the full plan: modality-specific encoders feeding one shared ANN
+    * index, every stage hash-gated.
+    */
+  def captionTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val img = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val captions = textEmbedding(
+      Tables.documents(spark, sfDir).filter(col("doc_id") < CAP_NQ))
+      .select(col("doc_id").as("q_id"), col("temb").as("emb_q"))
+    SimilarityQueries.pqTopkPlan(spark, img, captions, excludeSelf = false)
+  }
+
+  private val captionOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |${textEmbSql(s"doc_id < $CAP_NQ")},
+       |qv AS (SELECT doc_id AS q_id, emb FROM temb),
+       |${SimilarityQueries.pqSqlBody(excludeSelf = false)}""".stripMargin
+
+  /** Fusion dedup: SemDeDup over JOINT text+image embeddings. Each
+    * asset pairs its image embedding with its caption's text
+    * embedding (doc_id = vec_id); both halves unit-normalize and
+    * concatenate into one 128-dim vector (so fused cosine =
+    * (text cosine + image cosine) / 2 — equal-weight late fusion),
+    * then the standard trained-quantizer SemDeDup decision runs
+    * unchanged over the fused space: [[graft.operators.Quantizer]]
+    * trains [[FUSE_NC]] centroids, every vector with a same-cell
+    * neighbor at fused cosine ≥ [[FUSE_EPS]] strictly closer to the
+    * centroid is removed. Near-dups must agree in BOTH modalities to
+    * cross the threshold — the multimodal-pair dedup shape (matching
+    * captions on different images, or re-encoded images with edited
+    * captions, stay). Same O(Σ|cell|²) equi-join scale shape as
+    * `dedup_semantic`.
+    */
+  def fusionDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val img = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("iemb"))
+    val fused = textEmbedding(Tables.documents(spark, sfDir))
+      .join(img, col("doc_id") === col("vec_id"))
+      .select(col("vec_id"),
+        concat(l2normalize(spark, col("temb")),
+          l2normalize(spark, col("iemb"))).as("emb"))
+    val cent = graft.operators.Quantizer
+      .trainedCentroids(spark, fused, FUSE_NC, dims = 2 * TEXT_DIMS)
+    graft.operators.Dedup.semanticDedup(spark, fused, cent, FUSE_EPS)
+      .select(col("c_id"), col("vec_id"), round(col("c_cos"), 6).as("centroid_cos"))
+      .orderBy(col("c_id"), col("vec_id"))
+  }
+
+  private val fusionOracle =
+    s"""WITH ie AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS iemb
+       |  FROM embeddings),
+       |${textEmbSql("")},
+       |fused AS (
+       |  SELECT ie.vec_id,
+       |    list_concat(
+       |      list_transform(t.emb, x -> x / sqrt(list_dot_product(t.emb, t.emb))),
+       |      list_transform(ie.iemb, x -> x / sqrt(list_dot_product(ie.iemb, ie.iemb))))
+       |      AS emb
+       |  FROM temb t JOIN ie ON t.doc_id = ie.vec_id),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM fused),
+       |${graft.operators.Quantizer.trainedCentroidsSql(FUSE_NC, dims = 2 * TEXT_DIMS)},
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id, c_cos FROM (
+       |    SELECT n.vec_id, n.emb, n.nrm, cent.c_id,
+       |      list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) AS c_cos,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent) WHERE rk = 1)
+       |SELECT c_id, vec_id, round(c_cos, 6) AS centroid_cos FROM (
+       |  SELECT DISTINCT a.c_id, a.vec_id, a.c_cos
+       |  FROM assigned a JOIN assigned o
+       |    ON a.c_id = o.c_id AND a.vec_id <> o.vec_id
+       |  WHERE list_dot_product(a.emb, o.emb)/(a.nrm*o.nrm) >= $FUSE_EPS
+       |    AND (o.c_cos < a.c_cos OR (o.c_cos = a.c_cos AND o.vec_id < a.vec_id)))
+       |ORDER BY c_id, vec_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("multimodal_decode", Some(decodeOracle), decode),
     Q("multimodal_features", Some(featuresOracle), features),
+    Q("multimodal_caption_topk", Some(captionOracle), captionTopk),
+    Q("multimodal_fusion_dedup", Some(fusionOracle), fusionDedup),
   )
 }

@@ -284,6 +284,23 @@ object SimilarityQueries {
   def topkAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
+    pqTopkPlan(spark, e, q, excludeSelf = true)
+  }
+
+  /** Reusable flat-PQ ADC top-k plan over an arbitrary (corpus,
+    * queries) pair — `e(vec_id, emb)`, `q(q_id, emb_q)`, any matching
+    * dimensionality. Factored out (round 6) so cross-modal retrieval
+    * (`multimodal_caption_topk`: text-derived query vectors against
+    * the image-embedding corpus) reuses the exact encode/LUT/ADC/
+    * rerank machinery instead of reimplementing it. `excludeSelf`
+    * drops q_id == vec_id matches — set it only when queries and
+    * corpus share one id space (the self-retrieval case); cross-modal
+    * callers keep the aligned-id match (that's the retrieval target).
+    */
+  private[queries] def pqTopkPlan(spark: SparkSession, e: DataFrame,
+      q: DataFrame, excludeSelf: Boolean): DataFrame = {
     val sub = e
       .select(col("vec_id"), col("emb"),
         explode(typedLit((0 until PQ_M).toList)).as("m"))
@@ -301,13 +318,18 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("m"), col("k").as("code"))
-    val lut = sub.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+    val qsub = q
+      .select(col("q_id"), col("emb_q"),
+        explode(typedLit((0 until PQ_M).toList)).as("m"))
+      .select(col("q_id"), col("m"),
+        expr("slice(emb_q, m*8+1, 8)").as("qsub"))
+    val lut = qsub
       .join(broadcast(cb), Seq("m"))
       .select(col("q_id"), col("m"), col("k").as("code"),
         floor(Dedup.dot(col("qsub"), col("cw")) * 1e6).cast("long").as("partial"))
-    val adc = encoded.join(broadcast(lut), Seq("m", "code"))
-      .filter(col("q_id") =!= col("vec_id"))
+    val adcPairs = encoded.join(broadcast(lut), Seq("m", "code"))
+    val adc = (if (excludeSelf) adcPairs.filter(col("q_id") =!= col("vec_id"))
+               else adcPairs)
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("partial")).as("adc"))
     val wCand = Window.partitionBy(col("q_id"))
@@ -316,8 +338,6 @@ object SimilarityQueries {
       .withColumn("crk", row_number().over(wCand))
       .filter(col("crk") <= PQ_R)
       .select(col("q_id"), col("vec_id"))
-    val q = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
     val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -329,11 +349,14 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val pqOracle =
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings),
-       |sub AS (
+  /** DuckDB twin of [[pqTopkPlan]]: the CTE-chain body after two
+    * upstream CTEs `e(vec_id, emb)` (corpus) and `qv(q_id, emb)`
+    * (queries) — the caller writes those preludes, this emits
+    * sub/cb/enc/lut/adc/cand/rerank and the final SELECT.
+    */
+  private[queries] def pqSqlBody(excludeSelf: Boolean): String = {
+    val selfFilter = if (excludeSelf) "\n  WHERE l.q_id <> c.vec_id" else ""
+    s"""sub AS (
        |  SELECT vec_id, m, list_slice(emb, m*8+1, m*8+8) AS sub
        |  FROM e, generate_series(0, ${PQ_M - 1}) t(m)),
        |cb AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cw
@@ -346,14 +369,16 @@ object SimilarityQueries {
        |          - 2*list_dot_product(s.sub, cb.cw)
        |          + list_dot_product(cb.cw, cb.cw) ASC, cb.k) AS rk
        |    FROM sub s JOIN cb ON s.m = cb.m) WHERE rk = 1),
+       |qsub AS (
+       |  SELECT q_id, m, list_slice(emb, m*8+1, m*8+8) AS qsub
+       |  FROM qv, generate_series(0, ${PQ_M - 1}) t(m)),
        |lut AS (
-       |  SELECT s.vec_id AS q_id, s.m, cb.k AS code,
-       |    CAST(floor(list_dot_product(s.sub, cb.cw) * 1000000) AS BIGINT) AS partial
-       |  FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQ),
+       |  SELECT s.q_id, s.m, cb.k AS code,
+       |    CAST(floor(list_dot_product(s.qsub, cb.cw) * 1000000) AS BIGINT) AS partial
+       |  FROM qsub s JOIN cb ON s.m = cb.m),
        |adc AS (
        |  SELECT l.q_id, c.vec_id, sum(l.partial) AS adc
-       |  FROM enc c JOIN lut l ON c.m = l.m AND c.code = l.code
-       |  WHERE l.q_id <> c.vec_id
+       |  FROM enc c JOIN lut l ON c.m = l.m AND c.code = l.code$selfFilter
        |  GROUP BY l.q_id, c.vec_id),
        |cand AS (
        |  SELECT q_id, vec_id FROM (
@@ -361,12 +386,13 @@ object SimilarityQueries {
        |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crk
        |    FROM adc) WHERE crk <= $PQ_R),
        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |nq AS (SELECT q_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM qv),
        |s AS (
        |  SELECT c.q_id, c.vec_id,
        |    list_dot_product(q.emb, x.emb)/(q.nrm*x.nrm) AS cosine
        |  FROM cand c
        |  JOIN n x ON c.vec_id = x.vec_id
-       |  JOIN n q ON c.q_id = q.vec_id),
+       |  JOIN nq q ON c.q_id = q.q_id),
        |r AS (
        |  SELECT q_id, vec_id, cosine,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
@@ -374,6 +400,14 @@ object SimilarityQueries {
        |SELECT q_id, rank, vec_id, round(cosine, 6) AS cosine
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private val pqOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |qv AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < $NQ),
+       |${pqSqlBody(excludeSelf = true)}""".stripMargin
 
   private val IVFPQ_NPROBE = 6 // coarse cells probed per query (of NC)
 
