@@ -1,31 +1,61 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scaling-evidence probe for the heaviest dedup operators.
+/** Scaling-evidence probe for the heaviest dedup/ANN operators.
   *
   * The 100 TB arguments in PLANS.md are made from plan shape (equi-join
-  * blocking, bounded state, no driver collects); this main turns one of
-  * them into a measured datapoint by running the slowest dedup family
-  * members on sf0.1 (~5k docs) and on a DERIVED 10x corpus, and
-  * printing the wall-clock ratio. Near-linear ratios (~10x on 32
-  * threads) are the expected signature of the bucketed-equi-join
-  * shapes; a quadratic shape would show ~100x.
+  * blocking, bounded state, no driver collects); this main turns them
+  * into measured datapoints by running the slowest family members on
+  * sf0.1 (~5k docs) and on a DERIVED `SPARK_GRAFT_PROBE_SCALE`x corpus
+  * (default 10; round 6 runs 100 → 500k docs/embeddings, the regime
+  * that actually saturates 32 threads), and printing the wall-clock
+  * ratio plus per-run shuffle-write / spill deltas from a task-metrics
+  * listener (the "would it spill at scale" evidence PLANS.md cites).
   *
-  * The 10x corpus is 10 replicas of the sf0.1 `documents` table with
-  * (a) doc_ids offset per replica and (b) every word salted with the
-  * replica tag (`w` -> `w_rK`). The salt keeps replica vocabularies
+  * The scaled corpus is `scale` replicas of the sf0.1 `documents` table
+  * with (a) doc_ids offset per replica and (b) every word salted with
+  * the replica tag (`w` -> `w_rK`). The salt keeps replica vocabularies
   * DISJOINT, so the near-dup pair structure of each replica equals the
-  * original corpus (output exactly 10x, candidate blocks scale
-  * linearly) — a clean throughput probe, not a pathological
-  * all-duplicates blow-up. Derived data is written under /tmp, never
-  * into the read-only testdata tree.
+  * original corpus (output ~scale x, candidate blocks scale linearly) —
+  * a clean throughput probe, not a pathological all-duplicates blow-up.
+  * Derived data is written under /tmp, never into the read-only
+  * testdata tree.
+  *
+  * Env knobs: SPARK_GRAFT_PROBE_SCALE (replica count, default 10),
+  * SPARK_GRAFT_PROBE_TARGETS (csv of query names, default = the full
+  * round-5 list).
   */
 object ScaleProbe {
+
+  /** Cross-query task-metrics totals; the probe reports per-run deltas. */
+  private final class MetricsListener extends SparkListener {
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val peakExecMem = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakExecMem.accumulateAndGet(m.peakExecutionMemory,
+          (a: Long, b: Long) => math.max(a, b))
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (spillMem.get(), spillDisk.get(), shuffleWrite.get())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scaledDir = "/tmp/graft_scale10"
+    val scale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "10").toInt
+    val scaledDir = s"/tmp/graft_scale$scale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,10 +63,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val maxId = base.agg(max(col("doc_id"))).head.getLong(0) + 1
-    val scaled = (0 until 10).map { k =>
+    val scaled = (0 until scale).map { k =>
       base.withColumn("doc_id", col("doc_id") + lit(k * maxId))
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$k"))
         .withColumn("n_chars", length(col("text")))
@@ -45,23 +77,20 @@ object ScaleProbe {
     val n0 = base.count(); val n1 = spark.read.parquet(s"$scaledDir/documents.parquet").count()
     System.err.println(s"[probe] corpus: $n0 docs -> $n1 docs")
 
-    // 10x embeddings: replica k gets a SIGNED PERMUTATION of the
-    // dimensions (cyclic shift by 7k — coprime to 64, so all 10 shifts
-    // are distinct — plus a replica-dependent sign pattern). A signed
+    // Scaled embeddings: replica k gets a SIGNED PERMUTATION of the
+    // dimensions (cyclic shift by 7k mod 64 plus a sign flip on bit
+    // (k % 6) of the dimension index, offset by k's parity). A signed
     // permutation is orthogonal: intra-replica dot products (and so
     // every cosine the dedup/ANN queries compute) are preserved
     // EXACTLY, while cross-replica cosines decorrelate to ~0 on this
-    // near-orthogonal corpus — each replica reproduces the original
-    // similarity structure without cross-replica duplicate blow-up.
+    // near-orthogonal corpus. Distinctness across ANY two replicas
+    // k < k' <= 192: if the shifts collide (k' = k + 64) the flip bits
+    // (k % 6 vs (k+4) % 6) differ, so no two replicas are exact
+    // duplicates of each other — no cross-replica duplicate blow-up.
     val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val maxVid = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
-    val embScaled = (0 until 10).map { k =>
+    val embScaled = (0 until scale).map { k =>
       val shift = (7 * k) % 64
-      // sign pattern is GENUINELY replica-dependent: bit (k % 6) of the
-      // dimension index flips sign, so replicas 0..5 flip on different
-      // index bits (the round-5 form (i*31 + k*17) % 2 reduced to
-      // (i+k) % 2 — only two distinct patterns; the distinct cyclic
-      // shifts were doing all the decorrelation work)
       embBase.withColumn("vec_id", col("vec_id") + lit(k * maxVid))
         .withColumn("embedding", expr(
           s"""transform(sequence(0, 63), i ->
@@ -71,28 +100,66 @@ object ScaleProbe {
             .stripMargin))
     }.reduce(_ unionByName _)
     embScaled.write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
-    System.err.println(s"[probe] embeddings: $maxVid vecs -> ${maxVid * 10} vecs")
+    System.err.println(s"[probe] embeddings: $maxVid vecs -> ${maxVid * scale} vecs")
 
-    val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // dedup_semantic probes with the quantizer the corpus size calls
+    // for: SemDeDup's cost is assignment (n*NC cosines, brute-force
+    // against a broadcast codebook) + within-cell pairs (~n²/NC), so a
+    // FIXED NC turns the pair term quadratic by construction — the
+    // production lever is growing the codebook with the corpus. NC ∝
+    // √n balances the two brute-force terms (total work ∝ n^1.5);
+    // NC ∝ n (the SemDeDup paper's constant cell size) is better still
+    // but needs an ANN-assisted assignment to keep the n*NC term from
+    // dominating — exactly what `sim_ann_ivf*` demonstrate. The probe
+    // reports the √n point and PLANS.md carries the argument.
+    val semNcBase = 16 // = DedupQueries.SEM_NC at sf0.1
+    val semEps = 0.35 // = DedupQueries.SEM_EPS
+    def semanticAt(nc: Int)(s: SparkSession, dir: String): DataFrame = {
+      val e = graft.sources.Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cent = graft.operators.Quantizer.trainedCentroids(s, e, nc)
+      graft.operators.Dedup.semanticDedup(s, e, cent, semEps)
+    }
+    val semNcScaled = math.max(semNcBase,
+      (semNcBase * math.sqrt(scale.toDouble)).round.toInt)
+    val semanticScaled: (SparkSession, String) => DataFrame = (s, dir) =>
+      semanticAt(if (dir == scaledDir) semNcScaled else semNcBase)(s, dir)
+
+    val defaultTargets = Seq(
       "dedup_jaccard_pairs", "dedup_simhash", "dedup_clusters",
       "dedup_clusters_star", "dedup_minhash_lsh",
-      // embedding family (round 5) + DSIR over the salted documents
       "dedup_embedding_cosine", "dedup_semantic", "sim_ann_pq",
-      "sim_ann_ivfpq", "dsir_select").map(n => n -> SparkEntry.queries(n))
+      "sim_ann_ivfpq", "dsir_select")
+    val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(defaultTargets)
+    val targets: Seq[(String, (SparkSession, String) => DataFrame)] =
+      names.map {
+        case "dedup_semantic" =>
+          s"dedup_semantic(nc=$semNcBase->$semNcScaled)" -> semanticScaled
+        case n => n -> SparkEntry.queries(n)
+      }
 
     targets.foreach { case (name, fn) =>
-      def run(dir: String): (Double, Long) = {
+      def run(dir: String): (Double, Long, String) = {
         spark.catalog.clearCache()
+        val (sm0, sd0, sw0) = metrics.snapshot
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, rows)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (sm1, sd1, sw1) = metrics.snapshot
+        def mb(b: Long) = f"${b / 1024.0 / 1024.0}%.0fMB"
+        (secs, rows,
+          s"shufW=${mb(sw1 - sw0)} spillMem=${mb(sm1 - sm0)} spillDisk=${mb(sd1 - sd0)}")
       }
-      val (warm, _) = run(sfDir) // absorb codegen/JIT once per query
-      val (t1, r1) = run(sfDir)
-      val (t10, r10) = run(scaledDir)
+      val (warm, _, _) = run(sfDir) // absorb codegen/JIT once per query
+      val (t1, r1, m1) = run(sfDir)
+      val (tN, rN, mN) = run(scaledDir)
       System.err.println(
-        f"[probe] $name%-22s sf0.1: $t1%7.2fs ($r1 rows, warmup=$warm%.2fs)  10x: $t10%7.2fs ($r10 rows)  ratio=${t10 / t1}%.1fx  rows_ratio=${r10.toDouble / r1}%.1fx")
+        f"[probe] $name%-34s sf0.1: $t1%7.2fs ($r1 rows, warmup=$warm%.2fs, $m1)  ${scale}x: $tN%7.2fs ($rN rows, $mN)  ratio=${tN / t1}%.1fx  rows_ratio=${rN.toDouble / r1}%.1fx")
     }
+    System.err.println(
+      f"[probe] peak per-task execution memory high-water: ${metrics.peakExecMem.get() / 1024.0 / 1024.0}%.0f MB")
     spark.stop()
   }
 }

@@ -249,20 +249,16 @@ object Dedup {
     */
   def semanticDedup(spark: SparkSession, vecs: DataFrame,
       cent: DataFrame, eps: Double): DataFrame = {
-    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
     // localCheckpoint: `other` below re-aliases this same subtree, and
     // without a materialization barrier Catalyst plans the assignment
-    // (a corpus x centroids broadcast join + window) TWICE — at
+    // (a corpus x centroids broadcast join + aggregate) TWICE — at
     // production NC that is a full second pass over the corpus. The
     // checkpoint makes both join inputs read one materialized
     // assignment (round-5 verdict nit; same pattern as `shingled`).
-    val assigned = vecs.crossJoin(broadcast(cent))
-      .withColumn("c_cos", ccos)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
+    // Assignment itself is the slim max_by aggregate (see
+    // [[Quantizer.assignNearest]]) — the 100x probe measured the old
+    // window form spilling 39.6 GB sorting embedding-bearing rows.
+    val assigned = Quantizer.assignNearest(spark, vecs, cent)
       .localCheckpoint()
     val other = assigned.select(col("c_id"), col("vec_id").as("o_id"),
       col("emb").as("o_emb"), col("c_cos").as("o_ccos"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Coarse-quantizer TRAINING for the ANN / SemDeDup family: Lloyd's
@@ -24,15 +23,56 @@ import org.apache.spark.sql.functions._
   * contract as every other quantizer in the repo.
   *
   * 100 TB shape per iteration: centroids are ≤nCent rows (broadcast);
-  * assignment is one corpus pass (broadcast join + per-vector window
-  * — Spark plans a partial TakeOrdered per partition, no corpus
-  * shuffle on the window because vec_id is the partition key of the
-  * aggregate that follows); the mean update is one (cell, dim)
-  * hash-aggregate. Each iteration localCheckpoints the tiny centroid
-  * table so k iterations don't stack k analysis-heavy plans (the
-  * `quality_classifier` lineage pattern).
+  * assignment is one corpus pass through [[assignNearest]] (see its
+  * doc for why it aggregates instead of windowing); the mean update
+  * is one (cell, dim) hash-aggregate. Each iteration localCheckpoints
+  * the tiny centroid table so k iterations don't stack k
+  * analysis-heavy plans (the `quality_classifier` lineage pattern).
   */
 object Quantizer {
+
+  /** Nearest-centroid assignment WITHOUT the embedding column:
+    * (vec_id, c_id, c_cos) where c_id is the argmax-cosine centroid
+    * (ties → lowest c_id — the repo-wide quantizer contract).
+    *
+    * This is the scale-critical form. The round-5 implementations
+    * ranked the corpus×centroids cross join with
+    * `row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC)`,
+    * which shuffles and SORTS all n×NC rows — each still carrying the
+    * 64-double embedding. The 100× scale probe measured that directly:
+    * 39.6 GB of memory spill in `dedup_semantic`'s assignment at 500k
+    * vecs × 160 cells. Here the argmax is a `max_by` hash aggregate
+    * over rows that carry only (vec_id, c_id, c_cos) — ~24 bytes, the
+    * embedding never enters the aggregate — so map-side partial
+    * aggregation reduces n×NC rows to n BEFORE the shuffle, and even
+    * the sort-based fallback path sorts slim rows. The ordering key
+    * `struct(c_cos, -c_id)` is unique per group (c_id is unique), so
+    * the pick is deterministic and identical to the window form:
+    * lexicographic max = highest c_cos, then lowest c_id.
+    */
+  def assignNearestSlim(spark: SparkSession, vecs: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val ccos = graft.functions.GraftFunctions
+      .cosineSim(spark, col("emb"), col("c_emb"))
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"), ccos.as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("c_cos")),
+        struct(col("c_cos"), (-col("c_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("c_id"),
+        col("best.c_cos").as("c_cos"))
+  }
+
+  /** [[assignNearestSlim]] with the embedding re-attached:
+    * (vec_id, emb, c_id, c_cos). The join back to `vecs` is one
+    * LINEAR n-row shuffle — NC× lighter than sorting the n×NC
+    * cross-join rows with embeddings aboard, which is what the
+    * window form costs.
+    */
+  def assignNearest(spark: SparkSession, vecs: DataFrame,
+      cent: DataFrame): DataFrame =
+    vecs.join(assignNearestSlim(spark, vecs, cent), Seq("vec_id"))
+      .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
 
   /** k-means iterations used by the trained-quantizer query paths.
     * Two is enough to move every centroid off its seed (spec-checked)
@@ -55,14 +95,7 @@ object Quantizer {
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val ccos = graft.functions.GraftFunctions
-        .cosineSim(spark, col("emb"), col("c_emb"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
-      val assigned = vecs.crossJoin(broadcast(cent))
-        .withColumn("c_cos", ccos)
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
+      val assigned = assignNearest(spark, vecs, cent)
         .select(col("vec_id"), col("emb"), col("c_id"))
       val means = assigned
         .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))

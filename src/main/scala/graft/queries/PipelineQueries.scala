@@ -188,13 +188,9 @@ object PipelineQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cent = e.filter(col("vec_id") < NC)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", ccos)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    // slim max_by assignment (see Quantizer.assignNearest): the
+    // aggregate never carries the embedding; it rejoins after
+    val assigned = graft.operators.Quantizer.assignNearest(spark, e, cent)
       .select(col("vec_id"), col("emb"), col("c_id"))
     assigned
       .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))

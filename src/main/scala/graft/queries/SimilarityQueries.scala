@@ -194,13 +194,9 @@ object SimilarityQueries {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cent = graft.operators.Quantizer.trainedCentroids(spark, e, NC)
-    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", ccos)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    // slim max_by assignment (Quantizer.assignNearest): the corpus
+    // shuffle carries n rows, not n×NC embedding-bearing rows
+    val assigned = graft.operators.Quantizer.assignNearest(spark, e, cent)
       .select(col("vec_id"), col("emb"), col("c_id"))
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
@@ -299,6 +295,26 @@ object SimilarityQueries {
     * corpus share one id space (the self-retrieval case); cross-modal
     * callers keep the aligned-id match (that's the retrieval target).
     */
+  /** PQ code assignment shared by every PQ variant: per (vec_id, m)
+    * subvector, the codeword of minimal L2 distance (tie → lowest k).
+    * Same slim-aggregate rationale as [[graft.operators.Quantizer
+    * .assignNearestSlim]] — the round-5 window form shuffled and
+    * sorted all n×M×KS rows with subvector arrays aboard; this
+    * `min_by` keeps only (vec_id, m, k, d2) in the aggregate, so
+    * map-side partial aggregation collapses the KS factor before any
+    * shuffle. `(d2, k)` is unique per group ⇒ deterministic, and the
+    * lexicographic min equals the window's (d2 ASC, k) pick exactly.
+    */
+  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = Dedup.dot(col("sub"), col("sub")) -
+      lit(2.0) * Dedup.dot(col("sub"), col("cw")) +
+      Dedup.dot(col("cw"), col("cw"))
+    sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
+  }
+
   private[queries] def pqTopkPlan(spark: SparkSession, e: DataFrame,
       q: DataFrame, excludeSelf: Boolean): DataFrame = {
     val sub = e
@@ -308,16 +324,7 @@ object SimilarityQueries {
         expr("slice(emb, m*8+1, 8)").as("sub"))
     val cb = sub.filter(col("vec_id") < PQ_KS)
       .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("cw"))
-    val d2 = Dedup.dot(col("sub"), col("sub")) -
-      lit(2.0) * Dedup.dot(col("sub"), col("cw")) +
-      Dedup.dot(col("cw"), col("cw"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("k"))
-    val encoded = sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val encoded = pqEncode(sub, cb)
     val qsub = q
       .select(col("q_id"), col("emb_q"),
         explode(typedLit((0 until PQ_M).toList)).as("m"))
@@ -435,13 +442,9 @@ object SimilarityQueries {
     // training it is the same trainer applied per subspace, an
     // offline job this query path doesn't re-exercise)
     val cent = graft.operators.Quantizer.trainedCentroids(spark, e, NC)
-    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", ccos)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    // inverted-list membership needs no embedding: the slim aggregate
+    // form alone suffices (no join-back)
+    val assigned = graft.operators.Quantizer.assignNearestSlim(spark, e, cent)
       .select(col("vec_id"), col("c_id"))
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
@@ -461,16 +464,7 @@ object SimilarityQueries {
         expr("slice(emb, m*8+1, 8)").as("sub"))
     val cb = sub.filter(col("vec_id") < PQ_KS)
       .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("cw"))
-    val d2 = Dedup.dot(col("sub"), col("sub")) -
-      lit(2.0) * Dedup.dot(col("sub"), col("cw")) +
-      Dedup.dot(col("cw"), col("cw"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("k"))
-    val encoded = sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val encoded = pqEncode(sub, cb)
     val lut = sub.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
       .join(broadcast(cb), Seq("m"))
@@ -588,14 +582,10 @@ object SimilarityQueries {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cent = graft.operators.Quantizer.trainedCentroids(spark, e, NC)
-    val ccos = graft.functions.GraftFunctions.cosineSim(spark, col("emb"), col("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    // assignment keeps the residual: res = emb − c_emb (elementwise)
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", ccos)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    // slim assignment, then the residual res = emb − c_emb re-derives
+    // from a broadcast rejoin of the tiny centroid table (elementwise)
+    val assigned = graft.operators.Quantizer.assignNearest(spark, e, cent)
+      .join(broadcast(cent), Seq("c_id"))
       .select(col("vec_id"), col("c_id"),
         zip_with(col("emb"), col("c_emb"), (x, c) => x - c).as("res"))
     // residual subvectors; codebook = residual subvectors of the first KS
@@ -606,16 +596,7 @@ object SimilarityQueries {
         expr("slice(res, m*8+1, 8)").as("sub"))
     val cb = sub.filter(col("vec_id") < PQ_KS)
       .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("cw"))
-    val d2 = Dedup.dot(col("sub"), col("sub")) -
-      lit(2.0) * Dedup.dot(col("sub"), col("cw")) +
-      Dedup.dot(col("cw"), col("cw"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("k"))
-    val encoded = sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val encoded = pqEncode(sub, cb)
     // query probes + per-(query, cell) residual LUT
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
