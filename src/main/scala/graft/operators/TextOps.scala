@@ -65,4 +65,50 @@ object TextOps {
   def h31(c: Column): Column = h60(c) % P31
 
   def h31Sql(s: String): String = s"(${h60Sql(s)} % $P31)"
+
+  /** Stopword set shared by the quality-scoring family. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** The C4/Gopher-style keep/drop decision: each document's FIRST
+    * failing rule, else "keep". Factored out of the
+    * `docs_filter_funnel` query (round 6) so the streaming curation
+    * pipeline applies the IDENTICAL rule set — one definition, batch
+    * and stream. All built-in codegen'd expressions over one text
+    * column; at 100 TB this is a narrow scan-stage decision.
+    */
+  def qualityReason(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+    val noSpace = length(regexp_replace(text, " ", ""))
+    val alnum = length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    val avgWordLen = noSpace.cast("double") / nWords
+    val nonalnum = (length(text) - alnum).cast("double") / length(text)
+    val stopRatio = nStop.cast("double") / nWords
+    when(nWords < 20, "too_short")
+      .when(nWords > 5000, "too_long")
+      .when(avgWordLen < 3.0 || avgWordLen > 12.0, "word_len")
+      .when(nonalnum > 0.3, "symbols")
+      .when(stopRatio < 0.01, "no_stopwords")
+      .otherwise("keep")
+  }
+
+  /** DuckDB twin of [[qualityReason]] as a single CASE expression over
+    * column (or expression) `t`. Same IEEE operations in the same
+    * order as the Column form, so the decision is bit-identical.
+    */
+  def qualityReasonSql(t: String = "text"): String = {
+    val stop = stopwords.map(s => s"'$s'").mkString(", ")
+    val nw = s"len(string_split($t, ' '))"
+    val noSpace = s"length(regexp_replace($t, ' ', '', 'g'))"
+    s"""CASE WHEN $nw < 20 THEN 'too_short'
+       |  WHEN $nw > 5000 THEN 'too_long'
+       |  WHEN CAST($noSpace AS DOUBLE)/$nw < 3.0
+       |    OR CAST($noSpace AS DOUBLE)/$nw > 12.0 THEN 'word_len'
+       |  WHEN CAST(length($t) - length(regexp_replace($t, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    /length($t) > 0.3 THEN 'symbols'
+       |  WHEN CAST(len(list_filter(string_split($t, ' '), w -> w IN ($stop))) AS DOUBLE)
+       |    /$nw < 0.01 THEN 'no_stopwords'
+       |  ELSE 'keep' END""".stripMargin
+  }
 }

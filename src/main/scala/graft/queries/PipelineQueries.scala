@@ -731,7 +731,49 @@ object PipelineQueries {
        |FROM xf ORDER BY doc_id""".stripMargin
   }
 
+  // ---- streaming curation, batch twin ----------------------------------
+
+  /** The streaming curation chain ([[graft.streaming.Streaming
+    * .curatedMix]]: retransmission dedup → quality keep-filter →
+    * windowed per-source mix report) run in BATCH mode — the SAME
+    * plan-building function, so the oracle hash-gates exactly what the
+    * stream executes (StreamingSpec separately pins stream-vs-batch
+    * agreement and checkpoint-restart). The input unions a
+    * deterministic re-emission of docs 0–24 (identical rows re-sent —
+    * a retry burst) so the gate PROVES the dedup stage collapses them:
+    * without it the report would double-count those windows.
+    */
+  def streamCurationMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val reemitted = docs.unionByName(docs.filter(col("doc_id") < 25))
+    graft.streaming.Streaming.curatedMix(
+        graft.streaming.Streaming.withDocTime(reemitted))
+      .orderBy(col("w_start"), col("source"))
+  }
+
+  private val streamCurationOracle = {
+    val epoch = graft.streaming.Streaming.DocEpoch
+    s"""WITH base AS (
+       |  SELECT * FROM documents
+       |  UNION ALL SELECT * FROM documents WHERE doc_id < 25),
+       |t AS (
+       |  SELECT doc_id, text, source, n_chars,
+       |    md5(text) AS content_hash,
+       |    ($epoch + doc_id*7) // 300 AS w_tag
+       |  FROM base),
+       |d AS (
+       |  SELECT * FROM (
+       |    SELECT t.*, row_number() OVER (
+       |      PARTITION BY content_hash, source, w_tag ORDER BY doc_id) AS rk
+       |    FROM t) WHERE rk = 1),
+       |k AS (SELECT * FROM d WHERE ${graft.operators.TextOps.qualityReasonSql("text")} = 'keep')
+       |SELECT w_tag*300 AS w_start, source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total
+       |FROM k GROUP BY w_tag, source ORDER BY w_start, source""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("stream_curation_mix", Some(streamCurationOracle), streamCurationMix),
     Q("quality_classifier", Some(qcOracle), qualityClassifier),
     Q("dsir_select", Some(dsirOracle), dsirSelect),
     Q("docs_mix_report", Some(mixReportOracle), mixReport),

@@ -31,7 +31,7 @@ object TextQueries {
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private[queries] val stopwords = Seq("the", "a", "of", "and", "to")
+  private[queries] val stopwords = TextOps.stopwords
 
   // ---- BPE subword tokenization ----------------------------------------
 
@@ -427,50 +427,19 @@ object TextQueries {
     * pipeline writes back to the corpus.
     */
   def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = TextOps.words(col("text"))
-    val nWords = size(ws)
-    val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
-    val noSpace = length(regexp_replace(col("text"), " ", ""))
-    val alnum = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
-    val avgWordLen = noSpace.cast("double") / nWords
-    val nonalnum = (length(col("text")) - alnum).cast("double") / length(col("text"))
-    val stopRatio = nStop.cast("double") / nWords
-    val reason = when(nWords < 20, "too_short")
-      .when(nWords > 5000, "too_long")
-      .when(avgWordLen < 3.0 || avgWordLen > 12.0, "word_len")
-      .when(nonalnum > 0.3, "symbols")
-      .when(stopRatio < 0.01, "no_stopwords")
-      .otherwise("keep")
     Tables.documents(spark, sfDir)
-      .select(reason.as("reason"), col("n_chars"))
+      .select(TextOps.qualityReason(col("text")).as("reason"), col("n_chars"))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
       .orderBy(col("reason"))
   }
 
-  private val funnelOracle = {
-    val stop = stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH m AS (
-       |  SELECT n_chars,
-       |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS INT) AS n_stop,
-       |    length(regexp_replace(text, ' ', '', 'g')) AS no_space,
-       |    length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS alnum,
-       |    length(text) AS len_text
-       |  FROM documents),
-       |r AS (
-       |  SELECT n_chars,
-       |    CASE WHEN n_words < 20 THEN 'too_short'
-       |         WHEN n_words > 5000 THEN 'too_long'
-       |         WHEN CAST(no_space AS DOUBLE)/n_words < 3.0
-       |           OR CAST(no_space AS DOUBLE)/n_words > 12.0 THEN 'word_len'
-       |         WHEN CAST(len_text - alnum AS DOUBLE)/len_text > 0.3 THEN 'symbols'
-       |         WHEN CAST(n_stop AS DOUBLE)/n_words < 0.01 THEN 'no_stopwords'
-       |         ELSE 'keep' END AS reason
-       |  FROM m)
+  private val funnelOracle =
+    s"""WITH r AS (
+       |  SELECT n_chars, ${TextOps.qualityReasonSql("text")} AS reason
+       |  FROM documents)
        |SELECT reason, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total
        |FROM r GROUP BY reason ORDER BY reason""".stripMargin
-  }
 
   /** Sliding-window document chunking: fixed word-budget chunks
     * (W=40) with stride S=30 (10-word overlap) — the preprocessing

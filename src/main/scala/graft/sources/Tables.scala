@@ -60,5 +60,16 @@ object Tables {
   }
 
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+
+  /** Streaming form of [[documents]]: file-source over a directory of
+    * documents parquet (new files = new micro-batch input — the shape
+    * of a landing zone that curation streams from). Event time is NOT
+    * added here; callers attach it
+    * ([[graft.streaming.Streaming.withDocTime]]).
+    */
+  def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    s.readStream.schema(schema).format("parquet").load(dir)
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -221,4 +221,78 @@ object Streaming {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
+
+  // ---- streaming corpus curation (round 6) ------------------------------
+
+  /** Synthetic-but-deterministic event time for the documents corpus:
+    * ts = 2026-01-01T00:00:00Z + doc_id·7 s (~43 docs per 5-minute
+    * window). The corpus has no ingest timestamp, and BOTH engines
+    * must derive the identical instant from doc_id for the batch twin
+    * to hash-gate — integer arithmetic, no timezone parsing.
+    */
+  val DocEpoch = 1767225600L // 2026-01-01T00:00:00Z
+  def withDocTime(docs: DataFrame): DataFrame =
+    docs.withColumn("ts", timestamp_seconds(lit(DocEpoch) + col("doc_id") * 7))
+
+  /** End-to-end streaming curation: exact dedup → quality filter →
+    * windowed corpus-mix report, as ONE streaming query with two
+    * stateful operators (Spark 4 chained-stateful support).
+    *
+    *  - dedup: `dropDuplicatesWithinWatermark` keyed on
+    *    (content md5, source, 5-minute bucket) — the retransmission
+    *    guard of an ingest pipeline. State is bounded by the
+    *    watermark horizon, NOT by corpus cardinality (the property
+    *    that keeps this viable on a 100 TB/day stream); corpus-GLOBAL
+    *    dedup remains the batch `dedup_*` family's job. Keying on
+    *    (hash, source, bucket) makes every surviving row identical in
+    *    all report-relevant columns, so the downstream report is
+    *    provably invariant to WHICH duplicate the state store keeps —
+    *    that is what lets the identical chain run as a batch query
+    *    (where the survivor is arbitrary) and still hash-gate.
+    *  - quality: [[graft.operators.TextOps.qualityReason]] == "keep" —
+    *    the same codegen'd rule set as the batch `docs_filter_funnel`.
+    *  - report: per (5-minute window, source) doc/char counts — the
+    *    corpus-mix telemetry a curation stream feeds back to sampling.
+    *
+    * Runs over a batch frame too (watermark is a no-op; the dedup
+    * switches to plain `dropDuplicates` on the same keys, which the
+    * invariance argument makes report-equivalent): one definition,
+    * two execution modes — `stream_curation_mix` is this plan run in
+    * batch mode under the DuckDB oracle.
+    */
+  def curatedMix(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val keyed = docs
+      .withWatermark("ts", watermark)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("w_tag", expr("CAST(ts AS LONG) div 300"))
+    val dedupKeys = Seq("content_hash", "source", "w_tag")
+    // dropDuplicatesWithinWatermark refuses batch frames outright, so
+    // batch mode uses plain dropDuplicates on the same keys — by the
+    // survivor-invariance argument above the two produce the identical
+    // report, which is precisely what lets one definition serve both.
+    val deduped =
+      if (docs.isStreaming) keyed.dropDuplicatesWithinWatermark(dedupKeys)
+      else keyed.dropDuplicates(dedupKeys)
+    deduped
+      .filter(graft.operators.TextOps.qualityReason(col("text")) === "keep")
+      .groupBy(window(col("ts"), "5 minutes"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
+      .select(col("window.start").cast("long").as("w_start"), col("source"),
+        col("n_docs"), col("chars_total"))
+  }
+
+  /** [[curatedMix]] as a launched streaming query with the same
+    * idempotent batch-id-keyed parquet sink as [[startPipeline]] —
+    * checkpoint-restartable, rerun-of-a-batch overwrites.
+    */
+  def startCurationPipeline(docs: DataFrame, checkpoint: String, outDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    curatedMix(docs).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
 }

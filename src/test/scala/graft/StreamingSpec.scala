@@ -340,4 +340,80 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(1).n_events == 1 && sessions(1).start == ts(10))
     } finally q.stop()
   }
+
+  test("streaming curation end-to-end: file drop → dedup → quality → mix report = batch twin") {
+    val drop = Files.createTempDirectory("graft_cdrop").toString
+    val ckpt = Files.createTempDirectory("graft_cckpt").toString
+    val out = Files.createTempDirectory("graft_cout").toString
+    java.nio.file.Files.copy(
+      new java.io.File("/root/testdata/sf0.001/documents.parquet").toPath,
+      java.nio.file.Paths.get(drop, "documents.parquet"))
+    val stream = Streaming.withDocTime(
+      graft.sources.Tables.documentsStream(spark, drop))
+    val q = Streaming.startCurationPipeline(stream, ckpt, out, Trigger.AvailableNow())
+    try { q.awaitTermination(120000) } finally q.stop()
+    val streamed = spark.read.parquet(s"$out/batch_*")
+    val batch = Streaming.curatedMix(Streaming.withDocTime(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")))
+    // Append-mode semantics: only windows the final watermark closed
+    // (watermark >= window end) were emitted
+    val wmFinal = Streaming.DocEpoch + 499 * 7 - 600
+    val want = batch.filter(col("w_start") + 300 <= wmFinal)
+    assert(streamed.count() == want.count() && want.count() > 0,
+      s"streamed ${streamed.count()} vs closed-window batch ${want.count()}")
+    val diverging = streamed.alias("s").join(want.alias("b"), Seq("w_start", "source"))
+      .filter(col("s.n_docs") =!= col("b.n_docs") ||
+        col("s.chars_total") =!= col("b.chars_total"))
+    assert(diverging.count() == 0, "streamed mix report diverges from batch twin")
+  }
+
+  test("curation restart from checkpoint: cross-run retry burst deduped, no double counts") {
+    val drop = Files.createTempDirectory("graft_rdrop").toString
+    val ckpt = Files.createTempDirectory("graft_rckpt").toString
+    val out = Files.createTempDirectory("graft_rout").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // land a single parquet FILE (not a directory) in the drop zone,
+    // the shape a file-stream source expects
+    def land(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_land").toString
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    }
+    land(docs.filter(col("doc_id") < 300), s"$drop/a.parquet")
+    val stream = Streaming.withDocTime(
+      graft.sources.Tables.documentsStream(spark, drop))
+    val q1 = Streaming.startCurationPipeline(stream, ckpt, out, Trigger.AvailableNow())
+    try { q1.awaitTermination(120000) } finally q1.stop() // "kill" mid-stream
+
+    // second landing: the remaining corpus PLUS a retry burst that
+    // re-sends docs 280-299 verbatim (their dedup state is alive: run-1
+    // watermark 1493 < their expiry ts+delay = 2560..2693)
+    land(docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") >= 280 && col("doc_id") < 300)),
+      s"$drop/b.parquet")
+    val stream2 = Streaming.withDocTime(
+      graft.sources.Tables.documentsStream(spark, drop))
+    val q2 = Streaming.startCurationPipeline(stream2, ckpt, out, Trigger.AvailableNow())
+    try { q2.awaitTermination(120000) } finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$out/batch_*")
+    // every (window, source) row exactly once across both runs
+    assert(streamed.groupBy("w_start", "source").count()
+      .filter(col("count") > 1).count() == 0, "restart duplicated report rows")
+    // and the values equal the batch twin over the UNIQUE corpus: the
+    // retry burst contributed nothing (deduped), the restart replayed
+    // nothing (checkpoint)
+    val batch = Streaming.curatedMix(Streaming.withDocTime(docs))
+    val wmFinal = Streaming.DocEpoch + 499 * 7 - 600
+    val want = batch.filter(col("w_start") + 300 <= wmFinal)
+    assert(streamed.count() == want.count(),
+      s"streamed ${streamed.count()} vs closed-window batch ${want.count()}")
+    val diverging = streamed.alias("s").join(want.alias("b"), Seq("w_start", "source"))
+      .filter(col("s.n_docs") =!= col("b.n_docs") ||
+        col("s.chars_total") =!= col("b.chars_total"))
+    assert(diverging.count() == 0,
+      "restarted curation stream diverges from unique-corpus batch twin")
+  }
 }
