@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   *
   * Env knobs: SPARK_GRAFT_PROBE_SCALE (replica count, default 10),
   * SPARK_GRAFT_PROBE_TARGETS (csv of query names, default = the full
-  * round-5 list).
+  * round-5 list), SPARK_GRAFT_PROBE_PARTITIONS (shuffle partitions,
+  * default = cpu count — the scale-out lever).
   */
 object ScaleProbe {
 
@@ -57,9 +58,14 @@ object ScaleProbe {
     val scale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "10").toInt
     val scaledDir = s"/tmp/graft_scale$scale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override: the production lever a real cluster
+    // pulls as data grows (AQE coalesces back down for cheap stages).
+    // The probe exposes it so "would more partitions absorb the spill"
+    // is a measurement, not an argument.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -196,6 +196,13 @@ object MultimodalQueries {
       .select(col("vec_id"),
         concat(l2normalize(spark, col("temb")),
           l2normalize(spark, col("iemb"))).as("emb"))
+      // localCheckpoint: this derived corpus (explode + 64-way hash
+      // aggregate + join) is scanned ~6x downstream — per Lloyd
+      // iteration in the trainer, then in the dedup assignment and
+      // join-back. Materializing it once cut the query 31 s → 19 s at
+      // sf0.1 (measured; the residue is fixed per-stage overhead that
+      // amortizes at scale); same lineage rule as quality_classifier.
+      .localCheckpoint()
     val cent = graft.operators.Quantizer
       .trainedCentroids(spark, fused, FUSE_NC, dims = 2 * TEXT_DIMS)
     graft.operators.Dedup.semanticDedup(spark, fused, cent, FUSE_EPS)

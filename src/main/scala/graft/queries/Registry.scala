@@ -59,7 +59,9 @@ object Registry {
     // join_anti/agg_group/json_extract/dedup_limit/... trimmed round 4:
     // sub-second family duplicates; every name costs ~len+11 chars of
     // the 2000-char emit window (BenchEmitSpec)
-    "join_inner_agg", "join_semi",
+    // (join_semi trimmed round 6 for multimodal_fusion_dedup — sub-
+    // second; the join family keeps join_inner_agg benched)
+    "join_inner_agg",
     "sink_roundtrip", "sink_jdbc", "udaf_weighted_avg",
     // dedup family (round 6: dedup_embedding_cosine demoted to
     // Verify-only — it is INTENTIONALLY exact all-pairs (the family's
@@ -78,8 +80,13 @@ object Registry {
     "text_quality", "text_langid", "text_fingerprint",
     "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
     "text_lm_score", "text_inverted_index",
-    // multimodal
-    "multimodal_decode", "multimodal_features",
+    // multimodal (round 6: + multimodal_fusion_dedup — the family's
+    // heavy member: trained 128-dim fused quantizer + SemDeDup;
+    // caption_topk stays Verify-only, its ADC shape is sim_ann_pq's)
+    // (stream_curation_mix stays Verify-only: its dedup + windowed-agg
+    // shapes are already benched via dedup_exact / window_tumbling,
+    // and the emit window is full)
+    "multimodal_decode", "multimodal_features", "multimodal_fusion_dedup",
     // windows
     "window_tumbling", "window_rank_topn", "window_session", "ts_gapfill",
     "events_funnel",
