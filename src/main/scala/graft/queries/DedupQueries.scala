@@ -455,6 +455,73 @@ object DedupQueries {
       |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       |FROM w GROUP BY win HAVING count(*) >= 2 ORDER BY win""".stripMargin
 
+  /** Inter-document repetition pruning (the doc-level decision built
+    * on [[substringDedup]]'s shared-window structure — the
+    * MassiveText/RefinedWeb-style "drop documents whose content is
+    * mostly duplicated elsewhere" filter): for each document, the
+    * fraction of its DISTINCT 8-gram windows that also occur in at
+    * least one OTHER document; a document is dropped when more than
+    * half its windows are shared (`2·n_shared > n_win`, kept as exact
+    * integer arithmetic so the decision is bit-identical cross-engine
+    * — no float threshold).
+    *
+    * Scale shape (100 TB): same cost class as the inverted-index
+    * build — one distinct over (doc, window), one groupBy(window)
+    * producing per-window doc counts, one join back and a per-doc
+    * aggregate. All shuffles carry (id, hash)-sized rows, never text;
+    * window doc-frequency skew (boilerplate n-grams) pre-aggregates
+    * map-side in the count. Documents shorter than the window size
+    * have no windows and are kept (LEFT join + coalesce — they carry
+    * no repetition evidence either way).
+    */
+  def interdocDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordNGrams(
+          spark, TextOps.words(col("text")), 8)).as("win"))
+      .distinct()
+    val df = w.groupBy(col("win")).agg(count(lit(1)).as("n_docs"))
+    val perDoc = w.join(df, "win")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        when(col("n_win") > 0,
+          round(col("n_shared").cast("double") / col("n_win"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("n_shared") * 2 <= col("n_win"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val interdocOracle =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |w AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(ws, st + 1, st + 8), ' ') AS win
+      |  FROM d, unnest(generate_series(0, n - 8, 1)) AS t(st)),
+      |f AS (SELECT win, count(*) AS n_docs FROM w GROUP BY win),
+      |p AS (
+      |  SELECT w.doc_id, count(*) AS n_win,
+      |    CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_shared
+      |  FROM w JOIN f USING (win) GROUP BY w.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_win, 0) AS n_win,
+      |  coalesce(p.n_shared, 0) AS n_shared,
+      |  CASE WHEN coalesce(p.n_win, 0) > 0
+      |    THEN round(CAST(p.n_shared AS DOUBLE) / p.n_win, 4)
+      |    ELSE 0.0 END AS shared_frac,
+      |  coalesce(p.n_shared, 0) * 2 <= coalesce(p.n_win, 0) AS keep
+      |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ---- SemDeDup: cluster-bucketed semantic dedup ----------------------
 
   private val SEM_NC = 16
@@ -512,6 +579,7 @@ object DedupQueries {
     Q("dedup_exact", Some(exactOracle), exact),
     Q("dedup_incremental", Some(incrementalOracle), incremental),
     Q("dedup_substring", Some(substringOracle), substringDedup),
+    Q("dedup_interdoc", Some(interdocOracle), interdocDedup),
     Q("dedup_jaccard_pairs", Some(jaccardPairsSql), jaccardPairs),
     Q("dedup_minhash_lsh", Some(jaccardPairsSql), minhashLsh),
     Q("dedup_clusters", Some(clustersOracle), clusters),

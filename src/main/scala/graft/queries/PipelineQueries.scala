@@ -92,6 +92,61 @@ object PipelineQueries {
        |  round(CAST(sum(keep) AS DOUBLE) / max(n_docs), 4) AS achieved_rate
        |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-domain quota (the hard-cap companion to [[mixTemperature]]'s
+    * rate-based rebalancing): no domain may contribute more than
+    * `floor(0.15 · corpus)` documents — the CommonCrawl-curation move
+    * that stops one giant domain from dominating the mix. `lang` plays
+    * the domain role in the synthetic schema (it is the skewed key;
+    * `source` is uniform). Selection within an over-cap domain is an
+    * exact top-`cap` by deterministic content-independent hash rank
+    * (`h60`, doc_id tie-break) — a reproducible lottery, not "first
+    * cap rows seen".
+    *
+    * Scale shape (100 TB): the cap and per-domain counts are one
+    * count aggregate broadcast back (#domains rows). The ranking
+    * window — the only sort — runs ONLY over rows of over-cap
+    * domains; under-cap domains (the long tail, the vast majority of
+    * rows under a Zipfian domain distribution) pass through on a
+    * broadcast semi-join with no sort at all. A single global window
+    * over every domain would sort the full corpus to discard almost
+    * no rows.
+    */
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val cap = counts.agg(
+      floor(sum(col("n_docs")).cast("double") * 0.15).cast("long").as("cap"))
+    val withCap = counts.crossJoin(broadcast(cap))
+    val ranked = docs
+      .join(broadcast(withCap.filter(col("n_docs") > col("cap"))
+        .select(col("lang"), col("cap"))), "lang")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(
+          TextOps.h60(concat(lit("cap_"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .filter(col("rk") <= col("cap"))
+      .select(col("doc_id"), col("lang"))
+    val pass = docs
+      .join(broadcast(withCap.filter(col("n_docs") <= col("cap"))
+        .select(col("lang"))), "lang")
+      .select(col("doc_id"), col("lang"))
+    ranked.unionByName(pass).orderBy(col("doc_id"))
+  }
+
+  private val domainCapOracle =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |cap AS (SELECT CAST(floor(CAST(sum(n_docs) AS DOUBLE) * 0.15) AS BIGINT)
+       |          AS cap FROM c),
+       |r AS (
+       |  SELECT d.doc_id, d.lang, c.n_docs, cap.cap,
+       |    row_number() OVER (PARTITION BY d.lang
+       |      ORDER BY ${TextOps.h60Sql("('cap_' || CAST(d.doc_id AS VARCHAR))")},
+       |        d.doc_id) AS rk
+       |  FROM documents d JOIN c USING (lang), cap)
+       |SELECT doc_id, lang FROM r
+       |WHERE n_docs <= cap OR rk <= cap ORDER BY doc_id""".stripMargin
+
   // ---- sequence packing -----------------------------------------------
 
   private val PackBudget = 2048
@@ -783,6 +838,7 @@ object PipelineQueries {
     Q("profile_columns", Some(profileOracle), profileColumns),
     Q("sample_stratified", Some(sampleOracle), sampleStratified),
     Q("mix_temperature", Some(mixOracle), mixTemperature),
+    Q("domain_cap", Some(domainCapOracle), domainCap),
     Q("sample_split", Some(splitOracle), sampleSplit),
     Q("contamination_check", Some(contaminationOracle), contamination),
     Q("emb_quantize", Some(quantizeOracle), embQuantize),

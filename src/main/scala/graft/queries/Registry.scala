@@ -68,9 +68,16 @@ object Registry {
     // semantics oracle; measured 15.1x wall at 10x data in the scale
     // probe) and a quadratic plan doesn't belong in the perf headline.
     // dedup_semantic is the family's sub-quadratic benched face.)
-    "dedup_exact", "dedup_substring", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+    // (dedup_substring → dedup_interdoc round 6: interdoc BUILDS the
+    // same shared-window structure then adds the doc-level join+agg —
+    // a strict cost superset, so it is the benched face; substring
+    // stays Verify-gated)
+    "dedup_exact", "dedup_interdoc", "dedup_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_keep_best", "dedup_simhash",
     "dedup_semantic",
+    // (domain_cap / text_ccnet_buckets stay Verify-only: cap's
+    // broadcast+window shape is benched via window_rank_topn, ccnet
+    // is one ntile window over the already-benched text_lm_score)
     // similarity
     "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
     "sim_ann_ivfpq",

@@ -562,7 +562,13 @@ object TextQueries {
     * count shuffle, a tiny vocab aggregate broadcast back, one per-doc
     * aggregate; the vocabulary is MBs when the corpus is TBs.
     */
-  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmPerDoc(spark, sfDir).orderBy(col("doc_id"))
+
+  /** Per-doc unigram-LM frame (doc_id, dl, avg_logprob) shared by
+    * [[lmScore]] and [[ccnetBuckets]].
+    */
+  private def lmPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     // counts feeds the vocabulary aggregate AND the scoring join —
     // persist so the corpus is tokenized once, not twice
     val counts = Tables.documents(spark, sfDir)
@@ -582,7 +588,6 @@ object TextQueries {
         sum(col("cnt") * col("lnp")).cast("double").as("s"))
       .select(col("doc_id"), col("dl"),
         round(col("s") / col("dl").cast("double"), 4).as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
 
   private val lmScoreOracle =
@@ -600,6 +605,76 @@ object TextQueries {
       |    AS avg_logprob
       |FROM c JOIN q USING (word)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data"): score every document with the in-engine LM
+    * ([[lmPerDoc]]), then split each LANGUAGE into equal head /
+    * middle / tail terciles by score — CCNet's per-language
+    * perplexity buckets, where "head" feeds training and "tail" is
+    * dropped or down-weighted. Thresholds are per-language and
+    * data-dependent (a percentile, not a constant), which is the
+    * method's point: one absolute cutoff across languages would
+    * gut low-resource ones.
+    *
+    * Determinism: bucketing orders by the ROUNDED (4 dp) score with
+    * doc_id tie-break, so both engines rank an identical key;
+    * per-bucket means are summed as exact decimals (order-free)
+    * before the final round. Scale shape (100 TB): the LM pass is
+    * [[lmScore]]'s (one (doc,word) shuffle + MB-scale broadcast
+    * vocab); the tercile split is one ntile window partitioned by
+    * language — the sort is per-language over (id, score) slim rows.
+    * A skew-prone language (en) can salt-presort, but the window
+    * carries 16-byte rows, not text.
+    */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lmPerDoc(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+    scored
+      .withColumn("b", ntile(3).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("avg_logprob").desc, col("doc_id"))))
+      .withColumn("bucket",
+        when(col("b") === 1, "head")
+          .when(col("b") === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("avg_logprob").cast("decimal(14,4)")).cast("double")
+          / count(lit(1)), 4).as("mean_logprob"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val ccnetOracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (
+      |  SELECT doc_id, word, CAST(count(*) AS DECIMAL(8,0)) AS cnt
+      |  FROM w GROUP BY doc_id, word),
+      |v AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cw FROM c GROUP BY word),
+      |t AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM v),
+      |q AS (SELECT word, CAST(ln(CAST(cw AS DOUBLE)/tot) AS DECIMAL(20,12)) AS lnp
+      |      FROM v, t),
+      |s AS (
+      |  SELECT c.doc_id,
+      |    round(CAST(sum(c.cnt * q.lnp) AS DOUBLE) / CAST(sum(c.cnt) AS DOUBLE), 4)
+      |      AS avg_logprob
+      |  FROM c JOIN q USING (word) GROUP BY c.doc_id),
+      |l AS (
+      |  SELECT s.doc_id, d.lang, s.avg_logprob
+      |  FROM s JOIN documents d USING (doc_id)),
+      |b AS (
+      |  SELECT lang, avg_logprob,
+      |    ntile(3) OVER (PARTITION BY lang
+      |      ORDER BY avg_logprob DESC, doc_id) AS b
+      |  FROM l)
+      |SELECT lang,
+      |  CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  count(*) AS n_docs,
+      |  round(CAST(sum(CAST(avg_logprob AS DECIMAL(14,4))) AS DOUBLE)
+      |    / count(*), 4) AS mean_logprob
+      |FROM b GROUP BY lang, b ORDER BY lang, bucket""".stripMargin
 
   /** Inverted-index build: word → document frequency, collection
     * frequency, and the sorted posting list — the index structure BM25
@@ -638,6 +713,7 @@ object TextQueries {
     Q("text_bpe_tokens", Some(bpeOracle), bpeTokens),
     Q("text_bm25", Some(bm25Oracle), bm25),
     Q("text_lm_score", Some(lmScoreOracle), lmScore),
+    Q("text_ccnet_buckets", Some(ccnetOracle), ccnetBuckets),
     Q("text_inverted_index", Some(invertedIndexOracle), invertedIndex),
     Q("doc_chunking", Some(chunkingOracle), docChunking),
     Q("text_repetition", Some(repetitionOracle), repetition),
