@@ -274,8 +274,60 @@ object BreadthQueries {
       |FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
       |ORDER BY l.c_custkey""".stripMargin
 
+  /** Slowly-changing-dimension type 2 from a change stream: events are
+    * read as CDC records of a per-user attribute (`event_type` stands
+    * in for the tracked attribute), consecutive no-op updates are
+    * dropped, and each surviving change becomes a versioned dimension
+    * row with a `[valid_from, valid_to)` interval and an `is_current`
+    * flag — the warehouse-standard history build that completes the
+    * mutation trio next to `merge_upsert` (SCD1) and `snapshot_diff`
+    * (CDC derivation).
+    *
+    * Plan shape: ONE hash shuffle on the dimension key; the
+    * change-detect `lag`, the `version` numbering, and the `valid_to`
+    * `lead` all share the same (partition, ordering), so Catalyst
+    * reuses a single exchange — the filter between them keeps rows
+    * inside the same partitions. No driver state, no collect: the 100
+    * TB history rebuild is this same one-shuffle window pass. Ties are
+    * impossible by construction (ordering includes the unique
+    * event_id).
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(byTime))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
+      .select(col("user_id"), col("version"), col("event_type").as("attr"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2Oracle =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, ts, event_id
+      |  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+      |ver AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM chg)
+      |SELECT user_id, version, event_type AS attr, ts AS valid_from,
+      |  valid_to, valid_to IS NULL AS is_current
+      |FROM ver ORDER BY user_id, version""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("from_json_typed", Some(fromJsonOracle), fromJsonTyped),
+    Q("scd2_history", Some(scd2Oracle), scd2History),
     Q("unpivot_metrics", Some(unpivotOracle), unpivotMetrics),
     Q("join_null_safe", Some(nullSafeOracle), joinNullSafe),
     Q("array_functions", Some(arrayOracle), arrayFunctions),

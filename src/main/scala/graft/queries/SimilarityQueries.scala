@@ -711,6 +711,100 @@ object SimilarityQueries {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  private val BQ_R = 100 // binary rerank depth (family convention)
+
+  /** Binary (sign-bit) quantization ANN: each 64-dim vector compresses
+    * to 64 BITS (bit d = [emb_d > 0]) and candidate retrieval is a
+    * LINEAR SCAN over the codes ranked by Hamming distance, followed by
+    * exact-cosine rerank of the top [[BQ_R]] — the 1-bit member of the
+    * compression family (PQ = 8 bits/subvector, binary = 1 bit/dim;
+    * sign-of-coordinate is Charikar's hyperplane family with
+    * axis-aligned planes, the "binary quantization + rescoring" mode
+    * modern vector stores ship).
+    *
+    * Scale shape vs the siblings: `sim_ann_lsh` prunes via a bucket
+    * equi-join, PQ scores via a broadcast LUT — THIS one deliberately
+    * scans all n codes per query, because the code column is 32×
+    * smaller than the raw vectors (64×4 B float → 8 B of bits; held as
+    * two 32-bit halves so each BIGINT sum stays overflow-free) and the
+    * distance is two XOR+popcounts. The scan touches ONLY the slim
+    * (vec_id, lo, hi) projection — column pruning keeps the raw
+    * embedding out of it — and full vectors are fetched for just
+    * R rows per query by a linear re-join. Per-query cost ~n popcounts
+    * vs ~n·64 multiplies for brute force; at 100 TB the code table for
+    * 1B vectors is 24 GB — scannable per executor slice, where the
+    * float vectors (256 GB) are not.
+    *
+    * The signature, Hamming ranking and rerank are all exactly
+    * replayed by the oracle (sign test + shifts + popcount are
+    * bit-identical in both engines), so this hash-gates fully.
+    */
+  def topkAnnBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def half(lo: Int): Column =
+      (0 until 32).map { j =>
+        when(col("emb").getItem(lo + j) > 0d, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+    val codes = e.select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+    val qc = codes.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val ham = bit_count(col("q_lo").bitwiseXOR(col("lo"))) +
+      bit_count(col("q_hi").bitwiseXOR(col("hi")))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("vec_id"))
+    val cands = broadcast(qc)
+      .join(codes, col("q_id") =!= col("vec_id"))
+      .withColumn("ham", ham)
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= BQ_R)
+      .select(col("q_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cos)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val binaryOracle = {
+    def halfSql(lo: Int) =
+      s"CAST(list_sum(list_transform(generate_series(0, 31), " +
+        s"j -> CASE WHEN emb[$lo + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |cd AS (SELECT vec_id, ${halfSql(0)} AS lo, ${halfSql(32)} AS hi FROM e),
+       |h AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS ham
+       |  FROM cd q JOIN cd c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS crk
+       |    FROM h) WHERE crk <= $BQ_R),
+       |s AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_dot_product(q.emb, x.emb)/(q.nrm*x.nrm) AS cosine
+       |  FROM cand c
+       |  JOIN n x ON c.vec_id = x.vec_id
+       |  JOIN n q ON c.q_id = q.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, vec_id, round(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_brute", Some(topkBruteOracle), topkBrute),
     Q("sim_ann_lsh", Some(annOracle), topkAnnLsh),
@@ -718,5 +812,6 @@ object SimilarityQueries {
     Q("sim_ann_pq", Some(pqOracle), topkAnnPq),
     Q("sim_ann_ivfpq", Some(ivfPqOracle), topkAnnIvfPq),
     Q("sim_ann_ivfpq_res", Some(ivfPqResOracle), topkAnnIvfPqRes),
+    Q("sim_ann_binary", Some(binaryOracle), topkAnnBinary),
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Enrich
 import graft.sources.Tables
@@ -214,8 +214,85 @@ object StatsQueries {
       |  round(255.0 / (CAST(hv AS DOUBLE) / 4503599627370496.0), 4) AS est_distinct
       |FROM kth""".stripMargin
 
+  private val CMS_D = 4 // depth: independent hash rows
+  private val CMS_W = 1024 // width: counters per row
+  private val CMS_TOP = 20 // probe set: exact top-N corpus words
+
+  /** Count-Min sketch word-frequency estimation over the document
+    * corpus — the frequency member of the sketch family next to KMV
+    * (distinct) and GK (quantiles). A CMS is the sketch whose merge is
+    * plain counter ADDITION, so unlike SpaceSaving/Misra-Gries its
+    * result is independent of partition/merge order — which is exactly
+    * what makes it hash-checkable cross-engine: both engines build the
+    * SAME [[CMS_D]]×[[CMS_W]] counter table (md5-derived bucket
+    * hashes) and the min-over-depths estimates agree bit-for-bit.
+    *
+    * Plan shape: one token pass exploding each word into [[CMS_D]]
+    * (depth, bucket) rows; map-side partial aggregation collapses that
+    * to ≤ D·W groups per partition BEFORE the shuffle, so the sketch
+    * state crossing the wire is ~4096 counters per partition
+    * regardless of corpus size — the canonical streaming-frequency
+    * plan at 100 TB. The probe set (exact top-[[CMS_TOP]] words) is a
+    * vocab-sized aggregate; estimates come from a broadcast join of
+    * the 4096-row counter table. `est_ge_true` asserts the CMS
+    * one-sided guarantee (estimates never undercount); the oracle
+    * replays the whole sketch, so `n_est` itself is hash-gated too,
+    * not just the bound.
+    */
+  def cmsFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextOps
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    def bucket(d: Column, w: Column): Column =
+      TextOps.h60(concat_ws("_", lit("cms"), d, w)) % CMS_W
+    val counters = toks
+      .select(col("w"), explode(typedLit((0 until CMS_D).toList)).as("d"))
+      .select(col("d"), bucket(col("d"), col("w")).as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_true").desc, col("w"))))
+      .filter(col("rank") <= CMS_TOP)
+    top
+      .select(col("rank"), col("w"), col("n_true"),
+        explode(typedLit((0 until CMS_D).toList)).as("d"))
+      .withColumn("b", bucket(col("d"), col("w")))
+      .join(broadcast(counters), Seq("d", "b"))
+      .groupBy(col("rank"), col("w"), col("n_true"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("rank"), col("w"), col("n_true"), col("n_est"),
+        (col("n_est") >= col("n_true")).as("est_ge_true"))
+      .orderBy(col("rank"))
+  }
+
+  private val cmsOracle = {
+    def bucketSql(d: String, w: String) =
+      s"${graft.operators.TextOps.h60Sql(s"('cms_'||CAST($d AS VARCHAR)||'_'||$w)")} % $CMS_W"
+    s"""WITH toks AS (
+       |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |ctr AS (
+       |  SELECT t.d, ${bucketSql("t.d", "w")} AS b, count(*) AS cnt
+       |  FROM toks CROSS JOIN generate_series(0, ${CMS_D - 1}) t(d)
+       |  GROUP BY t.d, b),
+       |top AS (
+       |  SELECT w, n_true, row_number() OVER (ORDER BY n_true DESC, w) AS rank
+       |  FROM (SELECT w, count(*) AS n_true FROM toks GROUP BY w)),
+       |est AS (
+       |  SELECT r.rank, r.w, r.n_true, min(c.cnt) AS n_est
+       |  FROM (SELECT * FROM top WHERE rank <= $CMS_TOP) r
+       |  CROSS JOIN generate_series(0, ${CMS_D - 1}) t(d)
+       |  JOIN ctr c ON c.d = t.d AND c.b = ${bucketSql("t.d", "r.w")}
+       |  GROUP BY r.rank, r.w, r.n_true)
+       |SELECT rank, w, n_true, n_est, n_est >= n_true AS est_ge_true
+       |FROM est ORDER BY rank""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("agg_median", Some(medianOracle), median),
+    Q("sketch_cms_freq", Some(cmsOracle), cmsFreq),
     Q("agg_approx_percentile", Some(approxPercentileOracle), approxPercentile),
     Q("approx_distinct_kmv", Some(kmvOracle), approxDistinctKmv),
     Q("agg_stats_exact", Some(statsOracle), stats),

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table catalog over a driver testdata scale-factor directory.
   *
@@ -30,20 +30,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long
-    * (legacy conf) and rebuild a microsecond TimestampType. The ns→µs
-    * division MUST be integral (`div`): epoch-nanos ≈ 1.7e18 exceeds
-    * a double's 2^53 exact-integer range, so `/ 1000` would corrupt
-    * timestamps.
+  /** `events.ts` normalization — the testdata's timestamp flavor has
+    * varied across driver generations and Spark 4 is strict about all
+    * of them, so handle every case here, once:
+    *  - parquet TIMESTAMP(NANOS): rejected outright
+    *    ([PARQUET_TYPE_ILLEGAL]) — read as a raw nanos long (legacy
+    *    conf) and rebuild a microsecond TimestampType. The ns→µs
+    *    division MUST be integral (`div`): epoch-nanos ≈ 1.7e18
+    *    exceeds a double's 2^53 exact-integer range, so `/ 1000`
+    *    would corrupt timestamps.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+    *    TIMESTAMP_NTZ (Spark 4 default) — NTZ can't be a watermark
+    *    event time or cast to numeric, so cast to TimestampType. The
+    *    session timezone is pinned UTC everywhere, so the wall-clock
+    *    values (what the oracle compares) are unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(apply(s, d, "events"))
   }
+
+  private def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => raw
+    }
   /** Streaming form of [[events]]: file-source over a directory of
     * events parquet, with the same ns→µs timestamp rebuild. The
     * directory is the streaming unit (new files = new micro-batch
@@ -52,11 +64,9 @@ object Tables {
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(dir).schema // ts arrives as nanos long
+    val rawSchema = s.read.parquet(dir).schema // nanos long or µs NTZ
     val raw = s.readStream.schema(rawSchema).format("parquet").load(dir)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(raw)
   }
 
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

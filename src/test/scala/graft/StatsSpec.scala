@@ -51,4 +51,27 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Double]("p50_exact") > 0)
     }
   }
+
+  test("sketch_cms_freq: one-sided guarantee and CMS error envelope") {
+    val rows = StatsQueries.cmsFreq(spark, sfDir).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val totalTokens = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_true"); val e = r.getAs[Long]("n_est")
+      // CMS never undercounts: every counter the word addresses holds
+      // its own count plus non-negative collision mass
+      assert(r.getAs[Boolean]("est_ge_true"), s"undercount: $r")
+      assert(e >= t && e <= totalTokens)
+      // per-row expected overcount is N/W; min over 4 independent rows
+      // staying under 8·N/W is a loose deterministic-data envelope
+      // (measured: top words collide with ~0-2 small words here)
+      assert(e - t <= 8L * totalTokens / 1024L, s"overcount beyond envelope: $r")
+    }
+    // ranking by exact count is descending
+    val trues = rows.map(_.getAs[Long]("n_true")).toSeq
+    assert(trues == trues.sorted.reverse)
+  }
 }
