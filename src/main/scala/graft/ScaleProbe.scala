@@ -135,7 +135,11 @@ object ScaleProbe {
       "dedup_jaccard_pairs", "dedup_simhash", "dedup_clusters",
       "dedup_clusters_star", "dedup_minhash_lsh",
       "dedup_embedding_cosine", "dedup_semantic", "sim_ann_pq",
-      "sim_ann_ivfpq", "dsir_select")
+      "sim_ann_ivfpq", "dsir_select",
+      // round 6 additions: the 1-bit code linear scan (cost ∝ n per
+      // query — the probe checks the slim-scan claim) and the CMS
+      // counter build (fixed 4×1024 state regardless of corpus/vocab)
+      "sim_ann_binary", "sketch_cms_freq")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)

@@ -78,8 +78,11 @@ object Registry {
     // (domain_cap / text_ccnet_buckets stay Verify-only: cap's
     // broadcast+window shape is benched via window_rank_topn, ccnet
     // is one ntile window over the already-benched text_lm_score)
-    // similarity
-    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
+    // similarity (round 6: sim_ann_ivf → sim_ann_binary — ivf's
+    // probed-cells scan shape is a subset of the benched sim_ann_ivfpq
+    // (cells + ADC), so it stays Verify-gated; binary's slim-code
+    // popcount linear scan is a NEW physical shape worth timing)
+    "sim_topk_brute", "sim_ann_lsh", "sim_ann_binary", "sim_ann_pq",
     "sim_ann_ivfpq",
     // text analysis (round 6: + text_bpe_tokens — learned-vocab
     // subword tokenization, the family's heaviest member)

@@ -251,10 +251,15 @@ object StatsQueries {
       .select(col("w"), explode(typedLit((0 until CMS_D).toList)).as("d"))
       .select(col("d"), bucket(col("d"), col("w")).as("b"))
       .groupBy(col("d"), col("b")).agg(count(lit(1)).as("cnt"))
+    // top-N via orderBy+limit (TakeOrderedAndProject: per-partition
+    // partial top-N, never a single-partition sort of the whole vocab —
+    // the 100× probe caught the global-window form shipping every
+    // distinct word to one task); rank re-derived over the 20 survivors
     val top = toks.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("w"))
+      .limit(CMS_TOP)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n_true").desc, col("w"))))
-      .filter(col("rank") <= CMS_TOP)
     top
       .select(col("rank"), col("w"), col("n_true"),
         explode(typedLit((0 until CMS_D).toList)).as("d"))

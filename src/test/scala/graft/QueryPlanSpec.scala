@@ -260,6 +260,42 @@ class QueryPlanSpec extends SparkSpec {
       "BROADCAST hint ignored")
   }
 
+  test("sim_ann_binary: one slim code scan, rerank joins broadcast, no cartesian") {
+    val p = plan("sim_ann_binary")
+    val s = p.toString
+    // candidate generation is the 5-query-code broadcast against the
+    // corpus code scan (a BroadcastNestedLoopJoin over ~24-byte rows —
+    // the deliberate linear scan); everything downstream of the top-R
+    // filter joins by key
+    val bnl = s.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnl == 1, s"expected exactly 1 code-scan BNLJ, got $bnl:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in plan:\n$s")
+    // the full-vector rerank fetch is keyed (hash join), never a scan
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"rerank join not keyed:\n$s")
+  }
+
+  test("scd2_history: change-detect, versioning and intervals share one user_id shuffle") {
+    val p = plan("scd2_history")
+    // count in the tree string: AQE's wrapper hides inner nodes from collect()
+    val hashEx = p.toString.split("Exchange hashpartitioning").length - 1
+    // lag + row_number + lead all run over (user_id, ts, event_id):
+    // Catalyst reuses a single hash exchange; only the presentation
+    // orderBy adds a range exchange on top
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("sketch_cms_freq: counter state partial-aggregates map-side, estimates join broadcast") {
+    val p = plan("sketch_cms_freq").toString
+    // the D×W counter table must collapse BEFORE its shuffle (the
+    // whole point of a mergeable sketch) and be broadcast to the probes
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"counter join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-keyed join in plan:\n$p")
+  }
+
   test("window_session_native plans MergingSessions with map-side partials, no window pass") {
     val p = plan("window_session_native").toString
     // the built-in sessionization lowers to partial HashAggregate →
