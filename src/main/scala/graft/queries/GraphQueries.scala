@@ -151,7 +151,90 @@ object GraphQueries {
        |FROM r5 ORDER BY word""".stripMargin
   }
 
+  /** Triangle counting over the same word co-occurrence graph — the
+    * ordered-edge (node-iterator) algorithm, the canonical distributed
+    * formulation (Suri & Vassilvitskii, WWW 2011 "Counting Triangles
+    * and the Curse of the Last Reducer"):
+    *  1. canonicalize each undirected edge to (u < v), distinct;
+    *  2. wedges: self-join edges on the LOWEST endpoint u with v < w —
+    *     every triangle {u,v,w} (u<v<w) generates its single wedge at
+    *     its minimum vertex, so no triangle is double-counted;
+    *  3. close: equi-join wedge (v, w) against the edge list.
+    * Both joins are key-equi-joins (shuffle on u, then on (v, w)) —
+    * no cartesian, no per-node adjacency materialized in memory. The
+    * wedge count is Σ_u C(deg_min(u), 2): ordering wedges at the
+    * minimum vertex is exactly the trick that tames the high-degree
+    * "last reducer" (a hub's wedges only form over its HIGHER-id
+    * neighbors). At 100 TB degree skew beyond that is handled the
+    * same way as `join_skew_salted` (salt the hub's wedge build).
+    *
+    * Output: per-word triangle participation for the top 20 words
+    * (TakeOrdered, not a global window) + the constant global total —
+    * each triangle credits all three corners.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val grams = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.GraftFunctions.wordNGrams(spark, ws, 2)).as("g"))
+    val pairs = grams
+      .select(split(col("g"), " ").getItem(0).as("a"),
+        split(col("g"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = pairs
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val wedges = edges.as("e1").join(edges.as("e2"), col("e1.u") === col("e2.u"))
+      .filter(col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("t_u"), col("e1.v").as("t_v"), col("e2.v").as("t_w"))
+    val tris = wedges.join(edges,
+      col("t_v") === col("u") && col("t_w") === col("v"))
+      .select(col("t_u"), col("t_v"), col("t_w"))
+    val perNode = tris
+      .select(explode(array(col("t_u"), col("t_v"), col("t_w"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_tri"))
+    val total = tris.agg(count(lit(1)).as("total_tri"))
+    perNode
+      .orderBy(col("n_tri").desc, col("word"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tri").desc, col("word"))))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("n_tri"), col("total_tri"))
+      .orderBy(col("rank"))
+  }
+
+  private val trianglesOracle =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT ws[st + 1] AS a, ws[st + 2] AS b
+      |  FROM d, unnest(generate_series(0, n - 2, 1)) AS t(st)
+      |  WHERE ws[st + 1] <> ws[st + 2]),
+      |e AS (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM bg),
+      |w AS (
+      |  SELECT e1.u AS t_u, e1.v AS t_v, e2.v AS t_w
+      |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+      |tri AS (
+      |  SELECT t_u, t_v, t_w FROM w JOIN e ON w.t_v = e.u AND w.t_w = e.v),
+      |pn AS (
+      |  SELECT word, count(*) AS n_tri FROM (
+      |    SELECT t_u AS word FROM tri
+      |    UNION ALL SELECT t_v FROM tri
+      |    UNION ALL SELECT t_w FROM tri)
+      |  GROUP BY word),
+      |top AS (SELECT word, n_tri FROM pn ORDER BY n_tri DESC, word LIMIT 20),
+      |tot AS (SELECT count(*) AS total_tri FROM tri)
+      |SELECT row_number() OVER (ORDER BY n_tri DESC, word) AS rank,
+      |  word, n_tri, total_tri
+      |FROM top, tot ORDER BY rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("graph_pagerank", Some(pagerankOracle), pagerank),
+    Q("graph_triangles", Some(trianglesOracle), triangles),
   )
 }

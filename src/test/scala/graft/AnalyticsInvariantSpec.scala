@@ -175,6 +175,36 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("graph_triangles matches a driver-side brute-force count") {
+    val out = GraphQueries.triangles(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = out.head.getLong(3)
+    // independent ground truth: rebuild the canonical edge set in plain
+    // Scala (test-scale vocab is tiny) and enumerate vertex triples
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val edges = scala.collection.mutable.Set[(String, String)]()
+    texts.foreach { t =>
+      t.split(" ").sliding(2).foreach {
+        case Array(x, y) if x != y =>
+          edges += (if (x < y) (x, y) else (y, x)); ()
+        case _ => ()
+      }
+    }
+    val es = edges.toSet
+    val verts = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triples = verts.combinations(3).filter {
+      case Seq(a, b, c) => es((a, b)) && es((a, c)) && es((b, c))
+      case _ => false
+    }.toSeq
+    assert(total == triples.size.toLong, s"total $total != brute ${triples.size}")
+    // per-corner credit: spot-check the top word against the enumeration
+    val perNode = triples.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val top = out.head
+    assert(perNode(top.getString(1)) == top.getLong(2).toInt,
+      s"top word ${top.getString(1)} credit mismatch")
+  }
+
   test("dedup_semantic: every cluster keeps at least one representative") {
     import spark.implicits._
     val removed = DedupQueries.semanticDedup(spark, sf)
