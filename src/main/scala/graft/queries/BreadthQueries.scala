@@ -325,9 +325,66 @@ object BreadthQueries {
       |  valid_to, valid_to IS NULL AS is_current
       |FROM ver ORDER BY user_id, version""".stripMargin
 
+  /** Point-in-time dimension lookup — the consuming half of
+    * [[scd2History]]: enrich each event with the dimension version
+    * that was valid AT its timestamp (`valid_from <= ts < valid_to`,
+    * open current row matches everything after its start). This is
+    * what an SCD2 table is FOR; pairing it with the build closes the
+    * loop the way `join_asof` closes the trades/quotes loop.
+    *
+    * Plan shape: equi-join on the dimension key with the interval
+    * predicate as a residual filter — per-key histories are short
+    * (versions per user), so the hash/SMJ on `user_id` is the right
+    * plan at any scale; the interval residual evaluates per matched
+    * pair, never as a range scan. Every event matches exactly one
+    * version by construction (intervals partition each user's
+    * timeline from their first change), asserted by the row count
+    * staying = events-with-history.
+    *
+    * The probed events are offset by +1 second so lookups land
+    * strictly INSIDE intervals, exercising the half-open boundary
+    * rule rather than only hitting `ts = valid_from` rows.
+    */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2History(spark, sfDir)
+      .select(col("user_id"), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"))
+    val probes = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        (col("ts") + expr("INTERVAL 1 SECOND")).as("at_ts"))
+    probes.join(dim, Seq("user_id"))
+      .filter(col("valid_from") <= col("at_ts") &&
+        (col("valid_to").isNull || col("at_ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("at_ts"),
+        col("version"), col("attr"))
+      .orderBy(col("event_id"))
+  }
+
+  private val scd2LookupOracle =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, ts, event_id
+      |  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+      |dim AS (
+      |  SELECT user_id, event_type AS attr, ts AS valid_from,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM chg),
+      |probes AS (
+      |  SELECT event_id, user_id, ts + INTERVAL 1 SECOND AS at_ts FROM events)
+      |SELECT p.event_id, p.user_id, p.at_ts, d.version, d.attr
+      |FROM probes p JOIN dim d ON p.user_id = d.user_id
+      |WHERE d.valid_from <= p.at_ts
+      |  AND (d.valid_to IS NULL OR p.at_ts < d.valid_to)
+      |ORDER BY p.event_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("from_json_typed", Some(fromJsonOracle), fromJsonTyped),
     Q("scd2_history", Some(scd2Oracle), scd2History),
+    Q("scd2_lookup", Some(scd2LookupOracle), scd2Lookup),
     Q("unpivot_metrics", Some(unpivotOracle), unpivotMetrics),
     Q("join_null_safe", Some(nullSafeOracle), joinNullSafe),
     Q("array_functions", Some(arrayOracle), arrayFunctions),

@@ -175,6 +175,14 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("scd2_lookup: every event resolves to exactly one dimension version") {
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    val looked = graft.queries.BreadthQueries.scd2Lookup(spark, sf)
+    assert(looked.count() == nEvents, "interval partition violated")
+    // and the resolved (event -> version) is unique per event
+    assert(looked.select(col("event_id")).distinct().count() == nEvents)
+  }
+
   test("graph_triangles matches a driver-side brute-force count") {
     val out = GraphQueries.triangles(spark, sf).collect()
     assert(out.nonEmpty)
