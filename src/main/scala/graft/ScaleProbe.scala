@@ -137,9 +137,13 @@ object ScaleProbe {
       "dedup_embedding_cosine", "dedup_semantic", "sim_ann_pq",
       "sim_ann_ivfpq", "dsir_select",
       // round 6 additions: the 1-bit code linear scan (cost ∝ n per
-      // query — the probe checks the slim-scan claim) and the CMS
-      // counter build (fixed 4×1024 state regardless of corpus/vocab)
-      "sim_ann_binary", "sketch_cms_freq")
+      // query — the probe checks the slim-scan claim), the CMS
+      // counter build (fixed 4×1024 state regardless of corpus/vocab),
+      // and triangle counting (disjoint replica vocabularies ⇒ the
+      // graph is `scale` disjoint copies: wedge/triangle structure
+      // grows exactly linearly — a clean throughput probe for the
+      // two-join wedge-close plan)
+      "sim_ann_binary", "sketch_cms_freq", "graph_triangles")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)

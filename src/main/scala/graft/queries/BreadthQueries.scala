@@ -53,6 +53,49 @@ object BreadthQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Higher-order-function surface: lambda-taking array functions
+    * (`transform`, `filter`, `aggregate`, `zip_with`, `exists`,
+    * `forall`) over the embedding vectors, each paired with its DuckDB
+    * `list_*` twin. HOFs run INTERPRETED in Spark (lambdas never enter
+    * whole-stage codegen — the reason the hot paths here use native
+    * expressions like [[graft.functions.CosineSimilarity]] instead:
+    * see TextOps.shingles3's note), so this query pins their
+    * SEMANTICS; the plan-shape lesson lives with the native kernels.
+    * The `aggregate` fold accumulates left-to-right in both engines —
+    * the same sequential-order guarantee [[graft.operators.Dedup.dot]]
+    * relies on — so even the float fold hash-matches.
+    */
+  def arrayHof(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        round(expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"), 6)
+          .as("sumsq_fold"),
+        size(expr("filter(CAST(embedding AS ARRAY<DOUBLE>), x -> x > 0)")).as("n_pos"),
+        round(element_at(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x))"), 1), 6)
+          .as("abs_first"),
+        round(element_at(
+          expr("zip_with(CAST(embedding AS ARRAY<DOUBLE>), reverse(CAST(embedding AS ARRAY<DOUBLE>)), (a, b) -> a * b)"), 1), 6)
+          .as("palindrome_prod_first"),
+        expr("exists(CAST(embedding AS ARRAY<DOUBLE>), x -> x > 0.2)").as("any_big"),
+        expr("forall(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x) < 1.0)").as("all_unit"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val hofOracle =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), emb),
+      |        (acc, x) -> acc + x * x), 6) AS sumsq_fold,
+      |  CAST(len(list_filter(emb, x -> x > 0)) AS INT) AS n_pos,
+      |  round(list_transform(emb, x -> abs(x))[1], 6) AS abs_first,
+      |  round(emb[1] * emb[len(emb)], 6) AS palindrome_prod_first,
+      |  len(list_filter(emb, x -> x > 0.2)) > 0 AS any_big,
+      |  len(list_filter(emb, x -> abs(x) >= 1.0)) = 0 AS all_unit
+      |FROM e ORDER BY vec_id""".stripMargin
+
   private val arrayOracle =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -388,6 +431,7 @@ object BreadthQueries {
     Q("unpivot_metrics", Some(unpivotOracle), unpivotMetrics),
     Q("join_null_safe", Some(nullSafeOracle), joinNullSafe),
     Q("array_functions", Some(arrayOracle), arrayFunctions),
+    Q("array_hof", Some(hofOracle), arrayHof),
     Q("null_handling", Some(nullOracle), nullHandling),
     Q("ansi_safe_casts", Some(ansiSafeOracle), ansiSafeCasts),
     Q("window_partition_avg", Some(windowAvgOracle), windowPartitionAvg),

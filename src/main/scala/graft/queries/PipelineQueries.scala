@@ -50,6 +50,41 @@ object PipelineQueries {
        |  < (CASE WHEN lang = 'en' THEN 60 ELSE 25 END)
        |ORDER BY doc_id""".stripMargin
 
+  /** Consistent (coordinated) bottom-k sample: the k documents with
+    * the smallest content-id hashes. Unlike rate-based membership
+    * ([[sampleStratified]]), bottom-k yields an EXACTLY-k uniform
+    * sample that is a pure function of the ids — identical across
+    * engines, reruns, partitionings and cluster sizes, and MERGEABLE:
+    * bottom-k of a union = bottom-k of the per-shard bottom-ks, so a
+    * 1000-executor corpus samples with O(k) state per partition and
+    * one O(k)-row final merge (TakeOrdered — the same plan top-N
+    * uses). This is the sampling twin of the KMV distinct sketch
+    * (`approx_distinct_kmv`): same bottom-k state, read as a sample
+    * rather than as a cardinality estimator. The rank column makes
+    * prefix-subsampling free: rows with rank <= j are exactly the
+    * bottom-j sample — nested samples for scaling-law ladders.
+    */
+  def sampleBottomK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.h60(concat(lit("bk_"), col("doc_id").cast("string"))).as("hv"))
+      .orderBy(col("hv"), col("doc_id"))
+      .limit(100)
+      .withColumn("rank", row_number().over(Window.orderBy(col("hv"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("source"), col("hv"))
+  }
+
+  private val bottomkOracle =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, source,
+       |    ${TextOps.h60Sql("('bk_' || CAST(doc_id AS VARCHAR))")} AS hv
+       |  FROM documents),
+       |bk AS (SELECT * FROM h ORDER BY hv, doc_id LIMIT 100)
+       |SELECT row_number() OVER (ORDER BY hv, doc_id) AS rank,
+       |  doc_id, lang, source, hv
+       |FROM bk ORDER BY rank""".stripMargin
+
   /** Temperature-style source rebalancing: each source is kept at
     * rate `min(1, K/sqrt(count))` — big sources are downsampled
     * toward sqrt-proportional mass (the T5/data-mixing move), small
@@ -837,6 +872,7 @@ object PipelineQueries {
     Q("dq_expectations", Some(dqOracle), dqExpectations),
     Q("profile_columns", Some(profileOracle), profileColumns),
     Q("sample_stratified", Some(sampleOracle), sampleStratified),
+    Q("sample_bottomk", Some(bottomkOracle), sampleBottomK),
     Q("mix_temperature", Some(mixOracle), mixTemperature),
     Q("domain_cap", Some(domainCapOracle), domainCap),
     Q("sample_split", Some(splitOracle), sampleSplit),

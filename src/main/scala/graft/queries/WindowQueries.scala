@@ -374,6 +374,45 @@ object WindowQueries {
       |UNION ALL SELECT '3_purchase_after', count(*) FROM t3
       |ORDER BY step""".stripMargin
 
+  /** Last-touch attribution: every purchase is credited to the most
+    * recent PRIOR non-purchase event of the same user (the standard
+    * marketing-attribution rule); purchases with no prior touchpoint
+    * are credited "organic". One window over the same per-user
+    * (ts, event_id) ordering every events analysis here shares —
+    * `last(..., ignoreNulls) OVER (rows unbounded preceding → 1
+    * preceding)` — then a small channel aggregate with an exact-
+    * decimal revenue sum. Same single-shuffle scale shape as
+    * [[eventsTransitions]].
+    */
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("organic")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(Enrich.exactSum(col("value")), 4).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  private val attributionOracle =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, 'organic') AS channel,
+      |  count(*) AS n_purchases,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY channel ORDER BY channel""".stripMargin
+
   /** Next-event transition matrix (first-order Markov over user
     * sessions): per user, events ordered by time, each consecutive
     * (event_type → next_event_type) pair counted, with the row-
@@ -466,6 +505,7 @@ object WindowQueries {
 
   def queries: Seq[Q] = Seq(
     Q("ts_gapfill", Some(gapfillOracle), tsGapfill),
+    Q("events_attribution", Some(attributionOracle), eventsAttribution),
     Q("events_funnel", Some(funnelStepsOracle), eventsFunnel),
     Q("events_transitions", Some(transitionsOracle), eventsTransitions),
     Q("events_retention", Some(retentionOracle), eventsRetention),
