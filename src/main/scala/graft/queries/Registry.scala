@@ -123,5 +123,12 @@ object Registry {
     // emit window is full)
     "mix_temperature", "dsir_select", "emb_centroids", "merge_upsert",
     "agg_histogram", "snapshot_diff", "dq_expectations", "graph_pagerank",
+    // (round-6 additions that stay Verify-only — the emit window is
+    // full and each one's perf shape is already benched or probed:
+    // sketch_cms_freq / graph_triangles carry 100× ScaleProbe
+    // datapoints (7.2× / 6.9× wall, zero spill); scd2_history +
+    // scd2_lookup are the window_session / join_inner_agg shapes;
+    // events_attribution is one window + small agg; sample_bottomk is
+    // TakeOrdered; array_hof is a narrow interpreted-HOF scan)
   )
 }
