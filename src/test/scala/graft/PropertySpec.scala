@@ -128,6 +128,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sample_bottomk is mergeable: bottom-k of shards merges to the global sample") {
+    // the docstring's O(k)-mergeable-state claim, checked directly:
+    // bottom-k(corpus) == bottom-k(merge of per-shard bottom-ks)
+    import graft.operators.TextOps
+    val hv = TextOps.h60(concat(lit("bk_"), col("doc_id").cast("string")))
+    val hashed = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), hv.as("hv"))
+    val global = graft.queries.PipelineQueries.sampleBottomK(spark, sf)
+      .collect().map(r => (r.getLong(4), r.getLong(1))) // (hv, doc_id)
+    val merged = (0 until 3).flatMap { shard =>
+      hashed.filter(col("doc_id") % 3 === shard)
+        .orderBy(col("hv"), col("doc_id")).limit(100)
+        .collect().map(r => (r.getLong(1), r.getLong(0))) // (hv, doc_id)
+    }.sorted.take(100)
+    assert(global.toSeq == merged, "shard-merged bottom-k diverges from global")
+  }
+
   test("dedupFirst is idempotent, keys unique, first-wins by order column") {
     val listGen = Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0, 100)))
