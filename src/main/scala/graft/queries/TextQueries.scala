@@ -708,6 +708,69 @@ object TextQueries {
       |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       |FROM c GROUP BY word ORDER BY word""".stripMargin
 
+  /** Per-document attribute table (the Dolma/RefinedWeb "attributes
+    * file" pattern): every quality predicate evaluated INDEPENDENTLY
+    * as its own boolean column — unlike [[TextOps.qualityReason]]'s
+    * cascade, which reports only the FIRST failure — plus the failure
+    * count, the keep decision, and the cascade reason for
+    * cross-consistency (`first_reason = 'keep'` ⟺ `n_fail = 0`,
+    * which the oracle hash implicitly pins on every row). Auditable
+    * curation needs this shape: downstream consumers re-filter with
+    * DIFFERENT thresholds without re-reading the corpus, and filter
+    * regressions diff attribute-by-attribute instead of corpus-level
+    * keep rates. One narrow scan, no shuffle until the presentation
+    * sort; identical IEEE sub-expressions to the shared quality
+    * filter, so the flags hash-match the SQL twins.
+    */
+  def docsAttributes(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val ws = TextOps.words(t)
+    val nWords = size(ws)
+    val noSpace = length(regexp_replace(t, " ", ""))
+    val alnum = length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    val avgWordLen = noSpace.cast("double") / nWords
+    val nonalnum = (length(t) - alnum).cast("double") / length(t)
+    val nStop = size(filter(ws, w => w.isInCollection(TextOps.stopwords)))
+    val stopRatio = nStop.cast("double") / nWords
+    val flags = Seq(
+      (nWords < 20).as("too_short"),
+      (nWords > 5000).as("too_long"),
+      (avgWordLen < 3.0 || avgWordLen > 12.0).as("word_len"),
+      (nonalnum > 0.3).as("symbols"),
+      (stopRatio < 0.01).as("no_stopwords"))
+    val nFail = flags.map(_.cast("int")).reduce(_ + _)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: flags :+
+        nFail.as("n_fail") :+
+        (nFail === 0).as("keep") :+
+        TextOps.qualityReason(t).as("first_reason"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val attributesOracle = {
+    val stop = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+    val nw = "len(string_split(text, ' '))"
+    val noSpace = "length(regexp_replace(text, ' ', '', 'g'))"
+    val awl = s"CAST($noSpace AS DOUBLE)/$nw"
+    val nonal = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)/length(text)"
+    val stopR = s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS DOUBLE)/$nw"
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    $nw < 20 AS too_short,
+       |    $nw > 5000 AS too_long,
+       |    ($awl < 3.0 OR $awl > 12.0) AS word_len,
+       |    $nonal > 0.3 AS symbols,
+       |    $stopR < 0.01 AS no_stopwords,
+       |    ${TextOps.qualityReasonSql()} AS first_reason
+       |  FROM documents)
+       |SELECT doc_id, too_short, too_long, word_len, symbols, no_stopwords,
+       |  CAST(too_short AS INT) + CAST(too_long AS INT) + CAST(word_len AS INT)
+       |    + CAST(symbols AS INT) + CAST(no_stopwords AS INT) AS n_fail,
+       |  NOT (too_short OR too_long OR word_len OR symbols OR no_stopwords) AS keep,
+       |  first_reason
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
     Q("text_bpe_tokens", Some(bpeOracle), bpeTokens),
@@ -719,6 +782,7 @@ object TextQueries {
     Q("text_repetition", Some(repetitionOracle), repetition),
     Q("docs_filter_funnel", Some(funnelOracle), filterFunnel),
     Q("text_quality", Some(qualityOracle), quality),
+    Q("docs_attributes", Some(attributesOracle), docsAttributes),
     Q("text_langid", Some(langIdOracle), langId),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
     Q("text_pii_redact", Some(piiOracle), piiRedact),
