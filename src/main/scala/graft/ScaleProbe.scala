@@ -108,6 +108,22 @@ object ScaleProbe {
     embScaled.write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
     System.err.println(s"[probe] embeddings: $maxVid vecs -> ${maxVid * scale} vecs")
 
+    // Scaled events: replica k offsets user_id and event_id; the
+    // timestamps are left unchanged, so each replica's per-user
+    // orderings, sessions and validity intervals equal the original's
+    // exactly (users are disjoint across replicas ⇒ window/SCD2/
+    // transition outputs scale linearly by construction) — the events
+    // family's analog of the disjoint-vocabulary document replicas.
+    val evBase = graft.sources.Tables.events(spark, sfDir)
+    val maxUid = evBase.agg(max(col("user_id"))).head.getLong(0) + 1
+    val maxEid = evBase.agg(max(col("event_id"))).head.getLong(0) + 1
+    val evScaled = (0 until scale).map { k =>
+      evBase.withColumn("user_id", col("user_id") + lit(k * maxUid))
+        .withColumn("event_id", col("event_id") + lit(k * maxEid))
+    }.reduce(_ unionByName _)
+    evScaled.write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
+    System.err.println(s"[probe] events: ${evBase.count()} -> ${spark.read.parquet(s"$scaledDir/events.parquet").count()} rows")
+
     // dedup_semantic probes with the quantizer the corpus size calls
     // for: SemDeDup's cost is assignment (n*NC cosines, brute-force
     // against a broadcast codebook) + within-cell pairs (~n²/NC), so a
@@ -143,7 +159,11 @@ object ScaleProbe {
       // graph is `scale` disjoint copies: wedge/triangle structure
       // grows exactly linearly — a clean throughput probe for the
       // two-join wedge-close plan)
-      "sim_ann_binary", "sketch_cms_freq", "graph_triangles")
+      "sim_ann_binary", "sketch_cms_freq", "graph_triangles",
+      // events-family coverage (scaled via disjoint user replicas):
+      // the SCD2 single-shuffle window build, the native session
+      // aggregation, and the attribution window+agg
+      "scd2_history", "window_session_native", "events_attribution")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)
