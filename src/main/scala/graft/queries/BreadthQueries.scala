@@ -335,21 +335,9 @@ object BreadthQueries {
     * impossible by construction (ordering includes the unique
     * event_id).
     */
-  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
-    val byTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val changes = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("prev", lag(col("event_type"), 1).over(byTime))
-      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-    changes
-      .withColumn("version", row_number().over(byTime))
-      .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
-      .select(col("user_id"), col("version"), col("event_type").as("attr"),
-        col("ts").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scd2.history(Tables.events(spark, sfDir))
       .orderBy(col("user_id"), col("version"))
-  }
 
   private val scd2Oracle =
     """WITH ordered AS (

@@ -295,4 +295,59 @@ object Streaming {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
+
+  /** Incremental SCD2 maintenance over a change stream — the
+    * streaming form of [[graft.operators.Scd2.history]] (incremental
+    * view maintenance, the pattern a warehouse uses so the dimension
+    * is always current without nightly full rebuilds).
+    *
+    * Per micro-batch:
+    *  1. append the batch's raw changes to the accumulated change log
+    *     (`accDir` — the streaming analog of the events table);
+    *  2. find the state BUCKETS (`user_id % 16`) containing touched
+    *     users — history is per-user, so only their buckets can
+    *     change;
+    *  3. rebuild history for those buckets only, from the
+    *     accumulated log filtered to them;
+    *  4. DYNAMIC partition overwrite of `stateDir`: only the rebuilt
+    *     bucket partitions are replaced; untouched buckets' files are
+    *     not rewritten (or even read).
+    * Per-batch work is thus proportional to touched buckets, not
+    * dimension size — at 100 TB the bucket count scales up and a
+    * batch touching k users rewrites ≤ k partitions. Restart-safe:
+    * the change-log append is idempotent per batch via a batch-id
+    * subdirectory, so a replayed micro-batch overwrites its own
+    * append instead of duplicating it, and the state rebuild is a
+    * pure function of the log.
+    */
+  def maintainScd2(events: DataFrame, checkpoint: String,
+      accDir: String, stateDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        // idempotent append: a replayed batch overwrites its own slice
+        batch.write.mode("overwrite").parquet(s"$accDir/batch_$batchId")
+        val touched = batch
+          .select(graft.operators.Scd2.bucketOf(col("user_id")).as("bucket"))
+          .distinct().collect().map(_.getLong(0))
+        batch.unpersist()
+        if (touched.nonEmpty) {
+          val acc = spark.read.parquet(s"$accDir/batch_*")
+            .withColumn("bucket", graft.operators.Scd2.bucketOf(col("user_id")))
+            .filter(col("bucket").isin(touched.toSeq: _*))
+          val rebuilt = graft.operators.Scd2.history(acc.drop("bucket"))
+            .withColumn("bucket", graft.operators.Scd2.bucketOf(col("user_id")))
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "dynamic")
+          try rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
+          finally spark.conf.set(key, prev.getOrElse("static"))
+        }
+      }
+      .start()
 }

@@ -416,4 +416,72 @@ class StreamingSpec extends SparkSpec {
     assert(diverging.count() == 0,
       "restarted curation stream diverges from unique-corpus batch twin")
   }
+
+  test("incremental SCD2 maintenance equals the batch rebuild; untouched buckets untouched") {
+    // three sequential change-file drops; after each AvailableNow run
+    // the maintained state must equal Scd2.history over all changes
+    // seen so far — incremental view maintenance, checkpoint-continued
+    val drop = Files.createTempDirectory("graft_scd2drop").toString
+    val ckpt = Files.createTempDirectory("graft_scd2ckpt").toString
+    val acc = Files.createTempDirectory("graft_scd2acc").toString
+    val state = Files.createTempDirectory("graft_scd2state").toString
+    val all = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+
+    def drops(i: Int): Unit = // thirds by event_id: arbitrary arrival slices
+      all.filter(col("event_id") % 3 === i)
+        .write.parquet(s"$drop/chunk_$i")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = Streaming.maintainScd2(stream, ckpt, acc, state,
+        Trigger.AvailableNow())
+      try q.awaitTermination(120000) finally q.stop()
+    }
+
+    def stateRows() = spark.read.parquet(state).drop("bucket")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+    def wantRows(upTo: Int) = graft.operators.Scd2.history(
+      all.filter(col("event_id") % 3 <= upTo))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+    drops(0); runOnce()
+    assert(stateRows() == wantRows(0), "state after drop 1 diverges")
+    drops(1); runOnce()
+    assert(stateRows() == wantRows(1), "state after drop 2 diverges")
+    drops(2); runOnce()
+    assert(stateRows() == wantRows(2), "state after drop 3 diverges")
+
+    // dynamic-overwrite proof: a drop touching ONE user must rewrite
+    // only that user's bucket partition — every other bucket's files
+    // keep their mtimes
+    val theUser = 7L
+    val theBucket = theUser % graft.operators.Scd2.NBuckets
+    def bucketMtimes(): Map[String, Long] =
+      new java.io.File(state).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max)
+        .toMap
+    val before = bucketMtimes()
+    import spark.implicits._
+    val extra = Seq((1000000L, new java.sql.Timestamp(1735689600000L),
+      theUser, "late_change", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    extra.write.parquet(s"$drop/chunk_extra")
+    runOnce()
+    val after = bucketMtimes()
+    before.foreach { case (b, m) =>
+      if (b != s"bucket=$theBucket")
+        assert(after(b) == m, s"untouched $b was rewritten")
+    }
+    assert(after(s"bucket=$theBucket") > before(s"bucket=$theBucket"),
+      "touched bucket not rewritten")
+    val wantFinal = graft.operators.Scd2.history(all.unionByName(extra))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(stateRows() == wantFinal, "state after targeted drop diverges")
+  }
 }
