@@ -296,6 +296,20 @@ class QueryPlanSpec extends SparkSpec {
       s"non-keyed join in plan:\n$p")
   }
 
+  test("rank-filtered top-N windows get WindowGroupLimit pushdown") {
+    // Spark's InferWindowGroupLimit turns `filter(row_number() <= k)`
+    // into a per-partition group-limit BEFORE the full window sort —
+    // at scale each map task forwards only k rows per key instead of
+    // its whole partition. Pin it for the top-N paths so a refactor
+    // (e.g. filtering on a derived column) can't silently lose it.
+    // (dedup_keep_best intentionally has no rank FILTER — it emits a
+    // keep flag for every row — so the rewrite correctly can't apply.)
+    for (q <- Seq("window_rank_topn", "sim_topk_brute", "sim_ann_binary")) {
+      assert(plan(q).toString.contains("WindowGroupLimit"),
+        s"$q lost the WindowGroupLimit pushdown")
+    }
+  }
+
   test("window_session_native plans MergingSessions with map-side partials, no window pass") {
     val p = plan("window_session_native").toString
     // the built-in sessionization lowers to partial HashAggregate →
