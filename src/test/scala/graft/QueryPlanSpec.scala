@@ -296,6 +296,22 @@ class QueryPlanSpec extends SparkSpec {
       s"non-keyed join in plan:\n$p")
   }
 
+  test("document scans prune to exactly the columns each query touches") {
+    def readSchema(name: String): String = {
+      val l = plan(name).collectLeaves().head.toString
+      l.substring(l.indexOf("ReadSchema")).takeWhile(_ != '\n')
+    }
+    // the coordinated sample never reads the wide text payload — at
+    // 100 TB that is the difference between sampling a catalog and
+    // scanning a corpus
+    assert(readSchema("sample_bottomk")
+      .contains("struct<doc_id:bigint,lang:string,source:string>"),
+      s"sample_bottomk reads more than it needs: ${readSchema("sample_bottomk")}")
+    // the attribute table needs text (it computes on it) and nothing else
+    assert(readSchema("docs_attributes").contains("struct<doc_id:bigint,text:string>"),
+      s"docs_attributes scan not pruned: ${readSchema("docs_attributes")}")
+  }
+
   test("rank-filtered top-N windows get WindowGroupLimit pushdown") {
     // Spark's InferWindowGroupLimit turns `filter(row_number() <= k)`
     // into a per-partition group-limit BEFORE the full window sort —
