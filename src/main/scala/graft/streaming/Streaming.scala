@@ -302,51 +302,61 @@ object Streaming {
     * is always current without nightly full rebuilds).
     *
     * Per micro-batch:
-    *  1. append the batch's raw changes to the accumulated change log
-    *     (`accDir` — the streaming analog of the events table);
+    *  1. idempotent append of the batch's raw changes to the
+    *     accumulated change log at `accDir`, PARTITIONED BY
+    *     (bucket, slice) — a replayed batch dynamic-overwrites
+    *     exactly its own partitions ([[Scd2Log.appendSlice]]);
     *  2. find the state BUCKETS (`user_id % 16`) containing touched
     *     users — history is per-user, so only their buckets can
     *     change;
-    *  3. rebuild history for those buckets only, from the
-    *     accumulated log filtered to them;
+    *  3. rebuild history for those buckets only, reading ONLY the
+    *     touched buckets' log directories ([[Scd2Log.touchedLog]]
+    *     builds the read from explicit paths — untouched buckets'
+    *     files are never listed or opened, so per-batch read work is
+    *     O(touched log), not O(total history));
     *  4. DYNAMIC partition overwrite of `stateDir`: only the rebuilt
     *     bucket partitions are replaced; untouched buckets' files are
-    *     not rewritten (or even read).
+    *     not rewritten (or even read);
+    *  5. compact any touched bucket that exceeds `compactAfter` log
+    *     slices into one slice ([[Scd2Log.compact]]), so file-listing
+    *     cost per bucket is bounded for the stream's lifetime.
     * Per-batch work is thus proportional to touched buckets, not
-    * dimension size — at 100 TB the bucket count scales up and a
-    * batch touching k users rewrites ≤ k partitions. Restart-safe:
-    * the change-log append is idempotent per batch via a batch-id
-    * subdirectory, so a replayed micro-batch overwrites its own
-    * append instead of duplicating it, and the state rebuild is a
-    * pure function of the log.
+    * dimension size or stream age — at 100 TB the bucket count scales
+    * up and a batch touching k users reads/rewrites ≤ k partitions.
+    * Restart-safe twice over: appends are idempotent per (bucket,
+    * slice), and the rebuild dedupes the log on `event_id`, so even a
+    * crash inside compaction (slice written, inputs not yet deleted)
+    * cannot corrupt state. [[Scd2Log.verifyStreamIdentity]] fails
+    * fast if `accDir` belongs to a different checkpoint lineage
+    * (fresh checkpoint ⇒ batch ids restart at 0 ⇒ silent clobber).
     */
   def maintainScd2(events: DataFrame, checkpoint: String,
       accDir: String, stateDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      compactAfter: Int = Scd2Log.DefaultCompactAfter): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        Scd2Log.verifyStreamIdentity(spark, checkpoint, accDir)
         batch.persist()
-        // idempotent append: a replayed batch overwrites its own slice
-        batch.write.mode("overwrite").parquet(s"$accDir/batch_$batchId")
+        Scd2Log.appendSlice(
+          batch.withColumn("bucket", graft.operators.Scd2.bucketOf(col("user_id"))),
+          accDir, batchId)
         val touched = batch
           .select(graft.operators.Scd2.bucketOf(col("user_id")).as("bucket"))
-          .distinct().collect().map(_.getLong(0))
+          .distinct().collect().map(_.getLong(0)).toSeq
         batch.unpersist()
         if (touched.nonEmpty) {
-          val acc = spark.read.parquet(s"$accDir/batch_*")
-            .withColumn("bucket", graft.operators.Scd2.bucketOf(col("user_id")))
-            .filter(col("bucket").isin(touched.toSeq: _*))
+          val acc = Scd2Log.touchedLog(spark, accDir, touched)
           val rebuilt = graft.operators.Scd2.history(acc.drop("bucket"))
             .withColumn("bucket", graft.operators.Scd2.bucketOf(col("user_id")))
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val prev = spark.conf.getOption(key)
-          spark.conf.set(key, "dynamic")
-          try rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
-          finally spark.conf.set(key, prev.getOrElse("static"))
+          Scd2Log.withDynamicOverwrite(spark) {
+            rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
+          }
+          Scd2Log.compact(spark, accDir, touched, batchId, compactAfter)
         }
       }
       .start()

@@ -456,32 +456,114 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows() == wantRows(2), "state after drop 3 diverges")
 
     // dynamic-overwrite proof: a drop touching ONE user must rewrite
-    // only that user's bucket partition — every other bucket's files
-    // keep their mtimes
+    // only that user's bucket partition — every other bucket keeps the
+    // IDENTICAL file set (names + lengths; dynamic overwrite always
+    // emits fresh file names, so an untouched name set proves no
+    // rewrite — robust against coarse mtime granularity)
     val theUser = 7L
     val theBucket = theUser % graft.operators.Scd2.NBuckets
-    def bucketMtimes(): Map[String, Long] =
-      new java.io.File(state).listFiles()
+    def bucketFiles(dir: String): Map[String, Set[(String, Long)]] =
+      new java.io.File(dir).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
         .map(d => d.getName ->
-          d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max)
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length)).toSet)
         .toMap
-    val before = bucketMtimes()
+    val before = bucketFiles(state)
     import spark.implicits._
     val extra = Seq((1000000L, new java.sql.Timestamp(1735689600000L),
       theUser, "late_change", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     extra.write.parquet(s"$drop/chunk_extra")
     runOnce()
-    val after = bucketMtimes()
-    before.foreach { case (b, m) =>
+    val after = bucketFiles(state)
+    before.foreach { case (b, files) =>
       if (b != s"bucket=$theBucket")
-        assert(after(b) == m, s"untouched $b was rewritten")
+        assert(after(b) == files, s"untouched $b was rewritten")
     }
-    assert(after(s"bucket=$theBucket") > before(s"bucket=$theBucket"),
+    assert(after(s"bucket=$theBucket") != before(s"bucket=$theBucket"),
       "touched bucket not rewritten")
     val wantFinal = graft.operators.Scd2.history(all.unionByName(extra))
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(stateRows() == wantFinal, "state after targeted drop diverges")
+
+    // read-scoping proof: the 1-user rebuild read ONLY that user's
+    // bucket directory of the change log — _last_read (the operator's
+    // per-batch telemetry) lists the exact files the rebuild scanned
+    val lastRead = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(acc, "_last_read"))).split("\n").filter(_.nonEmpty)
+    assert(lastRead.nonEmpty, "rebuild recorded no files")
+    assert(lastRead.forall(_.contains(s"/bucket=$theBucket/")),
+      s"1-user rebuild read outside bucket=$theBucket: " +
+        lastRead.filterNot(_.contains(s"/bucket=$theBucket/")).mkString(", "))
+    // and the untouched buckets' log slices exist but were not listed
+    assert(new java.io.File(acc).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket=")) > 1,
+      "log should span multiple buckets for the scoping proof to bite")
+  }
+
+  test("SCD2 change-log compaction bounds slices per bucket; state invariant") {
+    // many 1-user batches against a tiny compactAfter: slice count per
+    // bucket must stay bounded and the maintained state must remain a
+    // pure function of the accumulated (deduped) log
+    val drop = Files.createTempDirectory("graft_scd2cdrop").toString
+    val ckpt = Files.createTempDirectory("graft_scd2cckpt").toString
+    val acc = Files.createTempDirectory("graft_scd2cacc").toString
+    val state = Files.createTempDirectory("graft_scd2cstate").toString
+    import spark.implicits._
+    val user = 3L // all drops hit bucket 3
+    def change(i: Int) = Seq((i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+      user, s"state_$i", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(change(0).schema)
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = Streaming.maintainScd2(stream, ckpt, acc, state,
+        Trigger.AvailableNow(), compactAfter = 2)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    (0 until 7).foreach { i => change(i).write.parquet(s"$drop/chunk_$i"); runOnce() }
+    val bucketDir = new java.io.File(s"$acc/bucket=$user")
+    val slices = bucketDir.listFiles().filter(_.getName.startsWith("slice=")).map(_.getName)
+    assert(slices.length <= 3, // compactAfter + the post-compaction append
+      s"compaction failed to bound slices: ${slices.mkString(", ")}")
+    assert(slices.exists(_.startsWith("slice=c")), "no compacted slice present")
+    val got = spark.read.parquet(state).drop("bucket")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val want = graft.operators.Scd2.history(
+      (0 until 7).map(change).reduce(_ unionByName _))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(got == want, "state diverges from batch rebuild after compaction")
+  }
+
+  test("SCD2 log refuses a fresh checkpoint against an existing accDir") {
+    val drop = Files.createTempDirectory("graft_scd2gdrop").toString
+    val ckpt1 = Files.createTempDirectory("graft_scd2gckpt1").toString
+    val ckpt2 = Files.createTempDirectory("graft_scd2gckpt2").toString
+    val acc = Files.createTempDirectory("graft_scd2gacc").toString
+    val state = Files.createTempDirectory("graft_scd2gstate").toString
+    import spark.implicits._
+    val rows = Seq((1L, new java.sql.Timestamp(1700000000000L), 5L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$drop/chunk_0")
+    def runWith(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(rows.schema)
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = Streaming.maintainScd2(stream, ckpt, acc, state, Trigger.AvailableNow())
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    runWith(ckpt1) // seeds acc with ckpt1's stream id
+    // same checkpoint again: fine (restart of the same lineage)
+    rows.write.parquet(s"$drop/chunk_1")
+    runWith(ckpt1)
+    // FRESH checkpoint, existing log: batch ids restart at 0 and would
+    // clobber the log's early slices — must fail fast instead
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runWith(ckpt2)
+    }
+    def rootChain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).map(rootChain).getOrElse(Nil)
+    assert(rootChain(err).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected IllegalStateException in cause chain, got $err")
   }
 }
