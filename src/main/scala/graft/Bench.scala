@@ -73,6 +73,11 @@ object Bench {
     val cpuCount = Runtime.getRuntime.availableProcessors
     System.err.println(
       f"[bench] registry=${queries.Registry.all.size} headline=${queries.Registry.headline.size} cpus=$cpuCount loadavg_start=$loadAvg%.1f")
+    // the emitted JSON uses short keys (see emit below); print the
+    // code=name table up front so every bench artifact is
+    // self-describing from its own stderr, independent of BASELINE.md
+    System.err.println("[bench] aliases: " + queries.Registry.benchAlias.toSeq
+      .sortBy(_._2).map { case (n, a) => s"$a=$n" }.mkString(" "))
 
     // Results land here as they complete so the shutdown hook can emit a
     // partial line at any instant. LinkedHashMap keeps registry order.
@@ -82,12 +87,17 @@ object Bench {
     def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
       import scala.jdk.CollectionConverters._
       val rs = done.asScala.toSeq
-      // 2-decimal values: the driver parses this line out of the last
-      // 2000 chars of output — full double precision overflowed that
-      // window in round 3 (parsed: null). BenchEmitSpec pins the budget.
-      val qs = rs.map { case (k, v) => f""""$k":$v%.2f""" }
+      // 2-decimal values + SHORT per-query keys (Registry.benchAlias,
+      // round 7): the driver parses this line out of the last 2000
+      // chars of output — full double precision overflowed that window
+      // in round 3 (parsed: null), and full names left only 13 chars
+      // of headroom by round 6. The alias table is in BASELINE.md and
+      // on stderr above; names without a code (SPARK_GRAFT_ALL local
+      // runs) emit unabbreviated. BenchEmitSpec pins the budget.
+      def key(k: String) = queries.Registry.benchAlias.getOrElse(k, k)
+      val qs = rs.map { case (k, v) => f""""${key(k)}":$v%.2f""" }
         .mkString("{", ",", "}")
-      val sk = skipped.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val sk = skipped.asScala.map("\"" + key(_) + "\"").mkString("[", ",", "]")
       val total = rs.map(_._2).sum
       val part = if (partial) ""","partial":true""" else ""
       println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"skipped":$sk$part,"sf":"$sfDir"}""")

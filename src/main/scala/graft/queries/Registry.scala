@@ -131,4 +131,57 @@ object Registry {
     // events_attribution is one window + small agg; sample_bottomk is
     // TakeOrdered; array_hof is a narrow interpreted-HOF scan)
   )
+
+  /** Short stable keys for the bench JSON line (round 7).
+    *
+    * Why: the driver parses the bench line out of the LAST 2000 chars
+    * of captured output, and full query names cost ~name+11 chars each
+    * — at 67 headline names the worst-case line ran within 13 chars of
+    * BenchEmitSpec's 1800-char bound, so every addition forced a
+    * trim-swap (three in round 6 alone). Emitting these 3–4-char codes
+    * cuts the worst case to ~1100 chars: ~700 chars of headroom, ≈ 45
+    * more queries before the window matters again.
+    *
+    * Contract: one code per headline name, injective (BenchEmitSpec),
+    * STABLE once published — codes are append-only so BENCH_r{N}.json
+    * stays comparable across rounds; the full table is documented in
+    * BASELINE.md (spec-enforced) and printed to stderr by every bench
+    * run. Names outside this map (SPARK_GRAFT_ALL local runs) emit
+    * unabbreviated.
+    */
+  val benchAlias: Map[String, String] = Map(
+    "flagship_enrich" -> "fla", "standardise_books" -> "std",
+    "enrich_books" -> "enr", "dedup_limit" -> "dlm",
+    "join_inner_agg" -> "jin", "sink_roundtrip" -> "srt",
+    "sink_jdbc" -> "sjd", "udaf_weighted_avg" -> "uwa",
+    "dedup_exact" -> "dex", "dedup_interdoc" -> "did",
+    "dedup_jaccard_pairs" -> "dja", "dedup_minhash_lsh" -> "dmh",
+    "dedup_clusters" -> "dcl", "dedup_keep_best" -> "dkb",
+    "dedup_simhash" -> "dsi", "dedup_semantic" -> "dse",
+    "sim_topk_brute" -> "stk", "sim_ann_lsh" -> "sal",
+    "sim_ann_binary" -> "sab", "sim_ann_pq" -> "sap",
+    "sim_ann_ivfpq" -> "sai", "text_bpe_tokens" -> "tbp",
+    "text_quality" -> "tqu", "text_langid" -> "tla",
+    "text_fingerprint" -> "tfp", "text_ngram_vocab" -> "tng",
+    "text_repetition" -> "tre", "doc_chunking" -> "dch",
+    "text_bm25" -> "tbm", "text_lm_score" -> "tlm",
+    "text_inverted_index" -> "tii", "multimodal_decode" -> "mmd",
+    "multimodal_features" -> "mmf", "multimodal_fusion_dedup" -> "mfd",
+    "window_tumbling" -> "wtu", "window_rank_topn" -> "wrk",
+    "window_session" -> "wse", "ts_gapfill" -> "tsg",
+    "events_funnel" -> "evf", "sink_partitioned" -> "spt",
+    "join_skew_salted" -> "jsk", "join_bucketed" -> "jbk",
+    "zorder_cluster" -> "zor", "contamination_check" -> "cck",
+    "pack_sequences" -> "pks", "sql_tpch_q3" -> "tq3",
+    "sql_tpch_q5" -> "tq5", "sql_tpch_q6" -> "tq6",
+    "sql_tpch_q10" -> "tq10", "sql_tpch_q18" -> "tq18",
+    "agg_tpch_q1" -> "tq1", "rollup_agg" -> "rol",
+    "source_json_roundtrip" -> "sjr", "agg_median" -> "amd",
+    "agg_stats_exact" -> "ase", "ddl_catalog" -> "ddl",
+    "join_asof_native" -> "jas", "join_fuzzy_dict" -> "jfz",
+    "approx_distinct_kmv" -> "kmv", "mix_temperature" -> "mxt",
+    "dsir_select" -> "dsr", "emb_centroids" -> "emc",
+    "merge_upsert" -> "mup", "agg_histogram" -> "ahg",
+    "snapshot_diff" -> "snd", "dq_expectations" -> "dqe",
+    "graph_pagerank" -> "gpr")
 }

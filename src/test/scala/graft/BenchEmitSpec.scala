@@ -21,16 +21,43 @@ class BenchEmitSpec extends AnyFunSuite {
   }
 
   test("worst-case emitted JSON line fits the driver's 2000-char tail") {
-    // Worst case: every query reports the watchdog ceiling (330.00 → 6
-    // chars; allow 7 for a hypothetical 1000.00), all queries present,
-    // none skipped, plus the partial flag.
+    // Worst case: every query reports beyond the watchdog ceiling
+    // (9999.99 → 7 chars), all queries present, none skipped, plus the
+    // partial flag — keys are the short benchAlias codes Bench emits
+    // (round 7: full names left 13 chars of headroom and every
+    // addition forced a trim-swap).
     val entries = Registry.headline
-      .map(n => "\"" + n + "\":" + "9999.99").mkString("{", ",", "}")
+      .map(n => "\"" + Registry.benchAlias(n) + "\":" + "9999.99")
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":999999.99,"unit":"sec","queries":$entries,"skipped":[],"partial":true,"sf":"/root/testdata/sf0.1"}"""
-    // 1800 leaves 200 chars of margin for a stray log line after ours.
-    assert(line.length < 1800,
-      s"emit line worst-case ${line.length} chars — trim Registry.headline")
+    // 1600 keeps ≥200 chars of headroom below the 1800 working bound
+    // (itself 200 under the window, for a stray log line after ours):
+    // new headline queries must not require trim-swaps again.
+    assert(line.length < 1600,
+      s"emit line worst-case ${line.length} chars — shorten benchAlias codes")
+  }
+
+  test("benchAlias: total, injective, short, and documented in BASELINE.md") {
+    val missing = Registry.headline.filterNot(Registry.benchAlias.contains)
+    assert(missing.isEmpty, s"headline names without a bench alias: $missing")
+    val codes = Registry.benchAlias.values.toSeq
+    assert(codes.distinct.size === codes.size, {
+      val dup = codes.groupBy(identity).filter(_._2.size > 1).keys
+      s"duplicate alias codes: $dup"
+    })
+    assert(codes.forall(c => c.nonEmpty && c.length <= 4),
+      s"alias codes must stay ≤4 chars: ${codes.filter(_.length > 4)}")
+    // the emitted keys are only useful if the judge/driver can decode
+    // them: BASELINE.md must carry every pair (Bench also prints the
+    // table to stderr per run)
+    val baseline = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")))
+    val undocumented = Registry.benchAlias.toSeq.filterNot {
+      case (name, code) => baseline.contains(s"`$code`=`$name`")
+    }
+    assert(undocumented.isEmpty,
+      s"bench aliases missing from BASELINE.md: ${undocumented.map(_._2).sorted}")
   }
 
   test("headline covers every family and all known heavy hitters") {
