@@ -38,6 +38,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC everywhere (the Tables.normalizeTs docstring's claim): a
+      // non-UTC host must not shift NTZ-parquet instants in the bench
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -66,6 +66,10 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+      // UTC everywhere (the Tables.normalizeTs docstring's claim):
+      // scaled-events replicas written by this probe on a non-UTC host
+      // must carry the same instants a UTC run would produce
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -66,7 +66,8 @@ object BreadthQueries {
     * relies on — so even the float fold hash-matches.
     */
   def arrayHof(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = col("embedding").cast("array<double>")
+    // lambdas force expr() strings here, so each projection spells the
+    // cast inline — a Scala-side `emb` binding cannot reach into them
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         round(expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"), 6)
