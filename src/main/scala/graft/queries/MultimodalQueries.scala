@@ -17,16 +17,20 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
-  /** documents → typed media assets: modality from id, payload bytes. */
+  /** documents → typed media assets: REAL container bytes (BMP / WAV /
+    * Y4M — [[graft.operators.Multimodal.MediaFixtures]]), generated
+    * deterministically from (doc_id, n_chars) so the oracle can
+    * predict what a correct PARSER must recover from them.
+    */
   def assets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("asset_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
-        col("text").cast("binary").as("payload"))
-      .as[Asset]
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        Asset(id, Multimodal.MediaFixtures.kindOf(id),
+          Multimodal.MediaFixtures.payloadFor(id, nChars))
+      })
   }
 
   private val kindSql =
@@ -34,59 +38,94 @@ object MultimodalQueries {
       |     WHEN doc_id % 3 = 1 THEN 'audio'
       |     ELSE 'video' END""".stripMargin
 
+  /** The fixture dimension formulas, shared by both oracles (the
+    * DuckDB mirror of [[Multimodal.MediaFixtures.payloadFor]]).
+    */
+  private val dimsSql =
+    s"""d AS (
+       |  SELECT doc_id, n_chars, $kindSql AS kind,
+       |    16 + doc_id % 13 AS iw, 8 + n_chars % 7 AS ih,
+       |    64 + n_chars % 64 AS an, 8000 + (doc_id % 8) * 1000 AS asr,
+       |    8 + doc_id % 6 AS vw, 4 + n_chars % 5 AS vh, 2 + doc_id % 3 AS vf
+       |  FROM documents)""".stripMargin
+
   /** Decode stage: one codec per partition (the mapInPandas batch
-    * shape), streaming rows through it.
+    * shape), streaming rows through a REAL parser of the container
+    * bytes — header offsets, endianness, row padding, chunk walks and
+    * plane layout all on the hash-gated path.
     */
   def decode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     assets(spark, sfDir)
       .mapPartitions { it =>
-        val codec = new Multimodal.FakeCodec // per-partition, not per-row
+        val codec = new Multimodal.MediaCodec // per-partition, not per-row
         it.map(codec.decode)
       }
       .toDF()
       .orderBy(col("asset_id"))
   }
 
+  /** The oracle predicts what the parser must RECOVER: header fields
+    * and exact byte counts per container layout (BMP 54-byte header +
+    * padded rows; WAV 44-byte RIFF/PCM preamble; Y4M ASCII header +
+    * 6-byte FRAME markers + C444 planes).
+    */
   private val decodeOracle =
-    s"""SELECT doc_id AS asset_id, $kindSql AS kind,
-       |  CAST(length(text) AS INT) AS n_bytes,
-       |  CAST(16 + CAST('0x'||substr(md5(text),1,4) AS INT) % 1024 AS INT) AS width,
-       |  CAST(16 + CAST('0x'||substr(md5(text),5,4) AS INT) % 1024 AS INT) AS height,
-       |  md5(text) AS checksum
-       |FROM documents ORDER BY asset_id""".stripMargin
+    s"""WITH $dimsSql
+       |SELECT doc_id AS asset_id, kind,
+       |  CASE kind WHEN 'image' THEN 'bmp' WHEN 'audio' THEN 'wav' ELSE 'y4m' END AS container,
+       |  CAST(CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN 0 ELSE vw END AS INT) AS width,
+       |  CAST(CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 0 ELSE vh END AS INT) AS height,
+       |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN an ELSE vf END AS INT) AS n_frames,
+       |  CAST(CASE kind WHEN 'audio' THEN asr ELSE 0 END AS INT) AS sample_rate,
+       |  CAST(CASE kind
+       |    WHEN 'image' THEN 54 + ((iw*3 + 3)//4)*4 * ih
+       |    WHEN 'audio' THEN 44 + an*2
+       |    ELSE length('YUV4MPEG2 W' || vw || ' H' || vh || ' F25:1 Ip A1:1 C444' || chr(10))
+       |         + vf * (6 + 3*vw*vh)
+       |  END AS INT) AS n_bytes
+       |FROM d ORDER BY asset_id""".stripMargin
 
-  /** Feature-extraction stage: fixed-shape histogram features + a
-    * stride-16 "frame sample" digest, again one codec per partition.
+  /** Feature-extraction stage over the DECODED value stream (pixels /
+    * samples / plane bytes — headers and row padding excluded, which
+    * is exactly what makes these aggregates a parser gate).
     */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     assets(spark, sfDir)
       .mapPartitions { it =>
-        val codec = new Multimodal.FakeCodec
+        val codec = new Multimodal.MediaCodec
         it.map(codec.features)
       }
       .toDF()
       .orderBy(col("asset_id"))
   }
 
-  private def classCount(re: String) =
-    s"CAST(length(text) - length(regexp_replace(text, '$re', '', 'g')) AS BIGINT)"
-
+  /** The oracle re-evaluates the fixture value formulas symbolically
+    * (list comprehensions over the pixel/sample index space) — Spark
+    * must arrive at the same numbers by parsing the actual bytes.
+    */
   private val featuresOracle =
-    s"""SELECT doc_id AS asset_id,
-       |  ${classCount("[a-e]")} AS f0,
-       |  ${classCount("[f-j]")} AS f1,
-       |  ${classCount("[k-o]")} AS f2,
-       |  ${classCount("[p-t]")} AS f3,
-       |  ${classCount("[u-z]")} AS f4,
-       |  ${classCount(" ")} AS f5,
-       |  ${classCount("[0-9]")} AS f6,
-       |  ${classCount("[^a-z0-9 ]")} AS f7,
-       |  md5(array_to_string(list_transform(
-       |    generate_series(0, (length(text)-1)//16),
-       |    i -> substr(text, CAST(i*16+1 AS INT), 1)), '')) AS sample_md5
-       |FROM documents ORDER BY asset_id""".stripMargin
+    s"""WITH $dimsSql,
+       |vals AS (
+       |  SELECT doc_id, kind,
+       |    CASE kind
+       |      WHEN 'image' THEN flatten(list_transform(range(0, ih), y ->
+       |          flatten(list_transform(range(0, iw), x ->
+       |            list_transform(range(0, 3), c -> (x*7 + y*13 + c*31 + doc_id) % 256)))))
+       |      WHEN 'audio' THEN list_transform(range(0, an), t -> (t*17 + doc_id) % 256)
+       |      ELSE flatten(list_transform(range(0, vf), f ->
+       |          flatten(list_transform(range(0, 3), p ->
+       |            flatten(list_transform(range(0, vh), y ->
+       |              list_transform(range(0, vw), x -> (x*3 + y*5 + f*11 + p*17 + doc_id) % 256)))))))
+       |    END AS v
+       |  FROM d)
+       |SELECT doc_id AS asset_id, kind,
+       |  CAST(len(v) AS INT) AS n_values,
+       |  CAST(list_aggregate(v, 'sum') AS BIGINT) AS v_sum,
+       |  CAST(list_aggregate(v, 'max') AS INT) AS v_max,
+       |  CAST(len(list_filter(v, x -> x >= 128)) AS BIGINT) AS n_high
+       |FROM vals ORDER BY asset_id""".stripMargin
 
   // ---- cross-modal retrieval / fusion dedup (round 6) ------------------
 

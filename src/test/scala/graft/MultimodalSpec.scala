@@ -5,42 +5,129 @@ import graft.operators.Multimodal.Asset
 import graft.queries.MultimodalQueries
 import org.apache.spark.sql.functions._
 
-/** The stub codec's contract: deterministic, byte-exact, and the batch
-  * shape of the mapPartitions pipeline.
+/** The media codec's contract: REAL parsers of the public container
+  * layouts, pinned against hand-assembled golden bytes (independent of
+  * the fixture encoder), plus the batch shape of the mapPartitions
+  * pipeline.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+  import java.nio.{ByteBuffer, ByteOrder}
 
-  private val codec = new Multimodal.FakeCodec
+  private val codec = new Multimodal.MediaCodec
 
-  test("decode is deterministic and md5-derived") {
-    val a = Asset(7L, "image", "hello world".getBytes("UTF-8"))
-    val d1 = codec.decode(a)
-    val d2 = codec.decode(a)
-    assert(d1 == d2)
-    assert(d1.checksum == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
-    assert(d1.n_bytes == 11)
-    assert(d1.width >= 16 && d1.width < 16 + 1024)
+  /** Hand-assembled 24-bit BMP straight from the published layout —
+    * NOT via MediaFixtures, so encoder and parser can't share a bug.
+    * `topDown=false` stores rows bottom-up (positive height), the
+    * format's default; pixels are (y, x, B,G,R) triplets in TOP-DOWN
+    * logical order either way.
+    */
+  private def goldenBmp(w: Int, h: Int, topDown: Boolean,
+      px: Array[Byte]): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val b = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val rows = if (topDown) 0 until h else (h - 1) to 0 by -1
+    rows.foreach { y =>
+      b.put(px, y * w * 3, w * 3)
+      (w * 3 until stride).foreach(_ => b.put(0xEE.toByte)) // junk padding
+    }
+    b.array
   }
 
-  test("feature histogram buckets cover every byte exactly once") {
-    val payload = "abc xyz 019 !?".getBytes("UTF-8")
-    val f = codec.features(Asset(1L, "audio", payload))
-    val total = f.f0 + f.f1 + f.f2 + f.f3 + f.f4 + f.f5 + f.f6 + f.f7
-    assert(total == payload.length)
-    assert(f.f0 == 3) // a,b,c
-    assert(f.f4 == 3) // x,y,z
-    assert(f.f5 == 3) // spaces
-    assert(f.f6 == 3) // 0,1,9
-    assert(f.f7 == 2) // !,?
+  test("BMP parser: header fields, bottom-up raster, padding excluded") {
+    val px = Array.tabulate(12)(i => (i + 1).toByte) // 2x2, BGR triplets 1..12
+    val d = codec.decode(Asset(1L, "image", goldenBmp(2, 2, topDown = false, px)))
+    assert((d.container, d.width, d.height, d.n_frames, d.n_bytes) ==
+      ("bmp", 2, 2, 1, 70))
+    val f = codec.features(Asset(1L, "image", goldenBmp(2, 2, topDown = false, px)))
+    // sum 1..12 = 78; the 0xEE junk padding bytes must NOT be counted
+    assert((f.n_values, f.v_sum, f.v_max, f.n_high) == (12, 78L, 12, 0L))
+    // negative height = top-down raster: same logical pixels, same stats
+    val fTop = codec.features(Asset(1L, "image", goldenBmp(2, 2, topDown = true, px)))
+    assert((fTop.n_values, fTop.v_sum, fTop.v_max) == (12, 78L, 12))
+  }
+
+  test("WAV parser: chunk walk past extra chunks, word-aligned, PCM16 LE") {
+    val b = ByteBuffer.allocate(12 + (8 + 4) + (8 + 16) + (8 + 6))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + 12 + 24 + 14).put("WAVE".getBytes)
+    b.put("LIST".getBytes).putInt(3) // odd-length chunk: walker must pad
+      .put("abc".getBytes).put(0.toByte)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(6).putShort(100).putShort(-5).putShort(300)
+    val d = codec.decode(Asset(2L, "audio", b.array))
+    assert((d.container, d.n_frames, d.sample_rate) == ("wav", 3, 8000))
+    val f = codec.features(Asset(2L, "audio", b.array))
+    assert((f.n_values, f.v_sum, f.v_max, f.n_high) == (3, 395L, 300, 1L))
+  }
+
+  test("Y4M parser: ASCII header tags, FRAME markers, C444 planes") {
+    val bytes = "YUV4MPEG2 W2 H1 F25:1 Ip A1:1 C444\n".getBytes ++
+      "FRAME\n".getBytes ++ Array.tabulate(6)(i => (i + 1).toByte) ++
+      "FRAME\n".getBytes ++ Array.tabulate(6)(i => (i + 7).toByte)
+    val d = codec.decode(Asset(3L, "video", bytes))
+    assert((d.container, d.width, d.height, d.n_frames) == ("y4m", 2, 1, 2))
+    val f = codec.features(Asset(3L, "video", bytes))
+    assert((f.n_values, f.v_sum, f.v_max) == (12, 78L, 12))
+  }
+
+  test("parser rejects unknown containers and unsupported variants") {
+    intercept[IllegalArgumentException] {
+      codec.decode(Asset(4L, "image", "not a container".getBytes))
+    }
+    // 8-bit BMP: recognized container, unsupported pixel format
+    val bad = goldenBmp(2, 2, topDown = false, Array.fill(12)(1.toByte))
+    bad(28) = 8 // bpp field
+    intercept[IllegalArgumentException] {
+      codec.decode(Asset(5L, "image", bad))
+    }
+  }
+
+  test("fixture round-trip: encoder bytes parse back to the analytic stats") {
+    // the same cross-check the DuckDB oracle performs, in-process
+    for (id <- 0L to 8L) {
+      val nChars = 48L + id * 37 % 200
+      val a = Asset(id, Multimodal.MediaFixtures.kindOf(id),
+        Multimodal.MediaFixtures.payloadFor(id, nChars))
+      val d = codec.decode(a)
+      val f = codec.features(a)
+      assert(d.n_bytes == a.payload.length)
+      val want: Seq[Long] = a.kind match {
+        case "image" =>
+          val (w, h) = ((16 + id % 13).toInt, (8 + nChars % 7).toInt)
+          assert((d.width, d.height) == (w, h))
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            yield (x * 7 + y * 13 + c * 31 + id) % 256
+        case "audio" =>
+          val n = (64 + nChars % 64).toInt
+          assert((d.n_frames, d.sample_rate) == (n, 8000 + (id % 8) * 1000))
+          for (t <- 0 until n) yield (t * 17 + id) % 256
+        case _ =>
+          val (w, h, fr) = ((8 + id % 6).toInt, (4 + nChars % 5).toInt, (2 + id % 3).toInt)
+          assert((d.width, d.height, d.n_frames) == (w, h, fr))
+          for (fi <- 0 until fr; p <- 0 until 3; y <- 0 until h; x <- 0 until w)
+            yield (x * 3 + y * 5 + fi * 11 + p * 17 + id) % 256
+      }
+      assert(f.n_values == want.length, s"id=$id n_values")
+      assert(f.v_sum == want.sum, s"id=$id v_sum")
+      assert(f.v_max == want.max.toInt, s"id=$id v_max")
+      assert(f.n_high == want.count(_ >= 128).toLong, s"id=$id n_high")
+    }
   }
 
   test("mapPartitions pipeline: one codec per partition, all rows processed") {
     val ds = spark.range(100)
-      .map(i => Asset(i, "image", s"payload $i".getBytes("UTF-8")))
+      .map(i => Asset(i, Multimodal.MediaFixtures.kindOf(i),
+        Multimodal.MediaFixtures.payloadFor(i, 100 + i)))
       .repartition(5)
     val out = ds.mapPartitions { it =>
-      val c = new Multimodal.FakeCodec
+      val c = new Multimodal.MediaCodec
       it.map(c.decode)
     }
     assert(out.count() == 100)
