@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for a hive-partitioned parquet sink (the
+  * warehouse-maintenance face that pairs with `zorder_cluster` and
+  * `sink_partitioned` — what Delta/Iceberg ship as OPTIMIZE /
+  * rewrite_data_files).
+  *
+  * A streaming or micro-batch producer fragments a partitioned sink
+  * into per-batch slivers; at 100 TB the file COUNT, not the bytes,
+  * becomes the bottleneck (listing cost, scan task startup, parquet
+  * footer overhead). Compaction bin-packs each partition's bytes into
+  * ⌈bytes/target⌉ files without changing row content.
+  *
+  * Scale shape:
+  *  - planning is METADATA-only: one FS listing (the same O(#files)
+  *    walk any table service does), never a data collect;
+  *  - execution is ONE shuffle sized by the data: each row routes to a
+  *    global bin id = partition's bin offset + hash(row) % partition's
+  *    bin count, carried by a BROADCAST join against the tiny
+  *    per-partition plan frame (partitions × 3 columns);
+  *  - `repartition(totalBins, gbin)` hash-places whole bins; a task
+  *    holding k bins of one partition writes k files into that
+  *    partition directory, so per-directory file count ≤ bin count
+  *    (collisions only MERGE output into fewer, larger files — the
+  *    benign direction; CompactionSpec pins the envelope).
+  *
+  * Content invariance is the oracle contract: the compacted sink must
+  * aggregate identically to the pre-fragmentation source
+  * (`compact_files` hash-gates that against DuckDB over the original
+  * table).
+  */
+object Compaction {
+
+  /** Per-partition-directory stats from one FS listing. */
+  final case class PartStats(value: String, files: Int, bytes: Long)
+
+  def listPartitions(spark: SparkSession, path: String,
+      partitionCol: String): Seq[PartStats] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        PartStats(dir.getPath.getName.drop(partitionCol.length + 1),
+          files.length, files.map(_.getLen).sum)
+      }.toSeq.sortBy(_.value)
+  }
+
+  /** Bin-pack `inPath` (hive-partitioned by string column
+    * `partitionCol`) into `outPath` with ~`targetBytes` files, and
+    * return the compacted sink as a DataFrame.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      partitionCol: String, targetBytes: Long): DataFrame = {
+    val stats = listPartitions(spark, inPath, partitionCol)
+    require(stats.nonEmpty, s"no $partitionCol=* partitions under $inPath")
+    var off = 0L
+    val plan = stats.map { s =>
+      val n = math.max(1L, (s.bytes + targetBytes - 1) / targetBytes)
+      val row = (s.value, off, n)
+      off += n
+      row
+    }
+    val totalBins = off
+    import spark.implicits._
+    val planDf = plan.toDF(partitionCol, "bin_off", "bin_n")
+    val df = spark.read.option("basePath", inPath).parquet(inPath)
+    val dataCols = df.columns.filterNot(_ == partitionCol).map(col)
+    df.join(broadcast(planDf), Seq(partitionCol))
+      .withColumn("gbin", col("bin_off") + pmod(xxhash64(dataCols: _*), col("bin_n")))
+      .repartition(totalBins.toInt, col("gbin"))
+      .drop("gbin", "bin_off", "bin_n")
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+}

@@ -100,9 +100,10 @@ object Registry {
     // windows
     "window_tumbling", "window_rank_topn", "window_session", "ts_gapfill",
     "events_funnel",
-    // scale patterns
+    // scale patterns (round 7: + compact_files — the first addition
+    // paid for by the alias emit window, no trim-swap needed)
     "sink_partitioned", "join_skew_salted", "join_bucketed",
-    "zorder_cluster", "contamination_check", "pack_sequences",
+    "zorder_cluster", "compact_files", "contamination_check", "pack_sequences",
     // SQL surface
     "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q6", "sql_tpch_q10",
     "sql_tpch_q18", "agg_tpch_q1", "rollup_agg", "source_json_roundtrip",
@@ -171,7 +172,8 @@ object Registry {
     "window_session" -> "wse", "ts_gapfill" -> "tsg",
     "events_funnel" -> "evf", "sink_partitioned" -> "spt",
     "join_skew_salted" -> "jsk", "join_bucketed" -> "jbk",
-    "zorder_cluster" -> "zor", "contamination_check" -> "cck",
+    "zorder_cluster" -> "zor", "compact_files" -> "cpt",
+    "contamination_check" -> "cck",
     "pack_sequences" -> "pks", "sql_tpch_q3" -> "tq3",
     "sql_tpch_q5" -> "tq5", "sql_tpch_q6" -> "tq6",
     "sql_tpch_q10" -> "tq10", "sql_tpch_q18" -> "tq18",

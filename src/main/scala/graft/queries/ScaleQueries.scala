@@ -36,6 +36,35 @@ object ScaleQueries {
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** Small-file compaction ([[graft.operators.Compaction]]): fragment
+    * a partitioned orders sink into per-batch slivers (the shape a
+    * micro-batch producer leaves behind — 32 writer tasks × 5
+    * priorities ≈ 160 files), bin-pack it back to ~128 KiB target
+    * files, and prove CONTENT invariance by aggregating the compacted
+    * sink against the original table's oracle. The file-count/size
+    * envelope (the part SQL can't see) is pinned in CompactionSpec.
+    */
+  def compactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val frag = s"$tmp/graft_compact_frag"
+    val out = s"$tmp/graft_compact_out"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .repartition(32) // deliberate fragmentation: each task writes every priority it holds
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(frag)
+    graft.operators.Compaction
+      .compact(spark, frag, out, "o_orderpriority", targetBytes = 128 * 1024)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val compactFilesOracle =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Skew-salted join: a 3-key dimension joined to the fact table
     * would put a third of 100 TB through three reducers; salting
     * replicates each dim row `S` ways and routes fact rows by a
@@ -328,6 +357,7 @@ object ScaleQueries {
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
+    Q("compact_files", Some(compactFilesOracle), compactFiles),
     Q("join_skew_salted", Some(joinSkewOracle), joinSkewSalted),
     Q("join_bucketed", Some(joinBucketedOracle), joinBucketed),
     Q("zorder_cluster", Some(zorderOracle), zorderCluster),

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Compaction
+
+/** The part of compaction SQL can't gate: the file-count/size
+  * envelope. Content invariance is the `compact_files` oracle's job.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def fileStats(dir: String): Map[String, Seq[Long]] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_orderpriority="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).toSeq)
+      .toMap
+
+  test("compaction collapses a fragmented sink to one file per partition") {
+    val frag = Files.createTempDirectory("graft_cpt_frag").toString
+    val out = Files.createTempDirectory("graft_cpt_out").toString
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    src.repartition(16)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(frag)
+    val before = fileStats(frag)
+    assert(before.values.map(_.size).sum > 20,
+      s"fixture not fragmented enough: $before")
+    // generous target ⇒ one bin per partition ⇒ exactly one file each
+    val compacted = Compaction.compact(spark, frag, out,
+      "o_orderpriority", targetBytes = 64 * 1024 * 1024)
+    val after = fileStats(out)
+    assert(after.keySet == before.keySet, "partition set changed")
+    after.foreach { case (p, sizes) =>
+      assert(sizes.size == 1, s"$p: expected 1 file, got ${sizes.size}")
+    }
+    // row-level content invariance (the oracle checks aggregates; this
+    // checks every row survives byte-identically)
+    val a = src.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val b = compacted.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderpriority")).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(a == b, "compaction changed row content")
+  }
+
+  test("bin count tracks partition bytes; collisions only merge") {
+    val frag = Files.createTempDirectory("graft_cpt2_frag").toString
+    val out = Files.createTempDirectory("graft_cpt2_out").toString
+    graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(frag)
+    val stats = Compaction.listPartitions(spark, frag, "o_orderpriority")
+    val target = 16 * 1024L // small target to force multiple bins
+    Compaction.compact(spark, frag, out, "o_orderpriority", target)
+    val after = fileStats(out)
+    stats.foreach { s =>
+      val wantBins = math.max(1L, (s.bytes + target - 1) / target)
+      val got = after(s"o_orderpriority=${s.value}").size
+      assert(got >= 1 && got <= wantBins,
+        s"${s.value}: ${s.bytes}B at target $target ⇒ ≤$wantBins files, got $got")
+    }
+  }
+}
