@@ -165,7 +165,7 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
-  private val NC = 16 // IVF coarse centroids
+  private[graft] val NC = 16 // IVF coarse centroids
   // nprobe: THE standard IVF recall knob. Round 6's switch to k-means-
   // trained centroids costs cell-affinity sharpness on this
   // near-orthogonal synthetic corpus (Lloyd means of ~uniform
@@ -250,8 +250,8 @@ object SimilarityQueries {
        |FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
-  private val PQ_M = 8 // subspaces: 64 dims / 8
-  private val PQ_KS = 16 // codewords per subspace (subvectors of the first KS corpus vectors)
+  private[graft] val PQ_M = 8 // subspaces: 64 dims / 8
+  private[graft] val PQ_KS = 16 // codewords per subspace (subvectors of the first KS corpus vectors)
   private val PQ_R = 100 // ADC candidates per query before exact rerank
 
   /** Flat-PQ ANN top-k (Jégou et al. 2011, "Product Quantization
@@ -305,7 +305,7 @@ object SimilarityQueries {
     * shuffle. `(d2, k)` is unique per group ⇒ deterministic, and the
     * lexicographic min equals the window's (d2 ASC, k) pick exactly.
     */
-  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame = {
     val d2 = Dedup.dot(col("sub"), col("sub")) -
       lit(2.0) * Dedup.dot(col("sub"), col("cw")) +
       Dedup.dot(col("cw"), col("cw"))
@@ -805,6 +805,61 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The IVF-PQ INDEX itself as a query (round 7): per corpus vector,
+    * its inverted-list cell and M PQ codes — the exact rows
+    * [[graft.streaming.AnnIndex]] maintains incrementally (that spec
+    * proves incremental == one-shot with frozen codebooks; this query
+    * hash-gates the one-shot construction against DuckDB, closing the
+    * chain). Verify-only: its plan is the assignment + encode PREFIX
+    * of the already-benched `sim_ann_ivfpq`.
+    */
+  def annIndexBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = graft.operators.Quantizer.trainedCentroids(spark, e, NC)
+    val assigned = graft.operators.Quantizer.assignNearestSlim(spark, e, cent)
+      .select(col("vec_id"), col("c_id"))
+    val sub = e
+      .select(col("vec_id"), col("emb"),
+        explode(typedLit((0 until PQ_M).toList)).as("m"))
+      .select(col("vec_id"), col("m"), expr("slice(emb, m*8+1, 8)").as("sub"))
+    val cb = sub.filter(col("vec_id") < PQ_KS)
+      .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("cw"))
+    pqEncode(sub, cb)
+      .join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("m"), col("code"), col("c_id"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+
+  private val annIndexOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |${graft.operators.Quantizer.trainedCentroidsSql(NC)},
+       |assigned AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.emb, cent.c_emb)/(n.nrm*cent.c_nrm) DESC, cent.c_id) AS rk
+       |    FROM n, cent) WHERE rk = 1),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(emb, m*8+1, m*8+8) AS sub
+       |  FROM e, generate_series(0, ${PQ_M - 1}) t(m)),
+       |cb AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS cw
+       |       FROM sub WHERE vec_id < $PQ_KS),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, cb.k AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sub, s.sub)
+       |          - 2*list_dot_product(s.sub, cb.cw)
+       |          + list_dot_product(cb.cw, cb.cw) ASC, cb.k) AS rk
+       |    FROM sub s JOIN cb ON s.m = cb.m) WHERE rk = 1)
+       |SELECT enc.vec_id, CAST(enc.m AS INT) AS m, enc.code, a.c_id
+       |FROM enc JOIN assigned a ON enc.vec_id = a.vec_id
+       |ORDER BY enc.vec_id, enc.m""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_brute", Some(topkBruteOracle), topkBrute),
     Q("sim_ann_lsh", Some(annOracle), topkAnnLsh),
@@ -813,5 +868,6 @@ object SimilarityQueries {
     Q("sim_ann_ivfpq", Some(ivfPqOracle), topkAnnIvfPq),
     Q("sim_ann_ivfpq_res", Some(ivfPqResOracle), topkAnnIvfPqRes),
     Q("sim_ann_binary", Some(binaryOracle), topkAnnBinary),
+    Q("ann_index_build", Some(annIndexOracle), annIndexBuild),
   )
 }

@@ -60,7 +60,7 @@ object Scd2Log {
     * `_stream_id` marker file.
     */
   def verifyStreamIdentity(spark: SparkSession, checkpoint: String,
-      accDir: String): Unit = {
+      accDir: String, partPrefix: String = "bucket="): Unit = {
     val cfs = fs(spark, checkpoint)
     val meta = new Path(checkpoint, "metadata")
     // metadata is written at query init, before batch 0 — its absence
@@ -85,7 +85,7 @@ object Scd2Log {
     } else {
       val hasLog = afs.exists(new Path(accDir)) &&
         afs.listStatus(new Path(accDir))
-          .exists(_.getPath.getName.startsWith("bucket="))
+          .exists(_.getPath.getName.startsWith(partPrefix))
       if (hasLog)
         throw new IllegalStateException(
           s"change-log $accDir has existing bucket partitions but no " +
@@ -129,20 +129,21 @@ object Scd2Log {
     * `c<batchId>` itself is among the inputs).
     */
   def compact(spark: SparkSession, accDir: String, buckets: Seq[Long],
-      batchId: Long, compactAfter: Int): Unit = {
+      batchId: Long, compactAfter: Int, partCol: String = "bucket",
+      keyCols: Seq[String] = Seq("event_id")): Unit = {
     val afs = fs(spark, accDir)
     buckets.foreach { b =>
-      val bucketPath = new Path(s"$accDir/bucket=$b")
+      val bucketPath = new Path(s"$accDir/$partCol=$b")
       val slices = afs.listStatus(bucketPath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("slice="))
         .map(_.getPath)
       if (slices.length > compactAfter) {
         val compacted = spark.read
           .option("basePath", accDir).parquet(bucketPath.toString)
-          .drop("bucket", "slice").dropDuplicates("event_id")
+          .drop(partCol, "slice").dropDuplicates(keyCols)
           .localCheckpoint(true)
         compacted.write.mode("overwrite")
-          .parquet(s"$accDir/bucket=$b/slice=c$batchId")
+          .parquet(s"$accDir/$partCol=$b/slice=c$batchId")
         slices.filter(_.getName != s"slice=c$batchId")
           .foreach(p => afs.delete(p, true))
       }

@@ -536,6 +536,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "state diverges from batch rebuild after compaction")
   }
 
+  test("ANN index maintenance: incremental adds equal the batch-built index") {
+    // the FAISS lifecycle on Structured Streaming: codebooks trained
+    // once and frozen, then per-batch coarse-assign + PQ-encode adds,
+    // appended to (c_id, slice)-partitioned inverted lists. After
+    // every drop the maintained index must equal the one-shot build
+    // over the accumulated corpus with the same frozen codebooks —
+    // checkpoint-continued across runs, with aggressive compaction.
+    val drop = Files.createTempDirectory("graft_annidrop").toString
+    val ckpt = Files.createTempDirectory("graft_annickpt").toString
+    val idx = Files.createTempDirectory("graft_anniidx").toString
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(e.schema)
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = graft.streaming.AnnIndex.maintain(stream, ckpt, idx,
+        trainOn = e, Trigger.AvailableNow(), compactAfter = 2)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    for (i <- 0 to 2) {
+      e.filter(col("vec_id") % 3 === i).write.parquet(s"$drop/chunk_$i")
+      runOnce()
+      val got = rows(graft.streaming.AnnIndex.builtIndex(spark, idx))
+      val want = rows(graft.streaming.AnnIndex.batchTwin(spark,
+        e.filter(col("vec_id") % 3 <= i), idx))
+      assert(got.nonEmpty && got == want, s"index diverges after drop $i")
+    }
+    // every corpus vector indexed exactly once, PQ_M codes each
+    val m = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(graft.streaming.AnnIndex.builtIndex(spark, idx).count() == m * 8)
+    // compaction kept every inverted list's slice count bounded
+    new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_id=")).foreach { d =>
+        val slices = d.listFiles().filter(_.getName.startsWith("slice="))
+        assert(slices.length <= 3,
+          s"${d.getName}: ${slices.length} slices survived compactAfter=2")
+      }
+  }
+
   test("SCD2 log refuses a fresh checkpoint against an existing accDir") {
     val drop = Files.createTempDirectory("graft_scd2gdrop").toString
     val ckpt1 = Files.createTempDirectory("graft_scd2gckpt1").toString
