@@ -84,6 +84,9 @@ object Registry {
     // popcount linear scan is a NEW physical shape worth timing)
     "sim_topk_brute", "sim_ann_lsh", "sim_ann_binary", "sim_ann_pq",
     "sim_ann_ivfpq",
+    // round 7: the serving path (persisted index + partition-pruned
+    // inverted-list lookup) is a NEW physical shape — benched
+    "ann_index_query",
     // text analysis (round 6: + text_bpe_tokens — learned-vocab
     // subword tokenization, the family's heaviest member)
     "text_bpe_tokens",
@@ -124,13 +127,16 @@ object Registry {
     // emit window is full)
     "mix_temperature", "dsir_select", "emb_centroids", "merge_upsert",
     "agg_histogram", "snapshot_diff", "dq_expectations", "graph_pagerank",
-    // (round-6 additions that stay Verify-only — the emit window is
-    // full and each one's perf shape is already benched or probed:
-    // sketch_cms_freq / graph_triangles carry 100× ScaleProbe
-    // datapoints (7.2× / 6.9× wall, zero spill); scd2_history +
-    // scd2_lookup are the window_session / join_inner_agg shapes;
-    // events_attribution is one window + small agg; sample_bottomk is
-    // TakeOrdered; array_hof is a narrow interpreted-HOF scan)
+    // round 7: the alias emit window (benchAlias) ended the zero-sum
+    // trim-swap economy, so the queries parked Verify-only in rounds
+    // 5-6 PURELY for window space return to the bench: the CMS counter
+    // build, the wedge-close triangle join, the SCD2 single-shuffle
+    // window build, the attribution window+agg, and the 8-step
+    // gradient-descent training loop. (domain_cap / text_ccnet_buckets
+    // / sample_bottomk / array_hof stay Verify-only on the ORIGINAL
+    // grounds — their shapes are strict subsets of benched queries.)
+    "sketch_cms_freq", "graph_triangles", "scd2_history",
+    "events_attribution", "quality_classifier",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -185,5 +191,9 @@ object Registry {
     "dsir_select" -> "dsr", "emb_centroids" -> "emc",
     "merge_upsert" -> "mup", "agg_histogram" -> "ahg",
     "snapshot_diff" -> "snd", "dq_expectations" -> "dqe",
-    "graph_pagerank" -> "gpr")
+    "graph_pagerank" -> "gpr",
+    // round-7 additions (append-only; see the stability contract above)
+    "ann_index_query" -> "saq", "sketch_cms_freq" -> "scf",
+    "graph_triangles" -> "gtr", "scd2_history" -> "sch",
+    "events_attribution" -> "eva", "quality_classifier" -> "qcl")
 }

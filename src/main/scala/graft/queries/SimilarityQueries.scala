@@ -860,6 +860,85 @@ object SimilarityQueries {
        |FROM enc JOIN assigned a ON enc.vec_id = a.vec_id
        |ORDER BY enc.vec_id, enc.m""".stripMargin
 
+  /** IVF-PQ top-k SERVED from a persisted index (round 7): the query
+    * side of [[graft.streaming.AnnIndex]]'s maintenance story. The
+    * index (codebooks + (c_id)-partitioned code lists, the exact
+    * layout `AnnIndex.maintain` keeps current) is built/refreshed to
+    * a warehouse path, and the top-k then reads ONLY the probed
+    * cells' directories — the probe list is collected to the driver
+    * first (bounded: NQ×NPROBE = 30 ids; a serving system carries its
+    * probe list in the query head), so the cell filter is a LITERAL
+    * predicate over the partition column and the scan plans
+    * `PartitionFilters` (spec-asserted: untouched inverted lists are
+    * never listed or read). At 100 TB this is the difference between
+    * an index SCAN and an index LOOKUP. Results are identical to
+    * `sim_ann_ivfpq` (same codebooks, same ADC, same rerank) — it
+    * shares that query's oracle verbatim, which is the point: same
+    * answer, serving-shaped plan.
+    */
+  def annIndexQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index"
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // build/refresh the persisted index (unconditional overwrite: the
+    // warehouse path must track THIS corpus, not a previous run's)
+    val cent = graft.operators.Quantizer.trainedCentroids(spark, e, NC)
+      .localCheckpoint()
+    val sub = e
+      .select(col("vec_id"), col("emb"),
+        explode(typedLit((0 until PQ_M).toList)).as("m"))
+      .select(col("vec_id"), col("m"), expr("slice(emb, m*8+1, 8)").as("sub"))
+    val cb = sub.filter(col("vec_id") < PQ_KS)
+      .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("cw"))
+      .localCheckpoint()
+    val assigned = graft.operators.Quantizer.assignNearestSlim(spark, e, cent)
+      .select(col("vec_id"), col("c_id"))
+    pqEncode(sub, cb).join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(idx)
+    // ---- serve ----
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("c_emb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IVFPQ_NPROBE)
+      .select(col("q_id"), col("c_id"))
+      .localCheckpoint() // reused twice below; 30 rows
+    val probedCells = probes.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(idx)
+      .filter(col("c_id").isin(probedCells: _*)) // literal partition filter
+    val lut = sub.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("k").as("code"),
+        floor(Dedup.dot(col("qsub"), col("cw")) * 1e6).cast("long").as("partial"))
+    val adc = lists
+      .join(broadcast(probes), Seq("c_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("partial")).as("adc"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cands = adc
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= PQ_R)
+      .select(col("q_id"), col("vec_id"))
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cos)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_brute", Some(topkBruteOracle), topkBrute),
     Q("sim_ann_lsh", Some(annOracle), topkAnnLsh),
@@ -869,5 +948,8 @@ object SimilarityQueries {
     Q("sim_ann_ivfpq_res", Some(ivfPqResOracle), topkAnnIvfPqRes),
     Q("sim_ann_binary", Some(binaryOracle), topkAnnBinary),
     Q("ann_index_build", Some(annIndexOracle), annIndexBuild),
+    // the serving path shares sim_ann_ivfpq's oracle VERBATIM: same
+    // answer through the persisted, partition-pruned index
+    Q("ann_index_query", Some(ivfPqOracle), annIndexQuery),
   )
 }

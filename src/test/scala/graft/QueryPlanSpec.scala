@@ -56,6 +56,18 @@ class QueryPlanSpec extends SparkSpec {
     assert(scan.contains("1-URGENT"), s"partition literal not pushed:\n$scan")
   }
 
+  test("ann_index_query reads only the probed cells' inverted lists") {
+    // the serving contract: the persisted-index scan must carry a
+    // LITERAL c_id partition filter (probe list collected to the query
+    // head), so unprobed lists are pruned at file-listing time
+    val leaves = plan("ann_index_query").collectLeaves().map(_.toString)
+    val scan = leaves.find(_.contains("graft_ann_index")).getOrElse(
+      fail(s"no index scan leaf in:\n${leaves.mkString("\n")}"))
+    assert(scan.contains("PartitionFilters: [c_id"),
+      s"no literal partition filter on the index scan:\n$scan")
+    assert(scan.contains("INSET"), s"probe list not a literal INSET filter:\n$scan")
+  }
+
   test("generator_items plans a GenerateExec fan-out (native UDTF)") {
     val p = plan("generator_items").toString
     assert(p.contains("Generate graft_extract_items("), s"no Generate node:\n$p")
