@@ -54,6 +54,13 @@ object Multimodal {
   final case class Features(asset_id: Long, kind: String, n_values: Int,
                             v_sum: Long, v_max: Int, n_high: Long)
 
+  /** Per-SAMPLED-frame statistics for video assets (the brief's
+    * "frame-sample" stage): one row per kept frame, same aggregate
+    * shape as [[Features]] but scoped to that frame's 3 C444 planes.
+    */
+  final case class FrameFeatures(asset_id: Long, frame_id: Int, n_values: Int,
+                                 v_sum: Long, v_max: Int, n_high: Long)
+
   private val Y4mTags = " F25:1 Ip A1:1 C444"
 
   /** Deterministic fixture encoder: real container bytes whose content
@@ -259,6 +266,34 @@ object Multimodal {
       val d = parse(a.payload)
       Decoded(a.asset_id, a.kind, d.container, d.width, d.height,
         d.nFrames, d.sampleRate, a.payload.length)
+    }
+
+    /** Frame sampling: parse once, emit every `stride`-th frame's
+      * plane statistics. Non-video containers yield no rows (BMP is a
+      * single still; WAV has no frames) — the flatMap shape lets one
+      * pipeline pass mix modalities without a pre-split.
+      */
+    def sampleFrames(a: Asset, stride: Int): Seq[FrameFeatures] = {
+      val d = parse(a.payload)
+      if (d.container != "y4m") Seq.empty
+      else {
+        val frameBytes = 3 * d.width * d.height
+        (0 until d.nFrames by stride).map { f =>
+          var sum = 0L
+          var max = Int.MinValue
+          var high = 0L
+          var i = f * frameBytes
+          val end = i + frameBytes
+          while (i < end) {
+            val v = d.values(i)
+            sum += v
+            if (v > max) max = v
+            if (v >= 128) high += 1
+            i += 1
+          }
+          FrameFeatures(a.asset_id, f, frameBytes, sum, max, high)
+        }
+      }
     }
 
     def features(a: Asset): Features = {

@@ -127,6 +127,53 @@ object MultimodalQueries {
        |  CAST(len(list_filter(v, x -> x >= 128)) AS BIGINT) AS n_high
        |FROM vals ORDER BY asset_id""".stripMargin
 
+  private val FRAME_STRIDE = 2
+
+  /** Frame sampling (round 7 — the brief's "frame-sample" stage made
+    * literal now the decode is a real Y4M parser): video assets emit
+    * one row per every-[[FRAME_STRIDE]]-th frame with that frame's
+    * plane statistics; stills and audio yield no rows. Shape: the same
+    * per-partition codec `mapPartitions`, but flatMap-style (one asset
+    * → 0..N frames) — the Generator form of the decode stage. At
+    * 100 TB this stays a narrow map over the scan: no shuffle until
+    * the explicit output ordering, and sampled-frame fan-out is
+    * bounded by stride, not payload size.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, sfDir)
+      .mapPartitions { it =>
+        val codec = new Multimodal.MediaCodec
+        it.flatMap(codec.sampleFrames(_, FRAME_STRIDE))
+      }
+      .toDF()
+      .orderBy(col("asset_id"), col("frame_id"))
+  }
+
+  /** Oracle: per-frame symbolic re-evaluation of the Y4M value formula
+    * over sampled frame ids only — Spark must recover the same numbers
+    * by slicing real frames out of the parsed byte stream.
+    */
+  private val frameSampleOracle =
+    s"""WITH $dimsSql,
+       |f AS (
+       |  SELECT doc_id, vw, vh, fr
+       |  FROM d, unnest(generate_series(0, vf - 1, $FRAME_STRIDE)) t(fr)
+       |  WHERE kind = 'video'),
+       |vals AS (
+       |  SELECT doc_id, fr,
+       |    flatten(list_transform(range(0, 3), p ->
+       |      flatten(list_transform(range(0, vh), y ->
+       |        list_transform(range(0, vw), x ->
+       |          (x*3 + y*5 + fr*11 + p*17 + doc_id) % 256))))) AS v
+       |  FROM f)
+       |SELECT doc_id AS asset_id, CAST(fr AS INT) AS frame_id,
+       |  CAST(len(v) AS INT) AS n_values,
+       |  CAST(list_aggregate(v, 'sum') AS BIGINT) AS v_sum,
+       |  CAST(list_aggregate(v, 'max') AS INT) AS v_max,
+       |  CAST(len(list_filter(v, x -> x >= 128)) AS BIGINT) AS n_high
+       |FROM vals ORDER BY asset_id, frame_id""".stripMargin
+
   // ---- cross-modal retrieval / fusion dedup (round 6) ------------------
 
   private val TEXT_DIMS = 64 // hashed-word buckets = image embedding dims
@@ -281,6 +328,7 @@ object MultimodalQueries {
   def queries: Seq[Q] = Seq(
     Q("multimodal_decode", Some(decodeOracle), decode),
     Q("multimodal_features", Some(featuresOracle), features),
+    Q("multimodal_framesample", Some(frameSampleOracle), frameSample),
     Q("multimodal_caption_topk", Some(captionOracle), captionTopk),
     Q("multimodal_fusion_dedup", Some(fusionOracle), fusionDedup),
   )

@@ -37,7 +37,8 @@ object Registry {
       BreadthQueries.queries ++
       AsofQueries.queries ++
       PipelineQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++
+      RetrievalQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
@@ -137,6 +138,12 @@ object Registry {
     // grounds — their shapes are strict subsets of benched queries.)
     "sketch_cms_freq", "graph_triangles", "scd2_history",
     "events_attribution", "quality_classifier",
+    // round 7 (late): hybrid RRF fusion — two TakeOrdered legs + a
+    // bounded fusion join, a NEW serving shape worth timing.
+    // (multimodal_framesample stays Verify-only: its plan is the
+    // benched multimodal_decode/features mapPartitions scan in flatMap
+    // form — same narrow-map physical shape.)
+    "search_hybrid_rrf",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -195,5 +202,6 @@ object Registry {
     // round-7 additions (append-only; see the stability contract above)
     "ann_index_query" -> "saq", "sketch_cms_freq" -> "scf",
     "graph_triangles" -> "gtr", "scd2_history" -> "sch",
-    "events_attribution" -> "eva", "quality_classifier" -> "qcl")
+    "events_attribution" -> "eva", "quality_classifier" -> "qcl",
+    "search_hybrid_rrf" -> "shr")
 }

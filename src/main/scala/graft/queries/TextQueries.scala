@@ -488,7 +488,17 @@ object TextQueries {
     * 100 TB: corpus-scan-bound, zero shuffle except the final
     * TakeOrderedAndProject top-k.
     */
-  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scored(spark, sfDir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** The BM25-scored corpus (doc_id, bm25 > 0, rounded 4dp), unranked —
+    * shared by `text_bm25` (top-20) and the hybrid-retrieval lexical
+    * leg ([[RetrievalQueries]]), so both gates exercise ONE scoring
+    * implementation.
+    */
+  private[queries] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = Seq("vector", "spark", "key")
     val k1 = 1.2
     val b = 0.75
@@ -518,12 +528,14 @@ object TextQueries {
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 4).as("bm25"))
       .filter(col("bm25") > 0)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
-  private val bm25Oracle =
-    """WITH t AS (
+  /** DuckDB twin of [[bm25Scored]] as a CTE chain ending in
+    * `scored(doc_id, bm25)` — composed by both the `text_bm25` oracle
+    * and the hybrid-retrieval oracle.
+    */
+  private[queries] val bm25ScoredSql =
+    """t AS (
       |  SELECT doc_id,
       |    len(string_split(text, ' ')) AS dl,
       |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf0,
@@ -545,9 +557,12 @@ object TextQueries {
       |    + (CASE WHEN tf2 > 0 THEN ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5))
       |        * (CAST(tf2 AS DOUBLE) * 2.2)/(CAST(tf2 AS DOUBLE) + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0.0 END)
       |    , 4) AS bm25
-      |  FROM t, s)
-      |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
-      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      |  FROM t, s)""".stripMargin
+
+  private val bm25Oracle =
+    s"""WITH $bm25ScoredSql
+       |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** Unigram language-model quality score (the CCNet/perplexity-filter
     * shape): each document scored by its mean token log-probability

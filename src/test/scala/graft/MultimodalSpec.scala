@@ -77,6 +77,24 @@ class MultimodalSpec extends SparkSpec {
     assert((f.n_values, f.v_sum, f.v_max) == (12, 78L, 12))
   }
 
+  test("frame sampling: strided per-frame stats, non-video yields no rows") {
+    // hand-assembled 2x1 C444 Y4M, 3 frames: frame f values = f*10 + (1..6)
+    val bytes = "YUV4MPEG2 W2 H1 F25:1 Ip A1:1 C444\n".getBytes ++
+      (0 until 3).flatMap(f =>
+        "FRAME\n".getBytes.toSeq ++ Array.tabulate(6)(i => (f * 10 + i + 1).toByte)).toArray
+    val fr = codec.sampleFrames(Asset(9L, "video", bytes), stride = 2)
+    assert(fr.map(_.frame_id) == Seq(0, 2)) // frame 1 skipped by stride
+    assert(fr.forall(_.n_values == 6))
+    assert(fr.map(_.v_sum) == Seq(21L, 141L)) // Σ(1..6), Σ(21..26)
+    assert(fr.map(_.v_max) == Seq(6, 26))
+    assert(fr.map(_.n_high) == Seq(0L, 0L))
+    // stills and audio sample no frames
+    val bmp = Multimodal.MediaFixtures.encodeBmp(4, 2, 7L)
+    assert(codec.sampleFrames(Asset(7L, "image", bmp), 2).isEmpty)
+    val wav = Multimodal.MediaFixtures.encodeWav(16, 8000, 7L)
+    assert(codec.sampleFrames(Asset(7L, "audio", wav), 2).isEmpty)
+  }
+
   test("parser rejects unknown containers and unsupported variants") {
     intercept[IllegalArgumentException] {
       codec.decode(Asset(4L, "image", "not a container".getBytes))
