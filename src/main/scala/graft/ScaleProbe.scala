@@ -167,7 +167,16 @@ object ScaleProbe {
       // events-family coverage (scaled via disjoint user replicas):
       // the SCD2 single-shuffle window build, the native session
       // aggregation, and the attribution window+agg
-      "scd2_history", "window_session_native", "events_attribution")
+      "scd2_history", "window_session_native", "events_attribution",
+      // round 7 additions: the ANN serving path (index REBUILD +
+      // partition-pruned lookup — the probe times the whole lifecycle;
+      // at scale the rebuild amortizes across queries but the probe
+      // deliberately charges it) and hybrid RRF (two TakeOrdered legs
+      // whose cost is corpus-scan-bound, fusion O(NCAND) regardless of
+      // corpus size). compact_files is NOT probed: the scaled dir
+      // carries only documents/embeddings/events, and its one-shuffle
+      // cost ∝ bytes is already the sink_partitioned shape.
+      "ann_index_query", "search_hybrid_rrf")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)
