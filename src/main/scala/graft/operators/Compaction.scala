@@ -69,8 +69,14 @@ object Compaction {
     }
     val totalBins = off
     import spark.implicits._
-    val planDf = plan.toDF(partitionCol, "bin_off", "bin_n")
     val df = spark.read.option("basePath", inPath).parquet(inPath)
+    // partition values arrive as directory-name STRINGS; cast the plan
+    // frame to the sink's actual partition type so compaction also
+    // serves long-partitioned state layouts (Scd2Log buckets, AnnIndex
+    // inverted lists), not just string-partitioned warehouse sinks
+    val planDf = plan.toDF(partitionCol, "bin_off", "bin_n")
+      .withColumn(partitionCol,
+        col(partitionCol).cast(df.schema(partitionCol).dataType))
     val dataCols = df.columns.filterNot(_ == partitionCol).map(col)
     df.join(broadcast(planDf), Seq(partitionCol))
       .withColumn("gbin", col("bin_off") + pmod(xxhash64(dataCols: _*), col("bin_n")))

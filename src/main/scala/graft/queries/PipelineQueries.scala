@@ -862,7 +862,46 @@ object PipelineQueries {
        |FROM k GROUP BY w_tag, source ORDER BY w_start, source""".stripMargin
   }
 
+  /** Epoch-deterministic corpus shuffle + sharding (round 7) — the
+    * step between curation and the training loop: every epoch needs a
+    * DIFFERENT but fully reproducible global permutation of the
+    * corpus, materialized as N balanced shards each in its shuffled
+    * order. The permutation key is md5(epoch ‖ doc_id) — a pure
+    * function of identity, so any worker (or either engine) re-derives
+    * the same order with no coordination; changing EPOCH re-shuffles
+    * everything. Shape: narrow scan → ONE hash exchange on shard →
+    * per-shard sort (the sort IS the product: shard files written in
+    * `pos` order are the training read order). At 100 TB each shard
+    * sorts corpus/N rows independently — the classic "sort by random
+    * key" global shuffle, made restartable by determinism. Verify-only:
+    * the partition-sort physical shape is the benched window family's.
+    */
+  def shardEpoch(spark: SparkSession, sfDir: String): DataFrame = {
+    val EPOCH = 1
+    val NSHARDS = 8
+    val h = TextOps.h60(concat(lit(s"epoch${EPOCH}_"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % NSHARDS).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val shardEpochOracle = {
+    val h = TextOps.h60Sql("('epoch1_' || CAST(doc_id AS VARCHAR))")
+    s"""WITH s AS (
+       |  SELECT doc_id, $h AS h, CAST($h % 8 AS INT) AS shard
+       |  FROM documents)
+       |SELECT shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
+       |  doc_id
+       |FROM s ORDER BY shard, pos""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("shard_epoch", Some(shardEpochOracle), shardEpoch),
     Q("stream_curation_mix", Some(streamCurationOracle), streamCurationMix),
     Q("quality_classifier", Some(qcOracle), qualityClassifier),
     Q("dsir_select", Some(dsirOracle), dsirSelect),

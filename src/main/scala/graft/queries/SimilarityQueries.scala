@@ -939,6 +939,57 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Hard-negative mining (round 7) — the contrastive-training data
+    * prep an embedding pipeline runs between curation and training
+    * (SimCSE/DPR-style): for each query vector, the top-k most-similar
+    * vectors with a DIFFERENT label. High-cosine different-label pairs
+    * are exactly the negatives that carry gradient signal; same-label
+    * neighbors are excluded as presumed positives. Plan shape is the
+    * brute-force serving scan (broadcast queries × corpus, TakeOrdered
+    * per query) with the label inequality fused into the join
+    * predicate — at scale the mining corpus would route through the
+    * `sim_ann_*` index family instead, with the label filter applied
+    * at rerank; this exact form is the family's semantics oracle.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val q = e.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("emb").as("emb_q"))
+      .filter(col("q_id") < NQ)
+    val cos = graft.functions.GraftFunctions.cosineSim(spark, col("emb_q"), col("emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(q).join(e, col("label") =!= col("q_label"))
+      .withColumn("cosine", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("label").as("neg_label"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val hardNegativesOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, emb,
+       |        sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |s AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.label AS neg_label,
+       |    ${cosSql("q", "c")} AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < $NQ AND q.label <> c.label),
+       |r AS (
+       |  SELECT q_id, vec_id, neg_label, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM s)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, neg_label,
+       |  round(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("sim_topk_brute", Some(topkBruteOracle), topkBrute),
     Q("sim_ann_lsh", Some(annOracle), topkAnnLsh),
@@ -951,5 +1002,8 @@ object SimilarityQueries {
     // the serving path shares sim_ann_ivfpq's oracle VERBATIM: same
     // answer through the persisted, partition-pruned index
     Q("ann_index_query", Some(ivfPqOracle), annIndexQuery),
+    // Verify-only by the standing rule: the mining scan IS the benched
+    // sim_topk_brute shape (label predicate fused into the same join)
+    Q("sim_hard_negatives", Some(hardNegativesOracle), hardNegatives),
   )
 }

@@ -60,4 +60,32 @@ class CompactionSpec extends SparkSpec {
         s"${s.value}: ${s.bytes}B at target $target ⇒ ≤$wantBins files, got $got")
     }
   }
+
+  test("compacts long-partitioned state layouts (Scd2Log/AnnIndex shape)") {
+    // a micro-batch producer appending per-batch slivers to a
+    // bucket=<long> layout — the streaming state dirs Scd2Log and
+    // AnnIndex maintain; compaction is their table-service pair
+    val frag = Files.createTempDirectory("graft_cpt3_frag").toString
+    val out = Files.createTempDirectory("graft_cpt3_out").toString
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(4)).cast("long").as("bucket"))
+    (0 until 5).foreach { _ => // five "micro-batches" of appends
+      src.repartition(4)
+        .write.mode("append").partitionBy("bucket").parquet(frag)
+    }
+    val before = Compaction.listPartitions(spark, frag, "bucket")
+    assert(before.map(_.files).sum >= 20, s"fixture not fragmented: $before")
+    val compacted = Compaction.compact(spark, frag, out, "bucket",
+      targetBytes = 64 * 1024 * 1024)
+    val after = Compaction.listPartitions(spark, out, "bucket")
+    assert(after.map(_.value).toSet == before.map(_.value).toSet)
+    assert(after.forall(_.files == 1), s"expected 1 file per bucket: $after")
+    // content invariance incl. the long partition column's values
+    val a = spark.read.parquet(frag).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val b = compacted.select(col("o_orderkey"), col("o_totalprice"), col("bucket"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(a == b, "compaction changed row content or bucket values")
+  }
 }

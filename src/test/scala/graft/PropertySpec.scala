@@ -59,6 +59,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("media codec round-trips arbitrary dimensions; frame sampling is a slice of decode") {
+    import graft.operators.Multimodal
+    val codec = new Multimodal.MediaCodec
+    val dimGen = Gen.zip(Gen.chooseNum(1, 21), Gen.chooseNum(1, 11),
+      Gen.chooseNum(1, 7), Gen.chooseNum(0L, 999L))
+    samples(dimGen, 25).foreach { case (w, h, fr, id) =>
+      // BMP: arbitrary (w, h) exercises every stride/padding residue
+      val bmp = Multimodal.Asset(id, "image", Multimodal.MediaFixtures.encodeBmp(w, h, id))
+      val bd = codec.decode(bmp)
+      assert((bd.width, bd.height) == (w, h), s"bmp $w x $h id=$id")
+      assert(codec.features(bmp).n_values == w * h * 3)
+      // WAV: n samples round-trip
+      val wav = Multimodal.Asset(id, "audio",
+        Multimodal.MediaFixtures.encodeWav(w * h, 8000, id))
+      assert(codec.decode(wav).n_frames == w * h)
+      // Y4M: frame sampling at ANY stride is exactly the stride-1
+      // decode restricted to sampled ids — no re-parse drift
+      val y4m = Multimodal.Asset(id, "video",
+        Multimodal.MediaFixtures.encodeY4m(w, h, fr, id))
+      assert(codec.decode(y4m).n_frames == fr)
+      val all = codec.sampleFrames(y4m, 1)
+      assert(all.map(_.frame_id) == (0 until fr))
+      val full = codec.features(y4m)
+      assert(all.map(_.v_sum).sum == full.v_sum && all.map(_.n_high).sum == full.n_high
+        && all.map(_.v_max).max == full.v_max && all.map(_.n_values).sum == full.n_values,
+        s"frame stats don't tile the asset stats: $w x $h x $fr id=$id")
+      val stride = 1 + (id % 3).toInt
+      val sampled = codec.sampleFrames(y4m, stride)
+      assert(sampled == (0 until fr by stride).map(all(_)),
+        s"stride-$stride sample isn't a slice of stride-1")
+    }
+  }
+
   test("connectedComponents: same component iff connected (vs Scala union-find)") {
     val edgeGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L))).map(
