@@ -184,6 +184,19 @@ object ScaleProbe {
       names.map {
         case "dedup_semantic" =>
           s"dedup_semantic(nc=$semNcBase->$semNcScaled)" -> semanticScaled
+        // shard_epoch's output is a pure REORDER (window rank + sort):
+        // under the probe's count() action Catalyst prunes the window
+        // and eliminates the sort, measuring only the scan (an
+        // aggregate checksum gets pruned the same way — count() needs
+        // no aggregate VALUES). A filter ON the rank keeps the window
+        // on the counted path; the final presentation sort is still
+        // elided, which is right — the probe times the sharding work
+        // (hash + exchange + per-shard sort), the oracle gates the
+        // order. rows_ratio stays ~scale (every 97th position).
+        case "shard_epoch" =>
+          "shard_epoch(pos%97)" -> ((s: SparkSession, dir: String) =>
+            SparkEntry.queries("shard_epoch")(s, dir)
+              .filter(pmod(col("pos"), lit(97)) === 0))
         case n => n -> SparkEntry.queries(n)
       }
 
