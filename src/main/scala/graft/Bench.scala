@@ -145,7 +145,16 @@ object Bench {
         val runner = new Thread(() => {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          // noop-sink write, NOT count(): count() lets Catalyst prune
+          // every column the cardinality doesn't need — aggregate
+          // values, projections, whole windows over reorders — so it
+          // times a partial plan (measured round 7: agg_tpch_q1 4.0x,
+          // text_quality 4.3x under-timed; PLANS.md). The noop v2 sink
+          // forces full production of every output column with zero
+          // I/O — the honest serving cost.
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } catch { case _: Throwable => () }
           finally spark.sparkContext.clearJobGroup()
           dtBox.set(System.nanoTime() - t0)
         }, s"bench-run-$name")

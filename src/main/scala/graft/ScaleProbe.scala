@@ -205,9 +205,15 @@ object ScaleProbe {
         spark.catalog.clearCache()
         val (sm0, sd0, sw0) = metrics.snapshot
         val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
+        // timed action = noop-sink write (full column production; a
+        // count() lets Catalyst prune agg values/projections/windows
+        // and times a partial plan — the round-7 shard_epoch lesson,
+        // PLANS.md); rows for the ratio check come from an UNTIMED
+        // count afterwards (cheap by the same pruning)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
         val (sm1, sd1, sw1) = metrics.snapshot
+        val rows = fn(spark, dir).count()
         def mb(b: Long) = f"${b / 1024.0 / 1024.0}%.0fMB"
         (secs, rows,
           s"shufW=${mb(sw1 - sw0)} spillMem=${mb(sm1 - sm0)} spillDisk=${mb(sd1 - sd0)}")
