@@ -57,4 +57,73 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("doc_id") == 0L &&
       r.getAs[Any]("sem_rank") != null))
   }
+
+  // ------------------------------------------------------------- MMR
+
+  private lazy val mmr = RetrievalQueries.searchMmr(spark, sf).collect()
+
+  test("mmr emits K ranked, distinct, self-excluding picks per query") {
+    val byQ = mmr.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("mmr_rank")).sorted.sameElements(1 to 5))
+      val docs = rows.map(_.getAs[Long]("doc_id"))
+      assert(docs.distinct.length == docs.length, s"qid=$qid repeated a doc")
+      assert(!docs.contains(qid), s"qid=$qid selected itself")
+    }
+  }
+
+  test("selected marginal scores are non-increasing within a query") {
+    // greedy invariant: the step-i winner's marginal can only shrink as
+    // the selected set grows and the candidate pool drains
+    mmr.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      val scores = rows.sortBy(_.getAs[Int]("mmr_rank")).map(_.getAs[Double]("mmr"))
+      scores.sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b, s"qid=$qid marginal rose: $a -> $b")
+      }
+    }
+  }
+
+  test("catalyst-loop selection matches an independent in-JVM greedy") {
+    // oracle-independent cross-check: rebuild pools + run the greedy in
+    // plain Scala with the same left-to-right double arithmetic
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS emb")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 5L).flatMap { qid =>
+      val q = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(20)
+      var selected = Vector.empty[(Long, Int, Double)]
+      var remaining = pool
+      for (step <- 1 to 5) {
+        val scored = remaining.map { case (id, simQ) =>
+          val maxS = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(vecs(id), vecs(s._1))).max
+          (id, 0.7 * simQ - 0.3 * maxS)
+        }
+        val (pickId, pickScore) = scored.minBy { case (id, s) => (-s, id) }
+        selected :+= ((pickId, step, pickScore))
+        remaining = remaining.filterNot(_._1 == pickId)
+      }
+      selected.map { case (id, step, s) =>
+        (qid, id, step,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    val got = mmr.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+      r.getAs[Int]("mmr_rank"), r.getAs[Double]("mmr"))).toSet
+    assert(got == expected)
+  }
 }
