@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Structured-data privacy: k-anonymity by generalization + suppression
+  * (Samarati/Sweeney). Complements `text_pii_redact` (unstructured PII)
+  * with the tabular face a curation pipeline needs before releasing
+  * per-user derived tables.
+  *
+  * `privacy_kanon` publishes the EQUIVALENCE-CLASS table of customers
+  * under quasi-identifiers (geography, market segment, account-balance
+  * bucket), escalating each under-k class up a fixed generalization
+  * ladder until it clears k=[[KanonK]]:
+  *
+  *   level 0: (nation, segment, $1000-balance-bucket)
+  *   level 1: (nation, segment, *)          — balance generalized
+  *   level 2: (region, segment, *)          — geography coarsened
+  *   level 3: (*, *, *)                     — suppressed remainder
+  *
+  * Escalation is LOCAL (only rows of under-k classes climb — finalized
+  * classes never re-generalize, the standard local-recoding variant),
+  * so each level is one groupBy over the escalated remainder plus a
+  * broadcast-able semi/anti join on the previous level's class keys.
+  * Level-3 output is the suppressed-row COUNT (those rows are withheld
+  * from a release; the count itself is k-anonymity-safe to publish).
+  *
+  * 100 TB shape: 3 aggregations, each over a shrinking remainder, all
+  * keyed on low-cardinality quasi-identifiers (map-side partials
+  * collapse to |classes| rows); the class tables joined back are tiny
+  * by construction (bounded by qid-domain size, not data volume) so
+  * every join broadcasts. No window, no sort until the final
+  * presentation orderBy over the class table.
+  */
+object PrivacyQueries {
+
+  private val KanonK = 8
+
+  def privacyKanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name").as("nation"),
+        col("r_name").as("region"))
+    val rows = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("nation"), col("region"),
+        col("c_mktsegment").as("segment"),
+        // exact for IEEE doubles: /1000 then floor, both engines agree
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long").cast("string")
+          .as("bal_bucket"))
+    val l0 = rows.groupBy("nation", "segment", "bal_bucket")
+      .agg(count(lit(1)).as("n"))
+    val ok0 = l0.filter(col("n") >= KanonK)
+      .select(col("nation").as("geo"), col("segment"), col("bal_bucket"),
+        lit(0).as("level"), col("n"))
+    val esc1 = rows.join(l0.filter(col("n") < KanonK)
+        .select("nation", "segment", "bal_bucket"),
+      Seq("nation", "segment", "bal_bucket"), "left_semi")
+    val l1 = esc1.groupBy("nation", "segment").agg(count(lit(1)).as("n"))
+    val ok1 = l1.filter(col("n") >= KanonK)
+      .select(col("nation").as("geo"), col("segment"),
+        lit("*").as("bal_bucket"), lit(1).as("level"), col("n"))
+    val esc2 = esc1.join(l1.filter(col("n") < KanonK)
+        .select("nation", "segment"),
+      Seq("nation", "segment"), "left_semi")
+    val l2 = esc2.groupBy("region", "segment").agg(count(lit(1)).as("n"))
+    val ok2 = l2.filter(col("n") >= KanonK)
+      .select(col("region").as("geo"), col("segment"),
+        lit("*").as("bal_bucket"), lit(2).as("level"), col("n"))
+    val esc3 = esc2.join(l2.filter(col("n") < KanonK)
+        .select("region", "segment"),
+      Seq("region", "segment"), "left_semi")
+    val sup = esc3.agg(count(lit(1)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit("*").as("geo"), lit("*").as("segment"),
+        lit("*").as("bal_bucket"), lit(3).as("level"), col("n"))
+    ok0.unionByName(ok1).unionByName(ok2).unionByName(sup)
+      .orderBy("level", "geo", "segment", "bal_bucket")
+  }
+
+  private val kanonOracle: String =
+    s"""WITH rows AS (
+       |  SELECT n.n_name AS nation, r.r_name AS region,
+       |    c.c_mktsegment AS segment,
+       |    CAST(CAST(floor(c.c_acctbal/1000)*1000 AS BIGINT) AS VARCHAR)
+       |      AS bal_bucket
+       |  FROM customer c
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+       |l0 AS (SELECT nation, segment, bal_bucket, count(*) AS n
+       |       FROM rows GROUP BY 1,2,3),
+       |ok0 AS (SELECT nation AS geo, segment, bal_bucket, 0 AS level, n
+       |        FROM l0 WHERE n >= $KanonK),
+       |esc1 AS (SELECT rows.* FROM rows
+       |         JOIN l0 ON rows.nation = l0.nation
+       |           AND rows.segment = l0.segment
+       |           AND rows.bal_bucket = l0.bal_bucket
+       |         WHERE l0.n < $KanonK),
+       |l1 AS (SELECT nation, segment, count(*) AS n FROM esc1 GROUP BY 1,2),
+       |ok1 AS (SELECT nation AS geo, segment, '*' AS bal_bucket, 1 AS level, n
+       |        FROM l1 WHERE n >= $KanonK),
+       |esc2 AS (SELECT esc1.* FROM esc1
+       |         JOIN l1 ON esc1.nation = l1.nation
+       |           AND esc1.segment = l1.segment
+       |         WHERE l1.n < $KanonK),
+       |l2 AS (SELECT region, segment, count(*) AS n FROM esc2 GROUP BY 1,2),
+       |ok2 AS (SELECT region AS geo, segment, '*' AS bal_bucket, 2 AS level, n
+       |        FROM l2 WHERE n >= $KanonK),
+       |esc3 AS (SELECT esc2.* FROM esc2
+       |         JOIN l2 ON esc2.region = l2.region
+       |           AND esc2.segment = l2.segment
+       |         WHERE l2.n < $KanonK),
+       |sup AS (SELECT '*' AS geo, '*' AS segment, '*' AS bal_bucket,
+       |          3 AS level, count(*) AS n
+       |        FROM esc3 HAVING count(*) > 0)
+       |SELECT geo, segment, bal_bucket, CAST(level AS INT) AS level, n
+       |FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+       |      UNION ALL SELECT * FROM ok2 UNION ALL SELECT * FROM sup)
+       |ORDER BY level, geo, segment, bal_bucket""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("privacy_kanon", Some(kanonOracle), privacyKanon),
+  )
+}

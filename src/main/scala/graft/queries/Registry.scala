@@ -38,7 +38,8 @@ object Registry {
       AsofQueries.queries ++
       PipelineQueries.queries ++
       GraphQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++
+      PrivacyQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
