@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.operators.Enrich
+import graft.operators.{Enrich, Snapshots}
 import graft.sources.Tables
 
 /** Scale-technique queries: partitioned write layout + partition
@@ -353,8 +353,52 @@ object ScaleQueries {
       |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.85
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** Versioned-snapshot publish + time travel through the
+    * [[graft.operators.Snapshots]] commit protocol (exclusive-create
+    * marker log — see its scaladoc for the crash/concurrency
+    * guarantees). The query drives the whole lifecycle inside the hash
+    * gate: publish v1 (all customers per nation), publish v2 (only
+    * acctbal ≥ 1000), then write ORPHAN data under `v=9` with NO
+    * commit marker — a simulated publisher crash mid-publish. The
+    * result reads v1 by time travel and the CURRENT table via
+    * `readLatest`, which must resolve to v2: if the reader ever saw
+    * the uncommitted debris (poisoned with negative counts), the
+    * oracle hash breaks. Protocol cost is O(1) marker ops + one
+    * listing per read, independent of data volume.
+    */
+  def snapshotTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_snapshots"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    val cust = Tables.customer(spark, sfDir)
+    val v1df = cust.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    val v2df = cust.filter(col("c_acctbal") >= 1000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    val v1 = Snapshots.publish(spark, table, v1df)
+    Snapshots.publish(spark, table, v2df)
+    // crashed publisher: data landed, marker never written
+    v1df.select(col("c_nationkey"), (-col("n")).as("n"))
+      .write.mode("overwrite").parquet(s"$table/v=9")
+    Snapshots.readVersion(spark, table, v1)
+      .select(lit("v1").as("snap"), col("c_nationkey"), col("n"))
+      .unionByName(Snapshots.readLatest(spark, table)
+        .select(lit("latest").as("snap"), col("c_nationkey"), col("n")))
+      .orderBy(col("snap"), col("c_nationkey"))
+  }
+
+  private val snapshotOracle =
+    """SELECT 'v1' AS snap, c_nationkey, count(*) AS n
+      |FROM customer GROUP BY c_nationkey
+      |UNION ALL
+      |SELECT 'latest' AS snap, c_nationkey, count(*) AS n
+      |FROM customer WHERE c_acctbal >= 1000 GROUP BY c_nationkey
+      |ORDER BY snap, c_nationkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
+    Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("compact_files", Some(compactFilesOracle), compactFiles),

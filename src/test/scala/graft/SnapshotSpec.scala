@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import graft.operators.Snapshots
+
+/** Crash-safety and concurrency algebra of the snapshot commit
+  * protocol. Everything here is driven through the public API plus
+  * direct filesystem damage — no internal state is inspected.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    val t = s"${System.getProperty("java.io.tmpdir")}/graft_snapspec_$name"
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(t), true)
+    t
+  }
+
+  private def df(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+  }
+
+  test("publish returns consecutive versions and readLatest follows") {
+    val t = freshTable("basic")
+    assert(Snapshots.publish(spark, t, df(3)) == 1L)
+    assert(Snapshots.publish(spark, t, df(5)) == 2L)
+    assert(Snapshots.readLatest(spark, t).count() == 5)
+    assert(Snapshots.readVersion(spark, t, 1).count() == 3)
+    assert(Snapshots.committedVersions(spark, t) == Seq(1L, 2L))
+  }
+
+  test("a crash after data write but before commit is invisible") {
+    val t = freshTable("crash")
+    Snapshots.publish(spark, t, df(4))
+    // crashed publisher: data only, no marker
+    df(100).write.parquet(s"$t/v=2")
+    assert(Snapshots.latestVersion(spark, t).contains(1L))
+    assert(Snapshots.readLatest(spark, t).count() == 4)
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, t, 2)
+    }
+    // a later successful publish claims the NEXT free committed slot,
+    // overwriting the debris rather than resurrecting it
+    val v = Snapshots.publish(spark, t, df(6))
+    assert(v == 2L)
+    assert(Snapshots.readLatest(spark, t).count() == 6)
+  }
+
+  test("losing the marker race forces a retry at a higher version") {
+    val t = freshTable("race")
+    Snapshots.publish(spark, t, df(2))
+    // a competing publisher already claimed version 2
+    assert(Snapshots.tryCommit(spark, t, 2))
+    assert(!Snapshots.tryCommit(spark, t, 2), "exclusive create not exclusive")
+    val v = Snapshots.publish(spark, t, df(7))
+    assert(v == 3L, s"racing publish landed at $v")
+    assert(Snapshots.readLatest(spark, t).count() == 7)
+  }
+
+  test("vacuum keeps the newest k, removes their predecessors' data and markers") {
+    val t = freshTable("vacuum")
+    (1 to 4).foreach(i => Snapshots.publish(spark, t, df(i)))
+    // in-flight publish above max committed must survive vacuum
+    df(50).write.parquet(s"$t/v=9")
+    Snapshots.vacuum(spark, t, keep = 2)
+    assert(Snapshots.committedVersions(spark, t) == Seq(3L, 4L))
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$t/v=1")) && !fs.exists(new Path(s"$t/v=2")))
+    assert(fs.exists(new Path(s"$t/v=9")), "in-flight dir was vacuumed")
+    assert(Snapshots.readLatest(spark, t).count() == 4)
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, t, 1)
+    }
+  }
+
+  test("random interleaving of publishes, crashes and vacuums never corrupts the reader") {
+    val t = freshTable("fuzz")
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic spec
+    var lastCommitted = 0L
+    var lastRows = -1L
+    for (step <- 1 to 20) {
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          lastRows = step.toLong
+          lastCommitted = Snapshots.publish(spark, t, df(step))
+        case 2 => // crash: orphan data at a far-future version
+          df(999).write.mode("overwrite").parquet(s"$t/v=${90 + step}")
+        case 3 if lastCommitted > 0 =>
+          Snapshots.vacuum(spark, t, keep = 1 + rnd.nextInt(3))
+        case _ => ()
+      }
+      if (lastCommitted > 0) {
+        assert(Snapshots.latestVersion(spark, t).contains(lastCommitted))
+        assert(Snapshots.readLatest(spark, t).count() == lastRows)
+      }
+    }
+  }
+}
