@@ -219,6 +219,40 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning injects a runtime subquery on the partition column") {
+    // the other half of partition pruning: `sink_partitioned` pins the
+    // STATIC literal case; at 100 TB the common shape is a fact
+    // partitioned on a key whose selective predicate lives on the DIM
+    // side — only resolvable at runtime. Pin that Spark plans the
+    // fact scan with a dynamicpruning#... partition filter fed by the
+    // dim's broadcast result, so only matching partitions are listed.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_fact"
+    graft.sources.Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    val fact = spark.read.parquet(path)
+    // the dim must be a FILE source: a literal Seq folds to a
+    // pre-filtered LocalRelation with no Filter node left for DPP's
+    // selective-predicate detection
+    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_dim"
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"),
+      ("3-MEDIUM", "drop"), ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop"))
+      .toDF("pri", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val q = fact.join(dim, fact("o_orderpriority") === dim("pri"))
+      .agg(count(lit(1)).as("n"))
+    val leaves = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = leaves.find(_.contains("graft_dpp_fact")).getOrElse(
+      fail(s"no fact scan leaf in:\n${leaves.mkString("\n")}"))
+    assert(scan.contains("dynamicpruning"),
+      s"no dynamic-pruning partition filter on the fact scan:\n$scan")
+    assert(q.head().getLong(0) ==
+      fact.filter(col("o_orderpriority") === "1-URGENT").count(),
+      "DPP changed the answer")
+  }
+
   test("ANALYZE TABLE feeds CBO: catalog stats reach the optimized plan") {
     // at 100 TB the cost-based optimizer's join ordering/selectivity
     // estimates only work if ANALYZE-collected stats actually flow
