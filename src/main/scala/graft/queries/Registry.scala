@@ -145,6 +145,12 @@ object Registry {
     // benched multimodal_decode/features mapPartitions scan in flatMap
     // form — same narrow-map physical shape.)
     "search_hybrid_rrf",
+    // round 7 (late): three NEW families, each a distinct perf shape —
+    // MMR's K-step bounded-frame loop, the k-anonymity escalation
+    // ladder (3 shrinking aggregates + semi-joins), and the snapshot
+    // publish lifecycle (two writes + marker commits + two version
+    // reads).
+    "search_mmr", "privacy_kanon", "snapshot_timetravel",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -204,5 +210,6 @@ object Registry {
     "ann_index_query" -> "saq", "sketch_cms_freq" -> "scf",
     "graph_triangles" -> "gtr", "scd2_history" -> "sch",
     "events_attribution" -> "eva", "quality_classifier" -> "qcl",
-    "search_hybrid_rrf" -> "shr")
+    "search_hybrid_rrf" -> "shr", "search_mmr" -> "smm",
+    "privacy_kanon" -> "pka", "snapshot_timetravel" -> "stt")
 }
