@@ -176,7 +176,15 @@ object ScaleProbe {
       // corpus size). compact_files is NOT probed: the scaled dir
       // carries only documents/embeddings/events, and its one-shuffle
       // cost ∝ bytes is already the sink_partitioned shape.
-      "ann_index_query", "search_hybrid_rrf")
+      "ann_index_query", "search_hybrid_rrf",
+      // round 7 (late): MMR — the K-step greedy's cost claim is that
+      // ONLY the candidate scan sees the corpus (step frames bounded
+      // at NQ×NCAND), so wall should track the brute top-N scan, not
+      // the loop. (privacy_kanon / snapshot_timetravel are not
+      // probed: they read customer, which the scaled dir doesn't
+      // carry, and their costs are resp. three low-cardinality
+      // aggregates and two parquet writes — shapes already probed.)
+      "search_mmr")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)
