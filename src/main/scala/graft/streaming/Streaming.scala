@@ -360,4 +360,63 @@ object Streaming {
         }
       }
       .start()
+
+  /** Per-event-type running metrics as a MERGEABLE delta: counts plus
+    * an exact-decimal value sum, so `prev ⊎ delta` re-aggregated gives
+    * the same table as recomputing from all events — no O(history)
+    * re-read per batch.
+    */
+  def metricsDelta(batch: DataFrame): DataFrame =
+    batch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,4)")).as("value_sum"))
+
+  /** Streaming sink that publishes a VERSIONED SNAPSHOT of the running
+    * metrics table per micro-batch, through the
+    * [[graft.operators.Snapshots]] commit protocol — so a reader
+    * polling the table always sees one complete, committed version,
+    * never a half-written micro-batch result (the streaming analog of
+    * what Delta's transaction log gives a streaming sink).
+    *
+    * Exactly-once without a transaction payload: the version is a
+    * DETERMINISTIC function of the batch (v = batchId + 1), so replay
+    * after any crash re-claims the same version —
+    *  - committed already (crash after marker, before checkpoint
+    *    advance): the marker exists, the batch is SKIPPED;
+    *  - data written but unmarked (crash between write and marker):
+    *    the merge recomputes deterministically from the same batch +
+    *    last COMMITTED version, overwrites the debris, commits.
+    * Per-batch work is O(batch) + O(|metrics table|) — the merge
+    * reads the previous version (bounded by event-type cardinality),
+    * never the event history. Compose with [[Snapshots.vacuum]] to
+    * bound version count; time travel gives per-batch-boundary
+    * metric history for free.
+    */
+  def publishVersionedMetrics(events: DataFrame, checkpoint: String,
+      table: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val v = batchId + 1
+        if (!graft.operators.Snapshots.committedVersions(spark, table)
+            .contains(v)) {
+          val delta = metricsDelta(batch)
+          val merged = graft.operators.Snapshots.latestVersion(spark, table) match {
+            case Some(pv) =>
+              graft.operators.Snapshots.readVersion(spark, table, pv)
+                .unionByName(delta)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n_events")).as("n_events"),
+                  sum(col("value_sum")).as("value_sum"))
+            case None => delta
+          }
+          merged.write.mode("overwrite").parquet(s"$table/v=$v")
+          graft.operators.Snapshots.tryCommit(spark, table, v): Unit
+        }
+      }
+      .start()
 }

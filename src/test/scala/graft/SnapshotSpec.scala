@@ -74,6 +74,17 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution is versioned atomically: each version is self-contained") {
+    import org.apache.spark.sql.functions._
+    val t = freshTable("schema")
+    Snapshots.publish(spark, t, df(3))
+    Snapshots.publish(spark, t, df(4).withColumn("score", length(col("payload"))))
+    assert(Snapshots.readLatest(spark, t).columns.toSeq ==
+      Seq("id", "payload", "score"))
+    assert(Snapshots.readVersion(spark, t, 1).columns.toSeq ==
+      Seq("id", "payload"))
+  }
+
   test("random interleaving of publishes, crashes and vacuums never corrupts the reader") {
     val t = freshTable("fuzz")
     val rnd = new scala.util.Random(42) // fixed seed: deterministic spec

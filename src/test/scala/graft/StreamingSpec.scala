@@ -607,4 +607,49 @@ class StreamingSpec extends SparkSpec {
     assert(rootChain(err).exists(_.isInstanceOf[IllegalStateException]),
       s"expected IllegalStateException in cause chain, got $err")
   }
+
+  test("versioned metric snapshots: one committed version per batch, cumulative, restart-safe") {
+    import graft.operators.Snapshots
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_snapstream").toString
+    val ckpt = s"$dir/ckpt"
+    val table = s"$dir/metrics"
+    val in = MemoryStream[Evt]
+    def twin(evts: Seq[Evt]) = evts.groupBy(_.event_type).map {
+      case (t, es) => (t, es.size.toLong,
+        es.map(e => BigDecimal(e.value).setScale(4)).sum)
+    }.toSet
+    def latest() = Snapshots.readLatest(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)).setScale(4))).toSet
+    val b1 = Seq(Evt(1, ts(0, 10), 1, "click", 1.50),
+      Evt(2, ts(0, 20), 2, "view", 2.25))
+    val b2 = Seq(Evt(3, ts(1, 0), 1, "click", 4.00))
+    val q = Streaming.publishVersionedMetrics(in.toDF(), ckpt, table,
+      Trigger.ProcessingTime(0L))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(Snapshots.latestVersion(spark, table).contains(1L))
+      assert(latest() == twin(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(Snapshots.latestVersion(spark, table).contains(2L))
+      assert(latest() == twin(b1 ++ b2), "merge drifted from batch twin")
+    } finally q.stop()
+    // restart from the same checkpoint: batch ids (and so versions)
+    // continue; the committed-version check makes a replayed batch a
+    // no-op, so no double counting is possible
+    val b3 = Seq(Evt(4, ts(2, 0), 3, "view", 0.75))
+    val q2 = Streaming.publishVersionedMetrics(in.toDF(), ckpt, table,
+      Trigger.ProcessingTime(0L))
+    try {
+      in.addData(b3: _*)
+      q2.processAllAvailable()
+      assert(Snapshots.latestVersion(spark, table).contains(3L))
+      assert(latest() == twin(b1 ++ b2 ++ b3))
+      // time travel: version 1 still serves batch-1-boundary metrics
+      assert(Snapshots.readVersion(spark, table, 1).count() == 2)
+    } finally q2.stop()
+  }
 }
