@@ -85,6 +85,30 @@ class SnapshotSpec extends SparkSpec {
       Seq("id", "payload"))
   }
 
+  test("OPTIMIZE as a transaction: layout changes atomically, content doesn't") {
+    // the compaction story composed with the commit protocol: publish
+    // the compacted layout as the NEXT version — readers flip from
+    // fragmented to compacted atomically at the marker, and the
+    // pre-compaction version stays readable until vacuumed
+    // (Compaction.compact can equally write its outPath into a
+    // version dir and tryCommit it — same protocol, partitioned form)
+    val t = freshTable("optimize")
+    val fragmented = df(500).repartition(32)
+    val v1 = Snapshots.publish(spark, t, fragmented)
+    def files(v: Long) = {
+      val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(s"$t/v=$v"))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val v2 = Snapshots.publish(spark, t,
+      Snapshots.readVersion(spark, t, v1).coalesce(2))
+    assert(files(v1) > 16 && files(v2) <= 2,
+      s"compaction did not shrink the file count: ${files(v1)} -> ${files(v2)}")
+    val a = Snapshots.readVersion(spark, t, v1).collect().map(_.toSeq).toSet
+    val b = Snapshots.readLatest(spark, t).collect().map(_.toSeq).toSet
+    assert(a == b, "compacted version changed content")
+  }
+
   test("random interleaving of publishes, crashes and vacuums never corrupts the reader") {
     val t = freshTable("fuzz")
     val rnd = new scala.util.Random(42) // fixed seed: deterministic spec
