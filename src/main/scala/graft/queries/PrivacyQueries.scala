@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Structured-data privacy: k-anonymity by generalization + suppression
-  * (Samarati/Sweeney). Complements `text_pii_redact` (unstructured PII)
-  * with the tabular face a curation pipeline needs before releasing
-  * per-user derived tables.
+  * (Samarati/Sweeney), an l-diversity audit of the same release, and a
+  * local-differential-privacy estimator (Warner 1965 randomized
+  * response). Complements `text_pii_redact` (unstructured PII) with the
+  * tabular faces a curation pipeline needs before releasing per-user
+  * derived tables.
   *
   * `privacy_kanon` publishes the EQUIVALENCE-CLASS table of customers
   * under quasi-identifiers (geography, market segment, account-balance
@@ -121,7 +123,120 @@ object PrivacyQueries {
        |      UNION ALL SELECT * FROM ok2 UNION ALL SELECT * FROM sup)
        |ORDER BY level, geo, segment, bal_bucket""".stripMargin
 
+  /** l-diversity audit (Machanavajjhala et al. 2007,
+    * "l-Diversity: privacy beyond k-anonymity"): k-anonymity bounds
+    * re-identification but not ATTRIBUTE disclosure — a class where
+    * every member shares one sensitive value leaks that value even at
+    * k=1000. This audits the (nation, segment) quasi-identifier
+    * classes against sensitive attribute = account-balance bucket:
+    * per class, size n, distinct sensitive values l, and whether the
+    * class clears l ≥ [[LDiv]] (distinct l-diversity, the paper's
+    * simplest instantiation).
+    *
+    * 100 TB shape: one aggregation keyed on low-cardinality
+    * (qid, sensitive) pairs — map-side partials collapse each
+    * partition to |qid-domain × sensitive-domain| rows before the
+    * shuffle — then a second tiny aggregate over class keys. No
+    * window, no join, no sort until the presentation orderBy over the
+    * bounded class table.
+    */
+  private val LDiv = 3
+
+  def privacyLDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("c_mktsegment").as("segment"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("sens"))
+      .groupBy(col("nation"), col("segment"), col("sens"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        count(lit(1)).as("l"))
+      .select(col("nation"), col("segment"), col("n"), col("l"),
+        (col("l") >= LDiv).as("diverse"))
+      .orderBy(col("nation"), col("segment"))
+
+  private val ldivOracle =
+    s"""WITH rows AS (
+       |  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       |    CAST(floor(c.c_acctbal/1000)*1000 AS BIGINT) AS sens
+       |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       |cells AS (SELECT nation, segment, sens, count(*) AS cnt
+       |          FROM rows GROUP BY 1,2,3)
+       |SELECT nation, segment, CAST(sum(cnt) AS BIGINT) AS n,
+       |  count(*) AS l, count(*) >= $LDiv AS diverse
+       |FROM cells GROUP BY nation, segment
+       |ORDER BY nation, segment""".stripMargin
+
+  /** Local differential privacy by randomized response (Warner 1965;
+    * the RAPPOR building block): each row reports its sensitive bit
+    * (account in debt) TRUTHFULLY with probability p = 3/4, otherwise
+    * reports a fair coin — so any single report is deniable
+    * (ε = ln((p+(1−p)/2)/((1−p)/2)) = ln 5), yet the population rate
+    * is recoverable by debiasing: E[reported] = p·b + (1−p)/2, so
+    * b̂ = (r/n − 1/8)/(3/4) = (8r − n)/(6n).
+    *
+    * Both "random" draws are pure functions of the row key
+    * (md5-derived, [[graft.operators.TextOps.h60]]) — the engine-swap
+    * determinism rule this repo applies to all sampling: same rows
+    * flip on any cluster size, rerun, or engine. The query publishes,
+    * per market segment, the noisy count, the debiased estimate, and
+    * (as an accuracy audit only possible because this is a test
+    * corpus) the true rate it should recover.
+    *
+    * 100 TB shape: one narrow scan (key, segment, balance-sign) with
+    * two codegen'd md5s per row, one low-cardinality aggregate with
+    * map-side partials. The debias arithmetic is exact integer →
+    * one IEEE division per group — identical across engines.
+    */
+  def privacyRrEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val key = col("c_custkey").cast("string")
+    val truth = TextOps.h60(concat(lit("rr1_"), key)) % 4 < 3
+    val coin = TextOps.h60(concat(lit("rr2_"), key)) % 2 === 1
+    val b = col("c_acctbal") < 0
+    val reported = when(truth, b).otherwise(coin)
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("segment"),
+        reported.cast("long").as("rep"), b.cast("long").as("tru"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rep")).cast("long").as("n_reported"),
+        sum(col("tru")).cast("long").as("n_true"))
+      .select(col("segment"), col("n"), col("n_reported"),
+        round((col("n_reported") * 8 - col("n")).cast("double")
+          / (col("n") * 6).cast("double"), 4).as("est_rate"),
+        round(col("n_true").cast("double") / col("n").cast("double"), 4)
+          .as("true_rate"))
+      .orderBy(col("segment"))
+  }
+
+  private val rrOracle = {
+    import graft.operators.TextOps
+    val truth = s"${TextOps.h60Sql("('rr1_' || CAST(c_custkey AS VARCHAR))")} % 4 < 3"
+    val coin = s"${TextOps.h60Sql("('rr2_' || CAST(c_custkey AS VARCHAR))")} % 2 = 1"
+    s"""WITH r AS (
+       |  SELECT c_mktsegment AS segment,
+       |    CASE WHEN ($truth) THEN (c_acctbal < 0) ELSE ($coin) END AS rep,
+       |    (c_acctbal < 0) AS tru
+       |  FROM customer),
+       |g AS (
+       |  SELECT segment, count(*) AS n,
+       |    CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reported,
+       |    CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM r GROUP BY segment)
+       |SELECT segment, n, n_reported,
+       |  round(CAST(n_reported*8 - n AS DOUBLE) / CAST(n*6 AS DOUBLE), 4)
+       |    AS est_rate,
+       |  round(CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE), 4) AS true_rate
+       |FROM g ORDER BY segment""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("privacy_kanon", Some(kanonOracle), privacyKanon),
+    Q("privacy_ldiversity", Some(ldivOracle), privacyLDiversity),
+    Q("privacy_rr_estimate", Some(rrOracle), privacyRrEstimate),
   )
 }

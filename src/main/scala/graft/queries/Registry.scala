@@ -151,6 +151,11 @@ object Registry {
     // publish lifecycle (two writes + marker commits + two version
     // reads).
     "search_mmr", "privacy_kanon", "snapshot_timetravel",
+    // round 7 (late): KL drift — a (source, word) shuffle + MB-scale
+    // vocab join, the corpus-monitoring shape. (privacy_ldiversity /
+    // privacy_rr_estimate stay Verify-only: low-cardinality scans
+    // strictly cheaper than the benched privacy_kanon ladder.)
+    "text_kl_drift",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -211,5 +216,6 @@ object Registry {
     "graph_triangles" -> "gtr", "scd2_history" -> "sch",
     "events_attribution" -> "eva", "quality_classifier" -> "qcl",
     "search_hybrid_rrf" -> "shr", "search_mmr" -> "smm",
-    "privacy_kanon" -> "pka", "snapshot_timetravel" -> "stt")
+    "privacy_kanon" -> "pka", "snapshot_timetravel" -> "stt",
+    "text_kl_drift" -> "tkd")
 }

@@ -786,8 +786,62 @@ object TextQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus drift detection: per-source unigram-distribution
+    * divergence from the whole corpus, KL(source ‖ corpus) in nats —
+    * the monitoring primitive behind "did this crawl/source shift
+    * under us between snapshots": a source whose word distribution
+    * drifts from the mix gets flagged before it skews a training run.
+    * KL here is well-defined without smoothing because every source
+    * word IS in the corpus distribution (the corpus is the union), so
+    * no zero-denominator terms exist.
+    *
+    * Float determinism (the [[lmScore]] rule): each word's
+    * ln((cnt_sw·tot)/(tot_s·cw)) is quantized once to
+    * DECIMAL(20,12), multiplied by the exact integer count and summed
+    * as decimals — order-free across any partitioning — with ONE
+    * IEEE division by tot_s at the end, then round(4).
+    *
+    * 100 TB shape: one (source, word) count shuffle (map-side
+    * partials collapse repeats), the corpus vocabulary derived from
+    * the same persisted counts (tokenize once), per-source totals are
+    * |sources| rows and the corpus total is 1 row — both broadcast.
+    * The join back to word-level counts is on the vocabulary, MBs
+    * when the corpus is TBs.
+    */
+  def klDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    // counts feeds the vocab aggregate, the source totals AND the
+    // scoring join — persist so the corpus is tokenized once; the
+    // algebra lives in operators.Drift so the streaming monitor
+    // applies the identical definition
+    val counts = graft.operators.Drift
+      .docCounts(Tables.documents(spark, sfDir)).persist()
+    graft.operators.Drift.klFromCounts(counts)
+  }
+
+  private val klDriftOracle =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (
+      |  SELECT source, word, CAST(count(*) AS DECIMAL(12,0)) AS cnt
+      |  FROM w GROUP BY source, word),
+      |v AS (SELECT word, CAST(sum(cnt) AS DOUBLE) AS cw FROM c GROUP BY word),
+      |t AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM v),
+      |s AS (SELECT source, CAST(sum(cnt) AS DOUBLE) AS tot_s,
+      |        count(*) AS vocab_s
+      |      FROM c GROUP BY source),
+      |q AS (
+      |  SELECT c.source, s.tot_s, s.vocab_s, c.cnt,
+      |    CAST(ln((CAST(c.cnt AS DOUBLE) * t.tot) / (s.tot_s * v.cw))
+      |      AS DECIMAL(20,12)) AS lnr
+      |  FROM c JOIN s USING (source) JOIN v USING (word), t)
+      |SELECT source, CAST(any_value(tot_s) AS BIGINT) AS n_tokens,
+      |  any_value(vocab_s) AS n_vocab,
+      |  round(CAST(sum(cnt * lnr) AS DOUBLE) / any_value(tot_s), 4) AS kl_nats
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("text_tokens", Some(tokensOracle), tokens),
+    Q("text_kl_drift", Some(klDriftOracle), klDrift),
     Q("text_bpe_tokens", Some(bpeOracle), bpeTokens),
     Q("text_bm25", Some(bm25Oracle), bm25),
     Q("text_lm_score", Some(lmScoreOracle), lmScore),

@@ -419,4 +419,57 @@ object Streaming {
         }
       }
       .start()
+
+  /** Streaming corpus-drift monitor: maintains the (source, word)
+    * count table incrementally — one versioned snapshot per
+    * micro-batch of arriving documents, through the same
+    * exactly-once protocol as [[publishVersionedMetrics]] (version =
+    * batchId + 1; replay of a committed batch is a no-op, replay of a
+    * crashed one deterministically overwrites its debris) — so the
+    * per-source KL drift report
+    * ([[graft.operators.Drift.klFromCounts]], the IDENTICAL algebra
+    * the batch `text_kl_drift` query hash-gates against DuckDB) is
+    * servable at every batch boundary, and time travel replays drift
+    * history for free.
+    *
+    * Why snapshot COUNTS and not the report: counts are mergeable
+    * state (order-free addition — prev ⊎ delta re-aggregated equals
+    * a full recompute, which the spec pins against the batch twin);
+    * KL is a ratio of totals and is NOT mergeable, so it derives
+    * from the counts at read time, at vocabulary cost. Per-batch
+    * work is O(batch tokens + vocab): the merge reads the previous
+    * snapshot (vocabulary-sized, MBs when the corpus is TBs), never
+    * the document history.
+    */
+  def monitorDrift(docs: DataFrame, checkpoint: String, table: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val v = batchId + 1
+        if (!graft.operators.Snapshots.committedVersions(spark, table)
+            .contains(v)) {
+          val delta = graft.operators.Drift.docCounts(batch)
+          val merged = graft.operators.Snapshots.latestVersion(spark, table) match {
+            case Some(pv) =>
+              graft.operators.Drift.mergeCounts(
+                graft.operators.Snapshots.readVersion(spark, table, pv), delta)
+            case None => delta
+          }
+          merged.write.mode("overwrite").parquet(s"$table/v=$v")
+          graft.operators.Snapshots.tryCommit(spark, table, v): Unit
+        }
+      }
+      .start()
+
+  /** The drift report served from the latest committed snapshot —
+    * what a dashboard poll reads between micro-batches.
+    */
+  def latestDriftReport(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    graft.operators.Drift.klFromCounts(
+      graft.operators.Snapshots.readLatest(spark, table))
 }

@@ -240,4 +240,18 @@ class AnalyticsInvariantSpec extends SparkSpec {
       assert(rs.length < sizes(c), s"cluster $c removed all ${sizes(c)} members")
     }
   }
+
+  test("KL drift is non-negative (Gibbs) and token mass partitions") {
+    val drift = graft.queries.TextQueries.klDrift(spark, sf).collect()
+    assert(drift.nonEmpty)
+    // KL(p‖q) ≥ 0 for any distributions; the 12-dp quantization of each
+    // log-ratio can push a near-zero KL below 0 by at most vocab·1e-12
+    drift.foreach { r =>
+      assert(r.getAs[Double]("kl_nats") >= -1e-6,
+        s"negative KL: ${r.mkString(",")}")
+    }
+    val corpusTokens = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    assert(drift.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+  }
 }

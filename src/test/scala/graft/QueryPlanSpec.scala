@@ -213,6 +213,20 @@ class QueryPlanSpec extends SparkSpec {
       val plan = j.queryExecution.optimizedPlan.toString
       assert(plan.contains("might_contain"),
         s"expected an injected BloomFilterMightContain on l_partkey:\n$plan")
+      // soundness end-to-end (round 7): bloom probes may false-positive
+      // but never false-negative, so the pruned plan's OUTPUT must be
+      // row-identical to the same query with the rule disabled
+      val plain = spark.newSession()
+      plain.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", false)
+      val want = graft.sources.Tables.lineitem(plain, sf)
+        .join(graft.sources.Tables.part(plain, sf)
+            .filter(col("p_brand") === "Brand#1"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
+        .collect().map(_.toString).sorted
+      val got = j.collect().map(_.toString).sorted
+      assert(got.nonEmpty && got.sameElements(want),
+        "bloom-pruned join output differs from the unpruned plan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -652,4 +652,62 @@ class StreamingSpec extends SparkSpec {
       assert(Snapshots.readVersion(spark, table, 1).count() == 2)
     } finally q2.stop()
   }
+
+  test("drift monitor: incremental counts == batch twin per version, report == text_kl_drift") {
+    import graft.operators.{Drift, Snapshots}
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_drift").toString
+    val (drop, ckpt, table) = (s"$dir/drop", s"$dir/ckpt", s"$dir/counts")
+    new java.io.File(drop).mkdirs()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    def countsOf(df: org.apache.spark.sql.DataFrame) =
+      Drift.docCounts(df).collect().map(key).toSet
+
+    // the file source reads a FLAT directory — stage each slice and
+    // move its part-file in as a single drop
+    def dropSlice(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(drop, s"$name.parquet"))
+    }
+
+    dropSlice(half1, "d1")
+    val q = Streaming.monitorDrift(
+      graft.sources.Tables.documentsStream(spark, drop), ckpt, table,
+      Trigger.AvailableNow())
+    try q.awaitTermination(120000) finally q.stop()
+    assert(Snapshots.latestVersion(spark, table).contains(1L))
+    assert(Snapshots.readLatest(spark, table).collect().map(key).toSet
+      == countsOf(half1), "v1 counts drifted from the half-corpus twin")
+
+    // second drop lands under a RESTARTED query (same checkpoint):
+    // exactly-once across the restart AND incremental merge correctness
+    dropSlice(half2, "d2")
+    val q2 = Streaming.monitorDrift(
+      graft.sources.Tables.documentsStream(spark, drop), ckpt, table,
+      Trigger.AvailableNow())
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(Snapshots.latestVersion(spark, table).contains(2L))
+    assert(Snapshots.readLatest(spark, table).collect().map(key).toSet
+      == countsOf(docs), "merged counts != full-corpus recompute")
+
+    // the servable report equals the ORACLE-HASH-GATED batch query
+    // over the same accumulated corpus — the streaming path inherits
+    // the DuckDB gate transitively
+    val want = graft.queries.TextQueries.klDrift(spark, sfDir)
+      .collect().map(key)
+    val got = Streaming.latestDriftReport(spark, table).collect().map(key)
+    assert(got.sameElements(want), "drift report diverges from text_kl_drift")
+
+    // time travel: v1 still serves the half-corpus drift history
+    assert(Drift.klFromCounts(Snapshots.readVersion(spark, table, 1))
+      .collect().map(key).sameElements(
+        Drift.klFromCounts(Drift.docCounts(half1)).collect().map(key)))
+  }
 }
