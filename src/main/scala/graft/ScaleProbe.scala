@@ -184,7 +184,15 @@ object ScaleProbe {
       // probed: they read customer, which the scaled dir doesn't
       // carry, and their costs are resp. three low-cardinality
       // aggregates and two parquet writes — shapes already probed.)
-      "search_mmr")
+      "search_mmr",
+      // round 7 (late): KL drift — the (source, word) count shuffle
+      // grows with the corpus AND (here) the vocabulary (replica words
+      // are suffixed ⇒ vocab ×scale, the worst case for the
+      // vocab-sized join-back); source count stays 20 ⇒ rows_ratio=1.
+      // (privacy_ldiversity / privacy_rr_estimate are not probed:
+      // customer-table scans with low-cardinality aggregates, strict
+      // subsets of already-probed shapes.)
+      "text_kl_drift")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)

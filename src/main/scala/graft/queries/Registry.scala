@@ -156,6 +156,11 @@ object Registry {
     // privacy_rr_estimate stay Verify-only: low-cardinality scans
     // strictly cheaper than the benched privacy_kanon ladder.)
     "text_kl_drift",
+    // round 7 (late): partition backfill — the scheduled-rerun
+    // lifecycle (full partitioned write + two dynamic-overwrite
+    // repairs + read-back rollup), a write-repair shape nothing else
+    // in the headline times.
+    "backfill_partition",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -217,5 +222,5 @@ object Registry {
     "events_attribution" -> "eva", "quality_classifier" -> "qcl",
     "search_hybrid_rrf" -> "shr", "search_mmr" -> "smm",
     "privacy_kanon" -> "pka", "snapshot_timetravel" -> "stt",
-    "text_kl_drift" -> "tkd")
+    "text_kl_drift" -> "tkd", "backfill_partition" -> "bkf")
 }

@@ -65,6 +65,67 @@ object ScaleQueries {
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Idempotent partition backfill — the scheduled-rerun face of the
+    * reference's Airflow deployment (a 5-minute DAG whose runs MUST be
+    * safe to repeat; `dags/dag.py:17-18` retries a failed task, and a
+    * retry that half-wrote its output needs the rerun to repair, not
+    * append). The lifecycle, driven inside the hash gate:
+    *
+    *  1. the good nightly table: orders partitioned by month;
+    *  2. a FAILED rerun poisons one month (half its rows — the
+    *     partial-write debris a killed task leaves);
+    *  3. backfill: recompute ONLY that month from source under
+    *     dynamic partition overwrite — the write replaces exactly the
+    *     partitions present in its input, touching nothing else;
+    *  4. the repaired table's monthly rollup hash-matches a full
+    *     recompute from source (DuckDB never sees the sink — if the
+    *     backfill missed a row or leaked debris, the gate goes red).
+    *
+    * 100 TB shape: the rerun reads one month's source slice and
+    * rewrites one partition directory — O(partition), not O(table);
+    * in production the slice predicate aligns with the source's own
+    * date partitioning so the scan prunes to the same month (the
+    * static-pruning shape `sink_partitioned` plan-asserts).
+    * BackfillSpec pins the part SQL can't see: untouched partitions'
+    * files are byte-identical (name + length) across the backfill.
+    */
+  def backfillPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_backfill"
+    backfillLifecycle(spark, sfDir, path)
+    spark.read.parquet(path)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  /** The month a killed rerun poisons (mid-range at every SF). */
+  val BackfillBadMonth = "1996-06"
+
+  /** Steps 1-3 of [[backfillPartition]], shared with BackfillSpec so
+    * the spec asserts file-level invariants over the same lifecycle.
+    */
+  def backfillLifecycle(spark: SparkSession, sfDir: String, path: String): Unit = {
+    def monthly(df: DataFrame) = df.select(col("o_orderkey"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val src = Tables.orders(spark, sfDir)
+    val bad = date_format(col("o_orderdate"), "yyyy-MM") === BackfillBadMonth
+    monthly(src).write.mode("overwrite").partitionBy("month").parquet(path)
+    monthly(src.filter(bad).filter(col("o_orderkey") % 2 === 0))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month").parquet(path)
+    monthly(src.filter(bad))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month").parquet(path)
+  }
+
+  private val backfillOracle =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
   /** Skew-salted join: a 3-key dimension joined to the fact table
     * would put a third of 100 TB through three reducers; salting
     * replicates each dim row `S` ways and routes fact rows by a
@@ -401,6 +462,7 @@ object ScaleQueries {
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
+    Q("backfill_partition", Some(backfillOracle), backfillPartition),
     Q("compact_files", Some(compactFilesOracle), compactFiles),
     Q("join_skew_salted", Some(joinSkewOracle), joinSkewSalted),
     Q("join_bucketed", Some(joinBucketedOracle), joinBucketed),
