@@ -234,9 +234,54 @@ object PrivacyQueries {
        |FROM g ORDER BY segment""".stripMargin
   }
 
+  /** Right-to-be-forgotten erasure ([[graft.operators.Erasure]]) driven
+    * end-to-end inside the hash gate: a day-partitioned events sink,
+    * a deterministic deletion list (~9% of users, md5-keyed — the
+    * repo's engine-swap sampling rule), targeted partition rewrites,
+    * then a per-event-type rollup of what REMAINS — which must
+    * hash-match DuckDB aggregating the source with the victims
+    * filtered out. The oracle never sees the sink: a surviving victim
+    * row, a lost non-victim row, or debris from the rewrite all go
+    * red. File-level invariants (untouched months byte-identical,
+    * emptied-partition removal) are pinned in ErasureSpec.
+    *
+    * 100 TB shape: deletion lists are request-scale (broadcast);
+    * affected-month discovery is one semi-join projected to the
+    * partition column; the rewrite touches O(affected partitions).
+    */
+  def privacyErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Enrich, Erasure, TextOps}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_erasure"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    val victims = ev.select(col("user_id")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("erase_"), col("user_id").cast("string"))) % 11 === 0)
+    Erasure.erase(spark, path, "day", "user_id", victims)
+    spark.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val erasureOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('erase_' || CAST(user_id AS VARCHAR))")} % 11 = 0"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events WHERE NOT ($victim)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("privacy_kanon", Some(kanonOracle), privacyKanon),
     Q("privacy_ldiversity", Some(ldivOracle), privacyLDiversity),
     Q("privacy_rr_estimate", Some(rrOracle), privacyRrEstimate),
+    Q("privacy_erasure", Some(erasureOracle), privacyErasure),
   )
 }

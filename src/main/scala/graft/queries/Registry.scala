@@ -161,6 +161,12 @@ object Registry {
     // repairs + read-back rollup), a write-repair shape nothing else
     // in the headline times.
     "backfill_partition",
+    // round 7 (late): right-to-be-forgotten — the targeted-rewrite
+    // lifecycle (day-partitioned sink + broadcast deletion list +
+    // semi-join partition discovery + anti-join dynamic overwrite).
+    // (privacy_ldiversity / privacy_rr_estimate stay Verify-only:
+    // cheap scans under the benched privacy_kanon ladder.)
+    "privacy_erasure",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -222,5 +228,6 @@ object Registry {
     "events_attribution" -> "eva", "quality_classifier" -> "qcl",
     "search_hybrid_rrf" -> "shr", "search_mmr" -> "smm",
     "privacy_kanon" -> "pka", "snapshot_timetravel" -> "stt",
-    "text_kl_drift" -> "tkd", "backfill_partition" -> "bkf")
+    "text_kl_drift" -> "tkd", "backfill_partition" -> "bkf",
+    "privacy_erasure" -> "ers")
 }
