@@ -191,8 +191,20 @@ object ScaleProbe {
       // vocab-sized join-back); source count stays 20 ⇒ rows_ratio=1.
       // (privacy_ldiversity / privacy_rr_estimate are not probed:
       // customer-table scans with low-cardinality aggregates, strict
-      // subsets of already-probed shapes.)
-      "text_kl_drift")
+      // subsets of already-probed shapes. backfill_partition reads
+      // orders, which the scaled dir doesn't carry; its cost shape —
+      // partitioned writes + dynamic overwrite — IS probed below via
+      // the erasure lifecycle.)
+      "text_kl_drift",
+      // round 7 (late): the erasure lifecycle end-to-end (full
+      // day-partitioned sink write + victim discovery semi-join +
+      // anti-join rewrite of affected partitions). The sink write
+      // scales with the corpus by construction; the probe's claim
+      // under test is that the ERASE phase stays
+      // O(victims + affected partitions), so total wall tracks the
+      // two writes, not the deletion list. rows_ratio = 1.0 (5 event
+      // types at any scale).
+      "privacy_erasure")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)
