@@ -194,4 +194,37 @@ class PropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("drift count merge is commutative, associative, equals one-shot counts") {
+    // the law the streaming drift monitor's exactly-once story rests
+    // on: slicing the corpus ARBITRARILY and merging slice counts in
+    // ANY grouping/order equals counting the whole corpus once. (The
+    // snapshot protocol serializes the merges; this pins that the
+    // ALGEBRA never depended on that order.)
+    import graft.operators.Drift
+    val docGen = Gen.zip(Gen.oneOf("s1", "s2", "s3"),
+      Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5"))
+        .map(_.mkString(" ")))
+    def collectCounts(cf: org.apache.spark.sql.DataFrame) =
+      cf.collect().map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).longValueExact())).sorted.toSeq
+    samples(Gen.nonEmptyListOf(docGen), 8).foreach { docs =>
+      val df = docs.toDF("source", "text")
+      val whole = collectCounts(Drift.docCounts(df))
+      val n = docs.length
+      val (a, bc) = docs.splitAt(n / 3)
+      val (b, c) = bc.splitAt(bc.length / 2)
+      def cdf(s: Seq[(String, String)]) =
+        Drift.docCounts(s.toDF("source", "text"))
+      if (a.nonEmpty && b.nonEmpty && c.nonEmpty) {
+        val leftAssoc = collectCounts(
+          Drift.mergeCounts(Drift.mergeCounts(cdf(a), cdf(b)), cdf(c)))
+        val rightAssoc = collectCounts(
+          Drift.mergeCounts(cdf(a), Drift.mergeCounts(cdf(b), cdf(c))))
+        val commuted = collectCounts(
+          Drift.mergeCounts(Drift.mergeCounts(cdf(c), cdf(a)), cdf(b)))
+        assert(leftAssoc == whole && rightAssoc == whole && commuted == whole)
+      }
+    }
+  }
 }
