@@ -48,14 +48,13 @@ object Erasure {
         .partitionBy(partCol).parquet(path)
       // fully-victim partitions: dynamic overwrite saw no input rows
       // for them — remove the directories, or the data outlives its
-      // own deletion
+      // own deletion (Hadoop FS API, so the same code runs on
+      // HDFS/object stores, not just local disk)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       affected.filterNot(surviving).foreach { v =>
-        val dir = new java.io.File(s"$path/$partCol=$v")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        if (dir.exists()) rm(dir)
+        val dir = new org.apache.hadoop.fs.Path(s"$path/$partCol=$v")
+        if (fs.exists(dir)) fs.delete(dir, true): Unit
       }
     }
     affected
