@@ -394,7 +394,8 @@ object Streaming {
     */
   def publishVersionedMetrics(events: DataFrame, checkpoint: String,
       table: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      keepVersions: Int = Int.MaxValue): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -416,9 +417,22 @@ object Streaming {
           }
           merged.write.mode("overwrite").parquet(s"$table/v=$v")
           graft.operators.Snapshots.tryCommit(spark, table, v): Unit
+          retain(spark, table, keepVersions)
         }
       }
       .start()
+
+  /** Retention for the versioned-snapshot sinks: without it, version
+    * count grows one-per-micro-batch forever — the same unbounded-
+    * growth class as the round-6 SCD2 change-log flaw, preempted here.
+    * Safe under the exactly-once replay protocol: vacuum never touches
+    * the max committed version (keep ≥ 1), and a crash replay only
+    * ever re-claims the LAST batch's version, which retention kept.
+    */
+  private def retain(spark: org.apache.spark.sql.SparkSession,
+      table: String, keepVersions: Int): Unit =
+    if (keepVersions != Int.MaxValue)
+      graft.operators.Snapshots.vacuum(spark, table, keepVersions)
 
   /** Streaming corpus-drift monitor: maintains the (source, word)
     * count table incrementally — one versioned snapshot per
@@ -442,7 +456,8 @@ object Streaming {
     * the document history.
     */
   def monitorDrift(docs: DataFrame, checkpoint: String, table: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      keepVersions: Int = Int.MaxValue): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -461,6 +476,7 @@ object Streaming {
           }
           merged.write.mode("overwrite").parquet(s"$table/v=$v")
           graft.operators.Snapshots.tryCommit(spark, table, v): Unit
+          retain(spark, table, keepVersions)
         }
       }
       .start()

@@ -710,4 +710,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(key).sameElements(
         Drift.klFromCounts(Drift.docCounts(half1)).collect().map(key)))
   }
+
+  test("snapshot sinks with retention: version count stays bounded, replay-safe") {
+    import graft.operators.Snapshots
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_retain").toString
+    val (ckpt, table) = (s"$dir/ckpt", s"$dir/metrics")
+    val in = MemoryStream[Evt]
+    // three batches under keepVersions=1: after each commit only the
+    // latest version may remain — unbounded one-version-per-batch
+    // growth is the SCD2-change-log flaw class, preempted here
+    val q = Streaming.publishVersionedMetrics(in.toDF(), ckpt, table,
+      Trigger.ProcessingTime(0L), keepVersions = 1)
+    try {
+      var expect = 0L
+      for (b <- 1 to 3) {
+        in.addData(Evt(b, ts(b, 0), b, "click", 1.0))
+        q.processAllAvailable()
+        expect += 1
+        assert(Snapshots.committedVersions(spark, table) == Seq(b.toLong),
+          s"retention left more than the latest version after batch $b")
+        // the merged state is still cumulative — vacuum dropped
+        // HISTORY, not the running totals
+        assert(Snapshots.readLatest(spark, table)
+          .agg(org.apache.spark.sql.functions.sum("n_events"))
+          .head.getLong(0) == expect)
+      }
+    } finally q.stop()
+    // restart from the checkpoint: the next batch claims v4 even
+    // though v1-v3 data is vacuumed (version = batchId+1 is
+    // checkpoint-derived, not directory-derived)
+    val q2 = Streaming.publishVersionedMetrics(in.toDF(), ckpt, table,
+      Trigger.ProcessingTime(0L), keepVersions = 1)
+    try {
+      in.addData(Evt(9, ts(9, 0), 9, "view", 2.0))
+      q2.processAllAvailable()
+      assert(Snapshots.committedVersions(spark, table) == Seq(4L))
+      assert(Snapshots.readLatest(spark, table).count() == 2) // click+view
+    } finally q2.stop()
+  }
 }
