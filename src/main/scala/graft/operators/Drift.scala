@@ -15,22 +15,37 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** (source, word, cnt) counts of a documents frame. DECIMAL(12,0)
-    * is the stable cross-version schema: merged sums are cast back
-    * down (safe far beyond 100 TB of tokens per (source, word) cell),
-    * so every snapshot version round-trips the same parquet type.
+  /** (source, word, cnt) counts of a documents frame. DECIMAL(18,0)
+    * is the stable cross-version schema (a fixed parquet type, so
+    * every snapshot version round-trips identically). Headroom: 1e18
+    * tokens per (source, word) CELL; 100 TB of text is ~2e13 tokens
+    * total, so even a single cell holding the whole corpus sits 4–5
+    * orders of magnitude below the ceiling.
     */
   def docCounts(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(TextOps.words(col("text"))).as("word"))
       .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).cast("decimal(12,0)").as("cnt"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("cnt"))
+
+  /** Down-cast an accumulated sum back to the stable DECIMAL(18,0)
+    * cell type, failing LOUDLY on overflow: with ANSI mode off a bare
+    * cast nulls the overflowing cell, which would silently poison the
+    * streaming drift state (klFromCounts would drop that word's mass
+    * with no error). An engine that corrupts state quietly is worse
+    * than one that stops.
+    */
+  private def toStableCnt(s: org.apache.spark.sql.Column) =
+    when(s < lit("1000000000000000000").cast("decimal(38,0)"),
+      s.cast("decimal(18,0)"))
+      .otherwise(raise_error(concat(
+        lit("drift count overflow past DECIMAL(18,0): "), s.cast("string"))))
 
   /** Merge two count tables (prev snapshot ⊎ batch delta). */
   def mergeCounts(prev: DataFrame, delta: DataFrame): DataFrame =
     prev.unionByName(delta)
       .groupBy(col("source"), col("word"))
-      .agg(sum(col("cnt")).cast("decimal(12,0)").as("cnt"))
+      .agg(toStableCnt(sum(col("cnt"))).as("cnt"))
 
   /** Per-source KL(source ‖ corpus) report from a count table.
     *
@@ -59,7 +74,12 @@ object Drift {
       .groupBy(col("source"))
       .agg(first(col("tot_s")).cast("long").as("n_tokens"),
         first(col("vocab_s")).as("n_vocab"),
-        round(sum(col("cnt") * col("lnr")).cast("double")
+        // cnt is stored DECIMAL(18,0) but scored at (17,0): 17+20+1 =
+        // 38 keeps the product EXACT decimal(38,12) in both engines;
+        // at (18,0) Spark would overflow precision 39 and silently
+        // truncate the scale (allowPrecisionLoss), breaking the
+        // bit-identical-across-engines summation rule
+        round(sum(col("cnt").cast("decimal(17,0)") * col("lnr")).cast("double")
           / first(col("tot_s")), 4).as("kl_nats"))
       .orderBy(col("source"))
   }

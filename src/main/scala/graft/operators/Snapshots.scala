@@ -11,28 +11,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout (Delta-log-shaped, minus the transaction payload):
   * {{{
   *   table/v=3/part-*.parquet     data for version 3
+  *   table/_claims/3              one empty marker per CLAIMED version
   *   table/_commits/1 _commits/3  one empty marker per COMMITTED version
   * }}}
   *
   * The committed state is defined ONLY by `_commits/`: a version is
   * visible iff its marker exists, and the current table is the max
   * committed version. The single atomic primitive is EXCLUSIVE CREATE
-  * of the marker (`FileSystem.create(path, overwrite=false)`) — atomic
+  * of a marker (`FileSystem.create(path, overwrite=false)`) — atomic
   * on HDFS and local filesystems, and on object stores with
   * conditional-put (S3 If-None-Match); nothing here relies on atomic
-  * rename or directory listing consistency. Consequences:
+  * rename or directory listing consistency.
   *
-  *  - a writer that dies after writing `v=N/` but before the marker
-  *    leaves invisible garbage, never a corrupt table (readers still
-  *    resolve max committed < N);
-  *  - two concurrent publishers racing to version N: exactly one
-  *    exclusive-create wins; the loser's data dir is superseded
-  *    garbage and its publish retries at N+1 — optimistic concurrency
-  *    without a lock service;
+  * Why TWO marker kinds: with only commit markers, two publishers
+  * racing to version N would both write into the SAME `v=N` directory
+  * before either commits — their bytes interleave, so whichever
+  * marker wins can make a CORRUPT mix visible, and the loser's bytes
+  * are unusable for relocation (this is why a lost race can never be
+  * repaired by renaming: the loser's "own" directory was never
+  * exclusively its own). [[publish]] therefore claims the version
+  * number FIRST (exclusive create in `_claims/`) and only the claim
+  * winner writes `v=N`. Consequences:
+  *
+  *  - each data directory has exactly ONE writer, so the data write
+  *    runs exactly once per claimed attempt — and in the common case
+  *    exactly once per publish, because a lost claim is discovered
+  *    BEFORE any data is written, not after;
+  *  - a writer that dies after claiming but before the marker leaves
+  *    invisible garbage (and a pinned claim), never a corrupt table —
+  *    readers still resolve max committed < N;
+  *  - a live claim shields its in-flight directory from [[vacuum]]:
+  *    without it, a concurrent `rival-commits-N+1 then vacuum` could
+  *    delete an uncommitted `v=N` moments before its publisher
+  *    commits it, yielding a committed version with missing data;
   *  - time travel is just reading `v=K` for any committed K;
-  *  - `vacuum(keep)` may delete data of old committed versions and any
-  *    uncommitted dir with version ≤ max committed (a dir ABOVE max
-  *    committed may belong to an in-flight publish and is left alone).
+  *  - `vacuum(keep)` may delete data of old committed versions and
+  *    any unclaimed uncommitted dir with version ≤ max committed (a
+  *    dir ABOVE max committed, or one with a live claim, may belong
+  *    to an in-flight publish and is left alone).
+  *
+  * Claims are released only by their owner (after commit, or on a
+  * lost commit race). A publisher that crashes mid-flight leaves its
+  * claim behind, pinning at most that attempt's garbage — bounded by
+  * crash count, and deliberately NOT auto-expired: without leases or
+  * timestamps a third party cannot distinguish a stale claim from a
+  * slow in-flight writer, and deleting a live one reopens the vacuum
+  * window above.
   *
   * Scale note: the protocol's cost is O(1) small-file operations per
   * publish plus one `_commits` listing per read — independent of data
@@ -43,47 +67,111 @@ object Snapshots {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def committedVersions(spark: SparkSession, table: String): Seq[Long] = {
+  private def markers(spark: SparkSession, table: String,
+      kind: String): Seq[Long] = {
     val f = fs(spark, table)
-    val commits = new Path(s"$table/_commits")
-    if (!f.exists(commits)) Seq.empty
-    else f.listStatus(commits).toSeq
+    val dir = new Path(s"$table/$kind")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(_.forall(_.isDigit))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
       .map(_.toLong)
       .sorted
   }
 
+  def committedVersions(spark: SparkSession, table: String): Seq[Long] =
+    markers(spark, table, "_commits")
+
+  def claimedVersions(spark: SparkSession, table: String): Seq[Long] =
+    markers(spark, table, "_claims")
+
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     committedVersions(spark, table).lastOption
 
-  /** Writes `df` as the next version and commits it. Returns the
-    * committed version number. Retries the version claim (never the
-    * data write per claim) if another publisher wins the race.
+  private def tryCreateMarker(spark: SparkSession, table: String,
+      kind: String, v: Long): Boolean = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/$kind"))
+    try {
+      f.create(new Path(s"$table/$kind/$v"), false).close()
+      true
+    } catch {
+      case _: java.io.IOException => false
+    }
+  }
+
+  /** Exclusive claim of a version NUMBER (and with it, sole
+    * writership of `v=$v`). False ⇒ someone else holds or held it.
     */
-  def publish(spark: SparkSession, table: String, df: DataFrame): Long = {
-    var attempt = latestVersion(spark, table).getOrElse(0L) + 1
+  def tryClaim(spark: SparkSession, table: String, v: Long): Boolean =
+    tryCreateMarker(spark, table, "_claims", v)
+
+  private def releaseClaim(spark: SparkSession, table: String,
+      v: Long): Unit = {
+    fs(spark, table).delete(new Path(s"$table/_claims/$v"), false): Unit
+  }
+
+  /** The atomic visibility step, exposed for crash-simulation tests:
+    * commit version `v` via exclusive marker create. False ⇒ lost the
+    * race. Callers of this RAW form (rather than [[publish]] /
+    * [[publishAt]]) are responsible for dir exclusivity themselves.
+    */
+  def tryCommit(spark: SparkSession, table: String, v: Long): Boolean =
+    tryCreateMarker(spark, table, "_commits", v)
+
+  /** Writes `df` as the next version and commits it. Returns the
+    * committed version number.
+    *
+    * Data-write discipline: the version number is CLAIMED before any
+    * data moves, so a publish that loses the next-version race
+    * discovers it on a marker create — before writing — and the
+    * expensive part runs exactly once per claimed attempt. The only
+    * way a claimed attempt can then lose its COMMIT is a writer that
+    * commits raw (direct [[tryCommit]], e.g. the deterministic
+    * streaming writers) on a table also served by claim-based
+    * publishers — mixing the two write styles on one table is
+    * unsupported; in-repo they never share a table.
+    *
+    * @param onBeforeCommit test-only failpoint between the data write
+    *        and the commit marker: SnapshotSpec uses it to inject a
+    *        rival commit (claim-lost retry path) and to simulate
+    *        crashes in the write→commit window.
+    */
+  def publish(spark: SparkSession, table: String, df: DataFrame,
+      onBeforeCommit: Long => Unit = _ => ()): Long = {
     var committed = -1L
     while (committed < 0) {
+      var attempt = latestVersion(spark, table).getOrElse(0L) + 1
+      while (!tryClaim(spark, table, attempt))
+        attempt = math.max(attempt + 1,
+          latestVersion(spark, table).getOrElse(0L) + 1)
       df.write.mode("overwrite").parquet(s"$table/v=$attempt")
+      onBeforeCommit(attempt)
       if (tryCommit(spark, table, attempt)) committed = attempt
-      else attempt = math.max(attempt + 1,
-        latestVersion(spark, table).getOrElse(0L) + 1)
+      // on a lost commit (raw-committing rival), this attempt's dir is
+      // garbage; releasing the claim un-pins it for vacuum
+      releaseClaim(spark, table, attempt)
     }
     committed
   }
 
-  /** The atomic step, exposed for crash-simulation tests: claim
-    * version `v` via exclusive marker create. False ⇒ lost the race.
+  /** Deterministic-version publish for single-writer replayable
+    * producers (streaming foreachBatch: version = batchId + 1).
+    * Returns false as a no-op if `v` is already committed (replay of
+    * a committed batch). A claim left by this writer's own crashed
+    * attempt is ADOPTED — single-writer determinism means a live
+    * claim on `v` can only be ours — so replay deterministically
+    * overwrites the debris and commits.
     */
-  def tryCommit(spark: SparkSession, table: String, v: Long): Boolean = {
-    val f = fs(spark, table)
-    f.mkdirs(new Path(s"$table/_commits"))
-    try {
-      f.create(new Path(s"$table/_commits/$v"), false).close()
-      true
-    } catch {
-      case _: java.io.IOException => false
+  def publishAt(spark: SparkSession, table: String, v: Long,
+      df: DataFrame): Boolean = {
+    if (committedVersions(spark, table).contains(v)) false
+    else {
+      tryClaim(spark, table, v): Unit // adopt our own crashed claim
+      df.write.mode("overwrite").parquet(s"$table/v=$v")
+      val won = tryCommit(spark, table, v)
+      releaseClaim(spark, table, v)
+      won
     }
   }
 
@@ -100,10 +188,14 @@ object Snapshots {
   }
 
   /** Deletes data for all but the newest `keep` committed versions,
-    * plus uncommitted debris at or below the max committed version
-    * (an uncommitted dir ABOVE it may be an in-flight publish).
-    * Markers of vacuumed versions are removed too, so time travel to
-    * them fails fast rather than reading missing data.
+    * plus uncommitted debris at or below the max committed version —
+    * EXCEPT dirs with a live claim (an in-flight claim-based publish
+    * that a raw-committing rival has already passed; deleting it
+    * would commit a dataless version moments later). An uncommitted
+    * dir ABOVE max committed may be an in-flight publish and is left
+    * alone regardless. Markers of vacuumed versions are removed too,
+    * so time travel to them fails fast rather than reading missing
+    * data. Claims are never vacuumed (see object doc).
     */
   def vacuum(spark: SparkSession, table: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the latest version")
@@ -112,10 +204,13 @@ object Snapshots {
     if (committed.isEmpty) return
     val max = committed.last
     val keepSet = committed.takeRight(keep).toSet
+    val claimed = claimedVersions(spark, table).toSet
     val dataDirs = f.listStatus(new Path(table)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
-    for (v <- dataDirs if v <= max && !keepSet.contains(v)) {
+    for (v <- dataDirs
+         if v <= max && !keepSet.contains(v)
+         && !(claimed.contains(v) && !committed.contains(v))) {
       f.delete(new Path(s"$table/v=$v"), true)
       f.delete(new Path(s"$table/_commits/$v"), false)
     }

@@ -174,7 +174,7 @@ object PrivacyQueries {
     * the RAPPOR building block): each row reports its sensitive bit
     * (account in debt) TRUTHFULLY with probability p = 3/4, otherwise
     * reports a fair coin — so any single report is deniable
-    * (ε = ln((p+(1−p)/2)/((1−p)/2)) = ln 5), yet the population rate
+    * (ε = ln((p+(1−p)/2)/((1−p)/2)) = ln 7), yet the population rate
     * is recoverable by debiasing: E[reported] = p·b + (1−p)/2, so
     * b̂ = (r/n − 1/8)/(3/4) = (8r − n)/(6n).
     *

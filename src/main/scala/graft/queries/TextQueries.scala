@@ -822,7 +822,7 @@ object TextQueries {
     """WITH w AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
       |c AS (
-      |  SELECT source, word, CAST(count(*) AS DECIMAL(12,0)) AS cnt
+      |  SELECT source, word, CAST(count(*) AS DECIMAL(18,0)) AS cnt
       |  FROM w GROUP BY source, word),
       |v AS (SELECT word, CAST(sum(cnt) AS DOUBLE) AS cw FROM c GROUP BY word),
       |t AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM v),
@@ -836,7 +836,8 @@ object TextQueries {
       |  FROM c JOIN s USING (source) JOIN v USING (word), t)
       |SELECT source, CAST(any_value(tot_s) AS BIGINT) AS n_tokens,
       |  any_value(vocab_s) AS n_vocab,
-      |  round(CAST(sum(cnt * lnr) AS DOUBLE) / any_value(tot_s), 4) AS kl_nats
+      |  round(CAST(sum(CAST(cnt AS DECIMAL(17,0)) * lnr) AS DOUBLE)
+      |    / any_value(tot_s), 4) AS kl_nats
       |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   def queries: Seq[Q] = Seq(

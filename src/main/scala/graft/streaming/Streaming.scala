@@ -415,8 +415,7 @@ object Streaming {
                   sum(col("value_sum")).as("value_sum"))
             case None => delta
           }
-          merged.write.mode("overwrite").parquet(s"$table/v=$v")
-          graft.operators.Snapshots.tryCommit(spark, table, v): Unit
+          graft.operators.Snapshots.publishAt(spark, table, v, merged): Unit
           retain(spark, table, keepVersions)
         }
       }
@@ -474,8 +473,7 @@ object Streaming {
                 graft.operators.Snapshots.readVersion(spark, table, pv), delta)
             case None => delta
           }
-          merged.write.mode("overwrite").parquet(s"$table/v=$v")
-          graft.operators.Snapshots.tryCommit(spark, table, v): Unit
+          graft.operators.Snapshots.publishAt(spark, table, v, merged): Unit
           retain(spark, table, keepVersions)
         }
       }

@@ -69,6 +69,105 @@ class ErasureSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[Long]("user_id") == 2L)
   }
 
+  test("escaped partition values: all-victim partition with specials is removed") {
+    // Spark Hive-escapes ':' and '%' (and others) in partition dir
+    // names; a string-built s"$path/$partCol=$v" misses them, so a
+    // fully-victim partition would survive its own deletion. erase()
+    // resolves directories by listing + decoding instead — pin it.
+    val path = Files.createTempDirectory("graft_erasure_esc").toString
+    val specialA = "2024-01-01 10:00"   // space + colon → '%3A' on disk
+    val specialB = "50% off"            // '%' itself must round-trip
+    Seq((1L, "x", specialA), (1L, "y", specialB), (2L, "z", specialB),
+      (3L, "w", "plain"))
+      .toDF("user_id", "payload", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    // precondition: the value really is escaped on disk
+    val dirNames = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirNames.exists(_.contains("%3A")),
+      s"expected an escaped ':' in $dirNames — escaping rules changed?")
+    val affected = Erasure.erase(spark, path, "part", "user_id",
+      Seq(1L).toDF("user_id"))
+    assert(affected.toSet == Set(specialA, specialB))
+    // the all-victim escaped partition is gone, physically
+    val after = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!after.exists(_.contains("10")),
+      s"all-victim escaped partition survived: $after")
+    val rows = spark.read.parquet(path)
+      .select("user_id", "payload").collect().map(_.toSeq).toSet
+    assert(rows == Set(Seq(2L, "z"), Seq(3L, "w")),
+      s"wrong surviving rows: $rows")
+  }
+
+  test("numeric-looking partition values survive type re-rendering") {
+    // partition inference would read part=01 back as int 1; erase()
+    // disables inference so values round-trip as directory strings
+    // and the directory match cannot miss.
+    val path = Files.createTempDirectory("graft_erasure_num").toString
+    Seq((1L, "a", "01"), (1L, "b", "02"), (2L, "c", "02"))
+      .toDF("user_id", "payload", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    val affected = Erasure.erase(spark, path, "part", "user_id",
+      Seq(1L).toDF("user_id"))
+    assert(affected == Seq("01", "02"), s"got $affected")
+    assert(!new java.io.File(s"$path/part=01").exists(),
+      "all-victim part=01 survived (value re-rendered as 1?)")
+    val rows = spark.read.parquet(path).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("user_id") == 2L)
+  }
+
+  test("kill between stage and overwrite: sink untouched, rerun repairs") {
+    val path = Files.createTempDirectory("graft_erasure_kill").toString
+    Seq((1L, "x", "A"), (2L, "y", "A"), (3L, "z", "B"))
+      .toDF("user_id", "payload", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    val before = listing(path)
+    val boom = intercept[RuntimeException] {
+      Erasure.erase(spark, path, "part", "user_id",
+        Seq(1L).toDF("user_id"),
+        beforeOverwrite = () => throw new RuntimeException("kill -9"))
+    }
+    assert(boom.getMessage == "kill -9")
+    assert(listing(path) == before,
+      "a kill after staging but before the overwrite damaged the sink")
+    // rerun with no failpoint: repairs cleanly
+    val affected = Erasure.erase(spark, path, "part", "user_id",
+      Seq(1L).toDF("user_id"))
+    assert(affected == Seq("A"))
+    val rows = spark.read.parquet(path)
+      .select("user_id").as[Long].collect().toSet
+    assert(rows == Set(2L, 3L))
+  }
+
+  test("overwrite does not read the directories it replaces") {
+    // the staged (localCheckpointed) kept-frame must be the ONLY
+    // input to the rewrite: delete the affected source directories in
+    // the stage→overwrite window and the rewrite must still land the
+    // correct rows. This is the literal claim behind the crash-window
+    // fix — if the overwrite job still scanned the sink, this test
+    // would throw FileNotFound or lose rows.
+    val path = Files.createTempDirectory("graft_erasure_noread").toString
+    Seq((1L, "x", "A"), (2L, "y", "A"), (3L, "z", "B"))
+      .toDF("user_id", "payload", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    val affected = Erasure.erase(spark, path, "part", "user_id",
+      Seq(1L).toDF("user_id"),
+      beforeOverwrite = () => {
+        val dir = new java.io.File(s"$path/part=A")
+        assert(dir.exists())
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      })
+    assert(affected == Seq("A"))
+    val rows = spark.read.parquet(path)
+      .select("user_id").as[Long].collect().toSet
+    assert(rows == Set(2L, 3L), s"rewrite lost or resurrected rows: $rows")
+  }
+
   test("erasing with an empty deletion list touches nothing") {
     val path = Files.createTempDirectory("graft_erasure_noop").toString
     Seq((1L, "x", "A")).toDF("user_id", "payload", "part")

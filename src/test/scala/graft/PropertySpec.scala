@@ -227,4 +227,23 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("drift count overflow fails loudly instead of nulling state") {
+    // with ANSI off, a bare down-cast of an overflowing sum yields
+    // NULL — silent streaming-state corruption. mergeCounts must
+    // instead raise. Below the ceiling the merge is exact.
+    import graft.operators.Drift
+    def cell(v: String) = spark.sql(
+      s"SELECT 's1' AS source, 'w1' AS word, CAST($v AS DECIMAL(18,0)) AS cnt")
+    val ok = Drift.mergeCounts(cell("4e17"), cell("4e17")).collect()
+    assert(ok.head.getDecimal(2).longValueExact() == 800000000000000000L)
+    val boom = intercept[Exception] {
+      Drift.mergeCounts(cell("6e17"), cell("6e17")).collect()
+    }
+    val messages = Iterator.iterate[Throwable](boom)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("overflow"),
+      s"expected loud overflow, got: $messages")
+  }
 }

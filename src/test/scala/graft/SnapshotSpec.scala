@@ -109,6 +109,95 @@ class SnapshotSpec extends SparkSpec {
     assert(a == b, "compacted version changed content")
   }
 
+  private def countedDf(rows: Int) = {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("data-write-evals")
+    val d = spark.range(rows.toLong).as[Long]
+      .map { i => acc.add(1); i }.toDF("id")
+    (d, () => (acc.value / rows).toInt) // full materializations so far
+  }
+
+  test("lost claim is discovered before writing: one data write per publish") {
+    // a rival already HOLDS the claim on the next version: publish
+    // must bump past it without ever materializing df for the dead
+    // attempt — the claim-first ordering is what makes the data write
+    // once-per-publish in the common race.
+    val t = freshTable("claimfirst")
+    Snapshots.publish(spark, t, df(2))
+    assert(Snapshots.tryClaim(spark, t, 2), "rival claim setup failed")
+    val (d, evals) = countedDf(5)
+    val v = Snapshots.publish(spark, t, d)
+    assert(v == 3L, s"expected to skip the claimed slot, landed at $v")
+    assert(evals() == 1, s"df materialized ${evals()}x — claim-first broken")
+    assert(Snapshots.readLatest(spark, t).count() == 5)
+  }
+
+  test("claim-lost retry: rival raw-commits mid-window, one write per attempt") {
+    // the only way a CLAIMED attempt can lose its commit is a raw
+    // tryCommit writer on the same table. Inject one in the
+    // write→commit window; publish must retry at the next version,
+    // re-running the data write exactly once for the new attempt
+    // (the abandoned dir is unclaimed garbage vacuum may collect).
+    val t = freshTable("commitlost")
+    Snapshots.publish(spark, t, df(2))
+    val (d, evals) = countedDf(5)
+    var injected = false
+    val v = Snapshots.publish(spark, t, d, onBeforeCommit = { attempt =>
+      if (!injected) { injected = true
+        assert(Snapshots.tryCommit(spark, t, attempt), "injection failed")
+      }
+    })
+    assert(v == 3L, s"retry should land one past the stolen slot, got $v")
+    assert(evals() == 2,
+      s"expected one data write per claimed attempt (2), got ${evals()}")
+    assert(Snapshots.readLatest(spark, t).count() == 5)
+    // the stolen version 2 is committed but holds the LOSER's bytes?
+    // No: the loser wrote v=2 and the rival committed it — under raw
+    // tryCommit mixing that is the rival's responsibility (object
+    // doc); what the protocol guarantees is the loser's own commit
+    // (v=3) is complete and correct, and its claim on 2 is released:
+    assert(!Snapshots.claimedVersions(spark, t).contains(2L),
+      "lost attempt's claim not released — garbage pinned forever")
+    Snapshots.vacuum(spark, t, keep = 1)
+    assert(Snapshots.committedVersions(spark, t) == Seq(3L))
+  }
+
+  test("vacuum spares a claimed in-flight dir that a rival has passed") {
+    // A claims 3 and is still writing when B publishes 3→4 commits 4.
+    // vacuum(keep=1) now sees uncommitted v=3 ≤ max committed — the
+    // old rule would delete it moments before A commits, yielding a
+    // committed version with missing data. The live claim shields it.
+    val t = freshTable("shield")
+    Snapshots.publish(spark, t, df(1))
+    Snapshots.publish(spark, t, df(2))
+    assert(Snapshots.tryClaim(spark, t, 3), "A's claim failed")
+    df(30).write.parquet(s"$t/v=3") // A's in-flight data
+    assert(Snapshots.publish(spark, t, df(4)) == 4L) // B skips claimed 3
+    Snapshots.vacuum(spark, t, keep = 1)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$t/v=3")), "claimed in-flight dir vacuumed")
+    assert(!fs.exists(new Path(s"$t/v=1")) && !fs.exists(new Path(s"$t/v=2")))
+    // A completes: its version is late but complete and readable
+    assert(Snapshots.tryCommit(spark, t, 3))
+    assert(Snapshots.readVersion(spark, t, 3).count() == 30)
+  }
+
+  test("publishAt: committed replay is a no-op, crashed replay adopts its claim") {
+    val t = freshTable("pubat")
+    assert(Snapshots.publishAt(spark, t, 1, df(3)))
+    assert(!Snapshots.publishAt(spark, t, 1, df(99)),
+      "replay of a committed batch must be a no-op")
+    assert(Snapshots.readVersion(spark, t, 1).count() == 3)
+    // crashed attempt at v=2: claim + partial debris, no commit
+    assert(Snapshots.tryClaim(spark, t, 2))
+    df(999).write.mode("overwrite").parquet(s"$t/v=2")
+    // replay (single deterministic writer): adopts the claim, rewrites
+    assert(Snapshots.publishAt(spark, t, 2, df(7)))
+    assert(Snapshots.readVersion(spark, t, 2).count() == 7)
+    assert(!Snapshots.claimedVersions(spark, t).contains(2L),
+      "claim not released after successful publishAt")
+  }
+
   test("random interleaving of publishes, crashes and vacuums never corrupts the reader") {
     val t = freshTable("fuzz")
     val rnd = new scala.util.Random(42) // fixed seed: deterministic spec
