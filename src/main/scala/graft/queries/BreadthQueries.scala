@@ -413,7 +413,64 @@ object BreadthQueries {
       |  AND (d.valid_to IS NULL OR p.at_ts < d.valid_to)
       |ORDER BY p.event_id""".stripMargin
 
+  /** Map-typed column surface (the one container type the relational
+    * breadth rows didn't yet exercise — arrays, structs and VARIANT
+    * are covered elsewhere): build a per-document word→count MAP from
+    * real data (`map_from_entries` over the sorted entry array — the
+    * sort makes construction order canonical, so the map is identical
+    * under any partitioning), then drive the map-function family over
+    * it — `size` (cardinality), `element_at` point lookup,
+    * `map_filter` + `transform_values` (the map HOFs; interpreted,
+    * like all lambdas — semantics pinned here, hot paths use native
+    * expressions), and `explode_outer` back to rows (the map
+    * generator face; _outer keeps documents whose filtered map is
+    * empty, pinning null-row semantics). DuckDB's MAP type is the
+    * oracle twin: `map_from_entries`/`cardinality`/`map_extract`/
+    * `map_entries` + lateral unnest.
+    *
+    * 100 TB shape: one word-count aggregate (map-side partials), one
+    * per-doc map build; all map ops are per-row from there. The map
+    * column never crosses a shuffle after construction.
+    */
+  def mapFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast("int").as("cnt"))
+    val maps = counts.groupBy(col("doc_id"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("word").as("k"), col("cnt").as("v"))))).as("wc"))
+    maps.select(col("doc_id"),
+        size(col("wc")).as("n_distinct"),
+        coalesce(element_at(col("wc"), lit("the")), lit(0)).as("the_cnt"),
+        expr("transform_values(map_filter(wc, (k, v) -> v >= 3), (k, v) -> v * v)")
+          .as("hot"))
+      .select(col("doc_id"), col("n_distinct"), col("the_cnt"),
+        explode_outer(col("hot")).as(Seq("word", "sq_cnt")))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
+  private val mapOracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT doc_id, word, CAST(count(*) AS INT) AS cnt
+      |      FROM w GROUP BY 1, 2),
+      |m AS (SELECT doc_id,
+      |    map_from_entries(list_sort(list(struct_pack(k := word, v := cnt)))) AS wc
+      |  FROM c GROUP BY doc_id),
+      |x AS (
+      |  SELECT doc_id, CAST(cardinality(wc) AS INT) AS n_distinct,
+      |    CAST(coalesce(map_extract(wc, 'the')[1], 0) AS INT) AS the_cnt,
+      |    list_filter(map_entries(wc), e -> e.value >= 3) AS hot
+      |  FROM m)
+      |SELECT doc_id, n_distinct, the_cnt, u.e.key AS word,
+      |  CAST(u.e.value * u.e.value AS INT) AS sq_cnt
+      |FROM x LEFT JOIN LATERAL unnest(hot) AS u(e) ON TRUE
+      |ORDER BY doc_id, word""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("map_functions", Some(mapOracle), mapFunctions),
     Q("from_json_typed", Some(fromJsonOracle), fromJsonTyped),
     Q("scd2_history", Some(scd2Oracle), scd2History),
     Q("scd2_lookup", Some(scd2LookupOracle), scd2Lookup),

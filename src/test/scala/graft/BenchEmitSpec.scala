@@ -10,6 +10,17 @@ import graft.queries.Registry
   */
 class BenchEmitSpec extends AnyFunSuite {
 
+  test("registry names are globally unique: byName cannot silently shadow") {
+    // Registry.all concatenates 16 per-family Seqs; a name collision
+    // between families would silently shadow one implementation in
+    // byName (last wins) while Verify/Bench kept reporting the name
+    // green — the worst kind of coverage lie. Pin global uniqueness.
+    val names = Registry.all.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dupes.isEmpty, s"duplicate registry names shadow in byName: $dupes")
+    assert(Registry.byName.size === names.size)
+  }
+
   test("headline names all resolve in the registry") {
     val known = Registry.byName.keySet
     val missing = Registry.headline.filterNot(known)
