@@ -33,20 +33,38 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("worst-case emitted JSON line fits the driver's 2000-char tail") {
     // Worst case: every query reports beyond the watchdog ceiling
-    // (9999.99 → 7 chars), all queries present, none skipped, plus the
-    // partial flag — keys are the short benchAlias codes Bench emits
-    // (round 7: full names left 13 chars of headroom and every
-    // addition forced a trim-swap).
-    val entries = Registry.headline
-      .map(n => "\"" + Registry.benchAlias(n) + "\":" + "9999.99")
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":999999.99,"unit":"sec","queries":$entries,"skipped":[],"partial":true,"sf":"/root/testdata/sf0.1"}"""
-    // 1600 keeps ≥200 chars of headroom below the 1800 working bound
-    // (itself 200 under the window, for a stray log line after ours):
-    // new headline queries must not require trim-swaps again.
-    assert(line.length < 1600,
+    // (9999.99 → 7 chars), all queries present, none skipped, EVERY
+    // query flagged contended (round 8: the contention-recheck array
+    // — skipped and contended are disjoint, so all-contended with
+    // empty skipped is the true maximum), plus the partial flag —
+    // keys are the short benchAlias codes Bench emits.
+    def alias(n: String) = Registry.benchAlias.getOrElse(n, n)
+    val line = Bench.formatLine(
+      Registry.headline.map(_ -> 9999.99), Nil,
+      Registry.headline, partial = true,
+      "/root/testdata/sf0.1", alias)
+    // 1800 is the working bound (200 under the 2000-char window, for a
+    // stray log line after ours); the all-contended worst case must
+    // still clear it — new headline queries must not force trim-swaps.
+    assert(line.length < 1800,
       s"emit line worst-case ${line.length} chars — shorten benchAlias codes")
+  }
+
+  test("contended flag: real emitter output is well-formed and carries it") {
+    def alias(n: String) = Registry.benchAlias.getOrElse(n, n)
+    val line = Bench.formatLine(
+      Seq("flagship_enrich" -> 1.0, "text_quality" -> 2.0),
+      skipped = Seq("ann_index_query"), contended = Seq("text_quality"),
+      partial = false, sfDir = "/x", alias)
+    assert(line.contains(""""contended":["tqu"]"""), line)
+    assert(line.contains(""""skipped":["saq"]"""), line)
+    assert(line.contains(""""value":3.00"""), line)
+    // balanced braces/brackets and quote parity — the minimal
+    // well-formedness the driver's json.loads needs (exercised on the
+    // REAL formatter, not a hand-copied template)
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    assert(line.count(_ == '[') === line.count(_ == ']'))
+    assert(line.count(_ == '"') % 2 === 0)
   }
 
   test("benchAlias: total, injective, short, and documented in BASELINE.md") {
