@@ -167,6 +167,14 @@ object Registry {
     // (privacy_ldiversity / privacy_rr_estimate stay Verify-only:
     // cheap scans under the benched privacy_kanon ladder.)
     "privacy_erasure",
+    // round 8: the composed RAG flagship — chunk → embed → IVF index
+    // lookup → hybrid RRF → MMR, every leg reading the one memoized
+    // index artifact; times the full serving path end to end (the
+    // build amortizes into the warmup via the corpus-fingerprint memo,
+    // mirroring ann_index_query's build/serve split). map_functions
+    // stays Verify-only: per-row map ops, a strict subset of benched
+    // scan shapes.
+    "rag_pipeline",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -229,5 +237,7 @@ object Registry {
     "search_hybrid_rrf" -> "shr", "search_mmr" -> "smm",
     "privacy_kanon" -> "pka", "snapshot_timetravel" -> "stt",
     "text_kl_drift" -> "tkd", "backfill_partition" -> "bkf",
-    "privacy_erasure" -> "ers")
+    "privacy_erasure" -> "ers",
+    // round-8 additions (append-only; see the stability contract above)
+    "rag_pipeline" -> "rag")
 }
