@@ -213,14 +213,18 @@ object Bench {
         // round's driver-vs-local adjudication burned judge time).
         // Trigger: the timed reps spread more than 2x (an identical
         // deterministic computation does not legitimately double), or
-        // the live load exceeds this JVM's own core budget (external
-        // queued work). On trigger: one recheck run; report
+        // the live load exceeds 1.5x this JVM's core budget — a
+        // saturated local[N] run legitimately drives the 1-min load
+        // to ~N by itself (measured: 33 on 32 cores mid-run, which a
+        // plain `load > cores` trigger misread as contention for the
+        // whole bench tail); external queued work shows up ABOVE own
+        // saturation. On trigger: one recheck run; report
         // min(median, recheck) — the least-contended observation of
         // the same computation — and flag the query in the JSON line
         // so the artifact itself says "this number was suspect".
         val load = loadAvg
         val spreadRatio = if (runs.head > 0.001) runs.last / runs.head else 1.0
-        val suspect = spreadRatio > 2.0 || load > cpuCount
+        val suspect = spreadRatio > 2.0 || load > cpuCount * 1.5
         if (suspect && elapsed < softDeadline) {
           val recheck = once()
           rep = math.min(rep, recheck)

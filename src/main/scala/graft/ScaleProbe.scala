@@ -204,10 +204,29 @@ object ScaleProbe {
       // O(victims + affected partitions), so total wall tracks the
       // two writes, not the deletion list. rows_ratio = 1.0 (5 event
       // types at any scale).
-      "privacy_erasure")
+      "privacy_erasure",
+      // round 8: the composed RAG serving path. The per-dir index
+      // build is forced OUTSIDE the timed runs (below) because the
+      // memo amortizes it across queries in production —
+      // ann_index_query's row deliberately charges its lifecycle;
+      // this row probes the other face: the LOOKUP's corpus
+      // dependence (probed-cell scan ∝ chunks·NPROBE/NC + the
+      // lexical stats scan ∝ chunks; everything after the top-NCAND
+      // gates is bounded). On the salted scaled corpus the literal
+      // query terms match nothing, so the lexical leg tops zero rows
+      // — the timed stats SCAN still runs in full, which is the
+      // cost under test; fusion degrades to the semantic leg, rows
+      // stay K (rows_ratio 1.0).
+      "rag_pipeline")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)
+    // populate rag's per-dir index memo before timing (see above)
+    if (names.contains("rag_pipeline")) {
+      System.err.println("[probe] pre-building rag index for the scaled dir")
+      SparkEntry.queries("rag_pipeline")(spark, scaledDir)
+        .write.format("noop").mode("overwrite").save()
+    }
     val targets: Seq[(String, (SparkSession, String) => DataFrame)] =
       names.map {
         case "dedup_semantic" =>
