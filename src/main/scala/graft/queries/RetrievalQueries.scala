@@ -492,6 +492,13 @@ object RetrievalQueries {
     * training = [[graft.operators.Quantizer.trainedCentroidsSql]],
     * BM25 = `text_bm25`'s closed form, MMR = `search_mmr`'s unrolled
     * greedy).
+    *
+    * The multiply-referenced upstream CTEs (`ch` ×2, `n` ×5, `cent`
+    * ×3, `pe` ×{K+1}) are declared `AS MATERIALIZED`: DuckDB's
+    * default CTE inlining re-expands the whole chunk→hash→embed→train
+    * pipeline at every reference, which at sf0.1 turned a 3-second
+    * oracle into a 200 GB temp-spill death (measured both ways —
+    * 2.8 s materialized vs out-of-disk inlined).
     */
   private val ragOracle: String = {
     val h = (s: String) => graft.operators.TextOps.h31Sql(s)
@@ -522,11 +529,11 @@ object RetrievalQueries {
        |  SELECT doc_id, string_split(text, ' ') AS ws,
        |    len(string_split(text, ' ')) AS nw
        |  FROM documents),
-       |ch AS (
+       |ch AS MATERIALIZED (
        |  SELECT doc_id*10000 + CAST(st/$RAG_S AS BIGINT) AS cid,
        |    list_slice(ws, st + 1, least(st + $RAG_W, nw)) AS cws
        |  FROM d0, unnest(generate_series(0, nw - 1, $RAG_S)) t(st)),
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT cid AS vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
        |  FROM (
        |    SELECT cid, list_transform(generate_series(0, ${RAG_DIMS - 1}),
@@ -534,7 +541,8 @@ object RetrievalQueries {
        |    FROM (SELECT cid,
        |        list_transform(cws, w -> ${h("w")} % $RAG_DIMS) AS bs
        |      FROM ch))),
-       |${graft.operators.Quantizer.trainedCentroidsSql(RAG_NC)},
+       |${graft.operators.Quantizer.trainedCentroidsSql(RAG_NC)
+            .replace("cent AS (", "cent AS MATERIALIZED (")},
        |asg AS (
        |  SELECT vec_id AS cid, c_id FROM (
        |    SELECT n.vec_id, c.c_id,
@@ -592,7 +600,7 @@ object RetrievalQueries {
        |        + COALESCE(CAST(1.0 AS DOUBLE)/($RRF_K + sem_rank), 0), 6) AS rrf
        |  FROM lex FULL OUTER JOIN sem ON lex.cid = sem.cid
        |  ORDER BY rrf DESC, cid LIMIT $RAG_NPOOL),
-       |pe AS (
+       |pe AS MATERIALIZED (
        |  SELECT p.cid, n.emb, n.nrm,
        |    list_dot_product(q.qemb, n.emb)/(q.qnrm*n.nrm) AS sim_q
        |  FROM pool p JOIN n ON n.vec_id = p.cid, qn q),

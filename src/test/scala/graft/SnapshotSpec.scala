@@ -198,6 +198,57 @@ class SnapshotSpec extends SparkSpec {
       "claim not released after successful publishAt")
   }
 
+  test("concurrent publishers: distinct versions, each readable and uncorrupted") {
+    // the claims layer's raison d'être, exercised with REAL threads:
+    // under the old shared-dir protocol two publishers racing to the
+    // same version number wrote into the SAME v=N directory — their
+    // bytes could interleave before either committed, so the winning
+    // marker could expose a corrupt mix. With exclusive claims each
+    // dir has one writer, so N concurrent publishers must yield N
+    // distinct committed versions whose contents are each EXACTLY one
+    // publisher's dataframe.
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable("threads")
+    val writers = 4
+    import scala.jdk.CollectionConverters._
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    (1 to writers).foreach { w =>
+      pool.execute(() => {
+        try {
+          // marker rows: payload identifies the writer, so content
+          // mixing across publishers is detectable
+          val d = df(10 + w).withColumn("writer", lit(w))
+          results.add(w -> Snapshots.publish(spark, t, d))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errors.isEmpty, s"publisher threw: ${errors.asScala.headOption}")
+    val byWriter = results.asScala.toSeq.sortBy(_._1)
+    assert(byWriter.size == writers)
+    val versions = byWriter.map(_._2)
+    assert(versions.distinct.size == writers,
+      s"two publishers committed the same version: $versions")
+    assert(Snapshots.committedVersions(spark, t).toSet == versions.toSet)
+    byWriter.foreach { case (w, v) =>
+      val rows = Snapshots.readVersion(spark, t, v)
+        .select(col("writer")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows == Seq(w),
+        s"version $v mixes writers $rows — dir exclusivity broken")
+      assert(Snapshots.readVersion(spark, t, v).count() == 10 + w,
+        s"version $v lost rows")
+    }
+    // no claims left behind; vacuum leaves a clean single-version table
+    assert(Snapshots.claimedVersions(spark, t).isEmpty,
+      "publishers leaked claims")
+    Snapshots.vacuum(spark, t, keep = 1)
+    assert(Snapshots.committedVersions(spark, t) == Seq(versions.max))
+  }
+
   test("random interleaving of publishes, crashes and vacuums never corrupts the reader") {
     val t = freshTable("fuzz")
     val rnd = new scala.util.Random(42) // fixed seed: deterministic spec
