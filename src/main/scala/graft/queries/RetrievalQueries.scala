@@ -266,7 +266,7 @@ object RetrievalQueries {
   private val RAG_NCAND = 20 // per-leg candidate depth
   private val RAG_NPOOL = 12 // fused pool fed to MMR
   private val RAG_K = 5 // final diversified results
-  private val RAG_TERMS = Seq("vector", "spark", "key") // the question
+  private[graft] val RAG_TERMS = Seq("vector", "spark", "key") // the question
 
   /** 64-bucket hashed-word histogram of a words array, as
     * `array<double>` — the [[MultimodalQueries]] text tower re-spelled
@@ -281,15 +281,15 @@ object RetrievalQueries {
       d => size(filter(bs, b => b === d)).cast("double"))
   }
 
-  /** Chunk + embed + lexical-stats frame, the index build's input:
-    * (cid, doc_id, chunk_id, dl, tf0..2, emb). cid = doc_id·10000 +
-    * chunk_id packs the chunk key into one long (chunks per doc are
-    * bounded far below 10000 by document length); dl/tf* are the BM25
-    * per-chunk statistics precomputed AT BUILD TIME — the lexical leg
-    * of serving then never re-tokenizes (a Lucene index stores
-    * postings for the same reason).
+  private[graft] val RAG_PB = 16 // postings term-hash buckets
+
+  /** Chunk + embed frame, the index build's input: (cid, dl, cws,
+    * emb). cid = doc_id·10000 + chunk_id packs the chunk key into one
+    * long (chunks per doc are bounded far below 10000 by document
+    * length); `cws` rides along so the build can derive the postings
+    * table from the same single tokenize pass.
     */
-  private def ragChunkFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ragChunkFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), graft.operators.TextOps.words(col("text")).as("ws"))
       .withColumn("n", size(col("ws")))
@@ -299,25 +299,38 @@ object RetrievalQueries {
       .select(
         (col("doc_id") * 10000 + (col("st") / RAG_S).cast("long")).as("cid"),
         slice(col("ws"), col("st") + lit(1), lit(RAG_W)).as("cws"))
-    val tfCols = RAG_TERMS.zipWithIndex.map { case (t, i) =>
-      size(filter(col("cws"), w => w === lit(t))).as(s"tf$i")
-    }
-    ch.select(Seq(col("cid"), size(col("cws")).as("dl")) ++ tfCols
-      :+ bucketHistogram(col("cws")).as("emb"): _*)
+    ch.select(col("cid"), size(col("cws")).as("dl"), col("cws"),
+      bucketHistogram(col("cws")).as("emb"))
   }
 
   /** Build-once memo for the RAG chunk index, the same lifecycle as
     * `ann_index_query`'s ([[SimilarityQueries]]): key = (app, sfDir,
     * metadata fingerprint of the documents parquet), value = (index
-    * path, trained centroids). The index is the (c_id)-partitioned
-    * layout `AnnIndex.maintain` keeps current, here carrying chunk
-    * embeddings AND the per-chunk BM25 stats — one artifact serves
-    * both retrieval legs.
+    * path, trained centroids). One artifact serves both retrieval
+    * legs, each through its own partition-pruned layout:
+    *
+    * {{{
+    *   idx/c_id=<cell>/part-*.parquet       (cid, dl, emb) — the IVF
+    *                                        inverted lists (semantic)
+    *   idx/_postings/pb=<h(word)%16>/...    (word, cid, tf, dl) — the
+    *                                        postings table (lexical)
+    *   idx/_stats/part-*.parquet            (n, avgdl) — 1 row
+    * }}}
+    *
+    * The postings layout is the Lucene shape: per-term rows bucketed
+    * by term hash, document length denormalized next to the tf (the
+    * "norms" file), corpus-level stats precomputed. Serving reads
+    * ONLY the query terms' buckets — O(query-term postings), not
+    * O(chunks) — which is what makes the lexical leg
+    * corpus-independent at 100 TB. The underscore prefix keeps
+    * `spark.read.parquet(idx)` (the semantic leg) from ever listing
+    * the postings, the same hidden-path convention `AnnIndex` uses
+    * for `_codebook`.
     */
   private val ragIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
-  private def ragServingIndex(spark: SparkSession,
+  private[graft] def ragServingIndex(spark: SparkSession,
       sfDir: String): (String, DataFrame) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -341,11 +354,39 @@ object RetrievalQueries {
       val asg = graft.operators.Quantizer
         .assignNearestSlim(spark, vecs, cent)
         .select(col("vec_id").as("cid"), col("c_id"))
-      ce.join(asg, Seq("cid"))
+      // inverted lists first (the root overwrite clears the dir), then
+      // the postings + stats sidecars under their hidden paths
+      ce.select(col("cid"), col("dl"), col("emb"))
+        .join(asg, Seq("cid"))
         .write.mode("overwrite").partitionBy("c_id").parquet(idx)
+      ce.select(col("cid"), col("dl"), explode(col("cws")).as("word"))
+        .groupBy(col("word"), col("cid"))
+        .agg(count(lit(1)).cast("int").as("tf"), first(col("dl")).as("dl"))
+        .withColumn("pb",
+          pmod(graft.operators.TextOps.h31(col("word")), lit(RAG_PB)))
+        .write.mode("overwrite").partitionBy("pb").parquet(s"$idx/_postings")
+      ce.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$idx/_stats")
       ce.unpersist()
       (idx, cent)
     })
+  }
+
+  /** The serve-side read of the postings sidecar: the query terms'
+    * buckets ONLY. term→bucket goes through the same engine expression
+    * the build used (a collect of ≤|terms| constants), so the bucket
+    * filter is a LITERAL partition predicate — the lexical analog of
+    * the semantic leg's probed-cells read: O(query-term postings),
+    * never O(chunks). Plan-asserted in RetrievalSpec.
+    */
+  private[graft] def ragPostings(spark: SparkSession, idx: String): DataFrame = {
+    val termBuckets = spark.range(1)
+      .select(explode(array(RAG_TERMS.map(t =>
+        pmod(graft.operators.TextOps.h31(lit(t)), lit(RAG_PB))): _*)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    spark.read.parquet(s"$idx/_postings")
+      .filter(col("pb").isin(termBuckets: _*)) // literal partition filter
+      .filter(col("word").isin(RAG_TERMS: _*))
   }
 
   /** The composed RAG pipeline, end to end as ONE gated query (round
@@ -365,10 +406,13 @@ object RetrievalQueries {
     *    the cell filter is a LITERAL partition predicate
     *    (PartitionFilters, the `ann_index_query` lookup discipline);
     *    exact cosine over only those cells' chunks → top-[[RAG_NCAND]].
-    *  - '''lexical leg''': BM25 over the per-chunk (dl, tf) statistics
-    *    STORED in the index at build time — a column-pruned narrow
-    *    scan (never re-tokenizes), global stats broadcast back,
-    *    closed-form score → top-[[RAG_NCAND]].
+    *  - '''lexical leg''': BM25 from the POSTINGS sidecar built next
+    *    to the inverted lists — rows (word, cid, tf, dl) bucketed by
+    *    term hash, the Lucene layout. Serving reads only the query
+    *    terms' buckets (literal partition filter, the lexical analog
+    *    of probed cells), so the leg is O(query-term postings), not
+    *    O(chunks); corpus stats come precomputed from the `_stats`
+    *    sidecar; closed-form score → top-[[RAG_NCAND]].
     *  - '''fusion''': reciprocal-rank fusion of the two bounded
     *    candidate frames (rank-after-limit windows, ≤NCAND rows by
     *    construction — the `search_hybrid_rrf` shape).
@@ -412,14 +456,25 @@ object RetrievalQueries {
       .withColumn("sem_rank",
         row_number().over(Window.orderBy(col("cosine").desc, col("cid"))))
       .select(col("cid"), col("sem_rank"))
-    // ---- lexical leg: BM25 from the stored per-chunk stats ----
-    val lt = lists.select(Seq(col("cid"), col("dl")) ++
-      RAG_TERMS.indices.map(i => col(s"tf$i")): _*)
-    val statAggs = count(lit(1)).cast("double").as("n") +:
-      avg(col("dl")).as("avgdl") +:
-      RAG_TERMS.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
-    val stats = lt.agg(statAggs.head, statAggs.tail: _*)
+    // ---- lexical leg: the query terms' postings ONLY ----
+    // consumed twice (tf pivot + df count) — both consumers re-read
+    // the pruned buckets rather than checkpointing: the two scans are
+    // partition-filtered term lists, cheaper than a materialization job
+    val posts = ragPostings(spark, idx)
+    val tfAggs = first(col("dl")).as("dl") +:
+      RAG_TERMS.zipWithIndex.map { case (t, i) =>
+        sum(when(col("word") === t, col("tf")).otherwise(0))
+          .cast("int").as(s"tf$i")
+      }
+    val lt = posts.groupBy(col("cid")).agg(tfAggs.head, tfAggs.tail: _*)
+    // df_t = postings rows for t (one per chunk containing it);
+    // n/avgdl come from the build-time _stats sidecar — the same
+    // values the full-scan form aggregated, precomputed
+    val dfAggs = RAG_TERMS.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1).otherwise(0)).cast("double").as(s"df$i")
+    }
+    val stats = spark.read.parquet(s"$idx/_stats")
+      .crossJoin(posts.agg(dfAggs.head, dfAggs.tail: _*))
     val k1 = 1.2
     val b = 0.75
     // identical expression tree to TextQueries.bm25Scored, over chunks

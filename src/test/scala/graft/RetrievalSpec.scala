@@ -126,4 +126,58 @@ class RetrievalSpec extends SparkSpec {
       r.getAs[Int]("mmr_rank"), r.getAs[Double]("mmr"))).toSet
     assert(got == expected)
   }
+
+  // ------------------------------------------- RAG serving index layout
+
+  test("rag postings leg is a bucket-pruned lookup; sidecars stay hidden") {
+    val (idx, _) = RetrievalQueries.ragServingIndex(spark, sf)
+    // the semantic read never lists the sidecars (the `_` hidden-path
+    // convention): its schema is exactly the inverted-list columns
+    assert(spark.read.parquet(idx).columns.sorted
+      .sameElements(Array("c_id", "cid", "dl", "emb")))
+    // the serve-path postings scan carries a LITERAL pb partition
+    // filter, so unqueried buckets are pruned at file-listing time
+    val posts = RetrievalQueries.ragPostings(spark, idx)
+    val scan = posts.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("_postings")).getOrElse(
+        fail("no postings scan leaf in the serve plan"))
+    assert(scan.contains("PartitionFilters: [pb"),
+      s"no literal pb partition filter on the postings scan:\n$scan")
+    // |terms| terms can touch at most |terms| of the RAG_PB buckets
+    val touched = posts.select("pb").distinct().count()
+    assert(touched <= RetrievalQueries.RAG_TERMS.size)
+    val total = spark.read.parquet(s"$idx/_postings")
+      .select("pb").distinct().count()
+    assert(touched < total, "pruning read every postings bucket")
+  }
+
+  test("postings sidecar agrees with a full chunk-scan recompute") {
+    val (idx, _) = RetrievalQueries.ragServingIndex(spark, sf)
+    val ch = RetrievalQueries.ragChunkFrame(spark, sf)
+      .select(col("cid"), col("dl"), col("cws")).cache()
+    // corpus stats: _stats holds exactly what a full scan aggregates
+    val stats = spark.read.parquet(s"$idx/_stats").collect().head
+    val n = ch.count()
+    assert(stats.getAs[Double]("n") == n.toDouble)
+    assert(math.abs(stats.getAs[Double]("avgdl") -
+      ch.agg(avg(col("dl"))).collect().head.getDouble(0)) < 1e-12)
+    // per query term: df (postings rows = chunks containing it) and
+    // total tf from the PRUNED serve read equal a chunk rescan
+    RetrievalQueries.RAG_TERMS.foreach { t =>
+      val p = RetrievalQueries.ragPostings(spark, idx)
+        .filter(col("word") === t)
+        .agg(count(lit(1)).as("df"),
+          coalesce(sum(col("tf")), lit(0L)).as("tf"))
+        .collect().head
+      val c = ch.select(size(filter(col("cws"), w => w === lit(t))).as("tf"))
+        .agg(sum(when(col("tf") > 0, 1).otherwise(0)).as("df"),
+          sum(col("tf")).as("tf"))
+        .collect().head
+      assert(p.getAs[Long]("df") == c.getAs[Long]("df"),
+        s"df mismatch for '$t'")
+      assert(p.getAs[Long]("tf") == c.getAs[Long]("tf"),
+        s"tf mismatch for '$t'")
+    }
+    ch.unpersist()
+  }
 }
