@@ -90,8 +90,10 @@ object Registry {
     // inverted-list lookup) is a NEW physical shape — benched
     "ann_index_query",
     // text analysis (round 6: + text_bpe_tokens — learned-vocab
-    // subword tokenization, the family's heaviest member)
-    "text_bpe_tokens",
+    // subword tokenization, the family's heaviest member; round 8:
+    // + text_bpe_train — the sequential merge-training loop, a NEW
+    // physical shape: K argmax rounds over the vocab table)
+    "text_bpe_tokens", "text_bpe_train",
     "text_quality", "text_langid", "text_fingerprint",
     "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
     "text_lm_score", "text_inverted_index",
@@ -239,5 +241,5 @@ object Registry {
     "text_kl_drift" -> "tkd", "backfill_partition" -> "bkf",
     "privacy_erasure" -> "ers",
     // round-8 additions (append-only; see the stability contract above)
-    "rag_pipeline" -> "rag")
+    "rag_pipeline" -> "rag", "text_bpe_train" -> "tbt")
 }

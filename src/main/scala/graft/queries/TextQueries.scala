@@ -132,6 +132,116 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- BPE merge training (the sequential Sennrich loop) ---------------
+
+  private[graft] val BPE_MERGES = 10 // learned merge rules
+
+  /** BPE merge-rule TRAINING in-engine — the faithful sequential
+    * algorithm (Sennrich, Haddow & Birch, ACL 2016 §3.2), complementing
+    * [[bpeTokens]]'s deliberately loop-free one-pass ranking: K rounds,
+    * each counting adjacent symbol pairs weighted by word frequency,
+    * merging the argmax pair everywhere, and repeating on the updated
+    * symbol table. Output = the learned merge list
+    * (merge_rank, lhs, rhs, merged, cnt).
+    *
+    * 100 TB shape — the reason industrial tokenizer trainers scale:
+    * the ONLY corpus-sized operation is the initial word-frequency
+    * groupBy (one map-side-combined shuffle). Every merge round runs
+    * over the DISTINCT-WORD table (Heaps' law: ~10⁶–10⁷ rows at 100 TB,
+    * thousands of times smaller than the corpus), so round cost is
+    * corpus-independent. The per-round argmax stays a broadcast ONE-ROW
+    * frame — no driver collect anywhere; `localCheckpoint` pins each
+    * round's state so the K-step lineage stays flat (the
+    * [[RetrievalQueries.searchMmr]] loop discipline).
+    *
+    * Symbol-table representation: each word's current symbols joined by
+    * DOUBLED pipe delimiters with pipe sentinels at both ends
+    * (`"low" → "||l||o||w||"`; the corpus alphabet is `[a-z ]`, so `|`
+    * is free). Merging pair (a,b) is then one non-regex
+    * `replace(sym, "|a||b|", "|ab|")`: each boundary contributes one
+    * `|` to the match and keeps one, so consecutive occurrences
+    * (`a b a b`) all merge while overlapping ones (`a a a` under
+    * (a,a)) merge left-to-right non-overlapping — exactly the
+    * reference implementation's regex-sub semantics, and identical in
+    * Spark and DuckDB (both replace non-overlapping left-to-right).
+    * BpeSpec cross-checks the whole training run against an
+    * independent in-JVM fold-based reimplementation.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vf = wf.select(
+      concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("sym"),
+      col("freq")).localCheckpoint(true)
+    var merges: DataFrame = null
+    for (r <- 1 to BPE_MERGES) {
+      val best = vf
+        .select(col("freq"),
+          filter(split(col("sym"), "\\|\\|"), x => x =!= "").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("freq"), col("ts"),
+          explode(expr("sequence(1, size(ts) - 1)")).as("i"))
+        .select(element_at(col("ts"), col("i")).as("lhs"),
+          element_at(col("ts"), col("i") + 1).as("rhs"), col("freq"))
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .select(lit(r).as("merge_rank"), col("lhs"), col("rhs"), col("cnt"))
+        .localCheckpoint(true) // ONE row: this round's winning pair
+      merges = if (merges == null) best else merges.union(best)
+      vf = vf.crossJoin(broadcast(best))
+        .select(
+          replace(col("sym"),
+            concat(lit("|"), col("lhs"), lit("||"), col("rhs"), lit("|")),
+            concat(lit("|"), col("lhs"), col("rhs"), lit("|"))).as("sym"),
+          col("freq"))
+        .localCheckpoint(true)
+    }
+    merges
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The same K rounds unrolled as CTE chains. Every `v{r}` is
+    * referenced twice (next round's pair count + next round's replace)
+    * and every `b{r}` twice (the replace + the final union) — all
+    * MATERIALIZED, or DuckDB's default inlining re-expands the whole
+    * chain exponentially (the `rag_pipeline` 200 GB lesson).
+    */
+  private val bpeTrainOracle: String = {
+    val rounds = (1 to BPE_MERGES).map { r =>
+      s"""p$r AS (
+         |  SELECT ts[i] AS lhs, ts[i + 1] AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT list_filter(string_split(sym, '||'), x -> x <> '') AS ts,
+         |          freq
+         |        FROM v${r - 1}),
+         |       unnest(generate_series(1, len(ts) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(sym, '|' || lhs || '||' || rhs || '|',
+         |                 '|' || lhs || rhs || '|') AS sym, freq
+         |  FROM v${r - 1}, b$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to BPE_MERGES).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_rank, lhs, rhs, cnt FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH dw AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS freq FROM dw GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS sym, freq
+       |  FROM wf),
+       |$rounds
+       |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, cnt FROM (
+       |  $union)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Quality scoring: length, stopword ratio, average word length,
     * non-alphanumeric ratio, and a composite score. Ratios are
     * int/int double divisions — deterministic across engines without
@@ -844,6 +954,7 @@ object TextQueries {
     Q("text_tokens", Some(tokensOracle), tokens),
     Q("text_kl_drift", Some(klDriftOracle), klDrift),
     Q("text_bpe_tokens", Some(bpeOracle), bpeTokens),
+    Q("text_bpe_train", Some(bpeTrainOracle), bpeTrain),
     Q("text_bm25", Some(bm25Oracle), bm25),
     Q("text_lm_score", Some(lmScoreOracle), lmScore),
     Q("text_ccnet_buckets", Some(ccnetOracle), ccnetBuckets),

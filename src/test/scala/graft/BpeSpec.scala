@@ -74,4 +74,53 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(viaEval == List("th", "i", "n", "k", "ing"))
     assert(viaEval == encode(Seq("thinking"))("thinking"))
   }
+
+  // ---------------------------------------- sequential merge training
+
+  test("merge training matches an independent in-JVM Sennrich trainer") {
+    // oracle-independent cross-check of text_bpe_train: rebuild the
+    // word-frequency table and run the reference algorithm in plain
+    // Scala — explicit left-to-right non-overlapping pair merging —
+    // then compare the full merge list exactly. The engine's
+    // delimited-string replace must agree with this fold on every
+    // round (including merges-of-merges and overlapping-pair rounds).
+    val wf = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var syms = wf.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val expected = (1 to graft.queries.TextQueries.BPE_MERGES).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (ts, f) =>
+        ts.sliding(2).foreach {
+          case Seq(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      syms = syms.map { case (ts, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r, a, b, a + b, c)
+    }
+    val got = graft.queries.TextQueries.bpeTrain(spark, sf).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("cnt"))).toSeq
+    assert(got == expected)
+    // later rounds must be building on earlier merges (a merged token
+    // appearing as a side of a later pair) — the property that
+    // distinguishes the sequential algorithm from one-pass ranking
+    val mergedToks = got.map(_._4).toSet
+    assert(got.exists(m => mergedToks.contains(m._2) || mergedToks.contains(m._3)),
+      "no round merged a previously-merged token; corpus too trivial?")
+  }
 }
