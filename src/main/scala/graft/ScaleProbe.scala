@@ -217,7 +217,14 @@ object ScaleProbe {
       // — the timed stats SCAN still runs in full, which is the
       // cost under test; fusion degrades to the semantic leg, rows
       // stay K (rows_ratio 1.0).
-      "rag_pipeline")
+      "rag_pipeline",
+      // round 8 (late): sequential BPE merge training. The claim
+      // under test: only the initial word-frequency groupBy is
+      // corpus-sized; the K merge rounds run over the distinct-word
+      // table (the salted corpus multiplies the vocab by `scale`,
+      // the exact dimension rounds depend on). rows_ratio = 1.0
+      // (always K merge rows).
+      "text_bpe_train")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)

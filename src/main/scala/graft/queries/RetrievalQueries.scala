@@ -261,7 +261,7 @@ object RetrievalQueries {
   private val RAG_W = 40 // chunk word budget (doc_chunking's W)
   private val RAG_S = 30 // chunk stride (doc_chunking's S)
   private val RAG_DIMS = 64 // hashed-word embedding buckets (text tower)
-  private val RAG_NC = 8 // IVF cells
+  private[graft] val RAG_NC = 8 // IVF cells
   private val RAG_NPROBE = 2 // cells read per query
   private val RAG_NCAND = 20 // per-leg candidate depth
   private val RAG_NPOOL = 12 // fused pool fed to MMR
@@ -289,8 +289,15 @@ object RetrievalQueries {
     * length); `cws` rides along so the build can derive the postings
     * table from the same single tokenize pass.
     */
-  private[graft] def ragChunkFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  private[graft] def ragChunkFrame(spark: SparkSession, sfDir: String): DataFrame =
+    ragChunksOf(Tables.documents(spark, sfDir))
+
+  /** The same chunk+embed derivation from ANY `(doc_id, text)` frame —
+    * the streaming maintainer ([[graft.streaming.RagIndex]]) feeds it
+    * micro-batches; the batch build feeds it the whole table.
+    */
+  private[graft] def ragChunksOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), graft.operators.TextOps.words(col("text")).as("ws"))
       .withColumn("n", size(col("ws")))
     val ch = d
@@ -314,7 +321,7 @@ object RetrievalQueries {
     *                                        inverted lists (semantic)
     *   idx/_postings/pb=<h(word)%16>/...    (word, cid, tf, dl) — the
     *                                        postings table (lexical)
-    *   idx/_stats/part-*.parquet            (n, avgdl) — 1 row
+    *   idx/_stats/part-*.parquet            (n, sum_dl) partials
     * }}}
     *
     * The postings layout is the Lucene shape: per-term rows bucketed
@@ -351,26 +358,138 @@ object RetrievalQueries {
       val vecs = ce.select(col("cid").as("vec_id"), col("emb"))
       val cent = graft.operators.Quantizer
         .trainedCentroids(spark, vecs, RAG_NC).localCheckpoint()
-      val asg = graft.operators.Quantizer
-        .assignNearestSlim(spark, vecs, cent)
-        .select(col("vec_id").as("cid"), col("c_id"))
-      // inverted lists first (the root overwrite clears the dir), then
-      // the postings + stats sidecars under their hidden paths
-      ce.select(col("cid"), col("dl"), col("emb"))
-        .join(asg, Seq("cid"))
-        .write.mode("overwrite").partitionBy("c_id").parquet(idx)
-      ce.select(col("cid"), col("dl"), explode(col("cws")).as("word"))
-        .groupBy(col("word"), col("cid"))
-        .agg(count(lit(1)).cast("int").as("tf"), first(col("dl")).as("dl"))
-        .withColumn("pb",
-          pmod(graft.operators.TextOps.h31(col("word")), lit(RAG_PB)))
-        .write.mode("overwrite").partitionBy("pb").parquet(s"$idx/_postings")
-      ce.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-        .write.mode("overwrite").parquet(s"$idx/_stats")
+      ragWriteIndex(spark, ce, cent, idx)
       ce.unpersist()
       (idx, cent)
     })
   }
+
+  /** One index publication — the three layouts from a chunk frame and
+    * trained centroids. Factored out of [[ragServingIndex]] so the
+    * frozen-codebook rebuild (the [[ragForget]] spec's comparison
+    * twin) runs the IDENTICAL write path.
+    */
+  private[graft] def ragWriteIndex(spark: SparkSession, ce: DataFrame,
+      cent: DataFrame, idx: String): Unit = {
+    val vecs = ce.select(col("cid").as("vec_id"), col("emb"))
+    val asg = graft.operators.Quantizer
+      .assignNearestSlim(spark, vecs, cent)
+      .select(col("vec_id").as("cid"), col("c_id"))
+    // inverted lists first (the root overwrite clears the dir), then
+    // the postings + stats sidecars under their hidden paths
+    ce.select(col("cid"), col("dl"), col("emb"))
+      .join(asg, Seq("cid"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(idx)
+    ragPostingsOf(ce)
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$idx/_postings")
+    writeStatsPartial(ragStatsOf(ce))(s"$idx/_stats")
+  }
+
+  /** Write a stats partial under the UNIFORM `(p, slice)` layout —
+    * the batch build, the streaming maintainer's per-batch append,
+    * and the post-purge refresh all produce the same directory shape,
+    * so they can interleave on one index without ever mixing
+    * partition depths.
+    */
+  private[graft] def writeStatsPartial(partial: DataFrame)(
+      statsDir: String): Unit =
+    partial
+      .withColumn("p", lit(0L))
+      .withColumn("slice", col("sid"))
+      .write.mode("overwrite").partitionBy("p", "slice").parquet(statsDir)
+
+  /** Postings rows of a chunk frame: (word, cid, tf, dl, pb). */
+  private[graft] def ragPostingsOf(ce: DataFrame): DataFrame =
+    ce.select(col("cid"), col("dl"), explode(col("cws")).as("word"))
+      .groupBy(col("word"), col("cid"))
+      .agg(count(lit(1)).cast("int").as("tf"), first(col("dl")).as("dl"))
+      .withColumn("pb",
+        pmod(graft.operators.TextOps.h31(col("word")), lit(RAG_PB)))
+
+  /** Corpus-stats PARTIAL of a chunk frame: one (sid, n, sum_dl) row.
+    * `_stats` holds mergeable partials, not finished averages, so a
+    * streaming maintainer ([[graft.streaming.RagIndex]]) can APPEND a
+    * partial per batch and the batch build stays the one-partial
+    * special case; readers derive `avgdl = Σsum_dl / Σn` — for
+    * integral dl that is bit-identical to `avg(dl)` (Spark's Average
+    * IS exact-long-sum over count), so the oracle's `avg(dl)` twin is
+    * unaffected.
+    *
+    * `sid` keys the partial (the writer's slice tag), which turns the
+    * partial table into a SET — a SUM of anonymous partials cannot be
+    * compacted crash-safely (fold-then-delete double-counts in the
+    * crash window; duplicate rows inflate the sum), but keyed
+    * partials dedupe by `sid`, so replay overwrites and compaction
+    * races only ever DUPLICATE a row, exactly the invariant the other
+    * two layouts already lean on.
+    */
+  private[graft] def ragStatsOf(ce: DataFrame,
+      sid: String = "full"): DataFrame =
+    ce.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .select(lit(sid).as("sid"), col("n"), col("sum_dl"))
+
+  /** Finished corpus stats from the `_stats` partials: (n, avgdl).
+    * Dedupes by `sid` first (compaction races only duplicate keyed
+    * rows) and FAILS LOUDLY if no partial is present — a crashed
+    * refresh leaves an empty `_stats`, and a silent null here would
+    * null every BM25 score downstream; the loud error makes the
+    * repair (rerun the refresh) obvious.
+    */
+  private[graft] def ragReadStats(spark: SparkSession, idx: String): DataFrame =
+    spark.read.parquet(s"$idx/_stats")
+      .dropDuplicates(Seq("sid"))
+      .agg(sum(col("n")).as("n0"), sum(col("sum_dl")).as("sdl"))
+      .select(
+        when(col("n0").isNull,
+          raise_error(lit(s"$idx/_stats holds no partials — refresh it")))
+          .otherwise(col("n0").cast("double")).as("n"),
+        (col("sdl").cast("double") / col("n0")).as("avgdl"))
+
+  /** Right-to-be-forgotten for the serving index: remove a set of
+    * chunks (cids) from all three layouts. [[graft.operators.Erasure]]
+    * composes directly with both partitioned layouts — the inverted
+    * lists are (c_id)-partitioned and the postings (pb)-partitioned,
+    * so each purge rewrites only victim-bearing partitions (with
+    * Erasure's staging, escaped-name, and emptied-partition
+    * discipline for free). `_stats` is a DERIVED aggregate of the
+    * lists, so it is refreshed from the post-purge lists (one narrow
+    * scan) — stale n/avgdl would mis-normalize every BM25 score.
+    * df_t needs no repair: serving derives it from the postings at
+    * query time.
+    *
+    * Codebook-frozen semantics, same contract as
+    * [[graft.streaming.AnnIndex]]'s purge: centroids learned from the
+    * pre-purge corpus keep serving (retraining is a rebuild decision,
+    * not an erasure side effect). Idempotent: a re-purge finds no
+    * victim rows and touches nothing. StreamErasureSpec proves the
+    * purged index equals a frozen-codebook rebuild over the purged
+    * chunk set, layout by layout.
+    */
+  def ragForget(spark: SparkSession, idx: String,
+      victims: DataFrame): Unit = {
+    graft.operators.Erasure.erase(spark, idx, "c_id", "cid", victims)
+    graft.operators.Erasure.erase(spark, s"$idx/_postings", "pb", "cid",
+      victims)
+    ragRefreshStats(spark, idx)
+  }
+
+  /** Replace the `_stats` partials with one partial recomputed from
+    * the (post-purge) inverted lists. The overwrite's crash window
+    * (dir cleared, partial not yet written) is LOUD — [[ragReadStats]]
+    * raises on an empty stats table — and the rerun repairs it; a
+    * stale-stats alternative would silently mis-normalize every BM25
+    * score, which is worse than stopping.
+    */
+  private[graft] def ragRefreshStats(spark: SparkSession,
+      idx: String): Unit =
+    writeStatsPartial(
+      spark.read.parquet(idx)
+        // a MAINTAINED index may carry transient slice duplicates
+        // (compaction races) — the refresh counts CHUNKS, not rows
+        .dropDuplicates(Seq("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+        .select(lit("full").as("sid"), col("n"), col("sum_dl"))
+        .localCheckpoint(true))(s"$idx/_stats")
 
   /** The serve-side read of the postings sidecar: the query terms'
     * buckets ONLY. term→bucket goes through the same engine expression
@@ -473,7 +592,7 @@ object RetrievalQueries {
     val dfAggs = RAG_TERMS.zipWithIndex.map { case (t, i) =>
       sum(when(col("word") === t, 1).otherwise(0)).cast("double").as(s"df$i")
     }
-    val stats = spark.read.parquet(s"$idx/_stats")
+    val stats = ragReadStats(spark, idx)
       .crossJoin(posts.agg(dfAggs.head, dfAggs.tail: _*))
     val k1 = 1.2
     val b = 0.75

@@ -143,4 +143,35 @@ object StreamErasure {
       .collect().map(_.getLong(0)).toSeq.sorted
     purgeSlices(spark, indexDir, "c_id", cells, "vec_id", v)
   }
+
+  /** Chunk erasure for the MAINTAINED RAG serving index
+    * ([[RagIndex]]) — the sliced-layout counterpart of
+    * [[graft.queries.RetrievalQueries.ragForget]] (which handles the
+    * batch-built index's plain partitions). All three layouts:
+    * victim-bearing (c_id, slice) inverted-list leaves and
+    * (pb, slice) postings leaves through [[purgeSlices]]'s
+    * write-new-then-delete discipline, then the `_stats` partials
+    * replaced with one partial recomputed from the purged lists
+    * (derived-sum state cannot be repaired by leaf rewrites — a SUM
+    * doesn't dedupe — so it is re-derived, the
+    * [[eraseUserScd2]] state-table move). Discovery per layout is one
+    * column-pruned semi-join; idempotent by the same set-semantics
+    * argument as the other purges.
+    */
+  def eraseChunksRag(spark: SparkSession, indexDir: String,
+      victims: DataFrame): Seq[(Long, String)] = {
+    val v = victims.select(col("cid")).distinct().localCheckpoint(true)
+    val cells = spark.read.parquet(indexDir)
+      .join(broadcast(v), Seq("cid"), "left_semi")
+      .select(col("c_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val listLeaves = purgeSlices(spark, indexDir, "c_id", cells, "cid", v)
+    val buckets = spark.read.parquet(s"$indexDir/_postings")
+      .join(broadcast(v), Seq("cid"), "left_semi")
+      .select(col("pb").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    purgeSlices(spark, s"$indexDir/_postings", "pb", buckets, "cid", v)
+    graft.queries.RetrievalQueries.ragRefreshStats(spark, indexDir)
+    listLeaves
+  }
 }

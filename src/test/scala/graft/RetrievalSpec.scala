@@ -155,12 +155,15 @@ class RetrievalSpec extends SparkSpec {
     val (idx, _) = RetrievalQueries.ragServingIndex(spark, sf)
     val ch = RetrievalQueries.ragChunkFrame(spark, sf)
       .select(col("cid"), col("dl"), col("cws")).cache()
-    // corpus stats: _stats holds exactly what a full scan aggregates
-    val stats = spark.read.parquet(s"$idx/_stats").collect().head
+    // corpus stats: the _stats partials aggregate to exactly what a
+    // full scan computes — and the derived avgdl is BIT-identical to
+    // avg(dl) (integral dl: both are exact-long-sum over count)
+    val stats = graft.queries.RetrievalQueries.ragReadStats(spark, idx)
+      .collect().head
     val n = ch.count()
     assert(stats.getAs[Double]("n") == n.toDouble)
-    assert(math.abs(stats.getAs[Double]("avgdl") -
-      ch.agg(avg(col("dl"))).collect().head.getDouble(0)) < 1e-12)
+    assert(stats.getAs[Double]("avgdl") ==
+      ch.agg(avg(col("dl"))).collect().head.getDouble(0))
     // per query term: df (postings rows = chunks containing it) and
     // total tf from the PRUNED serve read equal a chunk rescan
     RetrievalQueries.RAG_TERMS.foreach { t =>

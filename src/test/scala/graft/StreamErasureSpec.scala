@@ -155,4 +155,48 @@ class StreamErasureSpec extends SparkSpec {
       rows(AnnIndex.batchTwin(spark, purged2, idx)),
       "index diverges after post-purge checkpoint restart")
   }
+
+  test("RAG index purge: all three layouts equal a frozen-codebook rebuild") {
+    import graft.queries.RetrievalQueries
+    // work on a COPY: ragServingIndex memoizes one on-disk index per
+    // corpus fingerprint, shared JVM-wide — purging it in place would
+    // poison every later rag query in this test JVM
+    val (idx0, cent) = RetrievalQueries.ragServingIndex(spark, sf)
+    val idx = Files.createTempDirectory("graft_rag_purge").toString + "/idx"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(idx0).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(idx0), fs,
+      new org.apache.hadoop.fs.Path(idx), false, conf)
+    val ce = RetrievalQueries.ragChunkFrame(spark, sf)
+    // victims: every 37th chunk — multiple cells and postings buckets
+    val victims = ce.select(col("cid")).filter(col("cid") % 37 === 0)
+      .localCheckpoint(true)
+    val victimCells = spark.read.parquet(idx)
+      .join(victims, Seq("cid"), "left_semi")
+      .select(col("c_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val before = leaves(idx)
+    RetrievalQueries.ragForget(spark, idx, victims)
+    // lease: inverted-list cells with no victim are byte-for-byte intact
+    val after = leaves(idx)
+    before.keys.filterNot(d => victimCells.contains(
+      d.stripPrefix("c_id="))).foreach { d =>
+      assert(after(d) == before(d), s"victimless cell $d was rewritten")
+    }
+    // frozen-codebook rebuild over the purged chunk set, through the
+    // IDENTICAL write path, into a fresh dir
+    val idx2 = Files.createTempDirectory("graft_rag_rebuild").toString + "/idx"
+    RetrievalQueries.ragWriteIndex(spark,
+      ce.join(victims, Seq("cid"), "left_anti"), cent, idx2)
+    def layout(p: String) = (
+      rows(spark.read.parquet(p)),
+      rows(spark.read.parquet(s"$p/_postings")),
+      rows(spark.read.parquet(s"$p/_stats")))
+    assert(layout(idx) == layout(idx2),
+      "purged index diverges from the frozen-codebook rebuild")
+    // idempotence: re-purging the same victims touches nothing
+    RetrievalQueries.ragForget(spark, idx, victims)
+    assert(layout(idx) == layout(idx2), "re-purge changed the index")
+  }
 }

@@ -749,4 +749,79 @@ class StreamingSpec extends SparkSpec {
       assert(Snapshots.readLatest(spark, table).count() == 2) // click+view
     } finally q2.stop()
   }
+
+  test("RAG index maintenance: incremental adds equal the batch derivation") {
+    // the AnnIndex lifecycle on the rag_pipeline artifact: frozen
+    // centroids, then per-batch chunk+embed+assign appends to the
+    // inverted lists, the postings sidecar, AND the stats partials.
+    // After every drop all three maintained layouts must equal the
+    // batch derivation over the accumulated corpus.
+    val drop = Files.createTempDirectory("graft_ragm_drop").toString
+    val ckpt = Files.createTempDirectory("graft_ragm_ckpt").toString
+    val idx = Files.createTempDirectory("graft_ragm_idx").toString + "/idx"
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(d.schema)
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = graft.streaming.RagIndex.maintain(stream, ckpt, idx,
+        trainOn = d, Trigger.AvailableNow(), compactAfter = 2)
+      try q.awaitTermination(180000) finally q.stop()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    for (i <- 0 to 2) {
+      d.filter(col("doc_id") % 3 === i).write.parquet(s"$drop/chunk_$i")
+      runOnce()
+      val acc = d.filter(col("doc_id") % 3 <= i)
+      val (lw, pw, sw) = graft.streaming.RagIndex.batchTwin(spark, acc, idx)
+      val gotLists = rows(graft.streaming.RagIndex.builtLists(spark, idx))
+      assert(gotLists.nonEmpty && gotLists == rows(lw),
+        s"inverted lists diverge after drop $i")
+      assert(rows(graft.streaming.RagIndex.builtPostings(spark, idx))
+        == rows(pw), s"postings diverge after drop $i")
+      assert(rows(graft.streaming.RagIndex.builtStats(spark, idx))
+        == rows(sw), s"stats diverge after drop $i")
+    }
+    // compaction kept the slice count bounded in ALL THREE layouts
+    for ((dir, pfx) <- Seq((idx, "c_id="), (s"$idx/_postings", "pb="),
+        (s"$idx/_stats", "p="))) {
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(pfx)).foreach { b =>
+          val slices = b.listFiles().filter(_.getName.startsWith("slice="))
+          assert(slices.length <= 3,
+            s"${b.getName}: ${slices.length} slices survived compactAfter=2")
+        }
+    }
+    // chunk purge composes with the SLICED layouts (the batch-index
+    // form is ragForget's job; this is the maintained-index form)
+    val victims = graft.streaming.RagIndex.builtLists(spark, idx)
+      .select(col("cid")).filter(col("cid") % 53 === 0)
+      .localCheckpoint(true)
+    assert(victims.count() > 0)
+    graft.streaming.StreamErasure.eraseChunksRag(spark, idx, victims)
+    assert(graft.streaming.RagIndex.builtLists(spark, idx)
+      .join(victims, Seq("cid"), "left_semi").count() == 0)
+    assert(graft.streaming.RagIndex.builtPostings(spark, idx)
+      .join(victims, Seq("cid"), "left_semi").count() == 0)
+    val st = graft.streaming.RagIndex.builtStats(spark, idx).collect().head
+    assert(st.getAs[Double]("n") ==
+      graft.streaming.RagIndex.builtLists(spark, idx).count().toDouble,
+      "stats were not re-derived from the purged lists")
+    // idempotent re-purge
+    graft.streaming.StreamErasure.eraseChunksRag(spark, idx, victims)
+    assert(graft.streaming.RagIndex.builtStats(spark, idx).collect().head == st)
+    // the stream keeps maintaining the purged index from its
+    // checkpoint; the victims never resurrect
+    d.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.parquet(s"$drop/chunk_3")
+    runOnce()
+    assert(graft.streaming.RagIndex.builtLists(spark, idx)
+      .join(victims, Seq("cid"), "left_semi").count() == 0,
+      "purged chunks resurrected after stream continuation")
+    assert(graft.streaming.RagIndex.builtLists(spark, idx)
+      .filter(col("cid") >= 1000000L * 10000).count() > 0,
+      "post-purge batch was not indexed")
+  }
 }
