@@ -88,15 +88,32 @@ object Snapshots {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     committedVersions(spark, table).lastOption
 
+  /** Atomic exclusive create of an empty marker. The primitive must be
+    * a real compare-and-create: on HDFS `create(overwrite=false)` is
+    * atomic (namenode-arbitrated) and on S3 it maps to conditional put,
+    * but on the LOCAL filesystem Hadoop's implementation is
+    * check-then-act (`exists()` then `FileOutputStream`) — two threads
+    * can both pass the check and both believe they won, which breaks
+    * every guarantee built on the claim (the 4-thread SnapshotSpec race
+    * caught exactly this). For `file:` URIs use POSIX `O_CREAT|O_EXCL`
+    * via NIO instead.
+    */
   private def tryCreateMarker(spark: SparkSession, table: String,
       kind: String, v: Long): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$kind"))
-    try {
-      f.create(new Path(s"$table/$kind/$v"), false).close()
-      true
-    } catch {
-      case _: java.io.IOException => false
+    val marker = new Path(s"$table/$kind/$v")
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(marker.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try {
+        f.create(marker, false).close()
+        true
+      } catch { case _: java.io.IOException => false }
     }
   }
 
@@ -145,12 +162,24 @@ object Snapshots {
       while (!tryClaim(spark, table, attempt))
         attempt = math.max(attempt + 1,
           latestVersion(spark, table).getOrElse(0L) + 1)
-      df.write.mode("overwrite").parquet(s"$table/v=$attempt")
-      onBeforeCommit(attempt)
-      if (tryCommit(spark, table, attempt)) committed = attempt
-      // on a lost commit (raw-committing rival), this attempt's dir is
-      // garbage; releasing the claim un-pins it for vacuum
-      releaseClaim(spark, table, attempt)
+      // The claim can be a RECYCLED number: its original owner may have
+      // committed and released between our latestVersion read and our
+      // claim create. Writing would stomp a COMMITTED directory (two
+      // concurrent stale claimers would interleave bytes in it — the
+      // corrupt-mix the claims layer exists to prevent, resurfacing one
+      // level up). A commit marker always precedes its claim release,
+      // so if we could claim a committed version, its marker is already
+      // visible — this re-check is race-free. Decline and retry higher.
+      if (committedVersions(spark, table).contains(attempt)) {
+        releaseClaim(spark, table, attempt)
+      } else {
+        df.write.mode("overwrite").parquet(s"$table/v=$attempt")
+        onBeforeCommit(attempt)
+        if (tryCommit(spark, table, attempt)) committed = attempt
+        // on a lost commit (raw-committing rival), this attempt's dir is
+        // garbage; releasing the claim un-pins it for vacuum
+        releaseClaim(spark, table, attempt)
+      }
     }
     committed
   }

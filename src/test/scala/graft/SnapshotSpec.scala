@@ -214,23 +214,31 @@ class SnapshotSpec extends SparkSpec {
     val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    // 3 publishes per writer: every commit+release reopens the
+    // recycled-version window and every claim exercises the exclusive
+    // create under contention — the round-8 session caught BOTH a
+    // non-atomic local-FS claim primitive and a stale re-claim of a
+    // committed number with this test, so keep the pressure on
+    val rounds = 3
     (1 to writers).foreach { w =>
       pool.execute(() => {
         try {
-          // marker rows: payload identifies the writer, so content
-          // mixing across publishers is detectable
-          val d = df(10 + w).withColumn("writer", lit(w))
-          results.add(w -> Snapshots.publish(spark, t, d))
+          for (r <- 1 to rounds) {
+            // marker rows: payload identifies the (writer, round), so
+            // content mixing across publishers is detectable
+            val d = df(10 + w).withColumn("writer", lit(w * 10 + r))
+            results.add((w * 10 + r) -> Snapshots.publish(spark, t, d))
+          }
         } catch { case e: Throwable => errors.add(e) }
       })
     }
     pool.shutdown()
-    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(pool.awaitTermination(240, java.util.concurrent.TimeUnit.SECONDS))
     assert(errors.isEmpty, s"publisher threw: ${errors.asScala.headOption}")
     val byWriter = results.asScala.toSeq.sortBy(_._1)
-    assert(byWriter.size == writers)
+    assert(byWriter.size == writers * rounds)
     val versions = byWriter.map(_._2)
-    assert(versions.distinct.size == writers,
+    assert(versions.distinct.size == writers * rounds,
       s"two publishers committed the same version: $versions")
     assert(Snapshots.committedVersions(spark, t).toSet == versions.toSet)
     byWriter.foreach { case (w, v) =>
@@ -239,7 +247,7 @@ class SnapshotSpec extends SparkSpec {
         .collect().map(_.getInt(0)).toSeq
       assert(rows == Seq(w),
         s"version $v mixes writers $rows — dir exclusivity broken")
-      assert(Snapshots.readVersion(spark, t, v).count() == 10 + w,
+      assert(Snapshots.readVersion(spark, t, v).count() == 10 + w / 10,
         s"version $v lost rows")
     }
     // no claims left behind; vacuum leaves a clean single-version table
