@@ -30,6 +30,21 @@ object GraftPlans {
       spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsofJoin
   }
 
+  /** Opt-in, per-session install of the summary-table rewrite
+    * ([[MvRewriteRule]]). Separate from [[ensureStrategy]] on purpose:
+    * a registered summary may only affect plans of the session that
+    * asked for it (see [[MvCatalog]]).
+    */
+  def ensureMvRewrite(spark: SparkSession): Unit = {
+    val opts = spark.experimental.extraOptimizations
+    val present = opts.exists {
+      case MvRewriteRule(s) => s eq spark
+      case _ => false
+    }
+    if (!present)
+      spark.experimental.extraOptimizations = opts :+ MvRewriteRule(spark)
+  }
+
   /** `left ASOF JOIN right ON left[keyL] = right[keyR] AND
     * left[timeL] >= right[timeR]` (inner; latest right row wins).
     * Column names resolve against each side, so the two sides may

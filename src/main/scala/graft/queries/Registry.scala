@@ -130,7 +130,11 @@ object Registry {
     // already represented by dedup_clusters + graph_pagerank, and the
     // emit window is full)
     "mix_temperature", "dsir_select", "emb_centroids", "merge_upsert",
-    "agg_histogram", "snapshot_diff", "dq_expectations", "graph_pagerank",
+    // (snapshot_diff trimmed round 8 to fund mv_rewrite_q1 under the
+    // emit budget: 0.30 s, and snapshot_timetravel keeps the
+    // versioned-snapshot family benched — it drives the publish
+    // protocol the diff reads from; snapshot_diff stays Verify-gated)
+    "agg_histogram", "dq_expectations", "graph_pagerank",
     // round 7: the alias emit window (benchAlias) ended the zero-sum
     // trim-swap economy, so the queries parked Verify-only in rounds
     // 5-6 PURELY for window space return to the bench: the CMS counter
@@ -177,6 +181,13 @@ object Registry {
     // stays Verify-only: per-row map ops, a strict subset of benched
     // scan shapes.
     "rag_pipeline",
+    // round 8 (continued): the summary-table rewrite serving TPC-H Q1
+    // — benched NEXT TO agg_tpch_q1 so the headline carries both faces
+    // of the same oracle: the full fact aggregate (tq1) and the
+    // optimizer-substituted summary serve (mvq); the gap between the
+    // two IS the capability. Build amortizes into warmup via the
+    // fact-fingerprint memo, the ann_index_query discipline.
+    "mv_rewrite_q1",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -241,5 +252,6 @@ object Registry {
     "text_kl_drift" -> "tkd", "backfill_partition" -> "bkf",
     "privacy_erasure" -> "ers",
     // round-8 additions (append-only; see the stability contract above)
-    "rag_pipeline" -> "rag", "text_bpe_train" -> "tbt")
+    "rag_pipeline" -> "rag", "text_bpe_train" -> "tbt",
+    "mv_rewrite_q1" -> "mvq")
 }

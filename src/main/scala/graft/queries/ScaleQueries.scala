@@ -457,9 +457,59 @@ object ScaleQueries {
       |FROM customer WHERE c_acctbal >= 1000 GROUP BY c_nationkey
       |ORDER BY snap, c_nationkey""".stripMargin
 
+  /** Serving session behind [[mvRewriteQ1]], memoized per (app, sfDir,
+    * fact fingerprint) — the [[SimilarityQueries]] index-memo
+    * lifecycle applied to a summary table: build the summary when the
+    * fact changes, serve every query in between. The memo holds a
+    * CHILD SparkSession (shares the SparkContext, own optimizer
+    * extensions): the rewrite rule and the registration live only
+    * there, so the plain `agg_tpch_q1` in the same sweep keeps its
+    * full-scan plan no matter the query order.
+    */
+  private val mvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** Transparent summary-table rewrite serving TPC-H Q1
+    * ([[graft.plans.MvRewriteRule]] — the optimizer-level face of the
+    * warehouse-ops family): registers a
+    * (l_returnflag, l_linestatus, l_shipdate)-grain summary whose
+    * stored partials are derived from Q1's OWN aggregate columns, then
+    * runs the UNCHANGED `agg_tpch_q1` DataFrame code. The optimizer
+    * proves subsumption (filter and group-bys reach only grain
+    * columns; every SUM/COUNT re-merges from a stored partial — exact
+    * decimal/integer partials, so the two-level sum is bit-identical)
+    * and swaps the fact scan for the summary scan; MvRewriteSpec
+    * plan-asserts the swap and the freshness decline. Shares
+    * `agg_tpch_q1`'s oracle verbatim — same answer, summary-served
+    * plan, the [[SimilarityQueries.annIndexQuery]] pattern one level
+    * up the stack.
+    *
+    * 100 TB shape: the summary has grain-cardinality rows (~10 K here:
+    * 4 flag-status pairs × ~2.5 K ship dates) REGARDLESS of fact size,
+    * so the served aggregate's cost is fixed while the base query
+    * grows linearly — the measured gap at sf0.1 is already ~20× on the
+    * scan side and widens with the fact.
+    */
+  def mvRewriteQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.{GraftPlans, MvCatalog}
+    val fp = MvCatalog.fingerprint(Tables.lineitem(spark, sfDir))
+    val key = s"${spark.sparkContext.applicationId}|$sfDir|$fp"
+    val serving = mvMemo.computeIfAbsent(key, _ => {
+      val s = spark.newSession()
+      GraftPlans.ensureMvRewrite(s)
+      val mvPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mv_q1_$fp"
+      MvCatalog.register(s, Tables.lineitem(s, sfDir),
+        SqlSurface.q1Grain, SqlSurface.q1Aggs, mvPath)
+      s
+    })
+    SqlSurface.aggTpchQ1(serving, sfDir)
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
+    Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("backfill_partition", Some(backfillOracle), backfillPartition),

@@ -97,7 +97,17 @@ object SqlSurface {
     * [[Enrich.roundDiv4]] integer arithmetic so the result is
     * bit-identical across engines (see SURVEY §7.4).
     */
-  def aggTpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Q1's aggregate columns and the finest column set they reference,
+    * exposed for [[ScaleQueries.mvRewriteQ1]]: the summary-table
+    * registration derives its stored partials from THESE columns, so
+    * registration and query are the same expressions by construction.
+    * Grain = the group-bys plus the filter column — every non-aggregated
+    * fact column the query touches.
+    */
+  private[graft] val q1Grain: Seq[String] =
+    Seq("l_returnflag", "l_linestatus", "l_shipdate")
+
+  private[graft] def q1Aggs: Seq[org.apache.spark.sql.Column] = {
     val qInt = (col("l_quantity").cast("decimal(18,4)") * 10000)
       .cast("decimal(38,0)")
     val pInt = (col("l_extendedprice").cast("decimal(18,4)") * 10000)
@@ -107,22 +117,27 @@ object SqlSurface {
     val ep = col("l_extendedprice").cast("decimal(12,4)")
     val disc = col("l_discount").cast("decimal(12,4)")
     val tax = col("l_tax").cast("decimal(12,4)")
+    Seq(
+      round(Enrich.exactSum(col("l_quantity")), 4).as("sum_qty"),
+      round(Enrich.exactSum(col("l_extendedprice")), 4).as("sum_base_price"),
+      (round(sum(ep * (lit(1) - disc)), 4)).cast("double").as("sum_disc_price"),
+      (round(sum(ep * (lit(1) - disc) * (lit(1) + tax)), 4)).cast("double").as("sum_charge"),
+      Enrich.roundDiv4(sum(qInt), count(lit(1)) * 10000).as("avg_qty"),
+      Enrich.roundDiv4(sum(pInt), count(lit(1)) * 10000).as("avg_price"),
+      Enrich.roundDiv4(sum(dInt), count(lit(1)) * 10000).as("avg_disc"),
+      count(lit(1)).as("count_order"))
+  }
+
+  def aggTpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = q1Aggs
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(Enrich.exactSum(col("l_quantity")), 4).as("sum_qty"),
-        round(Enrich.exactSum(col("l_extendedprice")), 4).as("sum_base_price"),
-        (round(sum(ep * (lit(1) - disc)), 4)).cast("double").as("sum_disc_price"),
-        (round(sum(ep * (lit(1) - disc) * (lit(1) + tax)), 4)).cast("double").as("sum_charge"),
-        Enrich.roundDiv4(sum(qInt), count(lit(1)) * 10000).as("avg_qty"),
-        Enrich.roundDiv4(sum(pInt), count(lit(1)) * 10000).as("avg_price"),
-        Enrich.roundDiv4(sum(dInt), count(lit(1)) * 10000).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  private val q1Oracle = {
+  private[graft] val q1Oracle = {
     def div4(n: String, d: String) = Enrich.roundDiv4Sql(n, d)
     s"""SELECT l_returnflag, l_linestatus,
        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty,
