@@ -6,8 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{
   NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Filter, LogicalPlan, Project}
+  Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
@@ -78,33 +80,32 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peel column-pruning projections and filters off the aggregate's
-    * child; anything else means the subtree is not a plain fact scan.
-    */
-  private def strip(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(Seq[Expression], LogicalRelation)] = p match {
-    case f: Filter => strip(f.child, conds :+ f.condition)
-    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(pr.child, conds)
-    case lr: LogicalRelation => Some((conds, lr))
-    case _ => None
-  }
-
   private def tryRewrite(agg: Aggregate, mv: RegisteredMv)
       : Option[Aggregate] = {
-    val (conds, lr) = strip(agg.child, Nil).getOrElse(return None)
-    val paths = lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
-      case _ => return None
-    }
+    val flat = MvCatalog.flatten(agg.child).getOrElse(return None)
+    val paths = flat.rels.flatMap(MvCatalog.rootPathsOf).toSet
     if (paths != mv.factPaths) return None
-    // freshness: a changed fact must never be served by an old summary
-    if (MvCatalog.fingerprintOf(lr) != mv.factFingerprint) return None
+    // the JOIN SHAPE must match the registration exactly: same tables
+    // (checked above) joined on the same key pairs — a summary over
+    // fact⋈dim answers only that join, not an arbitrary co-occurrence
+    // of the same tables
+    val eqs = MvCatalog.canonEqs(flat).getOrElse(return None)
+    if (eqs != mv.joinEqs) return None
+    // freshness: a changed input table must never be served by an old
+    // summary — fingerprint EVERY participating relation
+    if (MvCatalog.fingerprintOf(flat.rels) != mv.factFingerprint)
+      return None
 
-    val factByName = lr.output.map(a => a.name -> a).toMap
+    val conds = MvCatalog.userConds(flat)
+    val factByName: Map[String, AttributeReference] =
+      flat.rels.flatMap(_.output).groupBy(_.name).collect {
+        case (n, Seq(one)) => n -> one
+      }.toMap
     val grainIds: Map[ExprId, String] =
       mv.grain.flatMap(g => factByName.get(g).map(_.exprId -> g)).toMap
     if (grainIds.size != mv.grain.size) return None
+    val factIds: Set[ExprId] =
+      flat.rels.flatMap(_.output.map(_.exprId)).toSet
 
     // fresh ExprIds per rewrite site, so two rewrites in one plan
     // (self-union, self-join of summarized aggregates) never collide
@@ -122,8 +123,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         deriveAgg(ae, mvByName, mv).getOrElse { failed = true; ae }
       case a: AttributeReference if grainIds.contains(a.exprId) =>
         mvByName(grainIds(a.exprId))
-      case a: AttributeReference
-          if factByName.get(a.name).exists(_.exprId == a.exprId) =>
+      case a: AttributeReference if factIds.contains(a.exprId) =>
         failed = true; a // a non-grain fact column outside any aggregate
       case other => other.mapChildren(rewriteExpr)
     }
@@ -190,11 +190,14 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 final case class MvShape(key: String, sql: String, stored: String)
 
 /** One registered summary: where the fact lives (and what it looked
-  * like at registration), the grain, the stored partials, and the
-  * summary's own scan relation.
+  * like at registration), the join shape if the registered frame was a
+  * star join (canonical equi-join key pairs; empty for a single-table
+  * summary), the grain, the stored partials, and the summary's own
+  * scan relation.
   */
 final case class RegisteredMv(
     factPaths: Set[String],
+    joinEqs: Set[String],
     factFingerprint: String,
     grain: Seq[String],
     shapes: Seq[MvShape],
@@ -233,13 +236,111 @@ object MvCatalog {
     */
   def norm(e: Expression): String = e.sql
 
-  /** Metadata-only fact fingerprint (names + lengths + mtimes). */
-  def fingerprintOf(lr: LogicalRelation): String = lr.relation match {
-    case fs: HadoopFsRelation =>
-      fingerprintFiles(
-        fs.sparkSession.sparkContext.hadoopConfiguration,
-        fs.location.inputFiles)
-    case _ => ""
+  /** One flattened aggregate input: the collected filter conditions,
+    * the leaf relations, and the inner equi-join key pairs that tie
+    * them — [[flatten]]'s result for both the match side and the
+    * registration side.
+    */
+  final case class Flat(
+      conds: Seq[Expression],
+      rels: Seq[LogicalRelation],
+      eqs: Seq[(AttributeReference, AttributeReference)])
+
+  /** Flatten `Filter/Project(attrs-only)/Join(Inner, equi)` chains down
+    * to their leaf relations. Anything else (outer joins, non-equi
+    * conditions, computing projections, other nodes) ⇒ None — the
+    * subtree is not a shape a grain summary can answer for.
+    */
+  def flatten(p: LogicalPlan): Option[Flat] = p match {
+    case f: Filter => flatten(f.child).map(x =>
+      x.copy(conds = x.conds :+ f.condition))
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      flatten(pr.child)
+    case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      for {
+        l <- flatten(j.left)
+        r <- flatten(j.right)
+        pairs <- eqPairs(j.condition.get)
+      } yield Flat(l.conds ++ r.conds, l.rels ++ r.rels,
+        l.eqs ++ r.eqs ++ pairs)
+    case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+      Some(Flat(Nil, Seq(lr), Nil))
+    case _ => None
+  }
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The filter conjuncts that are NOT optimizer-inferred
+    * `isnotnull(<join key>)` guards (those are implied by the inner
+    * join itself — the summary holds only rows that survived it).
+    */
+  def userConds(flat: Flat): Seq[Expression] = {
+    val joinKeyIds =
+      flat.eqs.flatMap { case (a, b) => Seq(a.exprId, b.exprId) }.toSet
+    flat.conds.flatMap(conjuncts).filterNot {
+      case IsNotNull(a: AttributeReference) => joinKeyIds.contains(a.exprId)
+      case _ => false
+    }
+  }
+
+  /** A conjunction of plain column equalities, or None. */
+  private def eqPairs(cond: Expression)
+      : Option[Seq[(AttributeReference, AttributeReference)]] = {
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        Some((a, b))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+  }
+
+  def rootPathsOf(lr: LogicalRelation): Seq[String] = lr.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+    case _ => Seq.empty
+  }
+
+  /** ExprId-free canonical form of the join key pairs: each side named
+    * `<owning relation's sorted root paths>|<column>`, each pair
+    * sorted. None on ambiguity — an attribute owned by zero or two
+    * relations (self-joins are declined: two relations on the same
+    * path make the canonical names collide, so a swapped-key self-join
+    * could false-match).
+    */
+  def canonEqs(flat: Flat): Option[Set[String]] = {
+    val keys = flat.rels.map(r => rootPathsOf(r).sorted.mkString(","))
+    if (keys.distinct.size != keys.size) return None
+    def owner(a: AttributeReference): Option[String] =
+      flat.rels.zip(keys).collect {
+        case (r, k) if r.outputSet.contains(a) => k
+      } match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    val canon = flat.eqs.map { case (a, b) =>
+      for { oa <- owner(a); ob <- owner(b) }
+        yield Seq(s"$oa|${a.name}", s"$ob|${b.name}").sorted.mkString(" = ")
+    }
+    if (canon.forall(_.isDefined)) Some(canon.flatten.toSet) else None
+  }
+
+  /** Metadata-only fingerprint (names + lengths + mtimes) over every
+    * participating relation.
+    */
+  def fingerprintOf(rels: Seq[LogicalRelation]): String = {
+    val files = rels.flatMap(_.relation match {
+      case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+      case _ => Seq.empty[String]
+    })
+    rels.headOption.map(_.relation) match {
+      case Some(fs: HadoopFsRelation) =>
+        fingerprintFiles(
+          fs.sparkSession.sparkContext.hadoopConfiguration, files.toArray)
+      case _ => ""
+    }
   }
 
   def fingerprint(df: DataFrame): String =
@@ -301,7 +402,7 @@ object MvCatalog {
     // Any prior registration for this fact must not see the probe: a
     // live registration would rewrite it, and its keys would then
     // describe the summary, not the fact.
-    val factPaths = factPathsOf(fact)
+    val (factPaths, _) = factShapeOf(fact)
     bySession.synchronized {
       val prev = Option(bySession.get(spark)).getOrElse(Vector.empty)
       bySession.put(spark, prev.filterNot(_.factPaths == factPaths))
@@ -342,14 +443,14 @@ object MvCatalog {
       grain: Seq[String],
       shapes: Seq[MvShape],
       mvPath: String): RegisteredMv = {
-    val factPaths = factPathsOf(fact)
+    val (factPaths, joinEqs) = factShapeOf(fact)
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed match {
       case l: LogicalRelation => l
       case other => throw new IllegalStateException(
         s"summary read is not a plain scan: ${other.nodeName}")
     }
-    val reg =
-      RegisteredMv(factPaths, fingerprint(fact), grain, shapes, mvRel)
+    val reg = RegisteredMv(factPaths, joinEqs, fingerprint(fact), grain,
+      shapes, mvRel)
     bySession.synchronized {
       val prev = Option(bySession.get(spark)).getOrElse(Vector.empty)
       bySession.put(spark, prev.filterNot(_.factPaths == factPaths) :+ reg)
@@ -357,15 +458,20 @@ object MvCatalog {
     reg
   }
 
-  private def factPathsOf(fact: DataFrame): Set[String] =
-    fact.queryExecution.analyzed match {
-      case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.map(_.toString).toSet
-        case other => throw new IllegalArgumentException(
-          s"fact must be a file scan, got ${other.getClass.getSimpleName}")
-      }
-      case other => throw new IllegalArgumentException(
-        s"fact must be a plain file scan, got ${other.nodeName}")
-    }
+  /** The registered frame's (paths, canonical join shape). A plain
+    * scan ⇒ (its paths, ∅); a star join ⇒ all paths + key pairs. The
+    * frame itself must carry no filters (register the unfiltered join;
+    * queries bring their own grain filters) and no computed columns.
+    */
+  private def factShapeOf(fact: DataFrame): (Set[String], Set[String]) = {
+    val flat = flatten(fact.queryExecution.optimizedPlan).getOrElse(
+      throw new IllegalArgumentException(
+        "fact must be a plain file scan or a chain of inner equi-joins " +
+          s"of file scans, got:\n${fact.queryExecution.optimizedPlan}"))
+    require(userConds(flat).isEmpty,
+      "register the UNFILTERED fact frame; queries bring their own filters")
+    val eqs = canonEqs(flat).getOrElse(throw new IllegalArgumentException(
+      "ambiguous join shape (self-join or unowned key attribute)"))
+    (flat.rels.flatMap(rootPathsOf).toSet, eqs)
+  }
 }

@@ -506,10 +506,73 @@ object ScaleQueries {
     SqlSurface.aggTpchQ1(serving, sfDir)
   }
 
+  /** The star-schema face of [[mvRewriteQ1]]: the summary is registered
+    * over orders ⋈ customer ⋈ nation, and the rewrite must recognize
+    * the WHOLE join (same tables AND the same canonical equi-join key
+    * pairs — a summary over one join answers only that join), then make
+    * the join disappear: revenue-by-nation serves from a 25-row summary
+    * with no join operator in the plan at all. This is the textbook
+    * warehouse MV (pre-joined star summaries), and at 100 TB it removes
+    * BOTH the fact scan and the repeated dimension shuffles. The query
+    * rolls UP from the registered (n_name, o_orderpriority) grain to
+    * n_name alone with a grain filter — subsumption, not just replay.
+    * MvStarSpec plan-asserts join elimination, the wrong-join-shape and
+    * per-table staleness declines.
+    */
+  private[graft] def starJoined(s: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(s, sfDir)
+      .join(Tables.customer(s, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+
+  private[graft] val starGrain = Seq("n_name", "o_orderpriority")
+
+  private[graft] def starAggs: Seq[Column] = Seq(
+    round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"),
+    count(lit(1)).as("n_orders"))
+
+  private[graft] def starQuery(of: DataFrame): DataFrame = {
+    val aggs = starAggs
+    of.filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy(col("n_name"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("n_name"))
+  }
+
+  def mvRewriteStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.{GraftPlans, MvCatalog}
+    val fp = MvCatalog.fingerprint(starJoined(spark, sfDir))
+    val key = s"star|${spark.sparkContext.applicationId}|$sfDir|$fp"
+    val serving = mvMemo.computeIfAbsent(key, _ => {
+      val s = spark.newSession()
+      GraftPlans.ensureMvRewrite(s)
+      val mvPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mv_star_$fp"
+      MvCatalog.register(s, starJoined(s, sfDir), starGrain, starAggs,
+        mvPath)
+      s
+    })
+    starQuery(starJoined(serving, sfDir))
+  }
+
+  private val mvStarOracle =
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4)
+      |    AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),
+    Q("mv_rewrite_star", Some(mvStarOracle), mvRewriteStar),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("backfill_partition", Some(backfillOracle), backfillPartition),
