@@ -39,14 +39,29 @@ object Bench {
     * round's perf grade, so the formatter is no longer inline).
     * `alias` maps names to the short codes (Registry.benchAlias in
     * production; identity fallback for names without a code).
+    *
+    * The `contended` array is CAPPED at [[MaxContended]] codes (the
+    * overflow collapses to a `"+N"` marker element): the flag exists
+    * to adjudicate a handful of outliers, and a run where most
+    * queries re-measured >2x apart is junk wholesale — no per-query
+    * list is worth blowing the 2000-char tail window the driver
+    * parses the line from. The cap keeps the all-contended worst
+    * case bounded as the headline grows (BenchEmitSpec pins it);
+    * the full list is always on stderr via the per-query progress.
     */
+  val MaxContended = 16
+
   def formatLine(results: Seq[(String, Double)], skipped: Seq[String],
       contended: Seq[String], partial: Boolean, sfDir: String,
       alias: String => String): String = {
     val qs = results.map { case (k, v) => f""""${alias(k)}":$v%.2f""" }
       .mkString("{", ",", "}")
     val sk = skipped.map("\"" + alias(_) + "\"").mkString("[", ",", "]")
-    val cn = contended.map("\"" + alias(_) + "\"").mkString("[", ",", "]")
+    val cnCodes =
+      if (contended.size <= MaxContended) contended.map(alias)
+      else contended.take(MaxContended).map(alias) :+
+        s"+${contended.size - MaxContended}"
+    val cn = cnCodes.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val part = if (partial) ""","partial":true""" else ""
     f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"skipped":$sk,"contended":$cn$part,"sf":"$sfDir"}"""

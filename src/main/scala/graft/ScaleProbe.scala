@@ -239,6 +239,14 @@ object ScaleProbe {
       // the exact dimension rounds depend on). rows_ratio = 1.0
       // (always K merge rows).
       "text_bpe_train",
+      // round 8 (late): unigram-LM (SentencePiece) training, the
+      // sibling trainer. Same claim, different mechanism: the
+      // corpus-sized op is the word-frequency groupBy; both EM rounds
+      // run over the distinct-word table (salted corpus ⇒ vocab ×
+      // scale — the adversarial case for the per-round broadcast of
+      // the scored vocab and the span pivot). rows_ratio = 1.0
+      // (always UNI_OUT=24 output rows).
+      "text_unigram_train",
       // round 8 (continued): the summary-table rewrite, probed as a
       // PAIR. agg_tpch_q1 is the base fact aggregate — its wall must
       // grow with the fact; mv_rewrite_q1 answers the same oracle from

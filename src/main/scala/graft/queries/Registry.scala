@@ -92,8 +92,12 @@ object Registry {
     // text analysis (round 6: + text_bpe_tokens — learned-vocab
     // subword tokenization, the family's heaviest member; round 8:
     // + text_bpe_train — the sequential merge-training loop, a NEW
-    // physical shape: K argmax rounds over the vocab table)
-    "text_bpe_tokens", "text_bpe_train",
+    // physical shape: K argmax rounds over the vocab table; and
+    // + text_unigram_train — the OTHER production tokenizer trainer,
+    // whose shape is distinct again: per-row unrolled Viterbi DP over
+    // the distinct-word table with the scored vocab broadcast each
+    // EM round)
+    "text_bpe_tokens", "text_bpe_train", "text_unigram_train",
     "text_quality", "text_langid", "text_fingerprint",
     "text_ngram_vocab", "text_repetition", "doc_chunking", "text_bm25",
     "text_lm_score", "text_inverted_index",
@@ -253,5 +257,5 @@ object Registry {
     "privacy_erasure" -> "ers",
     // round-8 additions (append-only; see the stability contract above)
     "rag_pipeline" -> "rag", "text_bpe_train" -> "tbt",
-    "mv_rewrite_q1" -> "mvq")
+    "mv_rewrite_q1" -> "mvq", "text_unigram_train" -> "tut")
 }

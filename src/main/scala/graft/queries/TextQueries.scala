@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextOps
@@ -240,6 +240,299 @@ object TextQueries {
        |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, cnt FROM (
        |  $union)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  // ---- Unigram-LM tokenizer training (Viterbi hard-EM) -----------------
+
+  private[graft] val UNI_W = 8 // max word length trained on
+  private[graft] val UNI_P = 3 // max piece length
+  private[graft] val UNI_K = 2 // EM rounds
+  private[graft] val UNI_OUT = 24 // emitted vocabulary size
+
+  /** All legal (start, end) piece spans over ≤[[UNI_W]]-char words. */
+  private val uniSpans: Seq[(Int, Int)] =
+    for { i <- 1 to UNI_W; j <- math.max(0, i - UNI_P) until i } yield (j, i)
+
+  /** Unigram-LM tokenizer TRAINING (Kudo, ACL 2018 — the SentencePiece
+    * algorithm) beside [[bpeTrain]]: together they are the two
+    * production tokenizer trainers (merge-based and
+    * likelihood-prune-based). Where BPE grows a vocabulary bottom-up
+    * by merging, unigram starts from a LARGE candidate set (here: all
+    * ≤[[UNI_P]]-char substrings of ≤[[UNI_W]]-char corpus words,
+    * seeded with frequency scores) and re-estimates by EM: each round
+    * Viterbi-segments every distinct word under the current piece
+    * log-probabilities (hard EM — the deterministic variant of Kudo's
+    * forward-backward soft counts, chosen because an oracle must
+    * replay it bit-for-bit), counts the pieces the best segmentations
+    * actually use, and re-scores; multi-char pieces whose count drops
+    * to zero are pruned, single chars survive with add-one floors
+    * (Kudo's coverage guarantee — a vocabulary must be able to spell
+    * every word). Output: the top [[UNI_OUT]] pieces by final weight.
+    *
+    * Determinism is the design driver and uses the house rules end to
+    * end: scores are `ln(cnt/total)` QUANTIZED ONCE to DECIMAL(20,12)
+    * (the `text_lm_score` rule), Viterbi compares exact decimal sums
+    * (order-free), DP ties prefer the SHORTER final piece (the
+    * backpointer CASE checks j = i−1 first — identical clause order in
+    * both engines), and the final ranking breaks weight ties by
+    * (longer piece, lexicographic). The per-word DP is UNROLLED over
+    * the [[UNI_W]] positions as plain column expressions — no UDF, no
+    * driver loop over data; the oracle generates the same unrolled
+    * SQL programmatically, with every round's vocabulary MATERIALIZED
+    * (the CTE-inlining lesson).
+    *
+    * 100 TB shape: like [[bpeTrain]], the only corpus-sized operation
+    * is the word-frequency groupBy; every EM round runs over the
+    * DISTINCT-WORD table (Heaps'-law bounded) with the piece
+    * vocabulary broadcast (≤ |alphabet|^[[UNI_P]] entries), and each
+    * round is one narrow projection + one map-side-combinable count —
+    * round cost is corpus-independent, the property that makes
+    * industrial tokenizer training tractable.
+    */
+  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, UNI_W))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .localCheckpoint(true)
+
+    def scored(weights: DataFrame): DataFrame = {
+      val tot = weights.agg(sum(col("cnt")).cast("double").as("tot"))
+      weights.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          log(col("cnt").cast("double") / col("tot"))
+            .cast("decimal(20,12)").as("s"))
+    }
+
+    // seed weights: per-occurrence substring counts, freq-weighted
+    val cand0 = wf
+      .select(col("w"), col("freq"),
+        explode(expr(s"sequence(1, $UNI_P)")).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(col("freq"), col("L"), col("w"),
+        explode(expr(s"sequence(1, length(w) - L + 1)")).as("st"))
+      .select(expr("substr(w, st, L)").as("tok"), col("freq"))
+      .groupBy(col("tok")).agg(sum(col("freq")).cast("long").as("cnt"))
+    val chars = wf
+      .select(col("w"), explode(expr("sequence(1, length(w))")).as("st"))
+      .select(expr("substr(w, st, 1)").as("tok")).distinct()
+      .localCheckpoint(true)
+
+    var weights = cand0.localCheckpoint(true)
+    for (_ <- 1 to UNI_K) {
+      val counts = viterbiCounts(wf, scored(weights))
+      // prune zero-count multi-char pieces; add-one floor on chars
+      weights = counts.filter(length(col("tok")) >= 2)
+        .unionByName(chars.join(counts, Seq("tok"), "left")
+          .select(col("tok"),
+            (coalesce(col("cnt"), lit(0L)) + 1).cast("long").as("cnt")))
+        .localCheckpoint(true)
+    }
+    val rankW = Window.orderBy(col("cnt").desc,
+      length(col("tok")).desc, col("tok"))
+    weights
+      .select(row_number().over(rankW).as("rank"), col("tok"),
+        length(col("tok")).as("tok_len"), col("cnt"))
+      .filter(col("rank") <= UNI_OUT)
+      .orderBy(col("rank"))
+  }
+
+  /** One hard-EM E-step: Viterbi-segment every distinct word under
+    * `vocab(tok, s)` and return the freq-weighted piece usage counts.
+    * The DP is unrolled over word positions 1..[[UNI_W]]: pivot each
+    * word's in-vocab piece scores to `s_<j>_<i>` columns, compute
+    * `dp_i = max_j (dp_j + s_j_i)` with backpointers, then walk the
+    * backpointers [[UNI_W]] steps to emit the winning segmentation.
+    */
+  private def viterbiCounts(wf: DataFrame, vocab: DataFrame): DataFrame = {
+    val NEG = lit(BigDecimal("-999999")).cast("decimal(20,12)")
+    val ps = wf
+      .select(col("w"), col("freq"),
+        explode(expr(s"sequence(1, $UNI_P)")).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(col("w"), col("freq"), col("L"),
+        explode(expr(s"sequence(1, length(w) - L + 1)")).as("st"))
+      .select(col("w"), col("freq"), (col("st") - 1).as("j"),
+        (col("st") - 1 + col("L")).as("i"),
+        expr("substr(w, st, L)").as("tok"))
+      .join(broadcast(vocab), Seq("tok"))
+    val piv = ps.groupBy(col("w"), col("freq"))
+      .agg(uniSpans.map { case (j, i) =>
+          max(when(col("j") === j && col("i") === i, col("s")))
+            .as(s"s_${j}_$i")
+        }.head,
+        uniSpans.map { case (j, i) =>
+          max(when(col("j") === j && col("i") === i, col("s")))
+            .as(s"s_${j}_$i")
+        }.tail: _*)
+
+    // dp/backpointers, positions 1..W; dp(0) = 0. Ties prefer the
+    // LARGER j (= shorter final piece): the bp CASE checks j = i-1
+    // first. Spans beyond len(w) compute garbage that the backtrace
+    // never reads (it starts at len(w)).
+    def sCol(j: Int, i: Int) = coalesce(col(s"s_${j}_$i"), NEG)
+    var df = piv.withColumn("dp_0", lit(BigDecimal(0)).cast("decimal(20,12)"))
+    for (i <- 1 to UNI_W) {
+      val js = (math.max(0, i - UNI_P) until i).reverse // larger j first
+      val cands = js.map(j => (j, col(s"dp_$j") + sCol(j, i)))
+      df = cands.foldLeft(df) { case (d, (j, c)) =>
+        d.withColumn(s"c_${j}_$i", c)
+      }
+      df = df.withColumn(s"dp_$i",
+        if (cands.size == 1) col(s"c_${cands.head._1}_$i")
+        else greatest(cands.map { case (j, _) => col(s"c_${j}_$i") }: _*))
+      df = df.withColumn(s"bp_$i",
+        cands.tail.foldLeft(
+            when(col(s"dp_$i") === col(s"c_${js.head}_$i"), lit(js.head))) {
+          case (acc, (j, _)) =>
+            acc.when(col(s"dp_$i") === col(s"c_${j}_$i"), lit(j))
+        })
+    }
+    // backtrace: e1 = len(w); st_k = bp(e_k); piece_k = w[st_k, e_k)
+    def bpAt(e: Column): Column =
+      (1 to UNI_W).tail.foldLeft(when(e === 1, col("bp_1"))) {
+        case (acc, i) => acc.when(e === i, col(s"bp_$i"))
+      }
+    df = df.withColumn("e_1", length(col("w")))
+    for (k <- 1 to UNI_W) {
+      df = df.withColumn(s"st_$k",
+          when(col(s"e_$k") > 0, bpAt(col(s"e_$k"))))
+        .withColumn(s"p_$k",
+          when(col(s"e_$k") > 0,
+            expr(s"substr(w, st_$k + 1, e_$k - st_$k)")))
+      if (k < UNI_W) df = df.withColumn(s"e_${k + 1}", col(s"st_$k"))
+    }
+    df.select(col("freq"),
+        explode(filter(array((1 to UNI_W).map(k => col(s"p_$k")): _*),
+          p => p.isNotNull)).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("freq")).cast("long").as("cnt"))
+  }
+
+  /** The oracle replays the SAME unrolled DP — generated
+    * programmatically from the same span list so both engines encode
+    * one algorithm. All per-round vocabularies MATERIALIZED.
+    *
+    * Each DP position and each backtrace step gets its OWN chained
+    * CTE rather than a lateral column alias in one SELECT: DuckDB's
+    * binder expands lateral alias references textually, so a chained
+    * DP (`dp_i` over `dp_{i-1..i-3}`, then `e_{k+1} = st_k` over an
+    * 8-way CASE of backpointers) grows doubly-exponentially — EXPLAIN
+    * alone ran >5 min at sf0.001. With one CTE per step every
+    * cross-step reference binds to a real column and the plan is
+    * linear in [[UNI_W]] (0.2 s at sf0.001). Spark never hits this
+    * because `CollapseProject` refuses to merge projections that
+    * would duplicate non-trivial expressions.
+    */
+  private val unigramTrainOracle: String = {
+    val spanCols = uniSpans.map { case (j, i) =>
+      s"max(CASE WHEN j = $j AND i = $i THEN s END) AS s_${j}_$i"
+    }.mkString(",\n      ")
+    def dpCtes(r: Int): String = {
+      val base =
+        s"d${r}_0 AS (\n  SELECT *, CAST(0 AS DECIMAL(20,12)) AS dp_0 FROM piv$r)"
+      val steps = (1 to UNI_W).map { i =>
+        val js = (math.max(0, i - UNI_P) until i).reverse
+        val cands = js.map(j =>
+          s"dp_$j + COALESCE(s_${j}_$i, CAST(-999999 AS DECIMAL(20,12))) AS c_${j}_$i")
+        val dp =
+          if (js.size == 1) s"c_${js.head}_$i AS dp_$i"
+          else s"greatest(${js.map(j => s"c_${j}_$i").mkString(", ")}) AS dp_$i"
+        val bp = "CASE " + js.map(j =>
+          s"WHEN dp_$i = c_${j}_$i THEN $j").mkString(" ") + s" END AS bp_$i"
+        s"""d${r}_$i AS (
+           |  SELECT *,
+           |      ${cands.mkString(",\n      ")},
+           |      $dp,
+           |      $bp
+           |  FROM d${r}_${i - 1})""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+    def btCtes(r: Int): String = {
+      val base =
+        s"bt${r}_0 AS (\n  SELECT *, len(w) AS e_1 FROM d${r}_$UNI_W)"
+      val steps = (1 to UNI_W).map { k =>
+        val bpAt = "CASE " + (1 to UNI_W).map(i =>
+          s"WHEN e_$k = $i THEN bp_$i").mkString(" ") + " END"
+        val st = s"CASE WHEN e_$k > 0 THEN $bpAt END AS st_$k"
+        val p =
+          s"CASE WHEN e_$k > 0 THEN substr(w, st_$k + 1, e_$k - st_$k) END AS p_$k"
+        val next = if (k < UNI_W) s",\n      st_$k AS e_${k + 1}" else ""
+        s"""bt${r}_$k AS (
+           |  SELECT *,
+           |      $st,
+           |      $p$next
+           |  FROM bt${r}_${k - 1})""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+    val pieces = (1 to UNI_W).map(k => s"p_$k").mkString(", ")
+    def round(r: Int): String =
+      s"""ps$r AS (
+         |  -- explicit JOIN … USING so the engine hash-joins the span
+         |  -- table to the vocabulary; a comma-join with the equality
+         |  -- in WHERE nested-loops |words|·spans·|vocab| string
+         |  -- compares (measured: minutes at sf0.001)
+         |  SELECT q.w, q.freq, q.j, q.i, v.s
+         |  FROM (SELECT wf.w, wf.freq, t.st - 1 AS j,
+         |          t.st - 1 + l.L AS i, substr(wf.w, t.st, l.L) AS tok
+         |        FROM wf,
+         |             generate_series(1, $UNI_P) AS l(L),
+         |             unnest(generate_series(1, len(w) - l.L + 1)) AS t(st)
+         |        WHERE len(wf.w) >= l.L) q
+         |  JOIN v${r - 1} v USING (tok)),
+         |piv$r AS (
+         |  SELECT w, freq,
+         |      $spanCols
+         |  FROM ps$r GROUP BY w, freq),
+         |${dpCtes(r)},
+         |${btCtes(r)},
+         |bt$r AS (
+         |  SELECT w, freq, $pieces FROM bt${r}_$UNI_W),
+         |cnts$r AS (
+         |  SELECT u.piece AS tok, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM bt$r,
+         |       unnest(list_filter([$pieces], x -> x IS NOT NULL)) AS u(piece)
+         |  GROUP BY u.piece),
+         |w$r AS MATERIALIZED (
+         |  SELECT tok, cnt FROM cnts$r WHERE len(tok) >= 2 AND cnt > 0
+         |  UNION ALL
+         |  SELECT c.tok, CAST(COALESCE(n.cnt, 0) + 1 AS BIGINT) AS cnt
+         |  FROM chars c LEFT JOIN cnts$r n USING (tok)),
+         |v$r AS MATERIALIZED (
+         |  SELECT tok,
+         |    CAST(ln(CAST(cnt AS DOUBLE) / t.tot) AS DECIMAL(20,12)) AS s
+         |  FROM w$r, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM w$r) t)"""
+        .stripMargin
+    val rounds = (1 to UNI_K).map(round).mkString(",\n")
+    s"""WITH dw AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM dw
+       |  WHERE len(w) BETWEEN 1 AND $UNI_W GROUP BY w),
+       |cand0 AS (
+       |  SELECT substr(w, t.st, l.L) AS tok, freq
+       |  FROM wf,
+       |       generate_series(1, $UNI_P) AS l(L),
+       |       unnest(generate_series(1, len(w) - l.L + 1)) AS t(st)
+       |  WHERE len(w) >= l.L),
+       |w0 AS (SELECT tok, CAST(sum(freq) AS BIGINT) AS cnt
+       |       FROM cand0 GROUP BY tok),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT substr(w, t.st, 1) AS tok
+       |  FROM wf, unnest(generate_series(1, len(w))) AS t(st)),
+       |v0 AS MATERIALIZED (
+       |  SELECT tok,
+       |    CAST(ln(CAST(cnt AS DOUBLE) / t.tot) AS DECIMAL(20,12)) AS s
+       |  FROM w0, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM w0) t),
+       |$rounds
+       |SELECT rank, tok, tok_len, cnt FROM (
+       |  SELECT row_number() OVER
+       |      (ORDER BY cnt DESC, len(tok) DESC, tok) AS rank,
+       |    tok, CAST(len(tok) AS INT) AS tok_len, cnt
+       |  FROM w$UNI_K)
+       |WHERE rank <= $UNI_OUT
+       |ORDER BY rank""".stripMargin
   }
 
   /** Quality scoring: length, stopword ratio, average word length,
@@ -955,6 +1248,7 @@ object TextQueries {
     Q("text_kl_drift", Some(klDriftOracle), klDrift),
     Q("text_bpe_tokens", Some(bpeOracle), bpeTokens),
     Q("text_bpe_train", Some(bpeTrainOracle), bpeTrain),
+    Q("text_unigram_train", Some(unigramTrainOracle), unigramTrain),
     Q("text_bm25", Some(bm25Oracle), bm25),
     Q("text_lm_score", Some(lmScoreOracle), lmScore),
     Q("text_ccnet_buckets", Some(ccnetOracle), ccnetBuckets),

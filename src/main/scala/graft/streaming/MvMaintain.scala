@@ -81,11 +81,25 @@ object MvMaintain {
       partCol = "p", keyCols = grain :+ "sid")
   }
 
-  /** Launch the maintenance stream over `factStream`. */
+  /** Launch the maintenance stream over `factStream`.
+    *
+    * `prepare` turns each raw fact micro-batch into the frame the
+    * shapes aggregate over — identity for a single-table summary; for
+    * a STAR summary it joins the batch to the dimension tables
+    * (fact-delta ⋈ dims is the textbook star IVM: new fact rows join
+    * CURRENT dims, a broadcast join of O(batch) cost). Dims are
+    * static between registrations: every dim file is part of the
+    * registration's fingerprint, so a dim change makes serving decline
+    * until a re-register (the batch rebuild) — the correct boundary,
+    * because incremental maintenance under dimension churn would need
+    * retro-propagation into historical partials (the SCD2 problem,
+    * deliberately out of scope here).
+    */
   def maintain(factStream: DataFrame, checkpoint: String, mvDir: String,
       grain: Seq[String], shapes: Seq[MvShape],
       trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
-      compactAfter: Int = Scd2Log.DefaultCompactAfter): StreamingQuery =
+      compactAfter: Int = Scd2Log.DefaultCompactAfter,
+      prepare: DataFrame => DataFrame = identity): StreamingQuery =
     factStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -93,7 +107,7 @@ object MvMaintain {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         Scd2Log.verifyStreamIdentity(spark, checkpoint, mvDir, "p=")
-        applyBatch(spark, batch, batchId, mvDir, grain, shapes,
+        applyBatch(spark, prepare(batch), batchId, mvDir, grain, shapes,
           compactAfter)
       }
       .start()

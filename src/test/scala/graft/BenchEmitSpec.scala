@@ -67,6 +67,24 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(line.count(_ == '"') % 2 === 0)
   }
 
+  test("contended overflow collapses to a +N marker, stays well-formed") {
+    def alias(n: String) = Registry.benchAlias.getOrElse(n, n)
+    val many = Registry.headline.take(Bench.MaxContended + 9)
+    val line = Bench.formatLine(
+      many.map(_ -> 1.0), Nil, contended = many,
+      partial = false, sfDir = "/x", alias)
+    assert(line.contains(s""","+9"]"""), line)
+    // exactly MaxContended codes survive ahead of the marker
+    val arr = line.split("\"contended\":\\[")(1).split("]")(0)
+    assert(arr.split(",").length === Bench.MaxContended + 1, arr)
+    assert(line.count(_ == '"') % 2 === 0)
+    // at or under the cap: emitted verbatim, no marker
+    val few = Registry.headline.take(Bench.MaxContended)
+    val line2 = Bench.formatLine(few.map(_ -> 1.0), Nil, few,
+      partial = false, sfDir = "/x", alias)
+    assert(!line2.contains("\"+"), line2)
+  }
+
   test("benchAlias: total, injective, short, and documented in BASELINE.md") {
     val missing = Registry.headline.filterNot(Registry.benchAlias.contains)
     assert(missing.isEmpty, s"headline names without a bench alias: $missing")

@@ -129,6 +129,71 @@ class MvMaintainSpec extends SparkSpec {
       "repair left duplicate partials on disk")
   }
 
+  test("star summary maintains from fact deltas joined to static dims") {
+    import graft.queries.ScaleQueries
+    val dir = Files.createTempDirectory("graft_mvstar_ivm").toString
+    val (factDrop, ckpt, mvDir) = (s"$dir/fact", s"$dir/ckpt", s"$dir/summary")
+    new java.io.File(factDrop).mkdirs()
+
+    val orders = Tables.orders(spark, sf)
+    def half(i: Int): DataFrame = orders.filter(col("o_orderkey") % 2 === i)
+    def dropSlice(df: DataFrame, name: String): Unit = {
+      val stage = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(factDrop, s"$name.parquet"))
+    }
+
+    val serving = spark.newSession()
+    GraftPlans.ensureMvRewrite(serving)
+    dropSlice(half(0), "d1")
+    // the registered star: the STREAMED fact dir joined to the static dims
+    def starOf(ss: org.apache.spark.sql.SparkSession): DataFrame =
+      ss.read.parquet(factDrop)
+        .join(Tables.customer(ss, sf), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(ss, sf), col("c_nationkey") === col("n_nationkey"))
+    val shapes = graft.plans.MvCatalog.deriveShapes(serving, starOf(serving),
+      ScaleQueries.starGrain, ScaleQueries.starAggs)
+
+    // fact-delta ⋈ dims per batch — the star prepare hook
+    val enrich: DataFrame => DataFrame = b =>
+      b.join(Tables.customer(b.sparkSession, sf),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(b.sparkSession, sf),
+          col("c_nationkey") === col("n_nationkey"))
+    def runMaintainer(): Unit = {
+      val schema = spark.read.parquet(factDrop).schema
+      val stream = spark.readStream.schema(schema).parquet(factDrop)
+      val q = MvMaintain.maintain(stream, ckpt, mvDir,
+        ScaleQueries.starGrain, shapes,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        prepare = enrich)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+
+    runMaintainer()
+    MvMaintain.adoptMaintained(serving, starOf(serving),
+      ScaleQueries.starGrain, shapes, mvDir)
+    val served1 = ScaleQueries.starQuery(starOf(serving))
+    assert(plan(served1).contains("summary") && !plan(served1).contains("Join"),
+      s"maintained star summary not served join-free:\n${plan(served1)}")
+    assert(served1.collect().toSeq ==
+      ScaleQueries.starQuery(starOf(spark)).collect().toSeq)
+
+    // second fact delta: catch up from the checkpoint, serve the union
+    dropSlice(half(1), "d2")
+    runMaintainer()
+    MvMaintain.adoptMaintained(serving, starOf(serving),
+      ScaleQueries.starGrain, shapes, mvDir)
+    val served2 = ScaleQueries.starQuery(starOf(serving))
+    assert(plan(served2).contains("summary"))
+    assert(served2.collect().toSeq ==
+      ScaleQueries.starQuery(starOf(spark)).collect().toSeq,
+      "maintained star summary diverged from the batch join recompute")
+  }
+
   test("min/max partials maintain under appends and serve subset queries") {
     val dir = Files.createTempDirectory("graft_mvminmax").toString
     val (fact, mvDir) = (s"$dir/fact", s"$dir/summary")
