@@ -290,19 +290,39 @@ object TextQueries {
     * industrial tokenizer training tractable.
     */
   def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, weights) = uniTrained(spark, sfDir)
+    val rankW = Window.orderBy(col("cnt").desc,
+      length(col("tok")).desc, col("tok"))
+    weights
+      .select(row_number().over(rankW).as("rank"), col("tok"),
+        length(col("tok")).as("tok_len"), col("cnt"))
+      .filter(col("rank") <= UNI_OUT)
+      .orderBy(col("rank"))
+  }
+
+  /** Quantized log-prob scores of a weight table — the ONE quantization
+    * point both engines share (`ln(cnt/total)` → DECIMAL(20,12)).
+    */
+  private def uniScored(weights: DataFrame): DataFrame = {
+    val tot = weights.agg(sum(col("cnt")).cast("double").as("tot"))
+    weights.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        log(col("cnt").cast("double") / col("tot"))
+          .cast("decimal(20,12)").as("s"))
+  }
+
+  /** The hard-EM training loop shared by [[unigramTrain]] (which ranks
+    * the final weights) and [[unigramTokens]] (which segments the
+    * corpus under them). Returns (distinct-word-freq table, final
+    * piece weights), both checkpointed.
+    */
+  private def uniTrained(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val wf = Tables.documents(spark, sfDir)
       .select(explode(TextOps.words(col("text"))).as("w"))
       .filter(length(col("w")).between(1, UNI_W))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
       .localCheckpoint(true)
-
-    def scored(weights: DataFrame): DataFrame = {
-      val tot = weights.agg(sum(col("cnt")).cast("double").as("tot"))
-      weights.crossJoin(broadcast(tot))
-        .select(col("tok"),
-          log(col("cnt").cast("double") / col("tot"))
-            .cast("decimal(20,12)").as("s"))
-    }
 
     // seed weights: per-occurrence substring counts, freq-weighted
     val cand0 = wf
@@ -320,7 +340,20 @@ object TextQueries {
 
     var weights = cand0.localCheckpoint(true)
     for (_ <- 1 to UNI_K) {
-      val counts = viterbiCounts(wf, scored(weights))
+      // NOTE the explode is INLINE over the p_k columns (no
+      // intermediate `pieces` alias): aliasing the array first and
+      // exploding the alias puts one more Project between the
+      // `length(tok) >= 2` filter below and the ~200-column DP chain,
+      // and PushPredicateThroughNonJoin's alias substitution then
+      // expands the pushed predicate doubly-exponentially — the
+      // SAME combinatorial trap as DuckDB's lateral-alias binder,
+      // observed as an optimizer hang (>3.5 min, jstack pinned in
+      // AliasHelper.trimAliases) when this was refactored naively.
+      val counts = viterbiDp(wf, uniScored(weights))
+        .select(col("freq"),
+          explode(filter(array((1 to UNI_W).map(k => col(s"p_$k")): _*),
+            p => p.isNotNull)).as("tok"))
+        .groupBy(col("tok")).agg(sum(col("freq")).cast("long").as("cnt"))
       // prune zero-count multi-char pieces; add-one floor on chars
       weights = counts.filter(length(col("tok")) >= 2)
         .unionByName(chars.join(counts, Seq("tok"), "left")
@@ -328,23 +361,85 @@ object TextQueries {
             (coalesce(col("cnt"), lit(0L)) + 1).cast("long").as("cnt")))
         .localCheckpoint(true)
     }
-    val rankW = Window.orderBy(col("cnt").desc,
-      length(col("tok")).desc, col("tok"))
-    weights
-      .select(row_number().over(rankW).as("rank"), col("tok"),
-        length(col("tok")).as("tok_len"), col("cnt"))
-      .filter(col("rank") <= UNI_OUT)
-      .orderBy(col("rank"))
+    (wf, weights)
   }
 
-  /** One hard-EM E-step: Viterbi-segment every distinct word under
-    * `vocab(tok, s)` and return the freq-weighted piece usage counts.
-    * The DP is unrolled over word positions 1..[[UNI_W]]: pivot each
-    * word's in-vocab piece scores to `s_<j>_<i>` columns, compute
-    * `dp_i = max_j (dp_j + s_j_i)` with backpointers, then walk the
-    * backpointers [[UNI_W]] steps to emit the winning segmentation.
+  /** Unigram-LM tokenizer ENCODE — the consumer face of
+    * [[unigramTrain]], completing the family symmetry ([[bpeTokens]] /
+    * [[bpeTrain]] are the merge-based pair): train the vocabulary,
+    * then Viterbi-segment the WHOLE corpus under the final trained
+    * scores and report per-document segmentation evidence — word /
+    * piece / OOV counts plus an md5 fingerprint of the full piece
+    * stream in word order, so the oracle must reproduce every piece
+    * of every word to hash-match.
+    *
+    * Scale shape: each DISTINCT word is segmented once (the trainer's
+    * E-step machinery, distinct-word-sized) and the result is joined
+    * back to the corpus word stream by a word-keyed equi-join — the
+    * same factor-out-the-distinct-words discipline the trainer uses,
+    * so the corpus-sized work is one posexplode + one shuffle join +
+    * one per-doc aggregate. Words longer than [[UNI_W]] ride through
+    * as single OOV pieces (the UNK convention — a bounded-unroll DP
+    * needs a length cap; real tokenizers cap sentence length the same
+    * way), counted in `n_oov` so the coverage loss is visible.
+    * Verify-gated, not headlined: the training prefix IS
+    * `text_unigram_train`'s benched shape and the encode suffix
+    * (explode + equi-join + agg) is subsumed by the benched
+    * text-family scans.
     */
-  private def viterbiCounts(wf: DataFrame, vocab: DataFrame): DataFrame = {
+  def unigramTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val (wf, weights) = uniTrained(spark, sfDir)
+    // checkpoint the distinct-word segmentation BEFORE the corpus
+    // join: it is Heaps'-bounded (the design reason segmentation
+    // happens per distinct word at all), and the cut keeps the DP's
+    // ~200-column alias chain out of the join's optimizer pass —
+    // Catalyst constraint propagation over that chain is the same
+    // combinatorial trap DuckDB's lateral-alias binder was (the
+    // un-checkpointed form sat >5 min in optimization at sf0.001;
+    // the trainer never sees this because its DP ends in an
+    // aggregate, not a join)
+    val segs = viterbiDp(wf, uniScored(weights))
+      .select(col("w"),
+        reverse(filter(array((1 to UNI_W).map(k => col(s"p_$k")): _*),
+          p => p.isNotNull)).as("pieces"))
+      .select(col("w"), array_join(col("pieces"), ",").as("piece_str"),
+        size(col("pieces")).as("n_pieces"))
+      .localCheckpoint(true)
+    val dwp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(TextOps.words(col("text"))).as(Seq("pos0", "w")))
+      .filter(length(col("w")) >= 1)
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+    dwp.join(segs, Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("piece_str"), col("w")).as("piece_str"),
+        coalesce(col("n_pieces"), lit(1)).as("np"),
+        (length(col("w")) > UNI_W).cast("int").as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("oov")).cast("bigint").as("n_oov"),
+        sum(col("np")).cast("bigint").as("n_pieces"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("piece_str")))),
+            x => x.getField("piece_str")),
+          "|")).as("seg_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Viterbi-segment every distinct word under `vocab(tok, s)`:
+    * returns the raw DP frame — (w, freq) plus the backtraced piece
+    * columns `p_1..p_W` (last piece first; callers filter nulls and
+    * reverse for word order). The E-step counts explode them; the
+    * encode face assembles and fingerprints them. Callers MUST
+    * project the p_k columns directly — see the E-step note on the
+    * alias-substitution trap. The DP is unrolled over word positions
+    * 1..[[UNI_W]]: pivot each word's in-vocab piece scores to
+    * `s_<j>_<i>` columns, compute `dp_i = max_j (dp_j + s_j_i)` with
+    * backpointers, then walk the backpointers [[UNI_W]] steps to emit
+    * the winning segmentation.
+    */
+  private def viterbiDp(wf: DataFrame, vocab: DataFrame): DataFrame = {
     val NEG = lit(BigDecimal("-999999")).cast("decimal(20,12)")
     val ps = wf
       .select(col("w"), col("freq"),
@@ -402,10 +497,7 @@ object TextQueries {
             expr(s"substr(w, st_$k + 1, e_$k - st_$k)")))
       if (k < UNI_W) df = df.withColumn(s"e_${k + 1}", col(s"st_$k"))
     }
-    df.select(col("freq"),
-        explode(filter(array((1 to UNI_W).map(k => col(s"p_$k")): _*),
-          p => p.isNotNull)).as("tok"))
-      .groupBy(col("tok")).agg(sum(col("freq")).cast("long").as("cnt"))
+    df
   }
 
   /** The oracle replays the SAME unrolled DP — generated
@@ -423,13 +515,21 @@ object TextQueries {
     * because `CollapseProject` refuses to merge projections that
     * would duplicate non-trivial expressions.
     */
-  private val unigramTrainOracle: String = {
+  private val uniPieceCols = (1 to UNI_W).map(k => s"p_$k").mkString(", ")
+
+  /** The CTE chain that Viterbi-segments `wf` under vocabulary CTE
+    * `vocab`, terminating in `bt$tag(w, freq, p_1..p_W)`. Shared by
+    * every training round (tag = round number, vocab = previous
+    * round's scores) and by the encode pass (tag = "e", vocab = the
+    * final trained scores) — one generator, one algorithm.
+    */
+  private def uniSegCtes(tag: String, vocab: String): String = {
     val spanCols = uniSpans.map { case (j, i) =>
       s"max(CASE WHEN j = $j AND i = $i THEN s END) AS s_${j}_$i"
     }.mkString(",\n      ")
-    def dpCtes(r: Int): String = {
+    val dpCtes = {
       val base =
-        s"d${r}_0 AS (\n  SELECT *, CAST(0 AS DECIMAL(20,12)) AS dp_0 FROM piv$r)"
+        s"d${tag}_0 AS (\n  SELECT *, CAST(0 AS DECIMAL(20,12)) AS dp_0 FROM piv$tag)"
       val steps = (1 to UNI_W).map { i =>
         val js = (math.max(0, i - UNI_P) until i).reverse
         val cands = js.map(j =>
@@ -439,18 +539,18 @@ object TextQueries {
           else s"greatest(${js.map(j => s"c_${j}_$i").mkString(", ")}) AS dp_$i"
         val bp = "CASE " + js.map(j =>
           s"WHEN dp_$i = c_${j}_$i THEN $j").mkString(" ") + s" END AS bp_$i"
-        s"""d${r}_$i AS (
+        s"""d${tag}_$i AS (
            |  SELECT *,
            |      ${cands.mkString(",\n      ")},
            |      $dp,
            |      $bp
-           |  FROM d${r}_${i - 1})""".stripMargin
+           |  FROM d${tag}_${i - 1})""".stripMargin
       }
       (base +: steps).mkString(",\n")
     }
-    def btCtes(r: Int): String = {
+    val btCtes = {
       val base =
-        s"bt${r}_0 AS (\n  SELECT *, len(w) AS e_1 FROM d${r}_$UNI_W)"
+        s"bt${tag}_0 AS (\n  SELECT *, len(w) AS e_1 FROM d${tag}_$UNI_W)"
       val steps = (1 to UNI_W).map { k =>
         val bpAt = "CASE " + (1 to UNI_W).map(i =>
           s"WHEN e_$k = $i THEN bp_$i").mkString(" ") + " END"
@@ -458,41 +558,48 @@ object TextQueries {
         val p =
           s"CASE WHEN e_$k > 0 THEN substr(w, st_$k + 1, e_$k - st_$k) END AS p_$k"
         val next = if (k < UNI_W) s",\n      st_$k AS e_${k + 1}" else ""
-        s"""bt${r}_$k AS (
+        s"""bt${tag}_$k AS (
            |  SELECT *,
            |      $st,
            |      $p$next
-           |  FROM bt${r}_${k - 1})""".stripMargin
+           |  FROM bt${tag}_${k - 1})""".stripMargin
       }
       (base +: steps).mkString(",\n")
     }
-    val pieces = (1 to UNI_W).map(k => s"p_$k").mkString(", ")
+    s"""ps$tag AS (
+       |  -- explicit JOIN … USING so the engine hash-joins the span
+       |  -- table to the vocabulary; a comma-join with the equality
+       |  -- in WHERE nested-loops |words|·spans·|vocab| string
+       |  -- compares (measured: minutes at sf0.001)
+       |  SELECT q.w, q.freq, q.j, q.i, v.s
+       |  FROM (SELECT wf.w, wf.freq, t.st - 1 AS j,
+       |          t.st - 1 + l.L AS i, substr(wf.w, t.st, l.L) AS tok
+       |        FROM wf,
+       |             generate_series(1, $UNI_P) AS l(L),
+       |             unnest(generate_series(1, len(w) - l.L + 1)) AS t(st)
+       |        WHERE len(wf.w) >= l.L) q
+       |  JOIN $vocab v USING (tok)),
+       |piv$tag AS (
+       |  SELECT w, freq,
+       |      $spanCols
+       |  FROM ps$tag GROUP BY w, freq),
+       |$dpCtes,
+       |$btCtes,
+       |bt$tag AS (
+       |  SELECT w, freq, $uniPieceCols FROM bt${tag}_$UNI_W)""".stripMargin
+  }
+
+  /** Shared oracle prefix: word frequencies, seed vocabulary, and the
+    * [[UNI_K]] training rounds, ending at the final scored vocabulary
+    * `v$UNI_K`. All per-round vocabularies MATERIALIZED.
+    */
+  private def uniOracleBase: String = {
     def round(r: Int): String =
-      s"""ps$r AS (
-         |  -- explicit JOIN … USING so the engine hash-joins the span
-         |  -- table to the vocabulary; a comma-join with the equality
-         |  -- in WHERE nested-loops |words|·spans·|vocab| string
-         |  -- compares (measured: minutes at sf0.001)
-         |  SELECT q.w, q.freq, q.j, q.i, v.s
-         |  FROM (SELECT wf.w, wf.freq, t.st - 1 AS j,
-         |          t.st - 1 + l.L AS i, substr(wf.w, t.st, l.L) AS tok
-         |        FROM wf,
-         |             generate_series(1, $UNI_P) AS l(L),
-         |             unnest(generate_series(1, len(w) - l.L + 1)) AS t(st)
-         |        WHERE len(wf.w) >= l.L) q
-         |  JOIN v${r - 1} v USING (tok)),
-         |piv$r AS (
-         |  SELECT w, freq,
-         |      $spanCols
-         |  FROM ps$r GROUP BY w, freq),
-         |${dpCtes(r)},
-         |${btCtes(r)},
-         |bt$r AS (
-         |  SELECT w, freq, $pieces FROM bt${r}_$UNI_W),
+      s"""${uniSegCtes(r.toString, s"v${r - 1}")},
          |cnts$r AS (
          |  SELECT u.piece AS tok, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM bt$r,
-         |       unnest(list_filter([$pieces], x -> x IS NOT NULL)) AS u(piece)
+         |       unnest(list_filter([$uniPieceCols], x -> x IS NOT NULL)) AS u(piece)
          |  GROUP BY u.piece),
          |w$r AS MATERIALIZED (
          |  SELECT tok, cnt FROM cnts$r WHERE len(tok) >= 2 AND cnt > 0
@@ -525,7 +632,11 @@ object TextQueries {
        |  SELECT tok,
        |    CAST(ln(CAST(cnt AS DOUBLE) / t.tot) AS DECIMAL(20,12)) AS s
        |  FROM w0, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM w0) t),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val unigramTrainOracle: String =
+    s"""$uniOracleBase
        |SELECT rank, tok, tok_len, cnt FROM (
        |  SELECT row_number() OVER
        |      (ORDER BY cnt DESC, len(tok) DESC, tok) AS rank,
@@ -533,7 +644,39 @@ object TextQueries {
        |  FROM w$UNI_K)
        |WHERE rank <= $UNI_OUT
        |ORDER BY rank""".stripMargin
-  }
+
+  /** Encode oracle: one more segmentation pass under the FINAL scores,
+    * then a positional re-join to the corpus word stream and the
+    * per-document fingerprint aggregate — `string_agg(..., ORDER BY
+    * pos)` is DuckDB's ordered-aggregate twin of the Spark side's
+    * sort_array(collect_list(struct(pos, ...))).
+    */
+  private val unigramTokensOracle: String =
+    s"""$uniOracleBase,
+       |${uniSegCtes("e", s"v$UNI_K")},
+       |seg AS MATERIALIZED (
+       |  SELECT w,
+       |    array_to_string(
+       |      list_reverse(list_filter([$uniPieceCols], x -> x IS NOT NULL)),
+       |      ',') AS piece_str,
+       |    len(list_filter([$uniPieceCols], x -> x IS NOT NULL)) AS n_pieces
+       |  FROM bte),
+       |dwp AS (
+       |  SELECT doc_id, g.i AS pos, parts[g.i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |        FROM documents),
+       |       unnest(generate_series(1, len(parts))) AS g(i)
+       |  WHERE len(parts[g.i]) >= 1)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN len(w) > $UNI_W THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(COALESCE(s.n_pieces, 1)) AS BIGINT) AS n_pieces,
+       |  md5(string_agg(COALESCE(s.piece_str, w), '|' ORDER BY pos))
+       |    AS seg_fp
+       |FROM dwp LEFT JOIN seg s USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: length, stopword ratio, average word length,
     * non-alphanumeric ratio, and a composite score. Ratios are
@@ -1249,6 +1392,7 @@ object TextQueries {
     Q("text_bpe_tokens", Some(bpeOracle), bpeTokens),
     Q("text_bpe_train", Some(bpeTrainOracle), bpeTrain),
     Q("text_unigram_train", Some(unigramTrainOracle), unigramTrain),
+    Q("text_unigram_tokens", Some(unigramTokensOracle), unigramTokens),
     Q("text_bm25", Some(bm25Oracle), bm25),
     Q("text_lm_score", Some(lmScoreOracle), lmScore),
     Q("text_ccnet_buckets", Some(ccnetOracle), ccnetBuckets),
