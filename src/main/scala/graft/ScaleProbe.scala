@@ -256,7 +256,15 @@ object ScaleProbe {
       // GAP between the two rows is the capability. rows_ratio = 1.0
       // for both (grain cardinality is scale-invariant by
       // construction of the scaled lineitem).
-      "agg_tpch_q1", "mv_rewrite_q1")
+      "agg_tpch_q1", "mv_rewrite_q1",
+      // round 8 (late): footer-only aggregation, probed as the THIRD
+      // face beside the tq1/mvq pair — same claim (an O(rows) scan
+      // vs a metadata-sized answer) but with zero maintained state:
+      // agg_stats_exact decodes every row group and must grow with
+      // the fact; agg_parquet_stats reads footers and must stay
+      // ~flat (O(files): the scaled dir has `scale`x the files but
+      // none of the row-decoding). rows_ratio = 1.0 for both.
+      "agg_stats_exact", "agg_parquet_stats")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)

@@ -118,8 +118,11 @@ object Registry {
     // SQL surface
     "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q6", "sql_tpch_q10",
     "sql_tpch_q18", "agg_tpch_q1", "rollup_agg", "source_json_roundtrip",
-    // stats / breadth
-    "agg_median", "agg_stats_exact", "ddl_catalog",
+    // stats / breadth (round 8: + agg_parquet_stats — footer-only
+    // aggregation via parquet aggregate pushdown, benched NEXT TO
+    // agg_stats_exact so the headline carries both faces: the full
+    // row-decoding scan and the O(files) metadata answer)
+    "agg_median", "agg_stats_exact", "agg_parquet_stats", "ddl_catalog",
     // as-of / range (round 5: join_asof + approx_distinct_exact trimmed —
     // each keeps its twin benched (join_asof_native / approx_distinct_kmv)
     // and stays in the Verify correctness gate; freed the emit budget for
@@ -257,5 +260,6 @@ object Registry {
     "privacy_erasure" -> "ers",
     // round-8 additions (append-only; see the stability contract above)
     "rag_pipeline" -> "rag", "text_bpe_train" -> "tbt",
-    "mv_rewrite_q1" -> "mvq", "text_unigram_train" -> "tut")
+    "mv_rewrite_q1" -> "mvq", "text_unigram_train" -> "tut",
+    "agg_parquet_stats" -> "aps")
 }

@@ -556,6 +556,91 @@ object ScaleQueries {
     starQuery(starJoined(serving, sfDir))
   }
 
+  /** The ADVISOR face of the summary-table story (rewrite serves,
+    * MvMaintain maintains, this SELECTS): run
+    * [[graft.plans.MvAdvisor]] over a fixed five-query workload and
+    * emit the discovered candidates with measured compression, cover
+    * folding, and recommendations. The workload is chosen to exercise
+    * every discovery rule: `agg_tpch_q1` (filter column folds into the
+    * grain), `agg_group` (multi-column grain, computed aggregate
+    * inputs), `agg_stats_exact` (coarser grain over the same table —
+    * must fold into the finer cover), `join_inner_agg` (star join
+    * candidate; inferred join-key null checks must NOT leak into the
+    * grain), and `agg_median` (percentile aggregate — NOT IVM-able,
+    * must be rejected). The oracle hardcodes the same candidate set
+    * and recomputes every measurement by SQL over the same tables:
+    * the engine must DISCOVER what the oracle declares (MvAdvisorSpec
+    * pins the discovery and rejection reasons on the plan side).
+    */
+  def mvAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val workload = Seq("agg_tpch_q1", "agg_group", "agg_stats_exact",
+      "join_inner_agg", "agg_median")
+      .map(n => n -> Registry.byName(n).build(spark, sfDir))
+    graft.plans.MvAdvisor.advise(spark, workload)
+      .orderBy(col("tables"), col("grain"))
+  }
+
+  /** The oracle hardcodes the candidate set the advisor must DISCOVER
+    * (grains, folded filter columns, rejections) but re-encodes the
+    * measurement AND the profitable-cover rule as SQL over the same
+    * tables — cover/recommend outcomes are scale-dependent (at
+    * sf0.001 the shipdate-extended Q1 grain compresses 1x and must
+    * NOT swallow the 1000x coarser candidates; at sf0.1 it clears the
+    * threshold and covers them), so both engines evaluate one rule on
+    * live numbers rather than comparing a frozen answer.
+    */
+  private val mvAdvisorOracle =
+    """WITH m AS (
+      |  SELECT
+      |    (SELECT count(*) FROM lineitem) AS li_rows,
+      |    (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS g_r,
+      |    (SELECT count(*) FROM
+      |      (SELECT DISTINCT l_linestatus, l_returnflag FROM lineitem))
+      |      AS g_rl,
+      |    (SELECT count(*) FROM
+      |      (SELECT DISTINCT l_linestatus, l_returnflag, l_shipdate
+      |       FROM lineitem)) AS g_rls,
+      |    (SELECT count(*) FROM orders
+      |     JOIN customer ON o_custkey = c_custkey
+      |     JOIN nation ON c_nationkey = n_nationkey) AS st_rows,
+      |    (SELECT count(DISTINCT n_name) FROM orders
+      |     JOIN customer ON o_custkey = c_custkey
+      |     JOIN nation ON c_nationkey = n_nationkey) AS g_st),
+      |c AS (
+      |  SELECT *,
+      |    li_rows // greatest(g_r, 1) AS c_r,
+      |    li_rows // greatest(g_rl, 1) AS c_rl,
+      |    li_rows // greatest(g_rls, 1) AS c_rls,
+      |    st_rows // greatest(g_st, 1) AS c_st
+      |  FROM m),
+      |cand AS (
+      |  SELECT 'customer,nation,orders' AS tables, 'n_name' AS grain,
+      |    'join_inner_agg' AS queries, st_rows AS fact_rows,
+      |    g_st AS grain_rows, c_st AS compression,
+      |    'self' AS covered_by, c_st >= 10 AS recommend FROM c
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_linestatus,l_returnflag', 'agg_group',
+      |    li_rows, g_rl, c_rl,
+      |    CASE WHEN c_rls >= 10 THEN 'l_linestatus,l_returnflag,l_shipdate'
+      |         ELSE 'self' END,
+      |    c_rls < 10 AND c_rl >= 10 FROM c
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_linestatus,l_returnflag,l_shipdate',
+      |    'agg_tpch_q1', li_rows, g_rls, c_rls, 'self', c_rls >= 10 FROM c
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_returnflag', 'agg_stats_exact',
+      |    li_rows, g_r, c_r,
+      |    CASE WHEN c_rls >= 10 THEN 'l_linestatus,l_returnflag,l_shipdate'
+      |         WHEN c_rl >= 10 THEN 'l_linestatus,l_returnflag'
+      |         ELSE 'self' END,
+      |    c_rls < 10 AND c_rl < 10 AND c_r >= 10 FROM c)
+      |SELECT tables, grain, queries,
+      |  CAST(fact_rows AS BIGINT) AS fact_rows,
+      |  CAST(grain_rows AS BIGINT) AS grain_rows,
+      |  CAST(compression AS BIGINT) AS compression,
+      |  covered_by, recommend
+      |FROM cand ORDER BY tables, grain""".stripMargin
+
   private val mvStarOracle =
     """SELECT n_name,
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4)
@@ -573,6 +658,7 @@ object ScaleQueries {
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),
     Q("mv_rewrite_star", Some(mvStarOracle), mvRewriteStar),
+    Q("mv_advisor", Some(mvAdvisorOracle), mvAdvisor),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("backfill_partition", Some(backfillOracle), backfillPartition),

@@ -295,7 +295,50 @@ object StatsQueries {
        |FROM est ORDER BY rank""".stripMargin
   }
 
+  /** Footer-only aggregation: parquet AGGREGATE PUSHDOWN
+    * (`spark.sql.parquet.aggregatePushdown`, DSv2 scan required —
+    * v1 excluded via `useV1SourceList`). COUNT(*)/MIN/MAX compile
+    * into the scan itself: `PushedAggregation: [COUNT(*), MIN(...)]`
+    * with the scan's ReadSchema being the aggregate VALUES — row
+    * groups are never decoded, the answer comes from parquet footer
+    * statistics. The 100 TB story is the point: these aggregates
+    * cost O(files), not O(rows) — the metadata-only twin of
+    * `agg_stats_exact`'s full scan, the same two-faces pairing as
+    * `agg_tpch_q1` vs `mv_rewrite_q1` but with ZERO maintained
+    * state (parquet footers are the "summary", written for free at
+    * ingest). Pushdown is all-or-nothing per aggregate list and
+    * type-gated (timestamp/decimal columns veto it in Spark 4.1),
+    * so the query sticks to long/int/double columns; QueryPlanSpec
+    * pins `PushedAggregation` non-empty so a silent fallback to the
+    * row-reading plan fails the build.
+    */
+  def parquetStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    Tables.lineitem(s, sfDir)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_linenumber")).as("min_linenumber"),
+        max(col("l_linenumber")).as("max_linenumber"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+  }
+
+  private val parquetStatsOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+      |  min(l_linenumber) AS min_linenumber,
+      |  max(l_linenumber) AS max_linenumber,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+      |FROM lineitem""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("agg_parquet_stats", Some(parquetStatsOracle), parquetStats),
     Q("agg_median", Some(medianOracle), median),
     Q("sketch_cms_freq", Some(cmsOracle), cmsFreq),
     Q("agg_approx_percentile", Some(approxPercentileOracle), approxPercentile),

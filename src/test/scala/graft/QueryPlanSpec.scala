@@ -31,6 +31,17 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("agg_parquet_stats answers from parquet footers: aggregation pushed into the scan") {
+    val p = plan("agg_parquet_stats").toString
+    assert(p.contains(
+      "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)"),
+      s"aggregate not pushed into the parquet scan — the query would " +
+        s"silently fall back to decoding every row group:\n$p")
+    // the scan's output IS the aggregate values — no data column read
+    assert(p.contains("ReadSchema: struct<count(*):bigint"),
+      s"scan still reads data columns:\n$p")
+  }
+
   test("drop_projection prunes the scan to output+filter columns and pushes the filter") {
     val scan = plan("drop_projection").collectLeaves().head.toString
     // 4 of 6 columns: the 3 projected + p_size (kept for the residual
