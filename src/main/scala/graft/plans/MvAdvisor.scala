@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, GraftPlanApi, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Join => LJoin, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.functions.countDistinct
 import org.apache.spark.sql.types._
@@ -62,7 +62,24 @@ object MvAdvisor {
 
   final case class Candidate(
       tables: Seq[String], grain: Seq[String], query: String,
-      flat: MvCatalog.Flat)
+      aggSqls: Seq[String], flat: MvCatalog.Flat)
+
+  /** One measured candidate: queries/aggSqls merged across the
+    * workload members that produced the same (tables, grain).
+    */
+  final case class Measured(
+      tables: Seq[String], grain: Seq[String], queries: Seq[String],
+      aggSqls: Seq[String], flat: MvCatalog.Flat,
+      factRows: Long, grainRows: Long) {
+    def compression: Long = factRows / math.max(1L, grainRows)
+  }
+
+  /** A summary worth registering: a profitable cover, carrying the
+    * union of the aggregate shapes of every candidate it serves.
+    */
+  final case class Recommendation(
+      tables: Seq[String], grain: Seq[String], queries: Seq[String],
+      aggSqls: Seq[String], flat: MvCatalog.Flat)
 
   private def tableStem(path: String): String =
     path.split('/').last.stripSuffix(".parquet")
@@ -111,7 +128,7 @@ object MvAdvisor {
         else Some(Candidate(
           flat.rels.flatMap(lr => MvCatalog.rootPathsOf(lr).map(tableStem))
             .distinct.sorted,
-          grain, name, flat))
+          grain, name, aggExprs.map(_.sql).distinct.sorted, flat))
       }
     }
   }
@@ -120,13 +137,85 @@ object MvAdvisor {
     * a registered summary would aggregate) — the query's own filters
     * are grain columns in the summary, not build-time predicates.
     */
-  private def unfilteredJoin(spark: SparkSession,
+  def factFrame(spark: SparkSession,
       flat: MvCatalog.Flat): DataFrame = {
-    val base = flat.rels.reduce[LogicalPlan]((l, r) =>
-      LJoin(l, r, Cross, None, JoinHint.NONE))
-    val cond = flat.eqs.map { case (a, b) => EqualTo(a, b): Expression }
-      .reduceOption(And(_, _))
-    GraftPlanApi.ofRows(spark, cond.map(LFilter(_, base)).getOrElse(base))
+    // INNER joins with their conditions attached directly (not
+    // Cross+Filter): the frame must round-trip through
+    // MvCatalog.register's own flatten, which requires the
+    // conditioned-join shape
+    val plan = flat.rels.drop(1)
+      .foldLeft(flat.rels.head: LogicalPlan) { (acc, r) =>
+        val conds = flat.eqs.collect {
+          case (a, b)
+              if (acc.outputSet.contains(a) && r.outputSet.contains(b)) ||
+                (acc.outputSet.contains(b) && r.outputSet.contains(a)) =>
+            EqualTo(a, b): Expression
+        }
+        val cond = conds.reduceOption(And(_, _))
+        LJoin(acc, r, if (cond.isDefined) Inner else Cross, cond,
+          JoinHint.NONE)
+      }
+    GraftPlanApi.ofRows(spark, plan)
+  }
+
+  /** Discover + merge + measure: the shared analysis behind both the
+    * report ([[advise]]) and the registration plan
+    * ([[recommendations]]).
+    */
+  def analyze(spark: SparkSession,
+      workload: Seq[(String, DataFrame)]): Seq[Measured] = {
+    val cands = workload.flatMap { case (n, df) => candidateOf(n, df) }
+    val merged = cands.groupBy(c => (c.tables, c.grain)).toSeq
+      .map { case ((t, g), xs) =>
+        (t, g, xs.map(_.query).distinct.sorted,
+          xs.flatMap(_.aggSqls).distinct.sorted, xs.head.flat)
+      }
+      .sortBy { case (t, g, _, _, _) => (t.mkString(","), g.mkString(",")) }
+    // measure: one count per table set, one distinct-count per grain
+    val factRows: Map[Seq[String], Long] =
+      merged.map(m => (m._1, m._5)).groupBy(_._1).map { case (t, xs) =>
+        t -> factFrame(spark, xs.head._2).count()
+      }
+    merged.map { case (t, g, qs, aggs, flat) =>
+      val grains = factFrame(spark, flat)
+        .agg(countDistinct(g.head, g.tail: _*)).head().getLong(0)
+      Measured(t, g, qs, aggs, flat, factRows(t), grains)
+    }
+  }
+
+  /** cover = the LARGEST grain over the same relations that is a
+    * superset AND profitable (the rewrite serves roll-ups, so the
+    * finest PROFITABLE grain in a subsumption chain covers the whole
+    * chain — an unprofitable finer grain must NOT swallow profitable
+    * coarser candidates, the trap the first draft fell into: at small
+    * scale the filter-extended Q1 grain compresses 1x and would have
+    * buried the 1000x candidates under an un-recommendable cover);
+    * ties lexicographic. None profitable => the candidate stands
+    * alone, unrecommended.
+    */
+  private def coverOf(all: Seq[Measured], m: Measured): Option[Seq[String]] =
+    all.filter(x => x.tables == m.tables &&
+        m.grain.toSet.subsetOf(x.grain.toSet) &&
+        x.compression >= MinCompression)
+      .map(_.grain).sortBy(x => (x.size, x.mkString(","))).lastOption
+
+  /** The registration plan: each profitable cover, carrying the UNION
+    * of the aggregate shapes of every candidate it covers — so the one
+    * registered summary serves all of them (roll-up subsumption needs
+    * the partials of every covered query present in the summary).
+    */
+  def recommendations(spark: SparkSession,
+      workload: Seq[(String, DataFrame)]): Seq[Recommendation] = {
+    val all = analyze(spark, workload)
+    all.flatMap(m => coverOf(all, m).map(c => (c, m)))
+      .groupBy { case (c, m) => (m.tables, c) }.toSeq
+      .map { case ((t, c), xs) =>
+        val cover = all.find(m => m.tables == t && m.grain == c).get
+        Recommendation(t, c,
+          xs.map(_._2).flatMap(_.queries).distinct.sorted,
+          xs.map(_._2).flatMap(_.aggSqls).distinct.sorted, cover.flat)
+      }
+      .sortBy(r => (r.tables.mkString(","), r.grain.mkString(",")))
   }
 
   /** Run the advisor over a named workload: one output row per
@@ -136,50 +225,17 @@ object MvAdvisor {
     */
   def advise(spark: SparkSession,
       workload: Seq[(String, DataFrame)]): DataFrame = {
-    val cands = workload.flatMap { case (n, df) => candidateOf(n, df) }
-    val merged = cands.groupBy(c => (c.tables, c.grain)).toSeq
-      .map { case ((t, g), xs) =>
-        (t, g, xs.map(_.query).distinct.sorted, xs.head.flat)
-      }
-      .sortBy { case (t, g, _, _) => (t.mkString(","), g.mkString(",")) }
-
-    // measure: one count per table set, one distinct-count per grain
-    val factRows: Map[Seq[String], Long] =
-      merged.map(m => (m._1, m._4)).groupBy(_._1).map { case (t, xs) =>
-        t -> unfilteredJoin(spark, xs.head._2).count()
-      }
-    val grainRows: Map[(Seq[String], Seq[String]), Long] = merged.map {
-      case (t, g, _, flat) =>
-        val jf = unfilteredJoin(spark, flat)
-        (t, g) -> jf.agg(countDistinct(g.head, g.tail: _*)).head().getLong(0)
-    }.toMap
-    def compressionOf(t: Seq[String], g: Seq[String]): Long =
-      factRows(t) / math.max(1L, grainRows((t, g)))
-
-    // cover = the LARGEST grain over the same relations that is a
-    // superset AND profitable (the rewrite serves roll-ups, so the
-    // finest PROFITABLE grain in a subsumption chain covers the whole
-    // chain — an unprofitable finer grain must NOT swallow profitable
-    // coarser candidates, the trap the first draft fell into: at small
-    // scale the filter-extended Q1 grain compresses 1x and would have
-    // buried the 1000x candidates under an un-recommendable cover);
-    // ties lexicographic. None profitable => the candidate stands
-    // alone, unrecommended.
-    def coverOf(t: Seq[String], g: Seq[String]): Option[Seq[String]] =
-      merged.filter(m => m._1 == t && g.toSet.subsetOf(m._2.toSet) &&
-          compressionOf(m._1, m._2) >= MinCompression)
-        .map(_._2).sortBy(x => (x.size, x.mkString(","))).lastOption
-
-    val rows = merged.map { case (t, g, qs, _) =>
-      val cover = coverOf(t, g)
-      val compression = compressionOf(t, g)
-      Row(t.mkString(","), g.mkString(","), qs.mkString(","),
-        factRows(t), grainRows((t, g)), compression,
+    val all = analyze(spark, workload)
+    val rows = all.map { m =>
+      val cover = coverOf(all, m)
+      Row(m.tables.mkString(","), m.grain.mkString(","),
+        m.queries.mkString(","),
+        m.factRows, m.grainRows, m.compression,
         cover match {
-          case Some(c) if c != g => c.mkString(",")
+          case Some(c) if c != m.grain => c.mkString(",")
           case _ => "self"
         },
-        cover.contains(g))
+        cover.contains(m.grain))
     }
     val schema = StructType(Seq(
       StructField("tables", StringType, nullable = false),

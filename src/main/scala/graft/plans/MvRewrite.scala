@@ -164,6 +164,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       ae.aggregateFunction match {
         case Count(Seq(Literal(1, _))) =>
           Some(MvCatalog.countKey -> ((a: AttributeReference) => Sum(a)))
+        // count(col) = per-grain non-null count, merged by SUM (the
+        // "count" key prefix routes the maintainer's fold to sum too)
+        case Count(Seq(c)) if !c.isInstanceOf[Literal] =>
+          Some(s"count|${MvCatalog.norm(c)}" ->
+            ((a: AttributeReference) => Sum(a)))
         case s: Sum => Some(s"sum|${MvCatalog.norm(s.child)}" ->
           ((a: AttributeReference) => Sum(a)))
         case m: Min => Some(s"min|${MvCatalog.norm(m.child)}" ->
@@ -417,6 +422,8 @@ object MvCatalog {
         if (ae.isDistinct || ae.filter.isDefined) None
         else ae.aggregateFunction match {
           case Count(Seq(Literal(1, _))) => Some(countKey -> "count(1)")
+          case Count(Seq(c)) if !c.isInstanceOf[Literal] =>
+            Some(s"count|${norm(c)}" -> s"count(${norm(c)})")
           case s: Sum => Some(s"sum|${norm(s.child)}" -> s"sum(${norm(s.child)})")
           case m: Min => Some(s"min|${norm(m.child)}" -> s"min(${norm(m.child)})")
           case m: Max => Some(s"max|${norm(m.child)}" -> s"max(${norm(m.child)})")

@@ -328,7 +328,7 @@ object RefSurface {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  private val aggGroupOracle =
+  private[graft] val aggGroupOracle =
     """SELECT l_returnflag, l_linestatus,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_base_price,

@@ -572,12 +572,49 @@ object ScaleQueries {
     * the engine must DISCOVER what the oracle declares (MvAdvisorSpec
     * pins the discovery and rejection reasons on the plan side).
     */
-  def mvAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
-    val workload = Seq("agg_tpch_q1", "agg_group", "agg_stats_exact",
+  private[graft] def advisorWorkload(s: SparkSession, sfDir: String)
+      : Seq[(String, DataFrame)] =
+    Seq("agg_tpch_q1", "agg_group", "agg_stats_exact",
       "join_inner_agg", "agg_median")
-      .map(n => n -> Registry.byName(n).build(spark, sfDir))
-    graft.plans.MvAdvisor.advise(spark, workload)
+      .map(n => n -> Registry.byName(n).build(s, sfDir))
+
+  def mvAdvisor(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.MvAdvisor.advise(spark, advisorWorkload(spark, sfDir))
       .orderBy(col("tables"), col("grain"))
+
+  /** The three MV legs COMPOSED: the advisor selects, the catalog
+    * registers what it selected (fact frames rebuilt from the
+    * discovered plan fragments, aggregate shapes lifted from the
+    * discovered aggregate expressions — nothing hand-fed), and the
+    * optimizer serves a workload query through whatever got
+    * registered. The output is `agg_group`'s answer and hash-gates
+    * against `agg_group`'s own oracle — the composition must be
+    * INVISIBLE in the result and only visible in the plan
+    * (MvAutopilotSpec asserts the summary serve / base fallback per
+    * scale, since WHICH cover is profitable flips with the data).
+    * Registration memoizes per corpus fingerprint, the
+    * ann_index/mv_rewrite warmup discipline.
+    */
+  def mvAutopilot(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.{GraftPlans, MvAdvisor, MvCatalog}
+    val fp = MvCatalog.fingerprint(Tables.lineitem(spark, sfDir))
+    val key = s"autopilot|${spark.sparkContext.applicationId}|$sfDir|$fp"
+    val serving = mvMemo.computeIfAbsent(key, _ => {
+      val s = spark.newSession()
+      GraftPlans.ensureMvRewrite(s)
+      MvAdvisor.recommendations(s, advisorWorkload(s, sfDir))
+        .zipWithIndex.foreach { case (r, i) =>
+          val fact = MvAdvisor.factFrame(s, r.flat)
+          val aggs = r.aggSqls.zipWithIndex.map { case (q, j) =>
+            expr(q).as(s"a$j")
+          }
+          val path = s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_mv_auto_${fp}_$i"
+          MvCatalog.register(s, fact, r.grain, aggs, path)
+        }
+      s
+    })
+    Registry.byName("agg_group").build(serving, sfDir)
   }
 
   /** The oracle hardcodes the candidate set the advisor must DISCOVER
@@ -659,6 +696,7 @@ object ScaleQueries {
     Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),
     Q("mv_rewrite_star", Some(mvStarOracle), mvRewriteStar),
     Q("mv_advisor", Some(mvAdvisorOracle), mvAdvisor),
+    Q("mv_autopilot", Some(RefSurface.aggGroupOracle), mvAutopilot),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("backfill_partition", Some(backfillOracle), backfillPartition),
