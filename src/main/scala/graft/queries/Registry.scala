@@ -111,6 +111,11 @@ object Registry {
     // windows
     "window_tumbling", "window_rank_topn", "window_session", "ts_gapfill",
     "events_funnel",
+    // round 8 (late): runtime filtering — two NEW physical shapes:
+    // the runtime-pruned partitioned fact scan (DynamicPruningSubquery
+    // feeding PartitionFilters) and the bloom-filtered shuffle join
+    // (might_contain data filter ahead of the exchange)
+    "join_dpp", "join_runtime_bloom",
     // scale patterns (round 7: + compact_files — the first addition
     // paid for by the alias emit window, no trim-swap needed)
     "sink_partitioned", "join_skew_salted", "join_bucketed",
@@ -261,5 +266,6 @@ object Registry {
     // round-8 additions (append-only; see the stability contract above)
     "rag_pipeline" -> "rag", "text_bpe_train" -> "tbt",
     "mv_rewrite_q1" -> "mvq", "text_unigram_train" -> "tut",
-    "agg_parquet_stats" -> "aps")
+    "agg_parquet_stats" -> "aps", "join_dpp" -> "jdp",
+    "join_runtime_bloom" -> "jbl")
 }

@@ -31,6 +31,98 @@ object ScaleQueries {
         round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"))
   }
 
+  /** DYNAMIC PARTITION PRUNING: the join-time twin of
+    * [[sinkPartitioned]]'s static pruning. The fact is day-zero
+    * partitioned by priority; the dim row set that survives its
+    * filter is only known at RUNTIME, so Catalyst plants a
+    * `DynamicPruningSubquery` on the fact scan — the executed plan's
+    * `PartitionFilters` carries `dynamicpruningexpression(...)` and
+    * only the partitions whose keys the broadcast dim produced are
+    * ever listed/read. At 100 TB this is THE mechanism that makes
+    * fact-dim joins survivable: the fact side prunes to the dim
+    * filter's selectivity without any static predicate. Pitfall
+    * pinned in QueryPlanSpec: the dim filter must be a COMPARISON —
+    * Catalyst's `isLikelySelective` rejects a bare boolean attribute
+    * filter, and DPP silently never fires (cost us the first draft).
+    */
+  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(s"$tmp/graft_dpp_fact")
+    Tables.orders(spark, sfDir).select(col("o_orderpriority")).distinct()
+      .withColumn("urgency",
+        when(col("o_orderpriority").startsWith("1") ||
+          col("o_orderpriority").startsWith("2"), "urgent")
+          .otherwise("routine"))
+      .write.mode("overwrite").parquet(s"$tmp/graft_dpp_dim")
+    val fact = spark.read.parquet(s"$tmp/graft_dpp_fact")
+    val dim = spark.read.parquet(s"$tmp/graft_dpp_dim")
+      .filter(col("urgency") === "urgent")
+    fact.join(dim, Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(Enrich.exactSum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val joinDppOracle =
+    """WITH dim AS (
+      |  SELECT DISTINCT o_orderpriority FROM orders),
+      |urgent AS (
+      |  SELECT o_orderpriority FROM dim
+      |  WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+      |SELECT o.o_orderpriority, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4)
+      |    AS revenue
+      |FROM orders o JOIN urgent USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  /** RUNTIME BLOOM FILTER (`InjectRuntimeFilter`): the row-group twin
+    * of [[joinDpp]] for joins on NON-partition keys. The dim side's
+    * filtered keys are bloom-aggregated
+    * (`bloom_filter_agg(xxhash64(o_orderkey))`) and the fact scan
+    * gains `might_contain(...)` as a data filter — fact rows whose
+    * keys cannot be in the filtered dim never enter the shuffle. At
+    * 100 TB this cuts the fact's shuffle write by the dim filter's
+    * selectivity, the difference between a survivable and an
+    * impossible shuffle on a join Catalyst cannot prune statically.
+    * Derived session: bloom injection ON (off by default in Spark
+    * 4.1), creation-side cap raised, application-side floor zeroed
+    * (size heuristics tuned for clusters reject toy inputs), and
+    * broadcast off so the join IS the shuffle join the filter
+    * exists to protect.
+    */
+  def joinRuntimeBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(s, sfDir)
+    val ords = Tables.orders(s, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(Enrich.exactSum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val joinRuntimeBloomOracle =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   private val sinkPartitionedOracle =
     """SELECT count(*) AS n_orders,
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
@@ -697,6 +789,8 @@ object ScaleQueries {
     Q("mv_rewrite_star", Some(mvStarOracle), mvRewriteStar),
     Q("mv_advisor", Some(mvAdvisorOracle), mvAdvisor),
     Q("mv_autopilot", Some(RefSurface.aggGroupOracle), mvAutopilot),
+    Q("join_dpp", Some(joinDppOracle), joinDpp),
+    Q("join_runtime_bloom", Some(joinRuntimeBloomOracle), joinRuntimeBloom),
     Q("join_fuzzy_jw", Some(joinFuzzyJwOracle), joinFuzzyJw),
     Q("sink_partitioned", Some(sinkPartitionedOracle), sinkPartitioned),
     Q("backfill_partition", Some(backfillOracle), backfillPartition),

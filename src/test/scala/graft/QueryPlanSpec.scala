@@ -42,6 +42,21 @@ class QueryPlanSpec extends SparkSpec {
       s"scan still reads data columns:\n$p")
   }
 
+  test("join_dpp: the fact scan carries a dynamic partition pruning subquery") {
+    val p = plan("join_dpp").toString
+    assert(p.contains("dynamicpruning"),
+      s"no DynamicPruningSubquery on the fact scan — remember Catalyst's " +
+        s"isLikelySelective rejects bare boolean attribute filters:\n$p")
+  }
+
+  test("join_runtime_bloom: the fact scan is bloom-filtered before the shuffle") {
+    val p = plan("join_runtime_bloom").toString
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter injected on the fact side:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"no bloom_filter_agg on the creation side:\n$p")
+  }
+
   test("drop_projection prunes the scan to output+filter columns and pushes the filter") {
     val scan = plan("drop_projection").collectLeaves().head.toString
     // 4 of 6 columns: the 3 projected + p_size (kept for the residual
