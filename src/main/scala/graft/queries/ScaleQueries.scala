@@ -46,19 +46,25 @@ object ScaleQueries {
     * filter, and DPP silently never fires (cost us the first draft).
     */
   def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    // session-scoped sink paths: test suites build queries CONCURRENTLY
+    // (QueryPlanSpec and PlanGateSpec both construct every headline
+    // query, each performing this eager write), and two sessions
+    // overwriting one fixed path race — observed as a one-off
+    // PlanGateSpec failure; per-session dirs end it
     val tmp = System.getProperty("java.io.tmpdir")
+    val sid = System.identityHashCode(spark)
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       .write.mode("overwrite").partitionBy("o_orderpriority")
-      .parquet(s"$tmp/graft_dpp_fact")
+      .parquet(s"$tmp/graft_dpp_fact_$sid")
     Tables.orders(spark, sfDir).select(col("o_orderpriority")).distinct()
       .withColumn("urgency",
         when(col("o_orderpriority").startsWith("1") ||
           col("o_orderpriority").startsWith("2"), "urgent")
           .otherwise("routine"))
-      .write.mode("overwrite").parquet(s"$tmp/graft_dpp_dim")
-    val fact = spark.read.parquet(s"$tmp/graft_dpp_fact")
-    val dim = spark.read.parquet(s"$tmp/graft_dpp_dim")
+      .write.mode("overwrite").parquet(s"$tmp/graft_dpp_dim_$sid")
+    val fact = spark.read.parquet(s"$tmp/graft_dpp_fact_$sid")
+    val dim = spark.read.parquet(s"$tmp/graft_dpp_dim_$sid")
       .filter(col("urgency") === "urgent")
     fact.join(dim, Seq("o_orderpriority"))
       .groupBy(col("o_orderpriority"))

@@ -337,8 +337,44 @@ object StatsQueries {
       |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
       |FROM lineitem""".stripMargin
 
+  /** GROUPED footer-only aggregation: group-by pushdown works when the
+    * grouping columns are PARTITION columns (values live in directory
+    * names; per-group COUNT/MIN/MAX come from the footers of each
+    * partition's files). The scan emits one row per (partition,
+    * row-group) — `PushedGroupBy: [o_orderpriority]` beside the
+    * `PushedAggregation` list — so per-partition statistics over a
+    * 100 TB day-partitioned sink are an O(files) metadata operation,
+    * the grouped completion of [[parquetStats]]'s global story.
+    * Verify-gated, not headlined: the pushed-scan physical shape is
+    * `aps`'s, plus a partitioned write `spt` already times.
+    */
+  def partitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // session-scoped path — see joinDpp's concurrent-suite rationale
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_pstats_fact_${System.identityHashCode(spark)}"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    s.read.parquet(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val partitionStatsOracle =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("agg_parquet_stats", Some(parquetStatsOracle), parquetStats),
+    Q("agg_partition_stats", Some(partitionStatsOracle), partitionStats),
     Q("agg_median", Some(medianOracle), median),
     Q("sketch_cms_freq", Some(cmsOracle), cmsFreq),
     Q("agg_approx_percentile", Some(approxPercentileOracle), approxPercentile),

@@ -42,6 +42,14 @@ class QueryPlanSpec extends SparkSpec {
       s"scan still reads data columns:\n$p")
   }
 
+  test("agg_partition_stats: grouped aggregation pushed into the partitioned scan") {
+    val p = plan("agg_partition_stats").toString
+    assert(p.contains("PushedGroupBy: [o_orderpriority]"),
+      s"group-by not pushed (grouping must be partition columns):\n$p")
+    assert(p.contains("PushedAggregation: [COUNT(*), MIN(o_orderkey)"),
+      s"aggregates not pushed:\n$p")
+  }
+
   test("join_dpp: the fact scan carries a dynamic partition pruning subquery") {
     val p = plan("join_dpp").toString
     assert(p.contains("dynamicpruning"),
