@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Equal
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Join => LJoin, JoinHint, LogicalPlan, Project}
-import org.apache.spark.sql.functions.countDistinct
 import org.apache.spark.sql.types._
 
 /** Workload-driven summary-table ADVISOR — the selection half of the
@@ -25,8 +24,9 @@ import org.apache.spark.sql.types._
   * Discovery rules mirror what the rewrite + maintainer can honestly
   * deliver:
   *  - the topmost `Aggregate` per query, with every aggregate function
-  *    in the IVM-able set (SUM / MIN / MAX / COUNT / AVG — avg
-  *    decomposes to sum+count partials), no DISTINCT, no FILTER
+  *    in exactly the set the rewrite can re-derive (SUM / MIN / MAX /
+  *    COUNT — see [[supportedAgg]]; AVG is rejected because the
+  *    rewrite has no avg decomposition), no DISTINCT, no FILTER
   *    clauses;
   *  - grouping expressions must be plain relation columns (an
   *    expression grain is not re-derivable from stored partials
@@ -62,14 +62,20 @@ object MvAdvisor {
 
   final case class Candidate(
       tables: Seq[String], grain: Seq[String], query: String,
-      aggSqls: Seq[String], flat: MvCatalog.Flat)
+      aggSqls: Seq[String], eqs: Set[String], flat: MvCatalog.Flat)
 
   /** One measured candidate: queries/aggSqls merged across the
-    * workload members that produced the same (tables, grain).
+    * workload members that produced the same (tables, JOIN SHAPE,
+    * grain) — the canonical equi-join pair set is part of a
+    * candidate's identity, because the same tables joined on
+    * different keys are different relations: a summary over one join
+    * can never serve the other (the rewrite matches canonEqs), so
+    * merging them would measure one shape and over-promise coverage
+    * of both.
     */
   final case class Measured(
       tables: Seq[String], grain: Seq[String], queries: Seq[String],
-      aggSqls: Seq[String], flat: MvCatalog.Flat,
+      aggSqls: Seq[String], eqs: Set[String], flat: MvCatalog.Flat,
       factRows: Long, grainRows: Long) {
     def compression: Long = factRows / math.max(1L, grainRows)
   }
@@ -93,9 +99,16 @@ object MvAdvisor {
       case other => MvCatalog.flatten(other)
     }
 
+  /** Exactly the aggregate set `MvCatalog.deriveShapes` can store and
+    * `MvRewriteRule.deriveAgg` can re-derive — nothing more. (Average
+    * is deliberately ABSENT: the rewrite has no avg decomposition, so
+    * whitelisting it here would recommend summaries that can never
+    * serve the avg query — the advisor must promise only what serving
+    * delivers.)
+    */
   private def supportedAgg(ae: AggregateExpression): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case _: Sum | _: Min | _: Max | _: Count | _: Average => true
+      case _: Sum | _: Min | _: Max | _: Count => true
       case _ => false
     })
 
@@ -124,11 +137,22 @@ object MvAdvisor {
           .flatMap(_.references.toSeq.map(_.name)).distinct
         val grain =
           (groupAttrs.flatten.map(_.name) ++ filterCols).distinct.sorted
-        if (!grain.forall(relCols)) None
-        else Some(Candidate(
-          flat.rels.flatMap(lr => MvCatalog.rootPathsOf(lr).map(tableStem))
-            .distinct.sorted,
-          grain, name, aggExprs.map(_.sql).distinct.sorted, flat))
+        // aggregate INPUTS must also be relation columns: a computing
+        // Project below the aggregate is fine when its expressions are
+        // inlined into the aggregate children (single-use — Catalyst
+        // collapses them), but an alias SHARED by several aggregates
+        // survives as a Project-local attribute whose ae.sql would
+        // never resolve against the rebuilt fact — reject, don't crash
+        // at registration
+        val aggColsOk = aggExprs
+          .forall(_.references.toSeq.map(_.name).forall(relCols))
+        if (!grain.forall(relCols) || !aggColsOk) None
+        else MvCatalog.canonEqs(flat).map { eqs =>
+          Candidate(
+            flat.rels.flatMap(lr => MvCatalog.rootPathsOf(lr).map(tableStem))
+              .distinct.sorted,
+            grain, name, aggExprs.map(_.sql).distinct.sorted, eqs, flat)
+        }
       }
     }
   }
@@ -165,21 +189,29 @@ object MvAdvisor {
   def analyze(spark: SparkSession,
       workload: Seq[(String, DataFrame)]): Seq[Measured] = {
     val cands = workload.flatMap { case (n, df) => candidateOf(n, df) }
-    val merged = cands.groupBy(c => (c.tables, c.grain)).toSeq
-      .map { case ((t, g), xs) =>
-        (t, g, xs.map(_.query).distinct.sorted,
+    val merged = cands.groupBy(c => (c.tables, c.eqs, c.grain)).toSeq
+      .map { case ((t, e, g), xs) =>
+        (t, e, g, xs.map(_.query).distinct.sorted,
           xs.flatMap(_.aggSqls).distinct.sorted, xs.head.flat)
       }
-      .sortBy { case (t, g, _, _, _) => (t.mkString(","), g.mkString(",")) }
-    // measure: one count per table set, one distinct-count per grain
-    val factRows: Map[Seq[String], Long] =
-      merged.map(m => (m._1, m._5)).groupBy(_._1).map { case (t, xs) =>
-        t -> factFrame(spark, xs.head._2).count()
+      .sortBy { case (t, _, g, _, _, _) =>
+        (t.mkString(","), g.mkString(","))
       }
-    merged.map { case (t, g, qs, aggs, flat) =>
+    // measure: one count per joined relation, one distinct-count per
+    // grain. Grain cardinality = the summary's groupBy row count, so
+    // NULL grain tuples must COUNT (groupBy materializes NULL groups):
+    // distinct().count(), never countDistinct, which silently drops
+    // any tuple with a NULL grain column and would overstate
+    // compression on nullable grains (the oracle's SELECT DISTINCT
+    // subqueries keep NULL tuples the same way)
+    val factRows: Map[(Seq[String], Set[String]), Long] =
+      merged.map(m => ((m._1, m._2), m._6)).groupBy(_._1).map {
+        case (k, xs) => k -> factFrame(spark, xs.head._2).count()
+      }
+    merged.map { case (t, e, g, qs, aggs, flat) =>
       val grains = factFrame(spark, flat)
-        .agg(countDistinct(g.head, g.tail: _*)).head().getLong(0)
-      Measured(t, g, qs, aggs, flat, factRows(t), grains)
+        .select(g.head, g.tail: _*).distinct().count()
+      Measured(t, g, qs, aggs, e, flat, factRows((t, e)), grains)
     }
   }
 
@@ -194,7 +226,7 @@ object MvAdvisor {
     * alone, unrecommended.
     */
   private def coverOf(all: Seq[Measured], m: Measured): Option[Seq[String]] =
-    all.filter(x => x.tables == m.tables &&
+    all.filter(x => x.tables == m.tables && x.eqs == m.eqs &&
         m.grain.toSet.subsetOf(x.grain.toSet) &&
         x.compression >= MinCompression)
       .map(_.grain).sortBy(x => (x.size, x.mkString(","))).lastOption
@@ -208,9 +240,10 @@ object MvAdvisor {
       workload: Seq[(String, DataFrame)]): Seq[Recommendation] = {
     val all = analyze(spark, workload)
     all.flatMap(m => coverOf(all, m).map(c => (c, m)))
-      .groupBy { case (c, m) => (m.tables, c) }.toSeq
-      .map { case ((t, c), xs) =>
-        val cover = all.find(m => m.tables == t && m.grain == c).get
+      .groupBy { case (c, m) => (m.tables, m.eqs, c) }.toSeq
+      .map { case ((t, e, c), xs) =>
+        val cover =
+          all.find(m => m.tables == t && m.eqs == e && m.grain == c).get
         Recommendation(t, c,
           xs.map(_._2).flatMap(_.queries).distinct.sorted,
           xs.map(_._2).flatMap(_.aggSqls).distinct.sorted, cover.flat)

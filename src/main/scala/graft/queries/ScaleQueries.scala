@@ -46,11 +46,13 @@ object ScaleQueries {
     * filter, and DPP silently never fires (cost us the first draft).
     */
   def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
-    // session-scoped sink paths: test suites build queries CONCURRENTLY
+    // session-scoped sink paths: multiple test suites build this query
     // (QueryPlanSpec and PlanGateSpec both construct every headline
-    // query, each performing this eager write), and two sessions
-    // overwriting one fixed path race — observed as a one-off
-    // PlanGateSpec failure; per-session dirs end it
+    // query, each performing this eager write); suites run
+    // sequentially (forked JVM, testForkedParallel default), but a
+    // later suite's overwrite invalidates the file listing an earlier
+    // suite's still-live DataFrame captured — per-session dirs keep
+    // each suite's frames self-consistent
     val tmp = System.getProperty("java.io.tmpdir")
     val sid = System.identityHashCode(spark)
     Tables.orders(spark, sfDir)
@@ -692,10 +694,26 @@ object ScaleQueries {
     * scale, since WHICH cover is profitable flips with the data).
     * Registration memoizes per corpus fingerprint, the
     * ann_index/mv_rewrite warmup discipline.
+    *
+    * Documented limitation: MvCatalog keeps ONE registration per fact
+    * (adopt replaces same-fact entries — the freshness contract), so
+    * if a workload ever yielded two INCOMPARABLE profitable maximal
+    * grains over the same table set, the later registration would win
+    * and the earlier cover's queries would fall back to base plans —
+    * correct answers, no serve. Multi-MV-per-fact registration is the
+    * extension point; this workload's grains form chains, so every
+    * recommended cover serves.
     */
   def mvAutopilot(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.plans.{GraftPlans, MvAdvisor, MvCatalog}
-    val fp = MvCatalog.fingerprint(Tables.lineitem(spark, sfDir))
+    // the memo key must cover EVERY table the workload touches: a
+    // regenerated dim with an untouched fact would otherwise reuse a
+    // stale serving session whose star registration silently declines
+    // (the rewrite's per-table freshness check) and whose
+    // recommendations were measured on the old data — starJoined's
+    // fingerprint spans orders/customer/nation, lineitem's the fact
+    val fp = MvCatalog.fingerprint(Tables.lineitem(spark, sfDir)) +
+      "-" + MvCatalog.fingerprint(starJoined(spark, sfDir))
     val key = s"autopilot|${spark.sparkContext.applicationId}|$sfDir|$fp"
     val serving = mvMemo.computeIfAbsent(key, _ => {
       val s = spark.newSession()
@@ -728,7 +746,8 @@ object ScaleQueries {
     """WITH m AS (
       |  SELECT
       |    (SELECT count(*) FROM lineitem) AS li_rows,
-      |    (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS g_r,
+      |    (SELECT count(*) FROM
+      |      (SELECT DISTINCT l_returnflag FROM lineitem)) AS g_r,
       |    (SELECT count(*) FROM
       |      (SELECT DISTINCT l_linestatus, l_returnflag FROM lineitem))
       |      AS g_rl,
@@ -738,9 +757,10 @@ object ScaleQueries {
       |    (SELECT count(*) FROM orders
       |     JOIN customer ON o_custkey = c_custkey
       |     JOIN nation ON c_nationkey = n_nationkey) AS st_rows,
-      |    (SELECT count(DISTINCT n_name) FROM orders
-      |     JOIN customer ON o_custkey = c_custkey
-      |     JOIN nation ON c_nationkey = n_nationkey) AS g_st),
+      |    (SELECT count(*) FROM
+      |      (SELECT DISTINCT n_name FROM orders
+      |       JOIN customer ON o_custkey = c_custkey
+      |       JOIN nation ON c_nationkey = n_nationkey)) AS g_st),
       |c AS (
       |  SELECT *,
       |    li_rows // greatest(g_r, 1) AS c_r,

@@ -451,15 +451,12 @@ object TextQueries {
         (col("st") - 1 + col("L")).as("i"),
         expr("substr(w, st, L)").as("tok"))
       .join(broadcast(vocab), Seq("tok"))
+    val spanCols = uniSpans.map { case (j, i) =>
+      max(when(col("j") === j && col("i") === i, col("s")))
+        .as(s"s_${j}_$i")
+    }
     val piv = ps.groupBy(col("w"), col("freq"))
-      .agg(uniSpans.map { case (j, i) =>
-          max(when(col("j") === j && col("i") === i, col("s")))
-            .as(s"s_${j}_$i")
-        }.head,
-        uniSpans.map { case (j, i) =>
-          max(when(col("j") === j && col("i") === i, col("s")))
-            .as(s"s_${j}_$i")
-        }.tail: _*)
+      .agg(spanCols.head, spanCols.tail: _*)
 
     // dp/backpointers, positions 1..W; dp(0) = 0. Ties prefer the
     // LARGER j (= shorter final piece): the bp CASE checks j = i-1

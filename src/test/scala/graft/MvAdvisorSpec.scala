@@ -53,4 +53,32 @@ class MvAdvisorSpec extends SparkSpec {
     assert(MvAdvisor.candidateOf("synthetic_distinct", df).isEmpty,
       "count(DISTINCT) is not mergeable partial state and must be rejected")
   }
+
+  test("avg is rejected: the rewrite has no avg decomposition") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    assert(MvAdvisor.candidateOf("synthetic_avg", df).isEmpty,
+      "avg() survived the whitelist but deriveShapes/deriveAgg cannot " +
+        "store or re-derive it — the advisor would recommend a summary " +
+        "that can never serve")
+  }
+
+  test("an alias shared by several aggregates is rejected, not crashed on") {
+    import org.apache.spark.sql.functions._
+    // the derived column is referenced by TWO aggregates, so Catalyst
+    // keeps the computing Project (CollapseProject refuses to
+    // duplicate non-cheap expressions) and the aggregate inputs stay
+    // Project-local attributes — their sql would never resolve against
+    // the rebuilt fact at registration time
+    val df = graft.sources.Tables.lineitem(spark, sf)
+      .withColumn("disc_price",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("disc_price")).as("s"), min(col("disc_price")).as("m"))
+    assert(MvAdvisor.candidateOf("synthetic_shared_alias", df).isEmpty,
+      "aggregate inputs referencing Project-local aliases must reject " +
+        "the candidate (registration would throw an AnalysisException)")
+  }
 }

@@ -69,12 +69,13 @@ class PlanGateSpec extends SparkSpec {
   private def fingerprints(): Seq[(String, String)] = {
     // fingerprint from a COLD cache: the dedup family persists shared
     // frames in the JVM-wide CacheManager, and an InMemoryRelation
-    // cached earlier by another suite (e.g. QueryPlanSpec building
-    // every query first) carries that build's output partitioning —
-    // which decides whether the aggregate above needs an Exchange, so
-    // the same query fingerprints differently warm vs cold (observed:
+    // cached by an EARLIER suite (suites run sequentially in the
+    // forked JVM; e.g. QueryPlanSpec builds every query first)
+    // carries that build's output partitioning — which decides
+    // whether the aggregate above needs an Exchange, so the same
+    // query fingerprints differently warm vs cold (observed:
     // dedup_simhash 1-stage fused cold, 2-stage exchanged warm).
-    // Cold is the deterministic, order-independent state.
+    // Cold is the deterministic, run-order-independent state.
     planSession.catalog.clearCache()
     Registry.headline.map { name =>
       name -> shape(
