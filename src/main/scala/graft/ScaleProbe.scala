@@ -134,13 +134,28 @@ object ScaleProbe {
     // CONSTANT across scale. That invariance is the claim the
     // mv_rewrite probe tests: the base aggregate's cost grows with the
     // fact, the summary serve's with the grain.
+    //
+    // Scaled orders (round 8, late) shares ONE orderkey offset with
+    // lineitem — max over BOTH tables' key domains — so replica k of
+    // lineitem joins exactly replica k of orders and the fact⋈orders
+    // joins (runtime-filter probes) stay 1:1 per replica with no
+    // cross-replica key collisions. o_orderpriority is untouched, so
+    // the DPP fact keeps exactly 5 partitions at every scale.
     val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val maxOk = liBase.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+    val ordBase = spark.read.parquet(s"$sfDir/orders.parquet")
+    val maxOk = math.max(
+      liBase.agg(max(col("l_orderkey"))).head.getLong(0),
+      ordBase.agg(max(col("o_orderkey"))).head.getLong(0)) + 1
     val liScaled = (0 until scale).map { k =>
       liBase.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOk))
     }.reduce(_ unionByName _)
     liScaled.write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
     System.err.println(s"[probe] lineitem: ${liBase.count()} -> ${spark.read.parquet(s"$scaledDir/lineitem.parquet").count()} rows")
+    val ordScaled = (0 until scale).map { k =>
+      ordBase.withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOk))
+    }.reduce(_ unionByName _)
+    ordScaled.write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
+    System.err.println(s"[probe] orders: ${ordBase.count()} -> ${spark.read.parquet(s"$scaledDir/orders.parquet").count()} rows")
 
     // dedup_semantic probes with the quantizer the corpus size calls
     // for: SemDeDup's cost is assignment (n*NC cosines, brute-force
@@ -264,7 +279,17 @@ object ScaleProbe {
       // the fact; agg_parquet_stats reads footers and must stay
       // ~flat (O(files): the scaled dir has `scale`x the files but
       // none of the row-decoding). rows_ratio = 1.0 for both.
-      "agg_stats_exact", "agg_parquet_stats")
+      "agg_stats_exact", "agg_parquet_stats",
+      // round 8 (late): runtime filtering, with the scaled orders
+      // table sharing lineitem's orderkey offset. join_dpp's sink
+      // write memoizes per dir and is forced outside the timed runs
+      // (below) — the timed face is the runtime-PRUNED join, the
+      // serving claim. join_runtime_bloom is probed as an ON/OFF
+      // PAIR over the identical shuffle join: the bloom filter's
+      // value is the measured shuffle-write delta at scale, not the
+      // wall clock (building + applying the filter costs time; the
+      // shuffle bytes it saves are what explode at 100 TB).
+      "join_dpp", "join_runtime_bloom", "join_runtime_bloom_off")
     val names = sys.env.get("SPARK_GRAFT_PROBE_TARGETS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultTargets)
@@ -273,6 +298,14 @@ object ScaleProbe {
       System.err.println("[probe] pre-building rag index for the scaled dir")
       SparkEntry.queries("rag_pipeline")(spark, scaledDir)
         .write.format("noop").mode("overwrite").save()
+    }
+    // populate the dpp sink memo per dir before timing (serve face)
+    if (names.contains("join_dpp")) {
+      System.err.println("[probe] pre-building dpp sinks per dir")
+      Seq(sfDir, scaledDir).foreach { d =>
+        SparkEntry.queries("join_dpp")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     // populate the summary memo per dir before timing (serve face)
     if (names.contains("mv_rewrite_q1")) {
@@ -299,6 +332,10 @@ object ScaleProbe {
           "shard_epoch(pos%97)" -> ((s: SparkSession, dir: String) =>
             SparkEntry.queries("shard_epoch")(s, dir)
               .filter(pmod(col("pos"), lit(97)) === 0))
+        case "join_runtime_bloom_off" =>
+          "join_runtime_bloom(off)" -> ((s: SparkSession, dir: String) =>
+            graft.queries.ScaleQueries.runtimeBloomJoin(s, dir,
+              bloom = false))
         case n => n -> SparkEntry.queries(n)
       }
 

@@ -45,28 +45,48 @@ object ScaleQueries {
     * Catalyst's `isLikelySelective` rejects a bare boolean attribute
     * filter, and DPP silently never fires (cost us the first draft).
     */
-  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
-    // session-scoped sink paths: multiple test suites build this query
-    // (QueryPlanSpec and PlanGateSpec both construct every headline
-    // query, each performing this eager write); suites run
-    // sequentially (forked JVM, testForkedParallel default), but a
-    // later suite's overwrite invalidates the file listing an earlier
-    // suite's still-live DataFrame captured — per-session dirs keep
-    // each suite's frames self-consistent
-    val tmp = System.getProperty("java.io.tmpdir")
+  private val dppSinkMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Write (once per app/session/dir) the partitioned fact + urgency
+    * dim [[joinDpp]] joins. Session-scoped paths: multiple test
+    * suites build the query (QueryPlanSpec and PlanGateSpec both
+    * construct every headline query), and a later suite's overwrite
+    * would invalidate the file listing an earlier suite's still-live
+    * DataFrame captured. Memoized so Bench/probe timed reps measure
+    * the PRUNED JOIN, not the layout write — the build/serve split
+    * discipline (the write amortizes into the warmup).
+    */
+  private def dppSinks(spark: SparkSession, sfDir: String)
+      : (String, String) = {
     val sid = System.identityHashCode(spark)
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      .write.mode("overwrite").partitionBy("o_orderpriority")
-      .parquet(s"$tmp/graft_dpp_fact_$sid")
-    Tables.orders(spark, sfDir).select(col("o_orderpriority")).distinct()
-      .withColumn("urgency",
-        when(col("o_orderpriority").startsWith("1") ||
-          col("o_orderpriority").startsWith("2"), "urgent")
-          .otherwise("routine"))
-      .write.mode("overwrite").parquet(s"$tmp/graft_dpp_dim_$sid")
-    val fact = spark.read.parquet(s"$tmp/graft_dpp_fact_$sid")
-    val dim = spark.read.parquet(s"$tmp/graft_dpp_dim_$sid")
+    val key = s"${spark.sparkContext.applicationId}|$sid|$sfDir"
+    dppSinkMemo.computeIfAbsent(key, _ => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      // dir token in the path too: one session reading TWO dirs (the
+      // scale probe) must not overwrite dir A's sinks with dir B's
+      val tok = s"${sid}_${math.abs(sfDir.hashCode)}"
+      val (factPath, dimPath) =
+        (s"$tmp/graft_dpp_fact_$tok", s"$tmp/graft_dpp_dim_$tok")
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(factPath)
+      Tables.orders(spark, sfDir).select(col("o_orderpriority")).distinct()
+        .withColumn("urgency",
+          when(col("o_orderpriority").startsWith("1") ||
+            col("o_orderpriority").startsWith("2"), "urgent")
+            .otherwise("routine"))
+        .write.mode("overwrite").parquet(dimPath)
+      (factPath, dimPath)
+    })
+  }
+
+  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    val (factPath, dimPath) = dppSinks(spark, sfDir)
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath)
       .filter(col("urgency") === "urgent")
     fact.join(dim, Seq("o_orderpriority"))
       .groupBy(col("o_orderpriority"))
@@ -103,9 +123,18 @@ object ScaleQueries {
     * broadcast off so the join IS the shuffle join the filter
     * exists to protect.
     */
-  def joinRuntimeBloom(spark: SparkSession, sfDir: String): DataFrame = {
+  def joinRuntimeBloom(spark: SparkSession, sfDir: String): DataFrame =
+    runtimeBloomJoin(spark, sfDir, bloom = true)
+
+  /** `bloom = false` is the probe's control twin: the identical
+    * shuffle join with injection off, so the bloom filter's shuffle-
+    * write reduction is a MEASURED delta, not an argument.
+    */
+  private[graft] def runtimeBloomJoin(spark: SparkSession, sfDir: String,
+      bloom: Boolean): DataFrame = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      bloom.toString)
     s.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
     s.conf.set(
