@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_PROBE_SCALE (replica count, default 10),
   * SPARK_GRAFT_PROBE_TARGETS (csv of query names, default = the full
   * round-5 list), SPARK_GRAFT_PROBE_PARTITIONS (shuffle partitions,
-  * default = cpu count — the scale-out lever).
+  * default = cpu count — the scale-out lever), SPARK_GRAFT_PROBE_REUSE
+  * (=1: reuse an existing scaled dir instead of rebuilding — both an
+  * iteration-speed and a measurement-hygiene lever, see below).
   */
 object ScaleProbe {
 
@@ -76,6 +78,19 @@ object ScaleProbe {
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
+    // SPARK_GRAFT_PROBE_REUSE=1 skips rebuilding the scaled tables when
+    // the scaled dir already exists. Beyond iteration speed, this is a
+    // measurement-hygiene knob: the ~GBs of scaled-table writes churn
+    // the page cache and IO queues, and timed runs taken immediately
+    // after them read 3-25x inflated (observed on the runtime-filter
+    // probe: join_dpp's memoized serve timed 18.5s mid-churn vs 1.0s
+    // re-measured idle, same commit, same dirs). Rebuild once, then
+    // re-run targets with REUSE=1 on a quiet host.
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
+      new java.io.File(s"$scaledDir/documents.parquet").exists()
+    if (reuse) System.err.println(s"[probe] reusing scaled tables in $scaledDir")
+
+    if (!reuse) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val maxId = base.agg(max(col("doc_id"))).head.getLong(0) + 1
     val scaled = (0 until scale).map { k =>
@@ -156,6 +171,7 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     ordScaled.write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
     System.err.println(s"[probe] orders: ${ordBase.count()} -> ${spark.read.parquet(s"$scaledDir/orders.parquet").count()} rows")
+    } // end !reuse: scaled-table builds
 
     // dedup_semantic probes with the quantizer the corpus size calls
     // for: SemDeDup's cost is assignment (n*NC cosines, brute-force
