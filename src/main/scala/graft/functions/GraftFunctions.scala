@@ -23,6 +23,7 @@ object GraftFunctions {
   val wordNGramsName = "graft_word_ngrams"
   val jaroWinklerName = "graft_jaro_winkler"
   val bpeEncodeName = "graft_bpe_encode"
+  val bloomHitsAnyName = "graft_bloom_hits_any"
 
   private def bpeEncodeInfo = new ExpressionInfo(
     classOf[BpeEncode].getName, bpeEncodeName)
@@ -77,7 +78,17 @@ object GraftFunctions {
     WordNGrams(args.head, n)
   }
 
+  private def bloomHitsAnyInfo = new ExpressionInfo(
+    classOf[BloomHitsAny].getName, bloomHitsAnyName)
+
+  private def bloomHitsAnyBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$bloomHitsAnyName expects 2 arguments")
+    BloomHitsAny(args.head, args(1))
+  }
+
   def install(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier(bloomHitsAnyName),
+      bloomHitsAnyInfo, bloomHitsAnyBuilder _))
     ext.injectFunction((FunctionIdentifier(cosineSimName), cosineInfo, cosineBuilder _))
     ext.injectFunction((FunctionIdentifier(extractItemsName), extractInfo, extractBuilder _))
     ext.injectFunction((FunctionIdentifier(sortedIntersectName),
@@ -111,6 +122,15 @@ object GraftFunctions {
     val bid = FunctionIdentifier(bpeEncodeName)
     if (!registry.functionExists(bid))
       registry.registerFunction(bid, bpeEncodeInfo, bpeEncodeBuilder _)
+    val bhid = FunctionIdentifier(bloomHitsAnyName)
+    if (!registry.functionExists(bhid))
+      registry.registerFunction(bhid, bloomHitsAnyInfo, bloomHitsAnyBuilder _)
+  }
+
+  /** Column-API form of the bloom sidecar probe expression. */
+  def bloomHitsAny(spark: SparkSession, bloom: Column, keys: Column): Column = {
+    ensureRegistered(spark)
+    call_function(bloomHitsAnyName, bloom, keys)
   }
 
   /** Column-API form of the native cosine expression. */

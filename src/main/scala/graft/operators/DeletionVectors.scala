@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level deletes WITHOUT partition rewrite: positional deletion
+  * vectors over an immutable parquet sink, the Iceberg v2 /
+  * Delta-deletion-vector design that [[Erasure]]'s partition-rewrite
+  * form deliberately does not cover.
+  *
+  * Why a second deletion operator: [[Erasure.erase]] costs O(affected
+  * PARTITIONS) — right when victims cluster into few partitions, but a
+  * 100 TB sink whose victims scatter (one user's rows across every
+  * day) degrades to a near-full rewrite. A deletion vector instead
+  * records (file, row-position) tombstones in a sidecar and applies
+  * them at read; the delete writes O(deleted ROWS) bytes, touching no
+  * data file. The trade is read-side: every scan carries a broadcast
+  * anti-join against the sidecar, so [[purge]] bounds the sidecar by
+  * rewriting any file whose deleted fraction crosses a threshold —
+  * write amplification is deferred, batched, and capped.
+  *
+  * Layout (all under one table root):
+  * {{{
+  *   t/data/day=D/part-N.parquet   immutable data files (never edited)
+  *   t/_dv/part-N.parquet          append-only (file, pos) tombstones
+  *   t/_manifest/v=N + markers     LIVE FILE SET per version, committed
+  *                                 via the [[Snapshots]] claim protocol
+  * }}}
+  *
+  * The versioned MANIFEST is what makes file-level operations atomic
+  * on a plain filesystem/object store: readers resolve the committed
+  * live-file set and read exactly those files, so [[purge]] can move
+  * replacement files into the data directories INVISIBLY and flip them
+  * live with one marker create — no reader ever sees a row doubled
+  * (old file + its rewrite) or dropped mid-swap. Rows are positioned
+  * by the file source's own metadata columns (`_metadata.file_path`,
+  * `_metadata.row_index`) — stable physical positions derived from
+  * parquet row-group offsets, no synthetic key column needed.
+  *
+  * Scale shape at 100 TB:
+  *  - [[delete]] is one metadata-column scan semi-joined against the
+  *    broadcast victim list, writing O(victim rows) sidecar bytes;
+  *    with a victim PREDICATE pushed into the scan it reads only
+  *    matching row groups. No data file is opened for write.
+  *  - [[read]] lists files from the manifest (driver-side, bounded by
+  *    file count — the same bounded-metadata exception as Erasure's
+  *    partition list) and anti-joins the sidecar broadcast-side; the
+  *    sidecar stays broadcast-sized BECAUSE purge caps the deleted
+  *    fraction per file — the threshold is the knob trading read-side
+  *    join size against write amplification.
+  *  - [[purge]] rewrites only files past the threshold; tombstones of
+  *    replaced files become inert (their file path is no longer in
+  *    the manifest... and never matches a live row again), so DV
+  *    correctness needs NO coordinated sidecar rewrite; [[vacuum]]
+  *    reclaims them by deleting whole sidecar batch-files whose
+  *    entries ALL reference dead files — file-level GC, no edit, no
+  *    atomicity hazard.
+  *  - idempotency is structural: [[delete]] marks through the DV mask
+  *    (it reads only live, not-yet-deleted rows), so replaying a
+  *    delete appends zero tombstones.
+  */
+object DeletionVectors {
+
+  def dataDir(root: String): String = s"$root/data"
+  def dvDir(root: String): String = s"$root/_dv"
+  def manifestTable(root: String): String = s"$root/_manifest"
+
+  private def hfs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Create the table: write `df` hive-partitioned by `partCol` and
+    * commit manifest v1 = every written file. The per-file row counts
+    * ride along for purge's threshold math (one extra metadata-column
+    * aggregate at write time — amortized into the initial load).
+    */
+  def init(spark: SparkSession, df: DataFrame, root: String,
+      partCol: String): Long = {
+    val f = hfs(spark, root)
+    f.delete(new Path(root), true)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dataDir(root))
+    val manifest = spark.read.parquet(dataDir(root))
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("rows"))
+    Snapshots.publish(spark, manifestTable(root), manifest)
+  }
+
+  /** The committed live-file set: (file, rows). */
+  def manifest(spark: SparkSession, root: String): DataFrame =
+    Snapshots.readLatest(spark, manifestTable(root))
+
+  /** Driver-side live file list — bounded by file count (metadata). */
+  private def liveFiles(spark: SparkSession, root: String): Seq[String] =
+    manifest(spark, root).select("file").collect().map(_.getString(0)).toSeq
+
+  /** All tombstones, (file, pos); empty-schema frame before any delete. */
+  def dv(spark: SparkSession, root: String): DataFrame = {
+    val f = hfs(spark, root)
+    val d = new Path(dvDir(root))
+    if (f.exists(d) && f.listStatus(d).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(dvDir(root))
+    else spark.range(0).select(
+      lit("").as("file"), lit(0L).cast("long").as("pos")).limit(0)
+  }
+
+  /** Live rows of `files` (manifest scope) with their physical
+    * position columns, tombstones already applied. Metadata columns
+    * must be selected BEFORE the join (they belong to the scan).
+    */
+  private def withPos(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame = {
+    val data = spark.read.option("basePath", dataDir(root))
+      .parquet(files: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val tomb = dv(spark, root)
+      .withColumnRenamed("file", "__file").withColumnRenamed("pos", "__pos")
+    data.join(broadcast(tomb), Seq("__file", "__pos"), "left_anti")
+  }
+
+  /** The table as readers see it: committed files minus tombstones. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    withPos(spark, root, liveFiles(spark, root)).drop("__file", "__pos")
+
+  /** Tombstone every live row whose `keyCol` appears in `victims`.
+    * Returns the number of rows marked. O(deleted rows) bytes written;
+    * zero data files touched. Replay-safe: already-deleted rows are
+    * invisible to the marking scan, so a rerun appends nothing.
+    */
+  def delete(spark: SparkSession, root: String, keyCol: String,
+      victims: DataFrame): Long = {
+    val marked = withPos(spark, root, liveFiles(spark, root))
+      .join(broadcast(victims.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_semi")
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .localCheckpoint() // one marking scan feeds both count and write
+    val n = marked.count()
+    // one sidecar file per ~10M tombstones: a delete is human-scale
+    // relative to the table, and vacuum GC works per batch-file — a
+    // 32-way sliver spray would turn the sidecar into a small-file
+    // problem of its own
+    if (n > 0) marked
+      .coalesce(math.max(1L, n / 10000000L).toInt)
+      .write.mode("append").parquet(dvDir(root))
+    n
+  }
+
+  /** Rewrite every live file whose deleted fraction exceeds
+    * `maxDeletedFraction`, commit the next manifest version, and
+    * return the replaced files. Two-phase and crash-safe:
+    *
+    *  1. kept rows of hot files are written to a staging dir under the
+    *     table root (readers never list it), then MOVED into the data
+    *     partition dirs — present on disk but NOT in any committed
+    *     manifest, so invisible;
+    *  2. one [[Snapshots.publish]] flips the live set to
+    *     (live − hot) ∪ replacements. A crash before the commit leaves
+    *     orphan replacement files (dead weight for [[vacuum]]), never
+    *     a double or missing row; old manifest versions still resolve,
+    *     so time travel across the purge keeps working.
+    */
+  def purge(spark: SparkSession, root: String, partCol: String,
+      maxDeletedFraction: Double): Seq[String] = {
+    val counts = dv(spark, root).groupBy("file").count()
+    val hot = manifest(spark, root)
+      .join(counts, Seq("file"), "left")
+      .filter(coalesce(col("count"), lit(0L)) >
+        col("rows") * maxDeletedFraction)
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (hot.isEmpty) return Seq.empty
+
+    val f = hfs(spark, root)
+    val stage = s"$root/_purge_stage"
+    f.delete(new Path(stage), true)
+    // kept rows of hot files only; stage BEFORE any move so the swap
+    // never consumes what it replaces (the Erasure/Scd2Log discipline)
+    withPos(spark, root, hot).drop("__file", "__pos")
+      .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+
+    // move staged files into their data partition dirs under fresh
+    // names; recount them for the manifest as they land
+    val moved = Seq.newBuilder[String]
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    f.listStatus(new Path(stage))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .foreach { dir =>
+        val destDir = new Path(s"${dataDir(root)}/${dir.getPath.getName}")
+        f.mkdirs(destDir)
+        f.listStatus(dir.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (s, i) =>
+            val dest = new Path(destDir, s"purged-$tag-$i.parquet")
+            require(f.rename(s.getPath, dest), s"rename to $dest failed")
+            moved += dest.toString
+          }
+      }
+    f.delete(new Path(stage), true)
+
+    val movedStats =
+      if (moved.result().isEmpty) spark.range(0).select(
+        lit("").as("file"), lit(0L).as("rows")).limit(0)
+      else spark.read.option("basePath", dataDir(root))
+        .parquet(moved.result(): _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(count(lit(1)).as("rows"))
+    val next = manifest(spark, root)
+      .filter(!col("file").isin(hot: _*))
+      .unionByName(movedStats)
+    Snapshots.publish(spark, manifestTable(root), next): Unit
+    hot
+  }
+
+  /** Reclaim space: delete data files referenced by NO retained
+    * manifest version (keep the newest `keepVersions`), then delete
+    * any sidecar batch-file whose entries all reference dead files.
+    * Both steps are whole-file deletes of unreachable state — safe to
+    * crash or rerun at any point.
+    */
+  def vacuum(spark: SparkSession, root: String,
+      keepVersions: Int = 1): (Long, Long) = {
+    val mt = manifestTable(root)
+    val keep = Snapshots.committedVersions(spark, mt).takeRight(keepVersions)
+    val referenced = keep.map(v =>
+        Snapshots.readVersion(spark, mt, v).select("file"))
+      .reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSet
+    val f = hfs(spark, root)
+    val dataRoot = new Path(dataDir(root))
+    var dataDeleted = 0L
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { dir =>
+      f.listStatus(dir.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          if (!referenced.contains(s.getPath.toString)) {
+            f.delete(s.getPath, false): Unit
+            dataDeleted += 1
+          }
+        }
+    }
+    Snapshots.vacuum(spark, mt, keepVersions)
+    val dvd = new Path(dvDir(root))
+    var dvDeleted = 0L
+    if (f.exists(dvd) && f.listStatus(dvd).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))) {
+      // ONE job over the whole sidecar: per batch-file, does ANY entry
+      // still reference a live file? (the per-file loop this replaces
+      // ran a Spark job per batch — job-count, not data, was the cost)
+      val dead = spark.read.parquet(dvDir(root))
+        .select(col("_metadata.file_path").as("batch"), col("file"))
+        .groupBy("batch")
+        .agg(max(col("file").isin(referenced.toSeq: _*).cast("int"))
+          .as("any_live"))
+        .filter(col("any_live") === 0)
+        .select("batch").collect().map(_.getString(0))
+      dead.foreach { b =>
+        f.delete(new Path(new java.net.URI(b)), false): Unit
+        dvDeleted += 1
+      }
+    }
+    (dataDeleted, dvDeleted)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Enrich
+import graft.sources.Tables
+
+/** Differential fuzzing through the oracle gate: a deterministic
+  * generator emits a grid of (predicate × group-key × aggregate)
+  * fragments over lineitem, and BOTH faces of every fragment — the
+  * DataFrame build and the DuckDB SQL — come from the same generator
+  * tables, so the driver's hash compare exercises the cross product
+  * instead of one hand-written shape per query.
+  *
+  * Why this exists: each hand-authored registry query pins one
+  * (filter, group, agg) combination; bugs live in the INTERACTIONS
+  * (a predicate that flips a group empty, a distinct-count under a
+  * modulus filter, a timestamp group under a range predicate — the
+  * classic differential-testing surface of SQLancer/sqlsmith, here
+  * pointed at Spark-vs-DuckDB). The grid is deterministic — no RNG,
+  * so every round gates the identical 48 fragments and a mismatch
+  * reproduces by case_id.
+  *
+  * Shape: 6 predicates × 4 group keys, each pair carrying 2 of the 5
+  * aggregates by index rotation (every aggregate appears ≥9 times).
+  * All values land as DOUBLE through the exact-decimal helpers
+  * ([[Enrich.exactSum]]) so float accumulation order can't flake the
+  * gate. This is a correctness harness, not a perf shape: 48 filtered
+  * aggregate legs over one fact is a plan you'd never run at 100 TB —
+  * the benched aggregate faces are `agg_tpch_q1`/`agg_group`.
+  */
+object FuzzQueries {
+
+  /** (id, DataFrame predicate, DuckDB predicate) */
+  private val predicates: Seq[(String, Column, String)] = Seq(
+    ("p0", lit(true), "1=1"),
+    ("p1", col("l_quantity") < 25, "l_quantity < 25"),
+    ("p2", col("l_discount").between(0.02, 0.06),
+      "l_discount BETWEEN 0.02 AND 0.06"),
+    ("p3", col("l_shipdate") >= lit("1996-06-01").cast("timestamp"),
+      "l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'"),
+    ("p4", pmod(col("l_orderkey"), lit(7)) === 0, "l_orderkey % 7 = 0"),
+    ("p5", col("l_tax") > col("l_discount"), "l_tax > l_discount"))
+
+  /** (id, group expression as string, DuckDB group expression) */
+  private val groups: Seq[(String, Column, String)] = Seq(
+    ("g0", col("l_returnflag"), "l_returnflag"),
+    ("g1", col("l_linestatus"), "l_linestatus"),
+    ("g2", year(col("l_shipdate")).cast("string"),
+      "CAST(year(l_shipdate) AS VARCHAR)"),
+    ("g3", col("l_linenumber").cast("string"),
+      "CAST(l_linenumber AS VARCHAR)"))
+
+  /** (id, DataFrame aggregate, DuckDB aggregate) — every value DOUBLE,
+    * sums through the exact-decimal path (see Verify float rules).
+    */
+  private val aggs: Seq[(String, Column, String)] = Seq(
+    ("a0", count(lit(1)).cast("double"), "CAST(count(*) AS DOUBLE)"),
+    ("a1", round(Enrich.exactSum(col("l_quantity")), 4),
+      "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 4)"),
+    ("a2", min(col("l_extendedprice")).cast("double"),
+      "CAST(min(l_extendedprice) AS DOUBLE)"),
+    ("a3", max(col("l_extendedprice")).cast("double"),
+      "CAST(max(l_extendedprice) AS DOUBLE)"),
+    ("a4", countDistinct(col("l_suppkey")).cast("double"),
+      "CAST(count(DISTINCT l_suppkey) AS DOUBLE)"))
+
+  /** The grid: every (predicate, group) pair with two aggregates
+    * chosen by index rotation — deterministic, and chosen so all five
+    * aggregates meet all six predicates across the grid.
+    */
+  private val grid: Seq[(String, Int, Int, Int)] = for {
+    (pi, gi) <- predicates.indices.flatMap(p => groups.indices.map(g => (p, g)))
+    ai <- Seq((pi + gi) % aggs.size, (pi + 2 * gi + 3) % aggs.size).distinct
+  } yield (s"p${pi}g${gi}a$ai", pi, gi, ai)
+
+  def fuzzRelationalGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    grid.map { case (id, pi, gi, ai) =>
+      li.filter(predicates(pi)._2)
+        .groupBy(groups(gi)._2.as("grp"))
+        .agg(aggs(ai)._2.as("val"))
+        .select(lit(id).as("case_id"), col("grp"), col("val"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("case_id"), col("grp"))
+  }
+
+  private val fuzzOracle: String =
+    grid.map { case (id, pi, gi, ai) =>
+      s"""SELECT '$id' AS case_id, ${groups(gi)._3} AS grp,
+         |  ${aggs(ai)._3} AS val
+         |FROM lineitem WHERE ${predicates(pi)._3}
+         |GROUP BY 2""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY case_id, grp")
+
+  def queries: Seq[Q] = Seq(
+    Q("fuzz_relational_grid", Some(fuzzOracle), fuzzRelationalGrid))
+}

@@ -39,7 +39,8 @@ object Registry {
       PipelineQueries.queries ++
       GraphQueries.queries ++
       RetrievalQueries.queries ++
-      PrivacyQueries.queries
+      PrivacyQueries.queries ++
+      FuzzQueries.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
@@ -200,6 +201,20 @@ object Registry {
     // two IS the capability. Build amortizes into warmup via the
     // fact-fingerprint memo, the ann_index_query discipline.
     "mv_rewrite_q1",
+    // round 9: positional deletion vectors — two NEW physical shapes:
+    // the O(deleted rows) delete (metadata-column scan + broadcast
+    // semi-join + sidecar append, zero data-file writes, read through
+    // a broadcast anti-join) and the maintenance lifecycle (threshold
+    // purge behind an atomic manifest flip + whole-file vacuum GC).
+    "dv_delete", "dv_purge",
+    // round 9: the file-skipping sidecar lookup — a NEW physical
+    // shape: codegen'd bloom probe over the stats sidecar, then a
+    // candidate-files-only scan (the unclustered-key point-lookup
+    // path that partition pruning and z-order min/max cannot serve).
+    // fuzz_relational_grid stays Verify-only BY DESIGN: it is a
+    // 48-leg differential-testing harness, not a plan you'd run at
+    // scale — its aggregate shapes are benched via tq1/agg_group.
+    "index_point_lookup",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -267,5 +282,8 @@ object Registry {
     "rag_pipeline" -> "rag", "text_bpe_train" -> "tbt",
     "mv_rewrite_q1" -> "mvq", "text_unigram_train" -> "tut",
     "agg_parquet_stats" -> "aps", "join_dpp" -> "jdp",
-    "join_runtime_bloom" -> "jbl")
+    "join_runtime_bloom" -> "jbl",
+    // round-9 additions (append-only; see the stability contract above)
+    "dv_delete" -> "dvd", "dv_purge" -> "dvp",
+    "index_point_lookup" -> "ipl")
 }

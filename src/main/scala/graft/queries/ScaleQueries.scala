@@ -837,8 +837,178 @@ object ScaleQueries {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  private val iplSinkMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Write (once per app/session/dir) the hash-laid-out lineitem sink
+    * + its [[graft.operators.SkippingIndex]] bloom sidecar that
+    * [[indexPointLookup]] probes. Deliberately laid out by SUPPLIER
+    * hash — the probe key (l_orderkey) is unclustered, every file's
+    * [min, max] spans the whole key domain, and partition pruning has
+    * nothing to prune: the layout where ONLY a membership sidecar can
+    * skip files. Memoized so timed reps measure the lookup, not the
+    * layout+index build (the build/serve split discipline).
+    */
+  private def iplSinks(spark: SparkSession, sfDir: String)
+      : (String, String) = {
+    val sid = System.identityHashCode(spark)
+    val key = s"${spark.sparkContext.applicationId}|$sid|$sfDir"
+    iplSinkMemo.computeIfAbsent(key, _ => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tok = s"${sid}_${math.abs(sfDir.hashCode)}"
+      val (dataPath, idxPath) =
+        (s"$tmp/graft_ipl_data_$tok", s"$tmp/graft_ipl_idx_$tok")
+      // per-row scatter (hash of the full line id): each order's lines
+      // land in different files — the maximally unclustered layout for
+      // the probe key, and every bucket is non-empty at any SF
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartition(32, xxhash64(col("l_orderkey"), col("l_linenumber")))
+        .write.mode("overwrite").parquet(dataPath)
+      graft.operators.SkippingIndex.build(spark, dataPath, idxPath,
+        "l_orderkey")
+      (dataPath, idxPath)
+    })
+  }
+
+  /** Needle-in-a-haystack point lookup through the file-skipping
+    * sidecar: 5 deterministic probe keys against a sink whose layout
+    * gives partition pruning and min/max NOTHING to work with (see
+    * [[iplSinks]]). The lookup scans the KB-scale sidecar with the
+    * native codegen'd bloom probe, reads only surviving files, and
+    * re-applies the exact predicate — false positives cost a file
+    * read, never a row. The oracle is the plain IN-list select;
+    * SkippingIndexSpec pins the skipping ratio deterministically
+    * (candidate files ≪ total), which local wall clock cannot.
+    */
+  def indexPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{SkippingIndex, TextOps}
+    val (dataPath, idxPath) = iplSinks(spark, sfDir)
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("ipl_"), col("l_orderkey").cast("string"))) % 19 === 0)
+      .orderBy(col("l_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val (res, cands, total) = SkippingIndex.lookup(
+      spark, dataPath, idxPath, "l_orderkey", keys)
+    require(cands.length < total,
+      s"sidecar skipped nothing (${cands.length}/$total files)")
+    res.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val iplOracle = {
+    import graft.operators.TextOps
+    val pick = s"${TextOps.h60Sql("('ipl_' || CAST(l_orderkey AS VARCHAR))")} % 19 = 0"
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT ok FROM (
+       |    SELECT DISTINCT l_orderkey AS ok FROM lineitem
+       |    WHERE $pick ORDER BY ok LIMIT 5))
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  /** Row-level delete through positional deletion vectors
+    * ([[graft.operators.DeletionVectors]]) — the O(deleted rows)
+    * counterpart to `privacy_erasure`'s O(affected partitions)
+    * rewrite. The victim set is deliberately SCATTERED (a hash of
+    * user_id, so every day partition holds victims) — the shape where
+    * partition-rewrite erasure degrades to a near-full table rewrite
+    * and a deletion vector writes only a (file, pos) sidecar. The
+    * query drives init → delete → masked read inside the hash gate;
+    * DeletionVectorsSpec separately pins that data files stay
+    * byte-identical and that a replayed delete appends nothing.
+    *
+    * 100 TB shape: the delete is one metadata-column scan + broadcast
+    * semi-join writing O(victims) bytes; the read anti-joins a
+    * broadcast sidecar whose size `dv_purge`'s threshold caps.
+    */
+  def dvDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_delete"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+    val victims = ev.select(col("user_id")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("dvdel_"), col("user_id").cast("string"))) % 4 === 0)
+    DV.delete(spark, root, "user_id", victims)
+    DV.read(spark, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvDeleteOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('dvdel_' || CAST(user_id AS VARCHAR))")} % 4 = 0"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events WHERE NOT ($victim)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** The deletion-vector table's full maintenance lifecycle inside one
+    * hash gate: two scattered deletes, a threshold [[purge]] (files
+    * past 25% deleted rewritten behind an atomic manifest flip), a
+    * [[vacuum]] (dead data files + dead sidecar batches reclaimed),
+    * then the masked read — which must still hash-match the plain
+    * filtered aggregate. Any purge double-count, dropped row, vacuum
+    * over-delete, or tombstone resurrection breaks the oracle.
+    *
+    * 100 TB shape: purge bounds read-side sidecar size at the cost of
+    * rewriting only the files past the threshold; vacuum is whole-file
+    * GC of unreachable state, crash/rerun-safe at any point.
+    */
+  def dvPurge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_purge"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+    def vics(m: Int) = ev.select(col("user_id")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("dvdel_"), col("user_id").cast("string"))) % 4 === m)
+    DV.delete(spark, root, "user_id", vics(0))
+    DV.purge(spark, root, "day", 0.25)
+    // second delete lands on the MIXED manifest (survivors + purged
+    // replacements): its tombstones reference post-purge file paths,
+    // so vacuum below must GC the first delete's dead batch while
+    // keeping this one
+    DV.delete(spark, root, "user_id", vics(1))
+    DV.vacuum(spark, root, keepVersions = 1)
+    DV.read(spark, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvPurgeOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('dvdel_' || CAST(user_id AS VARCHAR))")} % 4 IN (0, 1)"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events WHERE NOT ($victim)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
+    Q("dv_delete", Some(dvDeleteOracle), dvDelete),
+    Q("dv_purge", Some(dvPurgeOracle), dvPurge),
+    Q("index_point_lookup", Some(iplOracle), indexPointLookup),
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),
     Q("mv_rewrite_star", Some(mvStarOracle), mvRewriteStar),
