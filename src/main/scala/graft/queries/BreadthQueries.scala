@@ -469,7 +469,81 @@ object BreadthQueries {
       |FROM x LEFT JOIN LATERAL unnest(hot) AS u(e) ON TRUE
       |ORDER BY doc_id, word""".stripMargin
 
+  /** Cost-based join reordering, driven end to end: ANALYZE-collected
+    * catalog statistics flow into Catalyst's `JoinReorderDP`, which
+    * rewrites a deliberately BAD syntactic join order (fact ⋈ fact
+    * first, the selective dim last) into the stats-optimal one (the
+    * filtered dim joins first, the big fact joins the small
+    * intermediate). At 100 TB this is the difference between an
+    * intermediate the size of lineitem⋈orders and one the size of the
+    * filtered customer's order set — a reorder no syntax-driven
+    * planner makes. CboSpec pins BOTH directions: with stats the
+    * innermost join is (orders ⋈ customer); without, Catalyst keeps
+    * the written (lineitem ⋈ orders) order — proving the reorder is
+    * stats-driven, not incidental.
+    *
+    * The stats/no-stats variants use DISJOINT table names: catalog
+    * statistics live in the shared external catalog, so a shared name
+    * would leak one variant's stats into the other.
+    */
+  private[graft] def cboQuery(spark: SparkSession, sfDir: String,
+      stats: Boolean): DataFrame = {
+    val s = spark.newSession()
+    if (stats) {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    }
+    val sfx = if (stats) "s" else "n"
+    val tmp = System.getProperty("java.io.tmpdir")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    def ctas(name: String, src: DataFrame, cols: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS ${name}_$sfx")
+      val loc = s"$tmp/graft_wh_${name}_$sfx"
+      rm(new java.io.File(loc))
+      src.createOrReplaceTempView(s"${name}_src")
+      s.sql(s"""CREATE TABLE ${name}_$sfx USING parquet LOCATION '$loc'
+               |AS SELECT $cols FROM ${name}_src""".stripMargin)
+      if (stats) s.sql(
+        s"ANALYZE TABLE ${name}_$sfx COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    ctas("graft_cbo_li", Tables.lineitem(s, sfDir),
+      "l_orderkey, l_extendedprice")
+    ctas("graft_cbo_ord", Tables.orders(s, sfDir), "o_orderkey, o_custkey")
+    ctas("graft_cbo_cust", Tables.customer(s, sfDir),
+      "c_custkey, c_mktsegment, c_acctbal")
+    // written in the WORST order: the two facts joined first, the
+    // selective dim appended last
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_items,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4)
+         |    AS revenue
+         |FROM graft_cbo_li_$sfx l
+         |JOIN graft_cbo_ord_$sfx o ON l.l_orderkey = o.o_orderkey
+         |JOIN graft_cbo_cust_$sfx c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_acctbal > 9000
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  def cboJoinReorder(spark: SparkSession, sfDir: String): DataFrame =
+    cboQuery(spark, sfDir, stats = true)
+
+  private val cboOracle =
+    """SELECT c_mktsegment, count(*) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 4)
+      |    AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_acctbal > 9000
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("cbo_join_reorder", Some(cboOracle), cboJoinReorder),
     Q("map_functions", Some(mapOracle), mapFunctions),
     Q("from_json_typed", Some(fromJsonOracle), fromJsonTyped),
     Q("scd2_history", Some(scd2Oracle), scd2History),
