@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeletionVectors => DV, Erasure, SkippingIndex, TextOps}
+import graft.sources.Tables
+
+/** Scaling-evidence probe for the round-9 lakehouse operators, built
+  * on DETERMINISTIC metrics (bytes written, files read) rather than
+  * wall clock — the round-8 lesson that local wall under host
+  * contention is noise but byte/file counts reproduce exactly.
+  *
+  * Probe A — deletion vectors vs partition rewrite. Same sink, same
+  * SCATTERED 1%-of-users victim set, two deletion mechanisms:
+  *  - [[Erasure.erase]] rewrites every victim-bearing partition; with
+  *    scattered victims that is ~every partition, so bytes-rewritten
+  *    tracks TABLE size;
+  *  - [[DV.delete]] appends (file, pos) tombstones, so bytes-written
+  *    tracks VICTIM count.
+  * The claim a 100 TB table cares about: rewrite cost is
+  * O(table bytes) while DV cost is O(deleted rows), at every scale.
+  *
+  * Probe B — file-skipping index. Scaled lineitem scattered into more
+  * files (files grow with data, like a real sink), fixed 5-key probe:
+  * candidate-file fraction FALLS as the table grows (true hits are
+  * bounded by probe rows; false positives are fpp-bounded per file),
+  * so the skipped fraction approaches 100% — skipping IMPROVES with
+  * scale while a full scan grows linearly.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_PROBE_SCALE
+  * (replica count, default 10), SPARK_GRAFT_PROBE_REUSE=1 (keep
+  * existing scaled dirs — the round-8 probe-hygiene rule: rebuild
+  * once, measure on a quiet host).
+  */
+object LakeProbe {
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (!f.exists()) 0L
+      else if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    walk(new java.io.File(path))
+  }
+
+  private def mb(b: Long) = f"${b / 1024.0 / 1024.0}%.2fMB"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "10").toInt
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1")
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = System.getProperty("java.io.tmpdir")
+
+    // ---- scaled inputs: replicas with disjoint id spaces ----------
+    val evScaled = s"$tmp/graft_lakeprobe_events_$scale"
+    if (!reuse || !new java.io.File(evScaled).exists()) {
+      val ev = Tables.events(spark, sfDir)
+      val uidOff = 10000000L
+      Seq.tabulate(scale) { r =>
+        ev.withColumn("user_id", col("user_id") + lit(r * uidOff))
+          .withColumn("event_id", col("event_id") + lit(r * uidOff))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(evScaled)
+    }
+    val liScaled = s"$tmp/graft_lakeprobe_lineitem_$scale"
+    if (!reuse || !new java.io.File(liScaled).exists()) {
+      val li = Tables.lineitem(spark, sfDir)
+      val okOff = 100000000L
+      Seq.tabulate(scale) { r =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(r * okOff))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(liScaled)
+    }
+
+    // ---- probe A: DV vs rewrite, 1x and scale-x -------------------
+    def probeDv(tag: String, events: DataFrame): Unit = {
+      // materialized once: both timed paths broadcast the same tiny
+      // list, so neither pays the victim-derivation shuffle inside
+      // its timing window
+      val victims = events.select(col("user_id")).distinct()
+        .filter(TextOps.h60(
+          concat(lit("probe_"), col("user_id").cast("string"))) % 100 === 0)
+        .localCheckpoint()
+      val nVictimRows = events.join(
+        broadcast(victims), Seq("user_id"), "left_semi").count()
+
+      // rewrite path
+      val ePath = s"$tmp/graft_lakeprobe_erase_$tag"
+      val withDay = events
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      withDay.write.mode("overwrite").partitionBy("day").parquet(ePath)
+      val sinkBytes = dirBytes(ePath)
+      val nParts = new java.io.File(ePath).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("day="))
+      val t0 = System.nanoTime()
+      val affected = Erasure.erase(spark, ePath, "day", "user_id", victims)
+      val tErase = (System.nanoTime() - t0) / 1e9
+      val rewrittenBytes = affected.map(d =>
+        dirBytes(s"$ePath/day=$d")).sum
+
+      // DV path
+      val dPath = s"$tmp/graft_lakeprobe_dv_$tag"
+      DV.init(spark, withDay, dPath, "day")
+      val t1 = System.nanoTime()
+      val marked = DV.delete(spark, dPath, "user_id", victims)
+      val tDv = (System.nanoTime() - t1) / 1e9
+      val dvBytes = dirBytes(DV.dvDir(dPath))
+
+      println(f"[lakeprobe] dv/$tag: sink=${mb(sinkBytes)} parts=$nParts " +
+        f"victimRows=$nVictimRows (${100.0 * nVictimRows / events.count()}%.1f%%)")
+      println(f"[lakeprobe] dv/$tag: REWRITE touched ${affected.size}/$nParts " +
+        f"partitions, ~${mb(rewrittenBytes)} rewritten, $tErase%.2fs")
+      println(f"[lakeprobe] dv/$tag: DV marked $marked rows, " +
+        f"${mb(dvBytes)} sidecar written, $tDv%.2fs " +
+        f"(bytes ratio rewrite/dv = ${rewrittenBytes.toDouble / dvBytes}%.0fx)")
+    }
+
+    probeDv("1x", Tables.events(spark, sfDir))
+    probeDv(s"${scale}x", spark.read.parquet(evScaled))
+
+    // ---- probe B: file-skipping index, 1x and scale-x -------------
+    def probeIdx(tag: String, li: DataFrame, nFiles: Int): Unit = {
+      val data = s"$tmp/graft_lakeprobe_ipl_data_${tag}_$nFiles"
+      val idx = s"$tmp/graft_lakeprobe_ipl_idx_${tag}_$nFiles"
+      if (!reuse || !new java.io.File(data).exists()) {
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+          .repartition(nFiles, xxhash64(col("l_orderkey"), col("l_linenumber")))
+          .write.mode("overwrite").parquet(data)
+        SkippingIndex.build(spark, data, idx, "l_orderkey")
+      }
+      val keys = li.select(col("l_orderkey")).distinct()
+        .filter(TextOps.h60(
+          concat(lit("ipl_"), col("l_orderkey").cast("string"))) % 19 === 0)
+        .orderBy(col("l_orderkey")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val t0 = System.nanoTime()
+      val (res, cands, total) = SkippingIndex.lookup(
+        spark, data, idx, "l_orderkey", keys)
+      val rows = res.count()
+      val tLookup = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val fullRows = spark.read.parquet(data)
+        .filter(col("l_orderkey").isin(keys: _*)).count()
+      val tFull = (System.nanoTime() - t1) / 1e9
+      require(rows == fullRows, s"lookup $rows != full-scan $fullRows")
+      println(f"[lakeprobe] idx/$tag: $nFiles files, data=${mb(dirBytes(data))} " +
+        f"sidecar=${mb(dirBytes(idx))}, candidates=${cands.size}/$total " +
+        f"(${100.0 * (total - cands.size) / total}%.1f%% skipped), " +
+        f"$rows rows, lookup $tLookup%.2fs vs full-scan $tFull%.2fs")
+    }
+
+    probeIdx("1x", Tables.lineitem(spark, sfDir), 32)
+    probeIdx(s"${scale}x", spark.read.parquet(liScaled), 32 * scale)
+
+    spark.stop()
+  }
+}

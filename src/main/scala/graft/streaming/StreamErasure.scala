@@ -174,4 +174,36 @@ object StreamErasure {
     graft.queries.RetrievalQueries.ragRefreshStats(spark, indexDir)
     listLeaves
   }
+
+  /** Streaming right-to-be-forgotten over a
+    * [[graft.operators.DeletionVectors]] table (round 9): a stream of
+    * deletion REQUESTS applied per micro-batch. This is the LIVE
+    * deletion path the DV design exists for — requests arrive
+    * continuously, each batch costs O(its victims' rows) sidecar
+    * bytes and touches no data file, and the masked table is current
+    * at every batch boundary.
+    *
+    * Exactly-once comes FREE here, with no batch-id bookkeeping:
+    * foreachBatch is at-least-once, but `DV.delete` marks through the
+    * DV mask, so a replayed batch (crash between sidecar append and
+    * checkpoint commit, or a restart re-delivering the last batch)
+    * finds its victims already invisible and appends zero tombstones
+    * — the structural-idempotency twin of `publishVersionedMetrics`'
+    * deterministic-version claims. StreamErasureSpec pins: tombstone
+    * count stays EXACTLY the victim row count under overlapping
+    * redelivery and a checkpoint restart, and the masked read equals
+    * the batch filter throughout.
+    */
+  def startDvErasure(requests: DataFrame, root: String, keyCol: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.DeletionVectors.delete(
+          batch.sparkSession, root, keyCol, batch): Unit
+      }
+      .start()
 }

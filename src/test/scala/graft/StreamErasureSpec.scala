@@ -30,6 +30,60 @@ class StreamErasureSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
 
+  test("DV streaming erasure: overlapping redelivery and a full " +
+      "checkpoint replay append nothing; masked read tracks the filter") {
+    import graft.operators.{DeletionVectors => DV}
+    val root = Files.createTempDirectory("graft_dvstream_tbl").toString
+    val drop = Files.createTempDirectory("graft_dvstream_drop").toString
+    val ckpt1 = Files.createTempDirectory("graft_dvstream_c1").toString
+    val ckpt2 = Files.createTempDirectory("graft_dvstream_c2").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+
+    def victims(mods: Seq[Int]) = ev.select("user_id").distinct()
+      .filter(pmod(col("user_id"), lit(5)).isin(mods.map(Int.box): _*))
+    def victimRows(mods: Seq[Int]) = ev.join(
+      victims(mods), Seq("user_id"), "left_semi").count()
+
+    def runOnce(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG")
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = StreamErasure.startDvErasure(stream, root, "user_id",
+        ckpt, Trigger.AvailableNow())
+      try q.awaitTermination(120000) finally q.stop()
+    }
+
+    victims(Seq(0)).write.parquet(s"$drop/req_0")
+    runOnce(ckpt1)
+    assert(DV.dv(spark, root).count() == victimRows(Seq(0)))
+    assert(DV.read(spark, root)
+      .filter(pmod(col("user_id"), lit(5)) === 0).count() == 0)
+
+    // second request OVERLAPS the first (redelivery of victims the
+    // mask already hides): only the new class may add tombstones
+    victims(Seq(0, 1)).write.parquet(s"$drop/req_1")
+    runOnce(ckpt1)
+    assert(DV.dv(spark, root).count() == victimRows(Seq(0, 1)),
+      "overlapping redelivery must not double-mark")
+
+    // full replay from a FRESH checkpoint (every request re-delivered
+    // from scratch — the lost-checkpoint disaster case): structural
+    // idempotency must absorb all of it
+    runOnce(ckpt2)
+    assert(DV.dv(spark, root).count() == victimRows(Seq(0, 1)),
+      "full checkpoint replay must append zero tombstones")
+
+    val got = DV.read(spark, root)
+      .groupBy("event_type").count().orderBy("event_type")
+      .collect().toSeq
+    val want = ev.join(victims(Seq(0, 1)), Seq("user_id"), "left_anti")
+      .groupBy("event_type").count().orderBy("event_type")
+      .collect().toSeq
+    assert(got == want)
+  }
+
   test("SCD2 purge: state equals batch rebuild over purged corpus, across restart") {
     val drop = Files.createTempDirectory("graft_se_drop").toString
     val ckpt = Files.createTempDirectory("graft_se_ckpt").toString
