@@ -93,15 +93,26 @@ object DeletionVectors {
   private def liveFiles(spark: SparkSession, root: String): Seq[String] =
     manifest(spark, root).select("file").collect().map(_.getString(0)).toSeq
 
-  /** All tombstones, (file, pos); empty-schema frame before any delete. */
+  /** All tombstones, (file, pos). Before any delete this is an empty
+    * LOCAL relation — `PropagateEmptyRelation` then erases the read
+    * path's anti-join outright, so a never-deleted-from table scans
+    * with zero join overhead.
+    *
+    * Duplicate tombstones (two concurrent deletes marking the same
+    * row — both read the pre-append mask) are HARMLESS: the anti-join
+    * is set-semantics on (file, pos), duplicates only cost sidecar
+    * bytes until vacuum. Deletes need no writer coordination.
+    */
   def dv(spark: SparkSession, root: String): DataFrame = {
     val f = hfs(spark, root)
     val d = new Path(dvDir(root))
     if (f.exists(d) && f.listStatus(d).exists(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet")))
       spark.read.parquet(dvDir(root))
-    else spark.range(0).select(
-      lit("").as("file"), lit(0L).cast("long").as("pos")).limit(0)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("file", "pos")
+    }
   }
 
   /** Live rows of `files` (manifest scope) with their physical
@@ -119,9 +130,16 @@ object DeletionVectors {
     data.join(broadcast(tomb), Seq("__file", "__pos"), "left_anti")
   }
 
-  /** The table as readers see it: committed files minus tombstones. */
-  def read(spark: SparkSession, root: String): DataFrame =
-    withPos(spark, root, liveFiles(spark, root)).drop("__file", "__pos")
+  /** The table as readers see it: committed files minus tombstones.
+    * A table whose purge removed EVERY file from the manifest (all
+    * rows deleted) is still readable — schema comes from the data
+    * directory, which keeps the dead files until [[vacuum]].
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val files = liveFiles(spark, root)
+    if (files.isEmpty) spark.read.parquet(dataDir(root)).limit(0)
+    else withPos(spark, root, files).drop("__file", "__pos")
+  }
 
   /** Tombstone every live row whose `keyCol` appears in `victims`.
     * Returns the number of rows marked. O(deleted rows) bytes written;
@@ -130,7 +148,9 @@ object DeletionVectors {
     */
   def delete(spark: SparkSession, root: String, keyCol: String,
       victims: DataFrame): Long = {
-    val marked = withPos(spark, root, liveFiles(spark, root))
+    val files = liveFiles(spark, root)
+    if (files.isEmpty) return 0L // fully-purged table: nothing to mark
+    val marked = withPos(spark, root, files)
       .join(broadcast(victims.select(col(keyCol)).distinct()),
         Seq(keyCol), "left_semi")
       .select(col("__file").as("file"), col("__pos").as("pos"))

@@ -94,6 +94,93 @@ object FuzzQueries {
          |GROUP BY 2""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY case_id, grp")
 
+  // ---- join grid: join TYPE × fact predicate × dim predicate ------
+  //
+  // The relational grid fuzzes one-table (filter, group, agg)
+  // interactions; this grid fuzzes the JOIN axis, where the classic
+  // differential bugs live: outer-join row preservation under a
+  // filtered build side, semi/anti vs EXISTS/NOT-EXISTS equivalence
+  // (the oracle deliberately spells them as subqueries), and filter
+  // placement relative to the join. lineitem→orders is ~4:1 fact to
+  // dim, so any dropped or doubled match shifts several group counts
+  // at once. Both faces generated from the same tables as above.
+
+  private val factPreds: Seq[(String, Column, String)] = Seq(
+    ("f0", lit(true), "1=1"),
+    ("f1", col("l_quantity") < 25, "l_quantity < 25"),
+    ("f2", col("l_tax") > col("l_discount"), "l_tax > l_discount"))
+
+  private val dimPreds: Seq[(String, Column, String)] = Seq(
+    ("d0", lit(true), "1=1"),
+    ("d1", col("o_orderpriority").startsWith("1"),
+      "o_orderpriority LIKE '1%'"),
+    ("d2", col("o_totalprice") > 150000.0, "o_totalprice > 150000.0"))
+
+  /** (id, Spark join type, SQL shape). Semi/anti go through
+    * EXISTS/NOT EXISTS on the oracle side — the portable spelling
+    * whose equivalence to the join form is exactly what gets fuzzed.
+    */
+  private val joinTypes: Seq[String] = Seq("inner", "left", "semi", "anti")
+
+  def fuzzJoinGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ords = Tables.orders(spark, sfDir)
+    val legs = for {
+      jt <- joinTypes
+      (fid, fSpark, _) <- factPreds
+      (did, dSpark, _) <- dimPreds
+    } yield {
+      val fact = li.filter(fSpark)
+      val dim = ords.filter(dSpark).select(col("o_orderkey"))
+      val joined = jt match {
+        case "inner" => fact.join(dim,
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        case "left" => fact.join(dim,
+          col("l_orderkey") === col("o_orderkey"), "left")
+        case "semi" => fact.join(dim,
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        case "anti" => fact.join(dim,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      }
+      joined.groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(Enrich.exactSum(col("l_quantity")), 4).as("qty"))
+        .select(lit(s"$jt-$fid-$did").as("case_id"), col("grp"),
+          col("n"), col("qty"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("case_id"), col("grp"))
+  }
+
+  private val fuzzJoinOracle: String = {
+    val legs = for {
+      jt <- joinTypes
+      (fid, _, fSql) <- factPreds
+      (did, _, dSql) <- dimPreds
+    } yield {
+      val dim = s"SELECT o_orderkey FROM orders WHERE $dSql"
+      val from = jt match {
+        case "inner" =>
+          s"FROM lineitem JOIN ($dim) d ON l_orderkey = d.o_orderkey WHERE $fSql"
+        case "left" =>
+          s"FROM lineitem LEFT JOIN ($dim) d ON l_orderkey = d.o_orderkey WHERE $fSql"
+        case "semi" =>
+          s"""FROM lineitem WHERE $fSql AND EXISTS (
+             |  SELECT 1 FROM orders WHERE $dSql AND o_orderkey = l_orderkey)""".stripMargin
+        case "anti" =>
+          s"""FROM lineitem WHERE $fSql AND NOT EXISTS (
+             |  SELECT 1 FROM orders WHERE $dSql AND o_orderkey = l_orderkey)""".stripMargin
+      }
+      s"""SELECT '$jt-$fid-$did' AS case_id, l_returnflag AS grp,
+         |  CAST(count(*) AS DOUBLE) AS n,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 4)
+         |    AS qty
+         |$from
+         |GROUP BY 2""".stripMargin
+    }
+    legs.mkString("", "\nUNION ALL\n", "\nORDER BY case_id, grp")
+  }
+
   def queries: Seq[Q] = Seq(
-    Q("fuzz_relational_grid", Some(fuzzOracle), fuzzRelationalGrid))
+    Q("fuzz_relational_grid", Some(fuzzOracle), fuzzRelationalGrid),
+    Q("fuzz_join_grid", Some(fuzzJoinOracle), fuzzJoinGrid))
 }

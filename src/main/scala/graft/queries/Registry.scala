@@ -201,12 +201,17 @@ object Registry {
     // two IS the capability. Build amortizes into warmup via the
     // fact-fingerprint memo, the ann_index_query discipline.
     "mv_rewrite_q1",
-    // round 9: positional deletion vectors — two NEW physical shapes:
-    // the O(deleted rows) delete (metadata-column scan + broadcast
-    // semi-join + sidecar append, zero data-file writes, read through
-    // a broadcast anti-join) and the maintenance lifecycle (threshold
-    // purge behind an atomic manifest flip + whole-file vacuum GC).
-    "dv_delete", "dv_purge",
+    // round 9: positional deletion vectors — the O(deleted rows)
+    // delete is the NEW physical shape (metadata-column marking scan
+    // + broadcast semi-join + sidecar append, zero data-file writes,
+    // read through a broadcast anti-join) and is benched. dv_purge
+    // stays Verify-gated by the subsumption rule: its 14-job
+    // lifecycle measured 9.9 s of which every component shape is
+    // already benched — staging rewrite = compact_files, manifest
+    // publish = snapshot_timetravel, vacuum = metadata ops, masked
+    // read = dv_delete's — so benching it would time job-count
+    // overhead, not a new shape.
+    "dv_delete",
     // round 9: the file-skipping sidecar lookup — a NEW physical
     // shape: codegen'd bloom probe over the stats sidecar, then a
     // candidate-files-only scan (the unclustered-key point-lookup

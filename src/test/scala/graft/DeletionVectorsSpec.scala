@@ -135,6 +135,24 @@ class DeletionVectorsSpec extends SparkSpec {
       "rerun purge over the orphan state must still be invariant")
   }
 
+  test("deleting every row, then purging at threshold 0, leaves an " +
+      "empty but readable table; further deletes are no-ops") {
+    val (root, ev) = freshTable()
+    val everyone = ev.select("user_id").distinct()
+    val marked = DV.delete(spark, root, "user_id", everyone)
+    assert(marked == ev.count())
+    assert(DV.read(spark, root).count() == 0)
+
+    val hot = DV.purge(spark, root, "day", 0.0)
+    assert(hot.nonEmpty, "every file is past a zero threshold")
+    assert(DV.manifest(spark, root).count() == 0,
+      "all-victim files must leave the manifest with no replacement")
+    assert(DV.read(spark, root).count() == 0)
+    assert(DV.read(spark, root).columns.contains("event_type"),
+      "empty table must keep its schema")
+    assert(DV.delete(spark, root, "user_id", everyone) == 0)
+  }
+
   test("vacuum deletes dead data files and dead sidecar batches; " +
       "the live table is untouched") {
     val (root, ev) = freshTable()
