@@ -231,6 +231,112 @@ object DeletionVectors {
     hot
   }
 
+  /** MERGE-ON-READ upsert (the Iceberg-v2 row-level write path that
+    * [[delete]] is half of): apply a change batch — updated rows and
+    * fresh inserts — WITHOUT rewriting any existing file. Old
+    * versions of updated keys are tombstoned (O(changed rows)
+    * sidecar bytes), the new row images land as freshly APPENDED
+    * files, and one manifest publish makes both visible atomically:
+    * a reader resolves either the old manifest (old rows live, no
+    * new files) or the new one (old rows masked, new files live) —
+    * never a key doubled or missing mid-upsert.
+    *
+    * Contrast with `merge_upsert` (copy-on-write: the touched
+    * partitions rewrite, reads stay join-free): MOR shifts that cost
+    * to the read-side anti-join, which [[purge]] bounds — the same
+    * trade the delete path makes, here extended to updates. At
+    * 100 TB a CDC trickle (0.1%/batch) copy-on-write amplifies every
+    * batch to the touched-partition bytes; MOR writes just the
+    * changed rows and compacts on ITS schedule.
+    *
+    * Replays: NOT structurally idempotent (a replayed append would
+    * double the new images) — a replaying producer must gate on a
+    * deterministic manifest version, exactly what
+    * [[Snapshots.publishAt]] provides; the batch form here uses the
+    * racing [[Snapshots.publish]].
+    *
+    * @param changes new row images, same schema as the table's data
+    *                (including the partition column)
+    * @return (tombstoned old rows, appended files)
+    */
+  def upsert(spark: SparkSession, root: String, partCol: String,
+      keyCol: String, changes: DataFrame): (Long, Seq[String]) =
+    upsertVersioned(spark, root, partCol, keyCol, changes, None)
+
+  /** [[upsert]] with an optional DETERMINISTIC manifest version — the
+    * replay-safe form for streaming CDC apply (version = batchId+1,
+    * committed via [[Snapshots.publishAt]]).
+    *
+    * Replay semantics: a replayed batch whose version already
+    * committed returns as a no-op BEFORE tombstoning or moving
+    * anything. A batch that crashed mid-apply leaves (a) tombstones —
+    * already correct, the rerun's delete re-marks nothing through the
+    * mask — and (b) moved-but-uncommitted files, which stay invisible
+    * (not in any manifest) and become vacuum fodder when the rerun
+    * appends its own copies and commits.
+    *
+    * Transient a reader CAN observe between a crashed attempt and its
+    * rerun: updated keys masked with their new images not yet
+    * committed (tombstones apply immediately, the manifest flip only
+    * exposes the appends). That is the read-committed gap of any
+    * delete-then-insert done as two steps; the rerun closes it, and
+    * within one healthy apply the window is the move→commit
+    * milliseconds. A reader needing snapshot isolation across it
+    * pins a manifest version (time travel) for the whole read.
+    */
+  def upsertVersioned(spark: SparkSession, root: String, partCol: String,
+      keyCol: String, changes: DataFrame,
+      version: Option[Long]): (Long, Seq[String]) = {
+    version.foreach { v =>
+      if (Snapshots.committedVersions(spark, manifestTable(root))
+          .contains(v))
+        return (0L, Seq.empty) // replay of a committed batch: no-op
+    }
+    val staged = changes.localCheckpoint() // one derivation, three uses
+    val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
+
+    // append the new images as fresh files under the data dirs (the
+    // purge move discipline: land invisibly, then flip the manifest)
+    val f = hfs(spark, root)
+    val stage = s"$root/_upsert_stage"
+    f.delete(new Path(stage), true)
+    staged.write.mode("overwrite").partitionBy(partCol).parquet(stage)
+    val moved = Seq.newBuilder[String]
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    f.listStatus(new Path(stage))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .foreach { dir =>
+        val destDir = new Path(s"${dataDir(root)}/${dir.getPath.getName}")
+        f.mkdirs(destDir)
+        f.listStatus(dir.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (s, i) =>
+            val dest = new Path(destDir, s"upsert-$tag-$i.parquet")
+            require(f.rename(s.getPath, dest), s"rename to $dest failed")
+            moved += dest.toString
+          }
+      }
+    f.delete(new Path(stage), true)
+
+    val newFiles = moved.result()
+    val movedStats =
+      if (newFiles.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("file", "rows")
+      } else spark.read.option("basePath", dataDir(root))
+        .parquet(newFiles: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(count(lit(1)).as("rows"))
+    val next = manifest(spark, root).unionByName(movedStats)
+    version match {
+      case Some(v) =>
+        Snapshots.publishAt(spark, manifestTable(root), v, next): Unit
+      case None =>
+        Snapshots.publish(spark, manifestTable(root), next): Unit
+    }
+    (masked, newFiles)
+  }
+
   /** Reclaim space: delete data files referenced by NO retained
     * manifest version (keep the newest `keepVersions`), then delete
     * any sidecar batch-file whose entries all reference dead files.

@@ -1004,10 +1004,66 @@ object ScaleQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** MERGE-ON-READ upsert through the deletion-vector table
+    * ([[graft.operators.DeletionVectors.upsert]]): a CDC-style change
+    * batch — ~20% of events get a new row image (value doubled),
+    * ~2% arrive as fresh inserts — applied by tombstoning the old
+    * images and APPENDING the new ones, no existing file rewritten,
+    * both flipped visible by one manifest publish. The read must
+    * reconstruct exactly one image per key: any double-count (old
+    * image leaking past its tombstone) or drop (new file missing
+    * from the manifest) breaks the hash against the oracle's
+    * CASE-rewritten twin. The copy-on-write counterpart is
+    * `merge_upsert`; this is the trickle-CDC face whose write cost
+    * is O(changed rows), with the read-side anti-join bounded by
+    * `dv_purge`'s threshold compaction.
+    */
+  def dvUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_upsert"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+    val updates = ev.filter(TextOps.h60(
+        concat(lit("dvup_"), col("event_id").cast("string"))) % 5 === 0)
+      .withColumn("value", col("value") * 2)
+    val inserts = ev.filter(TextOps.h60(
+        concat(lit("dvins_"), col("event_id").cast("string"))) % 50 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("user_id", col("user_id") + lit(10000000L))
+    DV.upsert(spark, root, "day", "event_id",
+      updates.unionByName(inserts))
+    DV.read(spark, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvUpsertOracle = {
+    import graft.operators.TextOps
+    val upd = s"${TextOps.h60Sql("('dvup_' || CAST(event_id AS VARCHAR))")} % 5 = 0"
+    val ins = s"${TextOps.h60Sql("('dvins_' || CAST(event_id AS VARCHAR))")} % 50 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, user_id,
+       |    CASE WHEN $upd THEN value * 2 ELSE value END AS value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, user_id + 10000000, value FROM events
+       |  WHERE $ins)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("dv_delete", Some(dvDeleteOracle), dvDelete),
     Q("dv_purge", Some(dvPurgeOracle), dvPurge),
+    Q("dv_upsert", Some(dvUpsertOracle), dvUpsert),
     Q("index_point_lookup", Some(iplOracle), indexPointLookup),
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),

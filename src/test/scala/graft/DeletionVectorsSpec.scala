@@ -153,6 +153,52 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.delete(spark, root, "user_id", everyone) == 0)
   }
 
+  test("upsert: exactly one image per key, existing files untouched, " +
+      "orphan appended files invisible until the manifest commit, " +
+      "and purge composes over the mixed manifest") {
+    val (root, ev) = freshTable()
+    val before = dataFiles(root)
+
+    val updates = ev.filter(col("event_id") % 4 === 0)
+      .withColumn("value", col("value") * 2)
+    val inserts = ev.filter(col("event_id") % 25 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+    val (masked, newFiles) = DV.upsert(spark, root, "day", "event_id",
+      updates.unionByName(inserts))
+    assert(masked == updates.count(), "every updated key tombstoned once")
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(f => !before.contains(
+      new java.net.URI(f).getPath)), "appends must be NEW files")
+    assert(before.forall { case (p, len) =>
+      new java.io.File(p).length() == len }, "existing files untouched")
+
+    // exactly one image per key, new values served
+    val got = DV.read(spark, root)
+    assert(got.count() == ev.count() + inserts.count())
+    assert(got.groupBy("event_id").count().filter(col("count") > 1)
+      .count() == 0, "a key is doubled — old image leaked past its tombstone")
+    val expect = ev.withColumn("value",
+        when(col("event_id") % 4 === 0, col("value") * 2)
+          .otherwise(col("value")))
+      .unionByName(inserts)
+    assert(got.agg(sum(col("value").cast("decimal(28,4)"))).head() ==
+      expect.agg(sum(col("value").cast("decimal(28,4)"))).head())
+
+    // an orphan appended file (crash before the manifest commit,
+    // simulated by copying a new file under an uncommitted name)
+    // must stay invisible
+    val orphanSrc = java.nio.file.Paths.get(
+      new java.net.URI(newFiles.head).getPath)
+    java.nio.file.Files.copy(orphanSrc,
+      orphanSrc.getParent.resolve("upsert-deadbeef-9.parquet"))
+    assert(DV.read(spark, root).count() == ev.count() + inserts.count())
+
+    // threshold purge over the mixed manifest keeps the answer
+    val rows = DV.read(spark, root).orderBy("event_id").collect().toSeq
+    DV.purge(spark, root, "day", 0.2)
+    assert(DV.read(spark, root).orderBy("event_id").collect().toSeq == rows)
+  }
+
   test("vacuum deletes dead data files and dead sidecar batches; " +
       "the live table is untouched") {
     val (root, ev) = freshTable()

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{DeletionVectors => DV, Snapshots}
+import graft.streaming.DvCdc
+
+/** Streaming CDC apply onto the deletion-vector table: merge-on-read
+  * upserts per micro-batch behind deterministic manifest versions —
+  * steady state, checkpoint-restart redelivery, replayed-batch
+  * no-ops, and completion of a crashed mid-apply attempt.
+  */
+class DvCdcSpec extends SparkSpec {
+
+  test("two change batches apply exactly once; restart redelivers " +
+      "nothing; a replayed committed version is a structural no-op") {
+    val root = Files.createTempDirectory("graft_dvcdc_tbl").toString
+    val drop = Files.createTempDirectory("graft_dvcdc_drop").toString
+    val ckpt = Files.createTempDirectory("graft_dvcdc_ckpt").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+    val base = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = DvCdc.startCdcApply(stream, root, "day", "event_id",
+        ckpt, Trigger.AvailableNow())
+      try q.awaitTermination(120000) finally q.stop()
+    }
+
+    // batch 0: double the value of every %4==0 event (updates only)
+    val upd0 = ev.filter(col("event_id") % 4 === 0)
+      .withColumn("value", col("value") * 2)
+    upd0.write.parquet(s"$drop/b0")
+    runOnce()
+    assert(DV.read(spark, root).count() == ev.count())
+    assert(Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get > base)
+
+    // batch 1: fresh inserts + a second update of the SAME keys
+    // (the CDC stream's later image must win)
+    val upd1 = ev.filter(col("event_id") % 4 === 0)
+      .withColumn("value", col("value") * 3)
+    val ins1 = ev.filter(col("event_id") % 20 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+    upd1.unionByName(ins1).write.parquet(s"$drop/b1")
+    runOnce()
+
+    val expect = ev.withColumn("value",
+        when(col("event_id") % 4 === 0, col("value") * 3)
+          .otherwise(col("value")))
+      .unionByName(ins1)
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)), sum(col("value").cast("decimal(28,4)")))
+      .head().toSeq
+    assert(sums(DV.read(spark, root)) == sums(expect))
+    assert(DV.read(spark, root).groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+
+    // checkpoint restart with no new files: nothing re-applies
+    val vAfter = Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+    val dvAfter = DV.dv(spark, root).count()
+    runOnce()
+    assert(Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get == vAfter)
+    assert(DV.dv(spark, root).count() == dvAfter)
+    assert(sums(DV.read(spark, root)) == sums(expect))
+
+    // a re-delivered committed batch no-ops before touching anything
+    val (masked, files) = DV.upsertVersioned(spark, root, "day",
+      "event_id", upd1, Some(vAfter))
+    assert(masked == 0L && files.isEmpty)
+    assert(sums(DV.read(spark, root)) == sums(expect))
+  }
+
+  test("a crashed mid-apply attempt (tombstones landed, files moved, " +
+      "no commit) is completed by its rerun with exactly one image") {
+    val root = Files.createTempDirectory("graft_dvcdc_crash").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+    val base = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+    val upd = ev.filter(col("event_id") % 6 === 0)
+      .withColumn("value", col("value") * 2)
+
+    // simulate the crash window: the attempt's delete ran and its
+    // files moved in, but the manifest never committed
+    DV.delete(spark, root, "event_id", upd.select("event_id"))
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .orderBy("d").first().getString(0)
+    // moved-in orphan files exactly as a crashed attempt leaves them:
+    // real parquet under the day dir, upsert-prefixed, in no manifest
+    val crashSrc = Files.createTempDirectory("graft_dvcdc_src").toString
+    upd.filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+      .drop("day").write.mode("overwrite").parquet(crashSrc)
+    new java.io.File(crashSrc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+          s"${DV.dataDir(root)}/day=$day/upsert-deadbeef-$i.parquet"))
+      }
+    assert(DV.read(spark, root)
+      .filter(col("event_id") % 6 === 0).count() == 0,
+      "masked keys with uncommitted new images — the documented gap")
+
+    // rerun the SAME logical batch: delete re-marks nothing, fresh
+    // files append, the commit lands
+    val (masked, files) = DV.upsertVersioned(spark, root, "day",
+      "event_id", upd, Some(base + 1))
+    assert(masked == 0L, "rerun re-marked already-masked rows")
+    assert(files.nonEmpty)
+    val got = DV.read(spark, root)
+    assert(got.count() == ev.count())
+    assert(got.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+}
