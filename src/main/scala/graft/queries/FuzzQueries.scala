@@ -180,7 +180,79 @@ object FuzzQueries {
     legs.mkString("", "\nUNION ALL\n", "\nORDER BY case_id, grp")
   }
 
+  // ---- window grid: function × partition key × order direction ----
+  //
+  // The third fuzz axis, and the one with the subtlest cross-engine
+  // semantics: rank/dense_rank tie handling (w1/w2 deliberately order
+  // by the TIE-HEAVY quantity column), frame arithmetic (the running
+  // sum pins an explicit ROWS frame and exact-decimal accumulation —
+  // engines associate windowed double sums differently, e.g. segment
+  // trees, so a double running sum is NOT portable), lag/lead null
+  // edges, and ntile bucket boundaries. Order keys otherwise unique
+  // (orderkey, linenumber) so every value is deterministic. Output
+  // sampled post-window (~1/149 of rows) to keep the gate compact
+  // while every window still computes over its full partition.
+
+  private val winParts: Seq[(String, String)] = Seq(
+    ("g0", "l_returnflag"), ("g1", "l_linestatus"))
+  private val winDirs: Seq[(String, String)] = Seq(
+    ("asc", "ASC"), ("desc", "DESC"))
+
+  /** (id, spark builder given (partCol, dir), matching SQL OVER body).
+    * Spark side built via expr() from the SAME SQL fragment — one
+    * spelling, two engines, which is the point of the fuzz.
+    */
+  private def winFuncs(part: String, dir: String): Seq[(String, String)] = {
+    // four keys: the testdata's lineitem is NOT unique on
+    // (orderkey, linenumber) — 11 785 duplicate pairs at sf0.01, the
+    // first thing this grid caught — but (ok, ln, qty, price) is a
+    // total order, which lag/lead/row_number/ntile need to be
+    // deterministic at all
+    val uniqOrder = s"ORDER BY l_orderkey $dir, l_linenumber $dir, " +
+      s"l_quantity $dir, l_extendedprice $dir"
+    val tieOrder = s"ORDER BY l_quantity $dir"
+    Seq(
+      ("w0", s"row_number() OVER (PARTITION BY $part $uniqOrder)"),
+      ("w1", s"CAST(rank() OVER (PARTITION BY $part $tieOrder) AS DOUBLE)"),
+      ("w2", s"CAST(dense_rank() OVER (PARTITION BY $part $tieOrder) AS DOUBLE)"),
+      ("w3", s"lag(l_quantity, 1) OVER (PARTITION BY $part $uniqOrder)"),
+      ("w4", s"lead(l_quantity, 2) OVER (PARTITION BY $part $uniqOrder)"),
+      ("w5", s"CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY $part $uniqOrder ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"),
+      ("w6", s"CAST(ntile(4) OVER (PARTITION BY $part $uniqOrder) AS DOUBLE)"))
+  }
+
+  def fuzzWindowGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val legs = for {
+      (gid, part) <- winParts
+      (did, dir) <- winDirs
+      (wid, sql) <- winFuncs(part, dir)
+    } yield li
+      .withColumn("wval", expr(sql).cast("double"))
+      .filter(pmod(col("l_orderkey"), lit(149)) === 0)
+      .select(lit(s"$wid-$gid-$did").as("case_id"),
+        col("l_orderkey"), col("l_linenumber"), col("wval"))
+    legs.reduce(_ unionByName _)
+      .orderBy(col("case_id"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val fuzzWindowOracle: String = {
+    val legs = for {
+      (gid, part) <- winParts
+      (did, dir) <- winDirs
+      (wid, sql) <- winFuncs(part, dir)
+    } yield
+      s"""SELECT * FROM (
+         |  SELECT '$wid-$gid-$did' AS case_id, l_orderkey, l_linenumber,
+         |    CAST($sql AS DOUBLE) AS wval
+         |  FROM lineitem)
+         |WHERE l_orderkey % 149 = 0""".stripMargin
+    legs.mkString("", "\nUNION ALL\n",
+      "\nORDER BY case_id, l_orderkey, l_linenumber")
+  }
+
   def queries: Seq[Q] = Seq(
     Q("fuzz_relational_grid", Some(fuzzOracle), fuzzRelationalGrid),
-    Q("fuzz_join_grid", Some(fuzzJoinOracle), fuzzJoinGrid))
+    Q("fuzz_join_grid", Some(fuzzJoinOracle), fuzzJoinGrid),
+    Q("fuzz_window_grid", Some(fuzzWindowOracle), fuzzWindowGrid))
 }
