@@ -130,6 +130,16 @@ object DeletionVectors {
     data.join(broadcast(tomb), Seq("__file", "__pos"), "left_anti")
   }
 
+  /** Masked read restricted to a subset of the LIVE files — the hook
+    * that lets file-skipping indexes ([[SkippingIndex]]) compose with
+    * a DV table: the index prunes to candidate files, this applies
+    * the tombstone mask to exactly those. Callers must pass live
+    * (manifest) files; dead files would resurrect purged rows.
+    */
+  def readFiles(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame =
+    withPos(spark, root, files).drop("__file", "__pos")
+
   /** The table as readers see it: committed files minus tombstones.
     * A table whose purge removed EVERY file from the manifest (all
     * rows deleted) is still readable — schema comes from the data

@@ -64,14 +64,40 @@ object SkippingIndex {
     * (file, min_key, max_key, n_rows, bloom).
     */
   def build(spark: SparkSession, dataPath: String, indexPath: String,
+      keyCol: String, mBits: Int = 1 << 18): Unit =
+    buildStats(spark, spark.read.parquet(dataPath), indexPath, keyCol, mBits)
+
+  /** [[build]] over an explicit scan — the form a
+    * [[DeletionVectors]] table uses to index only its LIVE manifest
+    * files (`spark.read.option("basePath", ...).parquet(files: _*)`).
+    */
+  def buildStats(spark: SparkSession, scan: DataFrame, indexPath: String,
       keyCol: String, mBits: Int = 1 << 18): Unit = {
     val bloomAgg = udaf(new BloomBuildAgg(mBits), Encoders.scalaLong)
-    spark.read.parquet(dataPath)
+    scan
       .select(col("_metadata.file_path").as("file"), col(keyCol).as("k"))
       .groupBy("file")
       .agg(min(col("k")).as("min_key"), max(col("k")).as("max_key"),
         count(lit(1)).as("n_rows"), bloomAgg(col("k")).as("bloom"))
       .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Candidate live files for `keys` from a sidecar at `indexPath` —
+    * the probe half of [[lookup]], exposed for reads that need their
+    * own final filter (e.g. the DV-masked composition).
+    */
+  def candidates(spark: SparkSession, indexPath: String,
+      keys: Seq[Long]): (Seq[String], Long) = {
+    require(keys.nonEmpty, "empty probe key set")
+    val idx = spark.read.parquet(indexPath)
+    val keyLit = array(keys.map(lit(_)): _*)
+    val inRange = keys.map(k =>
+      lit(k).between(col("min_key"), col("max_key"))).reduce(_ || _)
+    val cands = idx
+      .filter(inRange && GraftFunctions.bloomHitsAny(
+        spark, col("bloom"), keyLit))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (cands, idx.count())
   }
 
   /** Point lookup: scan the sidecar for candidate files (min/max range
@@ -84,22 +110,13 @@ object SkippingIndex {
     */
   def lookup(spark: SparkSession, dataPath: String, indexPath: String,
       keyCol: String, keys: Seq[Long]): (DataFrame, Seq[String], Long) = {
-    require(keys.nonEmpty, "empty probe key set")
-    val idx = spark.read.parquet(indexPath)
-    val keyLit = array(keys.map(lit(_)): _*)
-    val inRange = keys.map(k =>
-      lit(k).between(col("min_key"), col("max_key"))).reduce(_ || _)
-    val candidates = idx
-      .filter(inRange && GraftFunctions.bloomHitsAny(
-        spark, col("bloom"), keyLit))
-      .select("file").collect().map(_.getString(0)).toSeq
-    val total = idx.count()
+    val (cands, total) = candidates(spark, indexPath, keys)
     val result =
-      if (candidates.isEmpty)
+      if (cands.isEmpty)
         spark.read.parquet(dataPath).filter(col(keyCol).isin(keys: _*)).limit(0)
       else spark.read.option("basePath", dataPath)
-        .parquet(candidates: _*)
+        .parquet(cands: _*)
         .filter(col(keyCol).isin(keys: _*))
-    (result, candidates, total)
+    (result, cands, total)
   }
 }

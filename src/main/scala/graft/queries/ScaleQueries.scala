@@ -1059,11 +1059,76 @@ object ScaleQueries {
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** The two round-9 sidecars COMPOSED: a point lookup through the
+    * file-skipping index over a deletion-vector table. The index is
+    * built over the LIVE manifest files only ([[SkippingIndex
+    * .buildStats]] on the manifest scan); a probe resolves candidate
+    * files from the bloom sidecar, then reads them through
+    * [[DeletionVectors.readFiles]] so the tombstone mask applies to
+    * exactly the candidate set. Probe keys are chosen WITHOUT
+    * excluding deleted users, so some keys' rows are tombstoned —
+    * the composition must return the needle ONLY if it survives the
+    * mask (the oracle's AND NOT victim clause). This is the serving
+    * shape of a 100 TB mutable table: manifest → index → candidate
+    * files → mask, every stage O(lookup), no full scan anywhere.
+    */
+  def dvIndexLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, SkippingIndex, TextOps}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_ipl"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+    val victims = ev.select(col("user_id")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("dvipl_"), col("user_id").cast("string"))) % 4 === 0)
+    DV.delete(spark, root, "user_id", victims)
+
+    val live = DV.manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val idxPath = s"$root/_keyidx"
+    SkippingIndex.buildStats(spark,
+      spark.read.option("basePath", DV.dataDir(root)).parquet(live: _*),
+      idxPath, "event_id")
+
+    val keys = ev.select(col("event_id")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("dviplk_"), col("event_id").cast("string"))) % 17 === 0)
+      .orderBy(col("event_id")).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val (cands, total) = SkippingIndex.candidates(spark, idxPath, keys)
+    require(cands.length < total,
+      s"sidecar skipped nothing (${cands.length}/$total files)")
+    val hits = if (cands.isEmpty)
+      DV.read(spark, root).limit(0)
+    else DV.readFiles(spark, root, cands)
+    hits.filter(col("event_id").isin(keys: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value").cast("decimal(28,4)").cast("double"), 4)
+          .as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val dvIndexLookupOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('dvipl_' || CAST(user_id AS VARCHAR))")} % 4 = 0"
+    val pick = s"${TextOps.h60Sql("('dviplk_' || CAST(event_id AS VARCHAR))")} % 17 = 0"
+    s"""SELECT event_id, user_id, event_type,
+       |  round(CAST(CAST(value AS DECIMAL(28,4)) AS DOUBLE), 4) AS value
+       |FROM events
+       |WHERE event_id IN (
+       |  SELECT ek FROM (
+       |    SELECT DISTINCT event_id AS ek FROM events
+       |    WHERE $pick ORDER BY ek LIMIT 8))
+       |  AND NOT ($victim)
+       |ORDER BY event_id""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("dv_delete", Some(dvDeleteOracle), dvDelete),
     Q("dv_purge", Some(dvPurgeOracle), dvPurge),
     Q("dv_upsert", Some(dvUpsertOracle), dvUpsert),
+    Q("dv_index_lookup", Some(dvIndexLookupOracle), dvIndexLookup),
     Q("index_point_lookup", Some(iplOracle), indexPointLookup),
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),

@@ -199,6 +199,36 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.read(spark, root).orderBy("event_id").collect().toSeq == rows)
   }
 
+  test("skipping-index composition: a tombstoned needle is still " +
+      "bloom-found but masked; a surviving needle comes back") {
+    import graft.operators.SkippingIndex
+    val (root, ev) = freshTable()
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 3 === 0))
+    val live = DV.manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val idx = Files.createTempDirectory("graft_dv_keyidx").toString
+    SkippingIndex.buildStats(spark,
+      spark.read.option("basePath", DV.dataDir(root)).parquet(live: _*),
+      idx, "event_id")
+
+    val dead = ev.filter(col("user_id") % 3 === 0)
+      .select("event_id").orderBy("event_id").first().getLong(0)
+    val alive = ev.filter(col("user_id") % 3 =!= 0)
+      .select("event_id").orderBy("event_id").first().getLong(0)
+
+    val (cDead, _) = SkippingIndex.candidates(spark, idx, Seq(dead))
+    assert(cDead.nonEmpty, "the index must still locate the dead row's file")
+    assert(DV.readFiles(spark, root, cDead)
+      .filter(col("event_id") === dead).count() == 0,
+      "tombstoned needle leaked through the composition")
+
+    val (cAlive, _) = SkippingIndex.candidates(spark, idx, Seq(alive))
+    assert(DV.readFiles(spark, root, cAlive)
+      .filter(col("event_id") === alive).count() ==
+      ev.filter(col("event_id") === alive).count())
+  }
+
   test("vacuum deletes dead data files and dead sidecar batches; " +
       "the live table is untouched") {
     val (root, ev) = freshTable()
