@@ -38,6 +38,23 @@ import org.apache.spark.sql.functions._
   * `_metadata.row_index`) — stable physical positions derived from
   * parquet row-group offsets, no synthetic key column needed.
   *
+  * Time-travel semantics — CHOSEN, and different from Iceberg's:
+  * manifests version the FILE SET, but the tombstone sidecar is
+  * global — a historical read (old manifest + current sidecar)
+  * applies deletions RETROACTIVELY. Two consequences, one desired,
+  * one accepted:
+  *  - right-to-be-forgotten composes with time travel: no historical
+  *    version ever resurrects a deleted row (for the GDPR use case
+  *    this is the point — Iceberg-style versioned delete files would
+  *    keep victims readable at old snapshots until history expiry);
+  *  - an [[upsert]]'s OLD images are tombstoned globally too, so a
+  *    pre-upsert manifest read shows the updated keys ABSENT rather
+  *    than at their old values. Row-image history is not this
+  *    layer's job — the SCD2 family (`scd2_history`/`Scd2Log`) is
+  *    the engine's versioned-row store; pair them when both
+  *    retroactive erasure and image history are needed.
+  * DeletionVectorsSpec pins both directions.
+  *
   * Scale shape at 100 TB:
   *  - [[delete]] is one metadata-column scan semi-joined against the
   *    broadcast victim list, writing O(victim rows) sidecar bytes;

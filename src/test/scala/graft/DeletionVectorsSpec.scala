@@ -199,6 +199,35 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.read(spark, root).orderBy("event_id").collect().toSeq == rows)
   }
 
+  test("time travel semantics as documented: deletes are retroactive " +
+      "(no resurrection at old versions); pre-upsert reads show " +
+      "updated keys absent, not at old values") {
+    val (root, ev) = freshTable()
+    val v1 = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+
+    // upsert advances the manifest; delete does not
+    val updates = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") * 2)
+    DV.upsert(spark, root, "day", "event_id", updates)
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 7 === 0))
+
+    // historical read = old manifest + CURRENT sidecar
+    val v1Files = Snapshots.readVersion(spark, DV.manifestTable(root), v1)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val asOfV1 = DV.readFiles(spark, root, v1Files)
+
+    assert(asOfV1.filter(col("user_id") % 7 === 0).count() == 0,
+      "time travel resurrected an erased user")
+    assert(asOfV1.filter(col("event_id") % 5 === 0).count() == 0,
+      "pre-upsert read must show updated keys absent (documented), " +
+        "not at their old values")
+    // untouched rows still read historically
+    assert(asOfV1.count() ==
+      ev.filter(col("user_id") % 7 =!= 0)
+        .filter(col("event_id") % 5 =!= 0).count())
+  }
+
   test("skipping-index composition: a tombstoned needle is still " +
       "bloom-found but masked; a surviving needle comes back") {
     import graft.operators.SkippingIndex
