@@ -93,11 +93,18 @@ object SkippingIndex {
     val keyLit = array(keys.map(lit(_)): _*)
     val inRange = keys.map(k =>
       lit(k).between(col("min_key"), col("max_key"))).reduce(_ || _)
-    val cands = idx
-      .filter(inRange && GraftFunctions.bloomHitsAny(
-        spark, col("bloom"), keyLit))
-      .select("file").collect().map(_.getString(0)).toSeq
-    (cands, idx.count())
+    val hit = inRange &&
+      GraftFunctions.bloomHitsAny(spark, col("bloom"), keyLit)
+    // ONE distributed pass: candidate names (bounded: hits + false
+    // positives) and the sidecar size come out of the same aggregate —
+    // the serving path used to pay a second full sidecar scan just to
+    // report its size. Sorted because collect_list order is
+    // partition-race-dependent.
+    val row = idx
+      .agg(collect_list(when(hit, col("file"))).as("cands"),
+        count(lit(1)).as("total"))
+      .head()
+    (row.getSeq[String](0).sorted, row.getLong(1))
   }
 
   /** Point lookup: scan the sidecar for candidate files (min/max range

@@ -221,6 +221,15 @@ object FuzzQueries {
       ("w6", s"CAST(ntile(4) OVER (PARTITION BY $part $uniqOrder) AS DOUBLE)"))
   }
 
+  /** Output order discipline: (case_id, l_orderkey, l_linenumber) is
+    * NOT total over the sampled rows (the duplicate-pair landmine
+    * above), so the grid emits the full 4-key tiebreak — quantity and
+    * price ride along as output columns — plus wval as a last resort
+    * (unreachable while the 4 keys stay total; NULLS FIRST pinned on
+    * both faces in case the data ever changes). Without this, dup
+    * rows with different wval could legally swap under an
+    * order-sensitive hash compare.
+    */
   def fuzzWindowGrid(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val legs = for {
@@ -231,9 +240,13 @@ object FuzzQueries {
       .withColumn("wval", expr(sql).cast("double"))
       .filter(pmod(col("l_orderkey"), lit(149)) === 0)
       .select(lit(s"$wid-$gid-$did").as("case_id"),
-        col("l_orderkey"), col("l_linenumber"), col("wval"))
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity").cast("double"), 4).as("l_quantity"),
+        round(col("l_extendedprice").cast("double"), 4).as("l_extendedprice"),
+        col("wval"))
     legs.reduce(_ unionByName _)
-      .orderBy(col("case_id"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("case_id"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("wval").asc_nulls_first)
   }
 
   private val fuzzWindowOracle: String = {
@@ -244,11 +257,14 @@ object FuzzQueries {
     } yield
       s"""SELECT * FROM (
          |  SELECT '$wid-$gid-$did' AS case_id, l_orderkey, l_linenumber,
+         |    round(CAST(l_quantity AS DOUBLE), 4) AS l_quantity,
+         |    round(CAST(l_extendedprice AS DOUBLE), 4) AS l_extendedprice,
          |    CAST($sql AS DOUBLE) AS wval
          |  FROM lineitem)
          |WHERE l_orderkey % 149 = 0""".stripMargin
     legs.mkString("", "\nUNION ALL\n",
-      "\nORDER BY case_id, l_orderkey, l_linenumber")
+      "\nORDER BY case_id, l_orderkey, l_linenumber, " +
+        "l_quantity, l_extendedprice, wval NULLS FIRST")
   }
 
   def queries: Seq[Q] = Seq(

@@ -75,6 +75,40 @@ class SkippingIndexSpec extends SparkSpec {
     assert(res.count() == 0)
   }
 
+  test("candidates is ONE Spark job: the sidecar size report rides " +
+      "the probe scan instead of a second full pass") {
+    val (data, idx) = buildSink(8)
+    val keys = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().orderBy("l_orderkey")
+      .limit(3).as[Long].collect().toSeq
+    // count ACTIONS (query executions), not Spark jobs — AQE legally
+    // splits one action into a job per stage; the regression guarded
+    // here is the old collect()+count() SECOND full sidecar pass
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (cands, total) = SkippingIndex.candidates(spark, idx, keys)
+      assert(total == 8 && cands.nonEmpty)
+      // listener events are bus-fed: wait for the first, then give a
+      // would-be second action a beat to surface
+      val deadline = System.currentTimeMillis + 10000
+      while (actions.get < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300)
+      assert(actions.get == 1,
+        s"probe ran ${actions.get} actions, expected exactly 1")
+    } finally spark.listenerManager.unregister(listener)
+    val _ = data
+  }
+
   test("aggregator bits and codegen probe agree: every inserted key " +
       "hits; non-member fp rate stays under the design bound") {
     // build one filter via the Aggregator over a known key set, then
