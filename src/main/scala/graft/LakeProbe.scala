@@ -39,7 +39,10 @@ object LakeProbe {
     def walk(f: java.io.File): Long =
       if (!f.exists()) 0L
       else if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.endsWith(".parquet")) f.length()
+      // .parquet = data/manifest payloads; .dv = per-file tombstone
+      // blobs (the round-10 sidecar layout)
+      else if (f.getName.endsWith(".parquet") ||
+        f.getName.endsWith(".dv")) f.length()
       else 0L
     walk(new java.io.File(path))
   }

@@ -24,6 +24,22 @@ object GraftFunctions {
   val jaroWinklerName = "graft_jaro_winkler"
   val bpeEncodeName = "graft_bpe_encode"
   val bloomHitsAnyName = "graft_bloom_hits_any"
+  val dvAliveName = "graft_dv_alive"
+
+  private def dvAliveInfo = new ExpressionInfo(
+    classOf[DvAlive].getName, dvAliveName)
+
+  private def dvAliveBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 4, s"$dvAliveName expects 4 arguments")
+    def litStr(e: Expression, what: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$dvAliveName: $what must be a string literal, got $other")
+    }
+    DvAlive(args.head, args(1), litStr(args(2), "root"),
+      litStr(args(3), "epoch"))
+  }
 
   private def bpeEncodeInfo = new ExpressionInfo(
     classOf[BpeEncode].getName, bpeEncodeName)
@@ -99,6 +115,8 @@ object GraftFunctions {
       jaroWinklerInfo, jaroWinklerBuilder _))
     ext.injectFunction((FunctionIdentifier(bpeEncodeName),
       bpeEncodeInfo, bpeEncodeBuilder _))
+    ext.injectFunction((FunctionIdentifier(dvAliveName),
+      dvAliveInfo, dvAliveBuilder _))
   }
 
   /** Idempotent per-session registration (safe to call per query). */
@@ -125,12 +143,29 @@ object GraftFunctions {
     val bhid = FunctionIdentifier(bloomHitsAnyName)
     if (!registry.functionExists(bhid))
       registry.registerFunction(bhid, bloomHitsAnyInfo, bloomHitsAnyBuilder _)
+    val dvid = FunctionIdentifier(dvAliveName)
+    if (!registry.functionExists(dvid))
+      registry.registerFunction(dvid, dvAliveInfo, dvAliveBuilder _)
   }
 
   /** Column-API form of the bloom sidecar probe expression. */
   def bloomHitsAny(spark: SparkSession, bloom: Column, keys: Column): Column = {
     ensureRegistered(spark)
     call_function(bloomHitsAnyName, bloom, keys)
+  }
+
+  /** Column-API form of the deletion-vector mask predicate: row
+    * (file, pos) of the DV table at `root` is NOT tombstoned. Each
+    * call mints a fresh epoch — the mask reflects the delta state as
+    * of this construction (see [[DvAlive]]'s epoch contract).
+    */
+  def dvAlive(spark: SparkSession, file: Column, pos: Column,
+      root: String): Column = {
+    ensureRegistered(spark)
+    call_function(dvAliveName, file, pos,
+      org.apache.spark.sql.functions.lit(root),
+      org.apache.spark.sql.functions.lit(
+        java.util.UUID.randomUUID().toString))
   }
 
   /** Column-API form of the native cosine expression. */

@@ -1,8 +1,12 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftDvApi, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Row-level deletes WITHOUT partition rewrite: positional deletion
   * vectors over an immutable parquet sink, the Iceberg v2 /
@@ -13,149 +17,207 @@ import org.apache.spark.sql.functions._
   * PARTITIONS) — right when victims cluster into few partitions, but a
   * 100 TB sink whose victims scatter (one user's rows across every
   * day) degrades to a near-full rewrite. A deletion vector instead
-  * records (file, row-position) tombstones in a sidecar and applies
+  * records per-file row-position tombstones in a sidecar and applies
   * them at read; the delete writes O(deleted ROWS) bytes, touching no
-  * data file. The trade is read-side: every scan carries a broadcast
-  * anti-join against the sidecar, so [[purge]] bounds the sidecar by
-  * rewriting any file whose deleted fraction crosses a threshold —
-  * write amplification is deferred, batched, and capped.
+  * data file. [[purge]] bounds read-side masking work by rewriting any
+  * file whose deleted fraction crosses a threshold — write
+  * amplification is deferred, batched, and capped.
   *
   * Layout (all under one table root):
   * {{{
-  *   t/data/day=D/part-N.parquet   immutable data files (never edited)
-  *   t/_dv/part-N.parquet          append-only (file, pos) tombstones
-  *   t/_manifest/v=N + markers     LIVE FILE SET per version, committed
-  *                                 via the [[Snapshots]] claim protocol
+  *   t/data/day=D/part-N.parquet     immutable data files (never edited)
+  *   t/_dv/f=<md5(file)>/delta-*.dv  per-FILE append-only tombstone
+  *                                   blobs ([[DvBlobs]])
+  *   t/_manifest/v=N + markers       LIVE FILE SET per version
+  *                                   ([[Snapshots]] CAS protocol)
+  *   t/_maint                        maintenance claim (purge/vacuum
+  *                                   mutual exclusion + delete fencing)
   * }}}
   *
-  * The versioned MANIFEST is what makes file-level operations atomic
-  * on a plain filesystem/object store: readers resolve the committed
-  * live-file set and read exactly those files, so [[purge]] can move
-  * replacement files into the data directories INVISIBLY and flip them
-  * live with one marker create — no reader ever sees a row doubled
-  * (old file + its rewrite) or dropped mid-swap. Rows are positioned
-  * by the file source's own metadata columns (`_metadata.file_path`,
-  * `_metadata.row_index`) — stable physical positions derived from
-  * parquet row-group offsets, no synthetic key column needed.
+  * == Read path (the 100 TB-real shape, round 10) ==
   *
-  * Time-travel semantics — CHOSEN, and different from Iceberg's:
-  * manifests version the FILE SET, but the tombstone sidecar is
-  * global — a historical read (old manifest + current sidecar)
-  * applies deletions RETROACTIVELY. Two consequences, one desired,
-  * one accepted:
+  * The manifest feeds a [[org.apache.spark.sql.GraftDvApi
+  * .ManifestFileIndex]] — Spark's parquet source scans EXACTLY the
+  * committed files (no directory listing, no driver file-literal
+  * plan, partition pruning evaluated on manifest metadata) — and the
+  * tombstone mask is the codegen'd [[graft.functions.DvAlive]]
+  * predicate over the scan's own `_metadata` columns: each task loads
+  * O(its files' tombstones) from the per-file blob dirs and binary-
+  * searches per row. Nothing is broadcast, nothing is global; masked-
+  * read cost tracks the PROBED files' tombstones no matter how large
+  * the table's total tombstone volume grows. (Round 9 broadcast the
+  * whole (file, pos) sidecar into an anti-join on every read — fine
+  * at sf0.1, an OOM at a few billion tombstones.)
+  *
+  * == Concurrency model (round 10) ==
+  *
+  * Writers and their coordination, chosen so INGEST (deletes, CDC
+  * upserts) and MAINTENANCE (purge, vacuum) coexist without cutover:
+  *
+  *  - '''deletes''' never touch the manifest and never coordinate:
+  *    each appends immutable per-file delta blobs. Racing deletes
+  *    double-mark at worst (read-side merge dedupes). Against a
+  *    racing purge, [[delete]] FENCES: after writing its deltas it
+  *    waits out any in-flight maintenance claim, re-reads the
+  *    manifest, and re-marks through the mask if any touched file was
+  *    replaced — so a delete that raced a rewrite lands its victims
+  *    in the replacement files before returning (closing the round-9
+  *    lost-delete race).
+  *  - '''upserts''' (one upserting writer at a time — the CDC stream
+  *    or a batch client; concurrent upserts to the same key would
+  *    both append their image) tombstone via [[delete]] (inheriting
+  *    its fencing), append new files invisibly, and commit via
+  *    [[Snapshots.publishCas]], REBASING on conflict.
+  *  - '''purge/vacuum''' hold the `_maint` claim (mutually exclusive
+  *    with each other), stage invisibly, re-validate each hot file's
+  *    delta signature after staging (a delete that raced the staging
+  *    scan forces a restage), and commit via CAS — a CDC batch
+  *    landing mid-purge just makes the purge rebase (upserts only ADD
+  *    files, never touch the purge's victims).
+  *  - '''manifest writes are all CAS''' ([[Snapshots.publishCas]]):
+  *    no manifest writer can silently build on a stale live set.
+  *
+  * == CDC exactly-once ==
+  *
+  * The manifest rows carry a `cdc_batch` column (plus one sentinel
+  * row so an emptied table still carries it): the highest streaming
+  * batch id whose effects are committed. [[applyCdcBatch]] no-ops on
+  * `batchId <= max(cdc_batch)` BEFORE touching anything — replay
+  * detection rides the manifest commit itself, atomic by
+  * construction, with no version arithmetic to corrupt (round 9
+  * derived version = base + batchId + 1, which a single racing purge
+  * commit would shift into silent false-replay data loss).
+  *
+  * == Time-travel semantics — pinned, and different from Iceberg's ==
+  *
+  * Manifests version the FILE SET, but tombstones are global and
+  * current — a historical read (old manifest + current blob dirs)
+  * applies deletions RETROACTIVELY:
   *  - right-to-be-forgotten composes with time travel: no historical
-  *    version ever resurrects a deleted row (for the GDPR use case
-  *    this is the point — Iceberg-style versioned delete files would
-  *    keep victims readable at old snapshots until history expiry);
-  *  - an [[upsert]]'s OLD images are tombstoned globally too, so a
-  *    pre-upsert manifest read shows the updated keys ABSENT rather
-  *    than at their old values. Row-image history is not this
-  *    layer's job — the SCD2 family (`scd2_history`/`Scd2Log`) is
-  *    the engine's versioned-row store; pair them when both
-  *    retroactive erasure and image history are needed.
+  *    version ever resurrects a deleted row;
+  *  - a pre-upsert manifest read shows updated keys ABSENT (their old
+  *    images are tombstoned globally), not at their old values —
+  *    row-image history is the SCD2 family's job, not this layer's.
   * DeletionVectorsSpec pins both directions.
-  *
-  * Scale shape at 100 TB:
-  *  - [[delete]] is one metadata-column scan semi-joined against the
-  *    broadcast victim list, writing O(victim rows) sidecar bytes;
-  *    with a victim PREDICATE pushed into the scan it reads only
-  *    matching row groups. No data file is opened for write.
-  *  - [[read]] lists files from the manifest (driver-side, bounded by
-  *    file count — the same bounded-metadata exception as Erasure's
-  *    partition list) and anti-joins the sidecar broadcast-side; the
-  *    sidecar stays broadcast-sized BECAUSE purge caps the deleted
-  *    fraction per file — the threshold is the knob trading read-side
-  *    join size against write amplification.
-  *  - [[purge]] rewrites only files past the threshold; tombstones of
-  *    replaced files become inert (their file path is no longer in
-  *    the manifest... and never matches a live row again), so DV
-  *    correctness needs NO coordinated sidecar rewrite; [[vacuum]]
-  *    reclaims them by deleting whole sidecar batch-files whose
-  *    entries ALL reference dead files — file-level GC, no edit, no
-  *    atomicity hazard.
-  *  - idempotency is structural: [[delete]] marks through the DV mask
-  *    (it reads only live, not-yet-deleted rows), so replaying a
-  *    delete appends zero tombstones.
   */
 object DeletionVectors {
 
   def dataDir(root: String): String = s"$root/data"
-  def dvDir(root: String): String = s"$root/_dv"
+  def dvDir(root: String): String = DvBlobs.dvRoot(root)
   def manifestTable(root: String): String = s"$root/_manifest"
+  private def maintMarker(root: String): String = s"$root/_maint"
+
+  /** Sentinel manifest row (file = "") carrying table-level metadata
+    * (the CDC high-water mark) through an emptied live set.
+    */
+  private val Sentinel = ""
 
   private def hfs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- manifest ----------------------------------------------------
+
+  /** Build manifest rows (file, rows, bytes, cdc_batch) from a scan's
+    * per-file stats, sentinel included.
+    */
+  private def manifestOf(spark: SparkSession, stats: DataFrame,
+      cdcBatch: Long): DataFrame = {
+    stats.select(col("file"), col("rows"), col("bytes"),
+        lit(cdcBatch).as("cdc_batch"))
+      .unionByName(spark.range(1).select(lit(Sentinel).as("file"),
+        lit(0L).as("rows"), lit(0L).as("bytes"),
+        lit(cdcBatch).as("cdc_batch")))
+  }
+
+  private def perFileStats(scan: DataFrame): DataFrame =
+    scan.groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("rows"),
+        max(col("_metadata.file_size")).as("bytes"))
+
   /** Create the table: write `df` hive-partitioned by `partCol` and
-    * commit manifest v1 = every written file. The per-file row counts
-    * ride along for purge's threshold math (one extra metadata-column
-    * aggregate at write time — amortized into the initial load).
+    * commit manifest v1 = every written file (with per-file row/byte
+    * stats for purge's threshold math and the file index's split
+    * planning — one metadata-column aggregate at write time).
     */
   def init(spark: SparkSession, df: DataFrame, root: String,
       partCol: String): Long = {
     val f = hfs(spark, root)
     f.delete(new Path(root), true)
     df.write.mode("overwrite").partitionBy(partCol).parquet(dataDir(root))
-    val manifest = spark.read.parquet(dataDir(root))
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(count(lit(1)).as("rows"))
+    val manifest = manifestOf(spark,
+      perFileStats(spark.read.parquet(dataDir(root))), cdcBatch = -1L)
     Snapshots.publish(spark, manifestTable(root), manifest)
   }
 
-  /** The committed live-file set: (file, rows). */
-  def manifest(spark: SparkSession, root: String): DataFrame =
+  /** Latest committed manifest, raw (sentinel included). */
+  private def manifestFull(spark: SparkSession, root: String): DataFrame =
     Snapshots.readLatest(spark, manifestTable(root))
 
-  /** Driver-side live file list — bounded by file count (metadata). */
-  private def liveFiles(spark: SparkSession, root: String): Seq[String] =
-    manifest(spark, root).select("file").collect().map(_.getString(0)).toSeq
+  /** The committed live-file set: (file, rows, bytes). */
+  def manifest(spark: SparkSession, root: String): DataFrame =
+    manifestFull(spark, root).filter(col("file") =!= Sentinel)
+      .select("file", "rows", "bytes")
 
-  /** All tombstones, (file, pos). Before any delete this is an empty
-    * LOCAL relation — `PropagateEmptyRelation` then erases the read
-    * path's anti-join outright, so a never-deleted-from table scans
-    * with zero join overhead.
-    *
-    * Duplicate tombstones (two concurrent deletes marking the same
-    * row — both read the pre-append mask) are HARMLESS: the anti-join
-    * is set-semantics on (file, pos), duplicates only cost sidecar
-    * bytes until vacuum. Deletes need no writer coordination.
+  /** Live-file set of a specific committed manifest version. */
+  def manifestAt(spark: SparkSession, root: String, v: Long): DataFrame =
+    Snapshots.readVersion(spark, manifestTable(root), v)
+      .filter(col("file") =!= Sentinel).select("file", "rows", "bytes")
+
+  /** Highest CDC batch id whose effects are committed (-1 if none). */
+  def lastCdcBatch(spark: SparkSession, root: String): Long =
+    manifestFull(spark, root).agg(max("cdc_batch")).head().getLong(0)
+
+  /** Driver-side live entries for the file index — bounded by file
+    * count (metadata, the same driver-holds-the-action-list shape as
+    * Delta/Iceberg planning).
     */
-  def dv(spark: SparkSession, root: String): DataFrame = {
-    val f = hfs(spark, root)
-    val d = new Path(dvDir(root))
-    if (f.exists(d) && f.listStatus(d).exists(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(dvDir(root))
-    else {
-      import spark.implicits._
-      Seq.empty[(String, Long)].toDF("file", "pos")
+  private def liveEntries(spark: SparkSession,
+      root: String): Seq[GraftDvApi.LiveFile] =
+    manifest(spark, root).select("file", "bytes").collect().toSeq
+      .map { r =>
+        val p = r.getString(0)
+        GraftDvApi.LiveFile(p, r.getLong(1),
+          GraftDvApi.parsePartition(p).map(_._2))
+      }
+
+  private def entriesOf(spark: SparkSession,
+      files: Seq[String]): Seq[GraftDvApi.LiveFile] = {
+    // explicit file lists (index candidates, historical sets) may
+    // reference files absent from the latest manifest — stat them
+    files.map { p =>
+      val st = hfs(spark, p).getFileStatus(new Path(p))
+      GraftDvApi.LiveFile(p, st.getLen,
+        GraftDvApi.parsePartition(p).map(_._2))
     }
   }
 
-  /** Live rows of `files` (manifest scope) with their physical
-    * position columns, tombstones already applied. Metadata columns
-    * must be selected BEFORE the join (they belong to the scan).
-    */
-  private def withPos(spark: SparkSession, root: String,
-      files: Seq[String]): DataFrame = {
-    val data = spark.read.option("basePath", dataDir(root))
-      .parquet(files: _*)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
-    val tomb = dv(spark, root)
-      .withColumnRenamed("file", "__file").withColumnRenamed("pos", "__pos")
-    data.join(broadcast(tomb), Seq("__file", "__pos"), "left_anti")
+  // ---- read path ----------------------------------------------------
+
+  private def relationOver(spark: SparkSession, root: String,
+      entries: Seq[GraftDvApi.LiveFile]): DataFrame = {
+    val partCols = entries.flatMap(e =>
+      GraftDvApi.parsePartition(e.path).map(_._1)).distinct
+    require(partCols.size <= 1,
+      s"mixed partition columns under ${dataDir(root)}: $partCols")
+    val dataSchema = spark.read.parquet(entries.head.path).schema
+    GraftDvApi.relation(spark, dataDir(root), partCols.headOption,
+      entries, dataSchema)
   }
 
-  /** Masked read restricted to a subset of the LIVE files — the hook
-    * that lets file-skipping indexes ([[SkippingIndex]]) compose with
-    * a DV table: the index prunes to candidate files, this applies
-    * the tombstone mask to exactly those. Callers must pass live
-    * (manifest) files; dead files would resurrect purged rows.
+  /** Scan of `entries` with physical position columns, tombstone mask
+    * applied. A never-deleted-from table gets NO mask filter at all
+    * (plan-time check), so the fast path is a bare parquet scan.
     */
-  def readFiles(spark: SparkSession, root: String,
-      files: Seq[String]): DataFrame =
-    withPos(spark, root, files).drop("__file", "__pos")
+  private def scanWithPos(spark: SparkSession, root: String,
+      entries: Seq[GraftDvApi.LiveFile]): DataFrame = {
+    val data = relationOver(spark, root, entries)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (DvBlobs.hasAny(root))
+      data.filter(GraftFunctions.dvAlive(spark,
+        col("__file"), col("__pos"), root))
+    else data
+  }
 
   /** The table as readers see it: committed files minus tombstones.
     * A table whose purge removed EVERY file from the manifest (all
@@ -163,254 +225,420 @@ object DeletionVectors {
     * directory, which keeps the dead files until [[vacuum]].
     */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val files = liveFiles(spark, root)
-    if (files.isEmpty) spark.read.parquet(dataDir(root)).limit(0)
-    else withPos(spark, root, files).drop("__file", "__pos")
+    val entries = liveEntries(spark, root)
+    if (entries.isEmpty) spark.read.parquet(dataDir(root)).limit(0)
+    else scanWithPos(spark, root, entries).drop("__file", "__pos")
   }
+
+  /** Masked read restricted to an explicit file subset — the hook
+    * that lets file-skipping indexes compose with a DV table (the
+    * index prunes to candidate files, this applies the tombstone mask
+    * to exactly those) and that serves historical manifests (dead
+    * files readable until vacuum, current tombstones applied
+    * RETROACTIVELY per the pinned time-travel semantics).
+    */
+  def readFiles(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame =
+    scanWithPos(spark, root, entriesOf(spark, files))
+      .drop("__file", "__pos")
+
+  /** UNMASKED scan of the live set with `_metadata` columns available
+    * — the input for sidecar builds (e.g. the skipping index, which
+    * must index physical files, tombstoned rows included: a
+    * tombstoned needle must still bloom-hit and then be masked by the
+    * composition, never silently vanish from the index).
+    */
+  def rawScan(spark: SparkSession, root: String): DataFrame =
+    relationOver(spark, root, liveEntries(spark, root))
+
+  /** All current tombstones as (file, pos) rows — reconstructed
+    * DISTRIBUTEDLY from the per-file blob dirs (one task per blob
+    * dir). Diagnostic/spec surface; the read path never materializes
+    * this.
+    */
+  def dv(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val dirs = DvBlobs.allFileDirs(root)
+    if (dirs.isEmpty) Seq.empty[(String, Long)].toDF("file", "pos")
+    else spark.createDataset(dirs)
+      .flatMap(d => DvBlobs.readDirMerged(d).toSeq.flatMap {
+        case (file, poss) => poss.map(p => (file, p))
+      })
+      .toDF("file", "pos")
+  }
+
+  // ---- maintenance claim ---------------------------------------------
+
+  private def claimMaintenance(spark: SparkSession, root: String): Unit =
+    require(Snapshots.tryExclusiveCreate(spark, maintMarker(root)),
+      s"another maintenance operation (purge/vacuum) holds $root/_maint")
+
+  private def releaseMaintenance(spark: SparkSession, root: String): Unit =
+    Snapshots.removeMarker(spark, maintMarker(root))
+
+  /** Block until no maintenance claim is held — the delete-side fence
+    * (see the class doc's concurrency model). Times out loudly rather
+    * than returning with an unresolved race.
+    */
+  private def waitNoMaintenance(spark: SparkSession, root: String,
+      timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (Snapshots.markerExists(spark, maintMarker(root))) {
+      require(System.currentTimeMillis() < deadline,
+        s"maintenance claim $root/_maint still held after ${timeoutMs}ms " +
+          "(crashed maintenance writer? remove the marker to recover)")
+      Thread.sleep(50L)
+    }
+  }
+
+  // ---- delete ---------------------------------------------------------
 
   /** Tombstone every live row whose `keyCol` appears in `victims`.
-    * Returns the number of rows marked. O(deleted rows) bytes written;
-    * zero data files touched. Replay-safe: already-deleted rows are
-    * invisible to the marking scan, so a rerun appends nothing.
+    * Returns the number of rows marked. O(deleted rows) bytes written
+    * (one delta blob per touched file, written from the executors —
+    * the driver never holds positions); zero data files touched.
+    * Replay-safe: already-deleted rows are invisible to the marking
+    * scan, so a rerun appends nothing.
+    *
+    * Purge fencing: after the deltas land, any in-flight maintenance
+    * is waited out and the touched files re-checked against the
+    * manifest; if a purge replaced one mid-delete, the marking scan
+    * re-runs over the replacement files (whose masks lack exactly the
+    * raced victims) — the delete is durable in the files that
+    * survived, before it returns.
     */
   def delete(spark: SparkSession, root: String, keyCol: String,
-      victims: DataFrame): Long = {
-    val files = liveFiles(spark, root)
-    if (files.isEmpty) return 0L // fully-purged table: nothing to mark
-    val marked = withPos(spark, root, files)
-      .join(broadcast(victims.select(col(keyCol)).distinct()),
-        Seq(keyCol), "left_semi")
-      .select(col("__file").as("file"), col("__pos").as("pos"))
-      .localCheckpoint() // one marking scan feeds both count and write
-    val n = marked.count()
-    // one sidecar file per ~10M tombstones: a delete is human-scale
-    // relative to the table, and vacuum GC works per batch-file — a
-    // 32-way sliver spray would turn the sidecar into a small-file
-    // problem of its own
-    if (n > 0) marked
-      .coalesce(math.max(1L, n / 10000000L).toInt)
-      .write.mode("append").parquet(dvDir(root))
-    n
+      victims: DataFrame, maintWaitMs: Long = 15L * 60 * 1000): Long = {
+    val vic = victims.select(col(keyCol)).distinct().localCheckpoint()
+    var firstPass = -1L
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10, "delete/purge conflict retries exhausted")
+      val entries = liveEntries(spark, root)
+      if (entries.isEmpty) return math.max(firstPass, 0L)
+      val marked = scanWithPos(spark, root, entries)
+        .join(broadcast(vic), Seq(keyCol), "left_semi")
+        .select(col("__file"), col("__pos"))
+      val nAcc = spark.sparkContext.longAccumulator("dv_marked")
+      val touchedAcc =
+        spark.sparkContext.collectionAccumulator[String]("dv_touched")
+      marked.groupBy(col("__file"))
+        .agg(collect_list(col("__pos")).as("poss"))
+        .foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              val file = r.getString(0)
+              val poss = r.getSeq[Long](1).toArray
+              DvBlobs.writeDelta(root, file, poss): Unit
+              nAcc.add(poss.length.toLong)
+              touchedAcc.add(file)
+            }
+        }
+      if (firstPass < 0) firstPass = nAcc.value
+      // nothing marked ⇒ nothing a racing rewrite could lose: no
+      // fence needed (this also lets an insert-only upsert proceed
+      // while a purge holds the maintenance claim)
+      if (touchedAcc.value.isEmpty) return math.max(firstPass, 0L)
+      // fence: wait out maintenance, then confirm nothing we marked
+      // was concurrently replaced
+      waitNoMaintenance(spark, root, maintWaitMs)
+      val liveNow = manifest(spark, root).select("file")
+        .collect().map(_.getString(0)).toSet
+      val touched = touchedAcc.value.asScala.toSet
+      if (touched.forall(liveNow.contains)) return firstPass
+      // else: loop — the masked re-scan marks only the rows whose
+      // tombstones went inert with their replaced files
+    }
+    firstPass // unreachable
   }
 
+  // ---- purge ----------------------------------------------------------
+
   /** Rewrite every live file whose deleted fraction exceeds
-    * `maxDeletedFraction`, commit the next manifest version, and
-    * return the replaced files. Two-phase and crash-safe:
+    * `maxDeletedFraction`, commit the next manifest version via CAS,
+    * and return the replaced files. Holds the maintenance claim for
+    * its whole run (mutual exclusion with vacuum; the fence deletes
+    * wait on). Threshold math reads NO tombstone data — per-file
+    * counts come from delta blob NAMES, listed in parallel on the
+    * executors.
     *
-    *  1. kept rows of hot files are written to a staging dir under the
-    *     table root (readers never list it), then MOVED into the data
-    *     partition dirs — present on disk but NOT in any committed
-    *     manifest, so invisible;
-    *  2. one [[Snapshots.publish]] flips the live set to
-    *     (live − hot) ∪ replacements. A crash before the commit leaves
-    *     orphan replacement files (dead weight for [[vacuum]]), never
-    *     a double or missing row; old manifest versions still resolve,
-    *     so time travel across the purge keeps working.
+    * Two-phase and crash-safe: kept rows of hot files are staged
+    * under the table root, MOVED into the data partition dirs
+    * (present but uncommitted = invisible), then one CAS publish
+    * flips the live set. A crash leaves orphan replacement files
+    * (vacuum fodder after the grace window), never a doubled or
+    * missing row. A delete racing the staging scan is caught by the
+    * per-file delta-signature re-check and forces a restage; a CDC
+    * upsert committing mid-purge makes the publish rebase onto the
+    * new manifest (upserts only add files).
+    *
+    * @param onBeforeCommit test-only failpoint between staging+move
+    *        and the CAS publish (crash/interleave simulation).
     */
   def purge(spark: SparkSession, root: String, partCol: String,
-      maxDeletedFraction: Double): Seq[String] = {
-    val counts = dv(spark, root).groupBy("file").count()
-    val hot = manifest(spark, root)
-      .join(counts, Seq("file"), "left")
-      .filter(coalesce(col("count"), lit(0L)) >
-        col("rows") * maxDeletedFraction)
-      .select("file").collect().map(_.getString(0)).toSeq
-    if (hot.isEmpty) return Seq.empty
+      maxDeletedFraction: Double,
+      onBeforeCommit: () => Unit = () => ()): Seq[String] = {
+    claimMaintenance(spark, root)
+    try {
+      import spark.implicits._
+      var sigAttempts = 0
+      var result: Seq[String] = null
+      while (result == null) {
+        val hot = {
+          val live = manifest(spark, root).select("file", "rows")
+            .as[(String, Long)].collect().toSeq
+          val counts = spark.createDataset(live.map(_._1))
+            .map(f => (f, DvBlobs.tombstoneCount(root, f)))
+            .collect().toMap
+          live.filter { case (f, rows) =>
+            counts.getOrElse(f, 0L) > rows * maxDeletedFraction
+          }.map(_._1)
+        }
+        if (hot.isEmpty) return Seq.empty
 
+        // per-file delta signature BEFORE the staging scan: if a
+        // delete lands during staging, the post-move re-check differs
+        // and we restage (bounded; the delete-side fence covers the
+        // unbounded-churn case)
+        val sig0 = hot.map(f => f -> DvBlobs.signature(root, f)).toMap
+
+        val f = hfs(spark, root)
+        val stage = s"$root/_purge_stage"
+        f.delete(new Path(stage), true)
+        scanWithPos(spark, root, entriesOf(spark, hot))
+          .drop("__file", "__pos")
+          .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+        val moved = moveStaged(spark, root, partCol, stage, "purged")
+
+        val sigNow = hot.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
+        if (sigNow != sig0 && sigAttempts < 3) {
+          sigAttempts += 1 // abandoned moved files = vacuum fodder
+        } else {
+          val movedStats =
+            if (moved.isEmpty) spark.range(0).select(
+              lit("").as("file"), lit(0L).as("rows"), lit(0L).as("bytes"))
+            else perFileStats(spark.read
+              .option("basePath", dataDir(root)).parquet(moved: _*))
+          onBeforeCommit()
+          // CAS loop: a CDC upsert committing mid-purge only ADDS
+          // files — rebase the (live − hot) ∪ replacements math onto
+          // whatever the latest manifest now says
+          var committed = false
+          while (!committed) {
+            val base = Snapshots.latestVersion(
+              spark, manifestTable(root)).get
+            val latest = Snapshots.readVersion(
+              spark, manifestTable(root), base)
+            val next = latest.filter(!col("file").isin(hot: _*))
+              .unionByName(movedStats.withColumn("cdc_batch",
+                lit(lastCdcBatch(spark, root))))
+            committed = Snapshots.publishCas(
+              spark, manifestTable(root), base, next)
+          }
+          result = hot
+        }
+      }
+      result
+    } finally releaseMaintenance(spark, root)
+  }
+
+  /** Move staged partition dirs into the live data dirs under fresh
+    * names (invisible until a manifest references them).
+    */
+  private def moveStaged(spark: SparkSession, root: String,
+      partCol: String, stage: String, prefix: String): Seq[String] = {
     val f = hfs(spark, root)
-    val stage = s"$root/_purge_stage"
-    f.delete(new Path(stage), true)
-    // kept rows of hot files only; stage BEFORE any move so the swap
-    // never consumes what it replaces (the Erasure/Scd2Log discipline)
-    withPos(spark, root, hot).drop("__file", "__pos")
-      .write.mode("overwrite").partitionBy(partCol).parquet(stage)
-
-    // move staged files into their data partition dirs under fresh
-    // names; recount them for the manifest as they land
     val moved = Seq.newBuilder[String]
     val tag = java.util.UUID.randomUUID().toString.take(8)
     f.listStatus(new Path(stage))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$partCol="))
       .foreach { dir =>
         val destDir = new Path(s"${dataDir(root)}/${dir.getPath.getName}")
         f.mkdirs(destDir)
         f.listStatus(dir.getPath)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .zipWithIndex.foreach { case (s, i) =>
-            val dest = new Path(destDir, s"purged-$tag-$i.parquet")
+            val dest = new Path(destDir, s"$prefix-$tag-$i.parquet")
             require(f.rename(s.getPath, dest), s"rename to $dest failed")
             moved += dest.toString
           }
       }
     f.delete(new Path(stage), true)
-
-    val movedStats =
-      if (moved.result().isEmpty) spark.range(0).select(
-        lit("").as("file"), lit(0L).as("rows")).limit(0)
-      else spark.read.option("basePath", dataDir(root))
-        .parquet(moved.result(): _*)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(count(lit(1)).as("rows"))
-    val next = manifest(spark, root)
-      .filter(!col("file").isin(hot: _*))
-      .unionByName(movedStats)
-    Snapshots.publish(spark, manifestTable(root), next): Unit
-    hot
+    moved.result()
   }
 
-  /** MERGE-ON-READ upsert (the Iceberg-v2 row-level write path that
-    * [[delete]] is half of): apply a change batch — updated rows and
-    * fresh inserts — WITHOUT rewriting any existing file. Old
-    * versions of updated keys are tombstoned (O(changed rows)
-    * sidecar bytes), the new row images land as freshly APPENDED
-    * files, and one manifest publish makes both visible atomically:
-    * a reader resolves either the old manifest (old rows live, no
-    * new files) or the new one (old rows masked, new files live) —
-    * never a key doubled or missing mid-upsert.
+  // ---- upsert / CDC -----------------------------------------------------
+
+  /** MERGE-ON-READ upsert: apply a change batch — updated rows and
+    * fresh inserts — WITHOUT rewriting any existing file. Old images
+    * of changed keys are tombstoned (O(changed rows) sidecar bytes,
+    * through [[delete]] and its purge fencing), the new images land
+    * as freshly APPENDED files, and one CAS manifest publish makes
+    * both visible atomically.
     *
-    * Contrast with `merge_upsert` (copy-on-write: the touched
-    * partitions rewrite, reads stay join-free): MOR shifts that cost
-    * to the read-side anti-join, which [[purge]] bounds — the same
-    * trade the delete path makes, here extended to updates. At
-    * 100 TB a CDC trickle (0.1%/batch) copy-on-write amplifies every
-    * batch to the touched-partition bytes; MOR writes just the
-    * changed rows and compacts on ITS schedule.
+    * One-image-per-key guard: a batch carrying TWO images of one key
+    * would double that key (the old image tombstones once, both new
+    * images append). Without `latestBy` such a batch FAILS LOUDLY
+    * (the Delta MERGE multiple-source-matches rule); with `latestBy`
+    * the batch is first deduped to each key's highest `latestBy`
+    * image — ties on (key, latestBy) still fail (no deterministic
+    * winner exists).
     *
-    * Replays: NOT structurally idempotent (a replayed append would
-    * double the new images) — a replaying producer must gate on a
-    * deterministic manifest version, exactly what
-    * [[Snapshots.publishAt]] provides; the batch form here uses the
-    * racing [[Snapshots.publish]].
+    * Contrast with `merge_upsert` (copy-on-write): MOR shifts rewrite
+    * cost to the read-side mask, which [[purge]] bounds — at 100 TB a
+    * CDC trickle copy-on-write amplifies every batch to the touched-
+    * partition bytes; MOR writes just the changed rows and compacts
+    * on its own schedule.
     *
-    * @param changes new row images, same schema as the table's data
-    *                (including the partition column)
     * @return (tombstoned old rows, appended files)
     */
   def upsert(spark: SparkSession, root: String, partCol: String,
-      keyCol: String, changes: DataFrame): (Long, Seq[String]) =
-    upsertVersioned(spark, root, partCol, keyCol, changes, None)
-
-  /** [[upsert]] with an optional DETERMINISTIC manifest version — the
-    * replay-safe form for streaming CDC apply (version = batchId+1,
-    * committed via [[Snapshots.publishAt]]).
-    *
-    * Replay semantics: a replayed batch whose version already
-    * committed returns as a no-op BEFORE tombstoning or moving
-    * anything. A batch that crashed mid-apply leaves (a) tombstones —
-    * already correct, the rerun's delete re-marks nothing through the
-    * mask — and (b) moved-but-uncommitted files, which stay invisible
-    * (not in any manifest) and become vacuum fodder when the rerun
-    * appends its own copies and commits.
-    *
-    * Transient a reader CAN observe between a crashed attempt and its
-    * rerun: updated keys masked with their new images not yet
-    * committed (tombstones apply immediately, the manifest flip only
-    * exposes the appends). That is the read-committed gap of any
-    * delete-then-insert done as two steps; the rerun closes it, and
-    * within one healthy apply the window is the move→commit
-    * milliseconds. A reader needing snapshot isolation across it
-    * pins a manifest version (time travel) for the whole read.
-    */
-  def upsertVersioned(spark: SparkSession, root: String, partCol: String,
       keyCol: String, changes: DataFrame,
-      version: Option[Long]): (Long, Seq[String]) = {
-    version.foreach { v =>
-      if (Snapshots.committedVersions(spark, manifestTable(root))
-          .contains(v))
-        return (0L, Seq.empty) // replay of a committed batch: no-op
+      latestBy: Option[String] = None): (Long, Seq[String]) =
+    applyChanges(spark, root, partCol, keyCol, changes, latestBy, None)
+
+  /** Streaming CDC batch apply with manifest-borne exactly-once:
+    * no-ops (returning false) if `batchId`'s effects are already
+    * committed. See the class doc's CDC section.
+    */
+  def applyCdcBatch(spark: SparkSession, root: String, partCol: String,
+      keyCol: String, batch: DataFrame, batchId: Long,
+      latestBy: Option[String] = None): Boolean = {
+    if (batchId <= lastCdcBatch(spark, root)) false
+    else {
+      applyChanges(spark, root, partCol, keyCol, batch, latestBy,
+        Some(batchId)): Unit
+      true
     }
-    val staged = changes.localCheckpoint() // one derivation, three uses
+  }
+
+  private def applyChanges(spark: SparkSession, root: String,
+      partCol: String, keyCol: String, changes: DataFrame,
+      latestBy: Option[String],
+      cdcBatch: Option[Long]): (Long, Seq[String]) = {
+    import org.apache.spark.sql.expressions.Window
+    val deduped = latestBy match {
+      case None => changes
+      case Some(seqCol) =>
+        val w = Window.partitionBy(col(keyCol)).orderBy(desc(seqCol))
+        val ranked = changes.withColumn("__rk", rank().over(w))
+          .filter(col("__rk") === 1)
+        val ties = ranked.groupBy(col(keyCol)).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(ties.isEmpty,
+          s"ambiguous change batch: key ${ties.headOption.map(_.get(0))} " +
+            s"has multiple images tied on $seqCol")
+        ranked.drop("__rk")
+    }
+    val staged = deduped.localCheckpoint()
+    if (staged.isEmpty) return (0L, Seq.empty)
+    val dups = staged.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"change batch carries multiple images of key " +
+        s"${dups.headOption.map(_.get(0))} — pass latestBy to resolve, " +
+        "or dedupe upstream (one image per key per batch)")
+
     val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
 
-    // append the new images as fresh files under the data dirs (the
-    // purge move discipline: land invisibly, then flip the manifest)
+    // append the new images invisibly (the purge move discipline),
+    // then flip the manifest via CAS
     val f = hfs(spark, root)
     val stage = s"$root/_upsert_stage"
     f.delete(new Path(stage), true)
     staged.write.mode("overwrite").partitionBy(partCol).parquet(stage)
-    val moved = Seq.newBuilder[String]
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    f.listStatus(new Path(stage))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
-      .foreach { dir =>
-        val destDir = new Path(s"${dataDir(root)}/${dir.getPath.getName}")
-        f.mkdirs(destDir)
-        f.listStatus(dir.getPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (s, i) =>
-            val dest = new Path(destDir, s"upsert-$tag-$i.parquet")
-            require(f.rename(s.getPath, dest), s"rename to $dest failed")
-            moved += dest.toString
-          }
-      }
-    f.delete(new Path(stage), true)
-
-    val newFiles = moved.result()
+    val newFiles = moveStaged(spark, root, partCol, stage, "upsert")
     val movedStats =
       if (newFiles.isEmpty) {
         import spark.implicits._
-        Seq.empty[(String, Long)].toDF("file", "rows")
-      } else spark.read.option("basePath", dataDir(root))
-        .parquet(newFiles: _*)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(count(lit(1)).as("rows"))
-    val next = manifest(spark, root).unionByName(movedStats)
-    version match {
-      case Some(v) =>
-        Snapshots.publishAt(spark, manifestTable(root), v, next): Unit
-      case None =>
-        Snapshots.publish(spark, manifestTable(root), next): Unit
+        Seq.empty[(String, Long, Long)].toDF("file", "rows", "bytes")
+      } else perFileStats(spark.read
+        .option("basePath", dataDir(root)).parquet(newFiles: _*))
+
+    var committed = false
+    while (!committed) {
+      val base = Snapshots.latestVersion(spark, manifestTable(root)).get
+      val latest = Snapshots.readVersion(spark, manifestTable(root), base)
+      val cdc = cdcBatch.getOrElse(-1L)
+      val next = latest.unionByName(
+        movedStats.withColumn("cdc_batch", lit(cdc)))
+        .withColumn("cdc_batch", greatest(col("cdc_batch"), lit(cdc)))
+      committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
     }
     (masked, newFiles)
   }
 
-  /** Reclaim space: delete data files referenced by NO retained
-    * manifest version (keep the newest `keepVersions`), then delete
-    * any sidecar batch-file whose entries all reference dead files.
-    * Both steps are whole-file deletes of unreachable state — safe to
-    * crash or rerun at any point.
+  // ---- vacuum -----------------------------------------------------------
+
+  /** Grace window shielding a concurrent writer's moved-but-not-yet-
+    * committed files from [[vacuum]] (they are unreferenced by ANY
+    * manifest until their publish lands). 20 minutes covers a stage+
+    * move+CAS cycle with room; tests that GC freshly-dead files on
+    * purpose pass 0.
     */
-  def vacuum(spark: SparkSession, root: String,
-      keepVersions: Int = 1): (Long, Long) = {
-    val mt = manifestTable(root)
-    val keep = Snapshots.committedVersions(spark, mt).takeRight(keepVersions)
-    val referenced = keep.map(v =>
-        Snapshots.readVersion(spark, mt, v).select("file"))
-      .reduce(_ unionByName _).distinct()
-      .collect().map(_.getString(0)).toSet
-    val f = hfs(spark, root)
-    val dataRoot = new Path(dataDir(root))
-    var dataDeleted = 0L
-    f.listStatus(dataRoot).filter(_.isDirectory).foreach { dir =>
-      f.listStatus(dir.getPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          if (!referenced.contains(s.getPath.toString)) {
-            f.delete(s.getPath, false): Unit
-            dataDeleted += 1
-          }
+  val DefaultVacuumGraceMs: Long = 20L * 60 * 1000
+
+  /** Reclaim space: delete data files referenced by NO retained
+    * manifest version (keep the newest `keepVersions`) — EXCEPT files
+    * younger than `minAgeMs` (an in-flight upsert/purge's moved-
+    * uncommitted files look identical to dead ones; age is the
+    * discriminator, the Delta retention rule) — then delete any
+    * per-file tombstone dir whose data file is dead. Holds the
+    * maintenance claim (mutual exclusion with purge). Both steps are
+    * whole-file/-dir deletes of unreachable state — crash/rerun-safe
+    * at any point. Readers of VACUUMED versions (time travel) must
+    * finish within the retention window, the standard lakehouse
+    * reader contract.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+      minAgeMs: Long = DefaultVacuumGraceMs): (Long, Long) = {
+    claimMaintenance(spark, root)
+    try {
+      val mt = manifestTable(root)
+      val keep = Snapshots.committedVersions(spark, mt)
+        .takeRight(keepVersions)
+      val referenced = keep.map(v =>
+          Snapshots.readVersion(spark, mt, v).select("file"))
+        .reduce(_ unionByName _).distinct()
+        .collect().map(_.getString(0)).toSet - Sentinel
+      val f = hfs(spark, root)
+      val now = System.currentTimeMillis()
+      var dataDeleted = 0L
+      f.listStatus(new Path(dataDir(root))).filter(_.isDirectory)
+        .foreach { dir =>
+          f.listStatus(dir.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .foreach { s =>
+              if (!referenced.contains(s.getPath.toString)
+                  && now - s.getModificationTime >= minAgeMs) {
+                f.delete(s.getPath, false): Unit
+                dataDeleted += 1
+              }
+            }
         }
-    }
-    Snapshots.vacuum(spark, mt, keepVersions)
-    val dvd = new Path(dvDir(root))
-    var dvDeleted = 0L
-    if (f.exists(dvd) && f.listStatus(dvd).exists(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))) {
-      // ONE job over the whole sidecar: per batch-file, does ANY entry
-      // still reference a live file? (the per-file loop this replaces
-      // ran a Spark job per batch — job-count, not data, was the cost)
-      val dead = spark.read.parquet(dvDir(root))
-        .select(col("_metadata.file_path").as("batch"), col("file"))
-        .groupBy("batch")
-        .agg(max(col("file").isin(referenced.toSeq: _*).cast("int"))
-          .as("any_live"))
-        .filter(col("any_live") === 0)
-        .select("batch").collect().map(_.getString(0))
-      dead.foreach { b =>
-        f.delete(new Path(new java.net.URI(b)), false): Unit
-        dvDeleted += 1
+      Snapshots.vacuum(spark, mt, keepVersions)
+      // tombstone dirs of dead files: whole-dir GC, resolved
+      // DISTRIBUTEDLY (one header read per dir decides)
+      import spark.implicits._
+      val dirs = DvBlobs.allFileDirs(root)
+      var dvDeleted = 0L
+      if (dirs.nonEmpty) {
+        val refs = spark.sparkContext.broadcast(referenced)
+        val dead = spark.createDataset(dirs)
+          .flatMap { d =>
+            DvBlobs.dirDataFile(d) match {
+              case Some(file) if refs.value.contains(file) => None
+              case _ => Some(d) // dead data file, or empty dir
+            }
+          }.collect()
+        dead.foreach { d =>
+          f.delete(new Path(d), true): Unit
+          dvDeleted += 1
+        }
       }
-    }
-    (dataDeleted, dvDeleted)
+      (dataDeleted, dvDeleted)
+    } finally releaseMaintenance(spark, root)
   }
 }

@@ -1,0 +1,308 @@
+package graft.operators
+
+import java.io.IOException
+import java.security.MessageDigest
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-data-file tombstone blob store for [[DeletionVectors]] — the
+  * read-side delivery mechanism that replaces the round-9 global
+  * (file, pos) parquet sidecar + whole-sidecar broadcast anti-join.
+  *
+  * Layout: each data file owns a directory of APPEND-ONLY delta blobs
+  * {{{
+  *   t/_dv/f=<md5(dataFilePath)>/delta-<count>-<uuid>.dv
+  * }}}
+  * A delta blob is immutable once visible (written dot-prefixed, then
+  * renamed in — readers filter `delta-*`, so a half-written blob is
+  * never read), holds SORTED row positions of one data file, and
+  * carries its tombstone count in its NAME — so maintenance threshold
+  * math ([[DeletionVectors.purge]]) needs only directory listings,
+  * zero data reads.
+  *
+  * Why deltas instead of one read-modify-write bitmap per file (the
+  * Delta-Lake shape): concurrent deletes to the same data file each
+  * append their own blob — no lost update, no coordination; a
+  * position double-marked by racing deletes duplicates across blobs,
+  * which the read-side merge dedupes. The blob count per file is
+  * bounded in practice by [[DeletionVectors.purge]]: a file
+  * accumulating deletes crosses the threshold and is rewritten,
+  * resetting its blob directory to empty.
+  *
+  * Read shape at 100 TB: a scan task resolving file F's mask does ONE
+  * listing of F's blob dir + reads O(F's tombstones) bytes — per-task
+  * cost tracks the PROBED file's tombstones, never the table's total
+  * tombstone volume. Nothing is broadcast; nothing is global. The
+  * probe itself ([[contains]]) is called from generated code
+  * ([[graft.functions.DvAlive]]) and amortizes to a binary search per
+  * row via a thread-local current-file memo (scan rows arrive
+  * file-clustered).
+  *
+  * Filesystem: resolved from the classpath Hadoop configuration
+  * (core-site) — blob IO runs on executors outside any threaded task
+  * conf, the standard pattern for sidecar readers. Rename-in-place
+  * visibility needs atomic rename (local FS, HDFS) or
+  * conditional-put-backed stores.
+  */
+object DvBlobs {
+
+  private val Magic = 0x47445631 // "GDV1"
+
+  private lazy val hconf = new Configuration()
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hconf)
+
+  def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def dvRoot(tableRoot: String): String = s"$tableRoot/_dv"
+
+  /** Blob directory of one data file. */
+  def fileDir(tableRoot: String, dataFile: String): String =
+    s"${dvRoot(tableRoot)}/f=${md5hex(dataFile)}"
+
+  /** Append one immutable delta blob for `dataFile`. Positions are
+    * sorted on write; the count rides in the name. Visibility is the
+    * rename — a reader never sees a partial blob.
+    */
+  def writeDelta(tableRoot: String, dataFile: String,
+      positions: Array[Long]): String = {
+    require(positions.nonEmpty, "empty delta")
+    java.util.Arrays.sort(positions)
+    val dir = new Path(fileDir(tableRoot, dataFile))
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(dir, s".tmp-$uuid")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(f.create(tmp, true)))
+    try {
+      out.writeInt(Magic)
+      out.writeUTF(dataFile)
+      out.writeInt(positions.length)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+    val dest = new Path(dir, s"delta-${positions.length}-$uuid.dv")
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new IOException(s"delta rename to $dest failed")
+    }
+    dest.toString
+  }
+
+  /** (embedded data-file path, sorted positions) of one blob. */
+  def readDelta(blobPath: String): (String, Array[Long]) = {
+    val p = new Path(blobPath)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs(p).open(p)))
+    try {
+      require(in.readInt() == Magic, s"bad blob magic in $blobPath")
+      val dataFile = in.readUTF()
+      val n = in.readInt()
+      val poss = new Array[Long](n)
+      var i = 0
+      while (i < n) { poss(i) = in.readLong(); i += 1 }
+      (dataFile, poss)
+    } finally in.close()
+  }
+
+  private def parseCount(name: String): Long = {
+    // delta-<count>-<uuid>.dv
+    val body = name.stripPrefix("delta-")
+    body.substring(0, body.indexOf('-')).toLong
+  }
+
+  /** Visible delta blobs of one data file: (path, count), name-sorted
+    * for a stable signature. One listing; empty if never deleted from.
+    */
+  def listDeltas(tableRoot: String, dataFile: String): Seq[(String, Long)] = {
+    val dir = new Path(fileDir(tableRoot, dataFile))
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("delta-")
+        && s.getPath.getName.endsWith(".dv"))
+      .map(s => (s.getPath.toString, parseCount(s.getPath.getName)))
+      .sortBy(_._1)
+  }
+
+  /** Upper bound on `dataFile`'s tombstones from listing alone (exact
+    * unless racing deletes double-marked a position — then slightly
+    * over, which only makes purge eager). Zero data bytes read.
+    */
+  def tombstoneCount(tableRoot: String, dataFile: String): Long =
+    listDeltas(tableRoot, dataFile).map(_._2).sum
+
+  /** Deterministic fingerprint of a file's visible delta set — what
+    * [[DeletionVectors.purge]] re-validates before its manifest flip
+    * to detect a delete that raced the staging scan.
+    */
+  def signature(tableRoot: String, dataFile: String): String =
+    listDeltas(tableRoot, dataFile).map(_._1).mkString("\n")
+
+  /** Does the table have ANY tombstone? (Driver-side plan-time check:
+    * a never-deleted-from table reads with no mask filter at all.)
+    */
+  def hasAny(tableRoot: String): Boolean = {
+    val root = new Path(dvRoot(tableRoot))
+    val f = fs(root)
+    f.exists(root) && f.listStatus(root).exists { d =>
+      d.isDirectory && d.getPath.getName.startsWith("f=") &&
+        f.listStatus(d.getPath).exists(s =>
+          s.isFile && s.getPath.getName.startsWith("delta-"))
+    }
+  }
+
+  /** All blob dirs under the table (driver/executor maintenance
+    * enumeration; bounded by files-with-deletes count — metadata).
+    */
+  def allFileDirs(tableRoot: String): Seq[String] = {
+    val root = new Path(dvRoot(tableRoot))
+    val f = fs(root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("f="))
+      .map(_.getPath.toString)
+  }
+
+  private def deltasIn(dirPath: String): Seq[String] = {
+    val dir = new Path(dirPath)
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("delta-")
+        && s.getPath.getName.endsWith(".dv"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Which data file does this blob dir belong to? (One header read —
+    * the md5 dir name is one-way, the path rides in every blob.)
+    */
+  def dirDataFile(dirPath: String): Option[String] =
+    deltasIn(dirPath).headOption.map(p => readDelta(p)._1)
+
+  /** Merged, deduped tombstones of one blob dir, with the owning data
+    * file from the blob headers. Maintenance/diagnostic enumeration
+    * (the read path goes through [[merged]]'s cache instead).
+    */
+  def readDirMerged(dirPath: String): Option[(String, Array[Long])] = {
+    val blobs = deltasIn(dirPath).map(readDelta)
+    if (blobs.isEmpty) None
+    else {
+      val m = blobs.flatMap(_._2).toArray
+      java.util.Arrays.sort(m)
+      var w = 0
+      var i = 0
+      while (i < m.length) {
+        if (w == 0 || m(w - 1) != m(i)) { m(w) = m(i); w += 1 }
+        i += 1
+      }
+      Some((blobs.head._1, java.util.Arrays.copyOf(m, w)))
+    }
+  }
+
+  // ---- merged-vector cache (executor-side read path) ---------------
+
+  // immutable-blob cache: blob path -> its sorted positions
+  private val blobCache = new ConcurrentHashMap[String, Array[Long]]()
+  // merged per data file, keyed by the delta-set signature
+  private val mergedCache =
+    new ConcurrentHashMap[String, (String, Array[Long])]()
+  private val cachedLongs = new AtomicLong(0L)
+  // ~512 MB of cached positions before the crude full evict
+  private val MaxCachedLongs = 64L * 1024 * 1024
+
+  private def cacheBlob(path: String): Array[Long] = {
+    val hit = blobCache.get(path)
+    if (hit != null) hit
+    else {
+      val poss = readDelta(path)._2
+      if (cachedLongs.addAndGet(poss.length.toLong) > MaxCachedLongs) {
+        blobCache.clear(); mergedCache.clear(); cachedLongs.set(0L)
+      }
+      blobCache.putIfAbsent(path, poss)
+      poss
+    }
+  }
+
+  /** Merged, deduped, sorted tombstone positions of one data file as
+    * of its CURRENT visible delta set. One listing + O(file's
+    * tombstones) merge, memoized until the delta set changes.
+    */
+  def merged(tableRoot: String, dataFile: String): Array[Long] = {
+    val deltas = listDeltas(tableRoot, dataFile)
+    if (deltas.isEmpty) Array.emptyLongArray
+    else {
+      val sig = deltas.map(_._1).mkString("\n")
+      val key = s"$tableRoot|$dataFile"
+      val cached = mergedCache.get(key)
+      if (cached != null && cached._1 == sig) cached._2
+      else {
+        val all = deltas.map(d => cacheBlob(d._1))
+        val out =
+          if (all.size == 1) all.head
+          else {
+            val m = new Array[Long](all.map(_.length).sum)
+            var o = 0
+            all.foreach { a =>
+              System.arraycopy(a, 0, m, o, a.length); o += a.length
+            }
+            java.util.Arrays.sort(m)
+            // dedupe in place (racing deletes may double-mark)
+            var w = 0
+            var i = 0
+            while (i < m.length) {
+              if (w == 0 || m(w - 1) != m(i)) { m(w) = m(i); w += 1 }
+              i += 1
+            }
+            java.util.Arrays.copyOf(m, w)
+          }
+        mergedCache.put(key, (sig, out))
+        out
+      }
+    }
+  }
+
+  // thread-local current-file memo: scan rows arrive file-clustered,
+  // so the per-row probe is one UTF8String compare + binary search.
+  // The EPOCH (a fresh token per mask construction, plan time) is
+  // what invalidates it: executor threads outlive queries, and a
+  // memo keyed only on (root, file) would serve the PREVIOUS query's
+  // mask after new deltas landed — the bug dv_purge's oracle caught
+  // (second delete invisible to the final read). Under a new epoch
+  // the first row of each (thread, file) re-resolves through
+  // [[merged]], whose own cache re-validates against the live
+  // delta-set listing.
+  private final class FileMemo {
+    var root: String = null
+    var epoch: String = null
+    var file: UTF8String = null
+    var poss: Array[Long] = Array.emptyLongArray
+  }
+  private val memo = ThreadLocal.withInitial(() => new FileMemo)
+
+  /** Is (dataFile, pos) tombstoned? Called per row from the generated
+    * code of [[graft.functions.DvAlive]].
+    */
+  def contains(tableRoot: String, epoch: String, dataFile: UTF8String,
+      pos: Long): Boolean = {
+    val m = memo.get()
+    if (!(tableRoot == m.root) || !(epoch == m.epoch) ||
+        m.file == null || !dataFile.equals(m.file)) {
+      m.root = tableRoot
+      m.epoch = epoch
+      m.file = dataFile.clone()
+      m.poss = merged(tableRoot, dataFile.toString)
+    }
+    java.util.Arrays.binarySearch(m.poss, pos) >= 0
+  }
+
+  /** Test/driver-side convenience overload. */
+  def contains(tableRoot: String, dataFile: String, pos: Long): Boolean =
+    contains(tableRoot, "-", UTF8String.fromString(dataFile), pos)
+}

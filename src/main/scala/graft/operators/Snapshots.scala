@@ -100,9 +100,17 @@ object Snapshots {
     */
   private def tryCreateMarker(spark: SparkSession, table: String,
       kind: String, v: Long): Boolean = {
-    val f = fs(spark, table)
-    f.mkdirs(new Path(s"$table/$kind"))
-    val marker = new Path(s"$table/$kind/$v")
+    fs(spark, table).mkdirs(new Path(s"$table/$kind"))
+    tryExclusiveCreate(spark, s"$table/$kind/$v")
+  }
+
+  /** The raw atomic primitive, exposed for other claim-style markers
+    * (e.g. [[DeletionVectors]]' maintenance claim): exclusive create
+    * of an empty file at `path`, true iff this caller created it.
+    */
+  def tryExclusiveCreate(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val marker = new Path(path)
     if (f.getUri.getScheme == "file") {
       try {
         java.nio.file.Files.createFile(
@@ -116,6 +124,15 @@ object Snapshots {
       } catch { case _: java.io.IOException => false }
     }
   }
+
+  /** Remove a marker created by [[tryExclusiveCreate]]. */
+  def removeMarker(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).delete(new Path(path), false): Unit
+  }
+
+  /** Does a marker exist at `path`? */
+  def markerExists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
 
   /** Exclusive claim of a version NUMBER (and with it, sole
     * writership of `v=$v`). False ⇒ someone else holds or held it.
@@ -182,6 +199,42 @@ object Snapshots {
       }
     }
     committed
+  }
+
+  /** COMPARE-AND-SWAP publish: commit `df` as version `base + 1` iff
+    * `base` is still the maximum committed version — the optimistic-
+    * concurrency primitive for tables whose writers derive the next
+    * state FROM the current one (e.g. a [[DeletionVectors]] manifest:
+    * next = f(latest)). [[publish]] is last-writer-wins — two racing
+    * publishers each build on their own stale read and the loser's
+    * change silently vanishes; publishCas instead returns false so
+    * the caller re-reads the new latest and REBASES.
+    *
+    * Soundness (all-CAS writer contract): the claim on `base + 1` is
+    * the lock — once held, no other CAS writer can commit base + 1
+    * (needs our claim) nor any higher version (a CAS of base + k
+    * first requires base + k - 1 committed, inductively blocked), so
+    * the post-claim re-check of max-committed == base is stable
+    * through our commit. A table mixing CAS writers with racing
+    * [[publish]] / raw [[tryCommit]] writers forfeits this — same
+    * rule as the publishAt/publish separation.
+    */
+  def publishCas(spark: SparkSession, table: String, base: Long,
+      df: DataFrame): Boolean = {
+    if (latestVersion(spark, table).getOrElse(0L) != base) return false
+    val v = base + 1
+    if (!tryClaim(spark, table, v)) return false
+    // the claim may be a recycled number (owner committed + released
+    // before our check) or a rival may have committed base+1.. between
+    // our latest read and the claim — re-check under the claim
+    if (latestVersion(spark, table).getOrElse(0L) != base) {
+      releaseClaim(spark, table, v)
+      return false
+    }
+    df.write.mode("overwrite").parquet(s"$table/v=$v")
+    val won = tryCommit(spark, table, v)
+    releaseClaim(spark, table, v)
+    won
   }
 
   /** Deterministic-version publish for single-writer replayable

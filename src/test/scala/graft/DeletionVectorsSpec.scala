@@ -104,8 +104,7 @@ class DeletionVectorsSpec extends SparkSpec {
 
     // time travel: the pre-purge manifest still resolves and the old
     // files are still on disk until vacuum
-    val old = Snapshots.readVersion(
-      spark, DV.manifestTable(root), vBefore)
+    val old = DV.manifestAt(spark, root, vBefore)
     assert(old.select("file").collect().map(_.getString(0)).toSet
       == manifestBefore)
     assert(hot.forall(h =>
@@ -213,7 +212,7 @@ class DeletionVectorsSpec extends SparkSpec {
       ev.select("user_id").distinct().filter(col("user_id") % 7 === 0))
 
     // historical read = old manifest + CURRENT sidecar
-    val v1Files = Snapshots.readVersion(spark, DV.manifestTable(root), v1)
+    val v1Files = DV.manifestAt(spark, root, v1)
       .select("file").collect().map(_.getString(0)).toSeq
     val asOfV1 = DV.readFiles(spark, root, v1Files)
 
@@ -234,11 +233,8 @@ class DeletionVectorsSpec extends SparkSpec {
     val (root, ev) = freshTable()
     DV.delete(spark, root, "user_id",
       ev.select("user_id").distinct().filter(col("user_id") % 3 === 0))
-    val live = DV.manifest(spark, root).select("file")
-      .collect().map(_.getString(0)).toSeq
     val idx = Files.createTempDirectory("graft_dv_keyidx").toString
-    SkippingIndex.buildStats(spark,
-      spark.read.option("basePath", DV.dataDir(root)).parquet(live: _*),
+    SkippingIndex.buildStats(spark, DV.rawScan(spark, root),
       idx, "event_id")
 
     val dead = ev.filter(col("user_id") % 3 === 0)
@@ -258,33 +254,216 @@ class DeletionVectorsSpec extends SparkSpec {
       ev.filter(col("event_id") === alive).count())
   }
 
-  test("vacuum deletes dead data files and dead sidecar batches; " +
-      "the live table is untouched") {
+  test("masked-read plan shape: the sidecar is never broadcast (the " +
+      "round-9 scale ceiling), the mask is the codegen'd dv_alive " +
+      "filter, and partition pruning is served from the MANIFEST") {
+    import org.apache.spark.sql.GraftDvApi
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.StringType
+    val (root, ev) = freshTable()
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 5 === 0))
+
+    val df = DV.read(spark, root)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      "masked read must not broadcast tombstones — per-file delivery only")
+    assert(!plan.contains("Join"),
+      "masked read must be scan+filter, not a join against the sidecar")
+    // `*(N)` prefixes mark whole-stage-codegen stages: the mask
+    // filter must carry one (fused with the scan, not interpreted)
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Filter dv_alive.*"),
+      s"mask not inside whole-stage codegen:\n$plan")
+    assert(plan.contains("ManifestFileIndex"),
+      "scan must be fed by the manifest file index, not a listing")
+    // correct under that shape
+    assert(df.count() == ev.filter(col("user_id") % 5 =!= 0).count())
+
+    // partition pruning evaluated on manifest metadata, no FS listing:
+    // a day-equality filter must shrink the listed file set
+    val entries = DV.manifest(spark, root).select("file", "bytes")
+      .collect().toSeq.map { r =>
+        GraftDvApi.LiveFile(r.getString(0), r.getLong(1),
+          GraftDvApi.parsePartition(r.getString(0)).map(_._2))
+      }
+    val fi = new GraftDvApi.ManifestFileIndex(
+      new org.apache.hadoop.fs.Path(DV.dataDir(root)), Some("day"), entries)
+    val total = fi.listFiles(Nil, Nil).map(_.files.size).sum
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .orderBy("d").first().getString(0)
+    val attr = AttributeReference("day", StringType)()
+    val pruned = fi.listFiles(
+      Seq(EqualTo(attr, Literal.create(day, StringType))), Nil)
+    assert(pruned.map(_.files.size).sum < total,
+      "manifest-side partition pruning pruned nothing")
+    assert(pruned.nonEmpty && pruned.map(_.files.size).sum > 0)
+    // and the pruned file set is exactly that day's live files
+    val dayFiles = entries.filter(_.partValue.contains(day)).map(_.path).toSet
+    assert(pruned.flatMap(_.files.map(_.getPath.toString)).toSet == dayFiles)
+  }
+
+  test("vacuum deletes dead data files and dead per-file tombstone " +
+      "dirs; the live table is untouched") {
     val (root, ev) = freshTable()
     DV.delete(spark, root, "user_id",
       ev.select("user_id").distinct().filter(col("user_id") % 3 === 0))
     val hot = DV.purge(spark, root, "day", 0.2)
     assert(hot.nonEmpty)
     val rows = DV.read(spark, root).count()
-    val dvBatchesBefore = new java.io.File(DV.dvDir(root))
-      .listFiles().count(_.getName.endsWith(".parquet"))
+    val dvDirsBefore = graft.operators.DvBlobs.allFileDirs(root)
+    assert(dvDirsBefore.nonEmpty)
+    val deadDirs = dvDirsBefore.count { d =>
+      graft.operators.DvBlobs.dirDataFile(d)
+        .forall(f => hot.contains(f))
+    }
 
-    val (dataGone, dvGone) = DV.vacuum(spark, root, keepVersions = 1)
+    val (dataGone, dvGone) =
+      DV.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
     assert(dataGone == hot.size.toLong,
       "exactly the purged files are unreferenced by the kept manifest")
     hot.foreach(h => assert(
       !new java.io.File(new java.net.URI(h).getPath).exists()))
     assert(DV.read(spark, root).count() == rows)
 
-    // every tombstone referenced a since-purged file (victims were a
-    // key-spread %3 so every file got some), so the sidecar batch
-    // whose entries are all dead is reclaimable iff its files all died
-    val liveRefs = DV.dv(spark, root).select("file").distinct()
+    // a blob dir is reclaimable iff its data file died with the purge
+    assert(dvGone == deadDirs.toLong)
+    val liveAfter = DV.manifest(spark, root).select("file")
       .collect().map(_.getString(0)).toSet
-    val live = DV.manifest(spark, root).select("file")
-      .collect().map(_.getString(0)).toSet
-    if (liveRefs.forall(r => !live.contains(r)))
-      assert(dvGone == dvBatchesBefore.toLong)
-    else assert(dvGone <= dvBatchesBefore.toLong)
+    graft.operators.DvBlobs.allFileDirs(root).foreach { d =>
+      val owner = graft.operators.DvBlobs.dirDataFile(d)
+      assert(owner.exists(liveAfter.contains),
+        s"surviving blob dir $d references a dead file")
+    }
+  }
+
+  test("vacuum's grace window shields a concurrent writer's moved-" +
+      "but-uncommitted files: young unreferenced files survive, aged " +
+      "ones are reclaimed") {
+    val (root, ev) = freshTable()
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .orderBy("d").first().getString(0)
+    // an in-flight upsert's moved-but-uncommitted file looks exactly
+    // like this: real parquet, upsert-prefixed, in no manifest
+    val f = dataFiles(root).keys.head
+    val src = java.nio.file.Paths.get(f)
+    val orphan = src.getParent.resolve("upsert-inflight-0.parquet")
+    java.nio.file.Files.copy(src, orphan)
+    val before = DV.read(spark, root).count()
+
+    val (gone1, _) = DV.vacuum(spark, root, keepVersions = 1)
+    assert(gone1 == 0L, "grace window must shield young orphans")
+    assert(java.nio.file.Files.exists(orphan))
+
+    // age the orphan past the window -> reclaimable
+    orphan.toFile.setLastModified(
+      System.currentTimeMillis() - DV.DefaultVacuumGraceMs - 60000L)
+    val (gone2, _) = DV.vacuum(spark, root, keepVersions = 1)
+    assert(gone2 == 1L && !java.nio.file.Files.exists(orphan))
+    assert(DV.read(spark, root).count() == before)
+    val _ = day
+  }
+
+  test("upsert refuses a batch carrying two images of one key; " +
+      "latestBy resolves it to the newest image; a latestBy tie " +
+      "still fails loudly") {
+    val (root, ev) = freshTable()
+    val one = ev.orderBy("event_id").limit(1)
+    val doubled = one.withColumn("value", col("value") * 2)
+      .withColumn("seq", lit(1L))
+      .unionByName(one.withColumn("value", col("value") * 3)
+        .withColumn("seq", lit(2L)))
+
+    intercept[IllegalArgumentException] {
+      DV.upsert(spark, root, "day", "event_id", doubled.drop("seq"))
+    }
+
+    // latestBy picks seq=2 (value*3)
+    val key = one.select("event_id").first().getLong(0)
+    val (masked, files) = DV.upsert(spark, root, "day", "event_id",
+      doubled, latestBy = Some("seq"))
+    assert(masked == ev.filter(col("event_id") === key).count())
+    assert(files.nonEmpty)
+    val got = DV.read(spark, root).filter(col("event_id") === key)
+    assert(got.count() == 1)
+    assert(got.select((col("value") ===
+      one.select(col("value") * 3).first().getDouble(0)).as("ok"))
+      .first().getBoolean(0))
+
+    // tie on (key, latestBy): no deterministic winner exists
+    val tied = one.withColumn("value", col("value") * 5)
+      .withColumn("seq", lit(9L))
+      .unionByName(one.withColumn("value", col("value") * 7)
+        .withColumn("seq", lit(9L)))
+    intercept[IllegalArgumentException] {
+      DV.upsert(spark, root, "day", "event_id", tied,
+        latestBy = Some("seq"))
+    }
+  }
+
+  test("a delete racing a purge is never lost: the delete fences on " +
+      "the maintenance claim and re-marks its victims in the " +
+      "replacement files before returning") {
+    val (root, ev) = freshTable()
+    // make every file hot so the purge rewrites everything
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 3 === 0))
+
+    // racing delete, started while the purge holds the claim: its
+    // deltas land against files the purge is mid-replacing
+    val raceVictims = ev.select("user_id").distinct()
+      .filter(col("user_id") % 3 === 1)
+    @volatile var raceMarked = -1L
+    @volatile var raceErr: Throwable = null
+    val racer = new Thread(() => {
+      try raceMarked = DV.delete(spark, root, "user_id", raceVictims)
+      catch { case t: Throwable => raceErr = t }
+    })
+
+    val hot = DV.purge(spark, root, "day", 0.2, onBeforeCommit = () => {
+      // the purge has staged + moved; now the racing delete begins —
+      // its deltas reference files this purge is about to retire
+      racer.start()
+      // let the racer write its (doomed) deltas and reach the fence
+      Thread.sleep(1500)
+    })
+    assert(hot.nonEmpty)
+    racer.join(120000)
+    assert(raceErr == null, s"racing delete failed: $raceErr")
+    assert(raceMarked > 0L)
+
+    // the raced victims must be gone from the POST-purge table — the
+    // round-9 design left them resurrected in the replacement files
+    val got = DV.read(spark, root)
+    assert(got.filter(col("user_id") % 3 === 0).count() == 0)
+    assert(got.filter(col("user_id") % 3 === 1).count() == 0,
+      "raced delete lost: victims resurrected in replacement files")
+    assert(got.count() == ev.filter(col("user_id") % 3 === 2).count())
+  }
+
+  test("an upsert committing mid-purge makes the purge REBASE its " +
+      "manifest math instead of stomping the upsert's files") {
+    val (root, ev) = freshTable()
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 3 === 0))
+    val inserts = ev.filter(col("event_id") % 25 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("user_id", col("user_id") + lit(10000000L))
+
+    @volatile var upsertErr: Throwable = null
+    val hot = DV.purge(spark, root, "day", 0.2, onBeforeCommit = () => {
+      // the purge staged+moved; an upsert now commits FIRST — the
+      // purge's CAS must fail once and rebase onto the new manifest
+      try DV.upsert(spark, root, "day", "event_id", inserts)
+      catch { case t: Throwable => upsertErr = t }
+    })
+    assert(hot.nonEmpty)
+    assert(upsertErr == null, s"mid-purge upsert failed: $upsertErr")
+
+    val got = DV.read(spark, root)
+    val expect = ev.filter(col("user_id") % 3 =!= 0).unionByName(inserts)
+    assert(got.count() == expect.count(),
+      "purge rebase lost the concurrent upsert's files (or doubled rows)")
+    assert(got.agg(sum(col("value").cast("decimal(28,4)"))).head() ==
+      expect.agg(sum(col("value").cast("decimal(28,4)"))).head())
   }
 }

@@ -9,9 +9,11 @@ import graft.operators.{DeletionVectors => DV, Snapshots}
 import graft.streaming.DvCdc
 
 /** Streaming CDC apply onto the deletion-vector table: merge-on-read
-  * upserts per micro-batch behind deterministic manifest versions —
+  * upserts per micro-batch behind manifest-borne exactly-once —
   * steady state, checkpoint-restart redelivery, replayed-batch
-  * no-ops, and completion of a crashed mid-apply attempt.
+  * no-ops, completion of a crashed mid-apply attempt, and (round 10)
+  * a purge committing BETWEEN batches without turning later batches
+  * into false replays.
   */
 class DvCdcSpec extends SparkSpec {
 
@@ -73,10 +75,67 @@ class DvCdcSpec extends SparkSpec {
     assert(sums(DV.read(spark, root)) == sums(expect))
 
     // a re-delivered committed batch no-ops before touching anything
-    val (masked, files) = DV.upsertVersioned(spark, root, "day",
-      "event_id", upd1, Some(vAfter))
-    assert(masked == 0L && files.isEmpty)
+    assert(DV.lastCdcBatch(spark, root) == 1L)
+    assert(!DV.applyCdcBatch(spark, root, "day", "event_id", upd1, 1L))
+    assert(Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get == vAfter)
     assert(sums(DV.read(spark, root)) == sums(expect))
+  }
+
+  test("a purge (and vacuum) committing BETWEEN two stream batches " +
+      "does not turn later batches into false replays — the round-9 " +
+      "design required a full stream cutover here") {
+    val root = Files.createTempDirectory("graft_dvcdc_purge").toString
+    val drop = Files.createTempDirectory("graft_dvcdc_pdrop").toString
+    val ckpt = Files.createTempDirectory("graft_dvcdc_pckpt").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    DV.init(spark, ev, root, "day")
+    // scatter-delete a third of users so purge has hot files
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 3 === 0))
+    val kept = ev.filter(col("user_id") % 3 =!= 0)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true").format("parquet").load(drop)
+      val q = DvCdc.startCdcApply(stream, root, "day", "event_id",
+        ckpt, Trigger.AvailableNow())
+      try q.awaitTermination(120000) finally q.stop()
+    }
+
+    // batch 0: updates of surviving keys only (an image of a deleted
+    // key would re-insert it and muddy the expected math)
+    val upd0 = kept.filter(col("event_id") % 4 === 1)
+      .withColumn("value", col("value") * 2)
+    upd0.write.parquet(s"$drop/b0")
+    runOnce()
+    assert(DV.lastCdcBatch(spark, root) == 0L)
+
+    // maintenance lands BETWEEN batches — several manifest commits
+    val hot = DV.purge(spark, root, "day", 0.2)
+    assert(hot.nonEmpty, "expected hot files to purge")
+    DV.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+
+    // batch 1 must still apply (round 9: version arithmetic would
+    // have classified it as a replay — silent data loss)
+    val upd1 = kept.filter(col("event_id") % 4 === 2)
+      .withColumn("value", col("value") * 3)
+    upd1.write.parquet(s"$drop/b1")
+    runOnce()
+    assert(DV.lastCdcBatch(spark, root) == 1L,
+      "batch after purge was swallowed as a false replay")
+
+    val expect = kept.withColumn("value",
+      when(col("event_id") % 4 === 1, col("value") * 2)
+        .when(col("event_id") % 4 === 2, col("value") * 3)
+        .otherwise(col("value")))
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)), sum(col("value").cast("decimal(28,4)")))
+      .head().toSeq
+    assert(sums(DV.read(spark, root)) == sums(expect))
+    assert(DV.read(spark, root).groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
   }
 
   test("a crashed mid-apply attempt (tombstones landed, files moved, " +
@@ -111,10 +170,11 @@ class DvCdcSpec extends SparkSpec {
 
     // rerun the SAME logical batch: delete re-marks nothing, fresh
     // files append, the commit lands
-    val (masked, files) = DV.upsertVersioned(spark, root, "day",
-      "event_id", upd, Some(base + 1))
+    val (masked, files) = DV.upsert(spark, root, "day", "event_id", upd)
     assert(masked == 0L, "rerun re-marked already-masked rows")
     assert(files.nonEmpty)
+    assert(Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get > base)
     val got = DV.read(spark, root)
     assert(got.count() == ev.count())
     assert(got.groupBy("event_id").count()

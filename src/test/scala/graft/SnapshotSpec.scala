@@ -198,6 +198,34 @@ class SnapshotSpec extends SparkSpec {
       "claim not released after successful publishAt")
   }
 
+  test("publishCas: succeeds only on the expected base, detects a " +
+      "stale basis, and racing CAS writers on one base yield exactly " +
+      "one winner") {
+    val t = freshTable("cas")
+    assert(Snapshots.publishCas(spark, t, 0, df(3)))
+    assert(Snapshots.readVersion(spark, t, 1).count() == 3)
+    // stale basis: latest is 1, a writer that read 0 must NOT commit
+    assert(!Snapshots.publishCas(spark, t, 0, df(99)))
+    assert(Snapshots.latestVersion(spark, t).contains(1L))
+    // racing CAS writers on the same base: exactly one wins, the
+    // committed content is exactly the winner's
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        if (Snapshots.publishCas(spark, t, 1, df(10 + i)))
+          wins.incrementAndGet(): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(wins.get == 1, s"${wins.get} CAS winners on one base")
+    assert(Snapshots.latestVersion(spark, t).contains(2L))
+    val n = Snapshots.readVersion(spark, t, 2).count()
+    assert((11L to 14L).contains(n), s"corrupt CAS content: $n rows")
+    // loser rebases onto the new latest and succeeds
+    assert(Snapshots.publishCas(spark, t, 2, df(5)))
+    assert(Snapshots.readVersion(spark, t, 3).count() == 5)
+  }
+
   test("concurrent publishers: distinct versions, each readable and uncorrupted") {
     // the claims layer's raison d'être, exercised with REAL threads:
     // under the old shared-dir protocol two publishers racing to the
