@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftPlanApi, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.operators.DeletionVectors
+import graft.sources.DvRelation
+
+/** Optimizer rule swapping a [[graft.sources.DvRelation]] placeholder
+  * (what the catalog / `format("graft-dv")` resolves to) for the REAL
+  * masked plan — manifest-fed file index + codegen'd per-file
+  * tombstone mask — so queries through the catalog surface get the
+  * identical physical shape as the direct
+  * [[DeletionVectors.read]] path: parquet pushdown, manifest-side
+  * partition pruning, no row-RDD conversion. The [[MvRewriteRule]]
+  * discipline applied to storage: output `ExprId`s are preserved by
+  * re-aliasing the replacement's columns under the placeholder's ids,
+  * so parents resolve unchanged.
+  *
+  * The swap re-reads the manifest at optimization time — each query
+  * serves the table's then-current committed state (a DataFrame held
+  * across mutations re-plans per action, same freshness rule as the
+  * catalog's own file sources). `spark.graft.dvScan=false` disables
+  * the swap (the relation's PrunedScan fallback is correct, just
+  * conservative) — which is also how DvSourceSpec exercises both
+  * tiers in one session.
+  */
+case class DvScanRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = session.conf.get("spark.graft.dvScan", "true") == "true"
+    if (!enabled) plan
+    else plan.transform {
+      case l: LogicalRelation if l.relation.isInstanceOf[DvRelation] =>
+        val root = l.relation.asInstanceOf[DvRelation].root
+        val masked = DeletionVectors.read(session, root)
+        val newPlan = GraftPlanApi.analyzed(masked)
+        Project(l.output.zip(newPlan.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId)
+        }, newPlan)
+    }
+  }
+}

@@ -18,6 +18,7 @@ object GraftPlans {
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
+    ext.injectOptimizerRule(s => DvScanRule(s))
   }
 
   /** Idempotent per-session strategy + optimizer-rule registration. */
@@ -28,6 +29,20 @@ object GraftPlans {
     val opts = spark.experimental.extraOptimizations
     if (!opts.contains(PushFilterThroughAsofJoin))
       spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsofJoin
+  }
+
+  /** Idempotent per-session install of the DV-table placeholder swap
+    * ([[DvScanRule]]): catalog/`format("graft-dv")` reads get the
+    * manifest-fed masked plan instead of the row-RDD fallback.
+    */
+  def ensureDvScan(spark: SparkSession): Unit = {
+    val opts = spark.experimental.extraOptimizations
+    val present = opts.exists {
+      case DvScanRule(s) => s eq spark
+      case _ => false
+    }
+    if (!present)
+      spark.experimental.extraOptimizations = opts :+ DvScanRule(spark)
   }
 
   /** Opt-in, per-session install of the summary-table rewrite

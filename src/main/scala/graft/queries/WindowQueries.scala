@@ -22,9 +22,17 @@ object WindowQueries {
   /** Event-time tumbling window — batch form of the reference's
     * 5-minute schedule. Same `groupBy(window(...))` plan works under
     * `readStream` with a watermark.
+    *
+    * Round 10: re-pointed at the DV-BACKED catalog table
+    * ([[graft.sources.DvTables.events]], `format("graft-dv")`) against
+    * its unchanged oracle — the proof that ordinary queries read a
+    * mutable deletion-vector table transparently: the optimizer swaps
+    * the placeholder for the manifest-fed masked plan, and with zero
+    * tombstones that plan is a bare parquet scan of the committed
+    * files (no mask filter at all).
     */
   def tumbling(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    graft.sources.DvTables.events(spark, sfDir)
       .groupBy(window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n_events"),
         round(Enrich.exactSum(col("value")), 4).as("value_sum"))
