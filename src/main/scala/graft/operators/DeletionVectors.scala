@@ -570,6 +570,83 @@ object DeletionVectors {
     (masked, newFiles)
   }
 
+  // ---- skipping-index maintenance ---------------------------------------
+
+  def indexTable(root: String): String = s"$root/_keyidx"
+
+  /** Incrementally refresh the table's file-skipping index
+    * ([[SkippingIndex]] sidecar, [[Snapshots]]-versioned under the
+    * table root) to the CURRENT manifest: stats rows of still-live
+    * files are carried over verbatim; stats are computed ONLY for
+    * files the index has never seen (the scan is pruned to them by a
+    * `_metadata.file_path` filter — file-level pruning, no data read
+    * for indexed files). This is how index maintenance rides the
+    * manifest at 100 TB — an upsert/purge that touches 0.1% of files
+    * costs 0.1% of an index build, not a rebuild (the
+    * `AnnIndex.maintain` discipline applied to the skipping sidecar).
+    *
+    * @return (published index version, carried rows, freshly indexed)
+    */
+  def refreshIndex(spark: SparkSession, root: String, keyCol: String,
+      mBits: Int = 1 << 18): (Long, Long, Long) = {
+    val it = indexTable(root)
+    val live = manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val prev = Snapshots.latestVersion(spark, it)
+      .map(v => Snapshots.readVersion(spark, it, v))
+    val prevFiles = prev.map(_.select("file").collect()
+      .map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val newFiles = live.filterNot(prevFiles)
+    val kept = prev.map(_.filter(col("file").isin(live: _*)))
+    val added =
+      if (newFiles.isEmpty) None
+      else Some(SkippingIndex.statsOf(spark,
+        rawScan(spark, root)
+          .filter(col("_metadata.file_path").isin(newFiles: _*)),
+        keyCol, mBits))
+    val next = (kept, added) match {
+      case (Some(k), Some(a)) => k.unionByName(a)
+      case (Some(k), None) => k
+      case (None, Some(a)) => a
+      case (None, None) =>
+        import spark.implicits._
+        Seq.empty[(String, Long, Long, Long, Array[Byte])]
+          .toDF("file", "min_key", "max_key", "n_rows", "bloom")
+    }
+    val next2 = next.localCheckpoint() // count + publish, one derivation
+    val keptN = next2.filter(col("file").isin(
+      prevFiles.intersect(live.toSet).toSeq: _*)).count()
+    val v = Snapshots.publish(spark, it, next2)
+    (v, keptN, newFiles.size.toLong)
+  }
+
+  /** Staleness-SAFE index probe: candidate files for `keys` =
+    * (indexed ∧ range/bloom hit ∧ live) ∪ (live ∖ indexed). Files
+    * added since the last [[refreshIndex]] are ALWAYS candidates (the
+    * index cannot exclude what it never saw), dead files never are —
+    * so a lookup between a mutation and its refresh is correct, just
+    * less selective, and the refresh restores selectivity. Returns
+    * (candidates, live file count).
+    */
+  def indexLookup(spark: SparkSession, root: String,
+      keys: Seq[Long]): (Seq[String], Long) = {
+    val it = indexTable(root)
+    val live = manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSeq
+    Snapshots.latestVersion(spark, it) match {
+      case None => (live.sorted, live.size.toLong) // unindexed: scan all
+      case Some(v) =>
+        val (hits, _) = SkippingIndex.candidates(
+          spark, s"$it/v=$v", keys)
+        val indexed = Snapshots.readVersion(spark, it, v)
+          .select("file").collect().map(_.getString(0)).toSet
+        val liveSet = live.toSet
+        val cands = (hits.filter(liveSet) ++ live.filterNot(indexed))
+          .distinct.sorted
+        (cands, live.size.toLong)
+    }
+  }
+
   // ---- vacuum -----------------------------------------------------------
 
   /** Grace window shielding a concurrent writer's moved-but-not-yet-

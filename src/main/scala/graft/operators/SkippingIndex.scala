@@ -67,20 +67,29 @@ object SkippingIndex {
       keyCol: String, mBits: Int = 1 << 18): Unit =
     buildStats(spark, spark.read.parquet(dataPath), indexPath, keyCol, mBits)
 
-  /** [[build]] over an explicit scan — the form a
-    * [[DeletionVectors]] table uses to index only its LIVE manifest
-    * files (`spark.read.option("basePath", ...).parquet(files: _*)`).
+  /** Per-file stats rows (file, min_key, max_key, n_rows, bloom) of a
+    * scan, as a DataFrame — the shared aggregation behind [[build]]/
+    * [[buildStats]] and [[DeletionVectors.refreshIndex]]'s incremental
+    * maintenance (which computes stats for NEW files only).
     */
-  def buildStats(spark: SparkSession, scan: DataFrame, indexPath: String,
-      keyCol: String, mBits: Int = 1 << 18): Unit = {
+  def statsOf(spark: SparkSession, scan: DataFrame, keyCol: String,
+      mBits: Int = 1 << 18): DataFrame = {
     val bloomAgg = udaf(new BloomBuildAgg(mBits), Encoders.scalaLong)
     scan
       .select(col("_metadata.file_path").as("file"), col(keyCol).as("k"))
       .groupBy("file")
       .agg(min(col("k")).as("min_key"), max(col("k")).as("max_key"),
         count(lit(1)).as("n_rows"), bloomAgg(col("k")).as("bloom"))
-      .write.mode("overwrite").parquet(indexPath)
   }
+
+  /** [[build]] over an explicit scan — the form a
+    * [[DeletionVectors]] table uses to index only its LIVE manifest
+    * files ([[DeletionVectors.rawScan]]).
+    */
+  def buildStats(spark: SparkSession, scan: DataFrame, indexPath: String,
+      keyCol: String, mBits: Int = 1 << 18): Unit =
+    statsOf(spark, scan, keyCol, mBits)
+      .write.mode("overwrite").parquet(indexPath)
 
   /** Candidate live files for `keys` from a sidecar at `indexPath` —
     * the probe half of [[lookup]], exposed for reads that need their

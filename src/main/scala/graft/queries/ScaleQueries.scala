@@ -1102,27 +1102,28 @@ object ScaleQueries {
     * files → mask, every stage O(lookup), no full scan anywhere.
     */
   def dvIndexLookup(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.{DeletionVectors => DV, SkippingIndex, TextOps}
+    import graft.operators.{DeletionVectors => DV, TextOps}
     val ev = Tables.events(spark, sfDir)
-    // mutation + index build memoized with the table (the serving
+    // mutation + index refresh memoized with the table (the serving
     // split: timed reps measure probe → candidate files → masked
-    // read, the lookup's actual cost shape)
+    // read, the lookup's actual cost shape). The index is the
+    // VERSIONED, incrementally maintained sidecar (DV.refreshIndex) —
+    // the one that rides manifest publishes at scale — not a one-shot
+    // build.
     val root = dvTable(spark, sfDir, "ipl") { r =>
       val victims = ev.select(col("user_id")).distinct()
         .filter(TextOps.h60(
           concat(lit("dvipl_"), col("user_id").cast("string"))) % 4 === 0)
       DV.delete(spark, r, "user_id", victims)
-      SkippingIndex.buildStats(spark, DV.rawScan(spark, r),
-        s"$r/_keyidx", "event_id")
+      DV.refreshIndex(spark, r, "event_id"): Unit
     }
-    val idxPath = s"$root/_keyidx"
 
     val keys = ev.select(col("event_id")).distinct()
       .filter(TextOps.h60(
         concat(lit("dviplk_"), col("event_id").cast("string"))) % 17 === 0)
       .orderBy(col("event_id")).limit(8)
       .collect().map(_.getLong(0)).toSeq
-    val (cands, total) = SkippingIndex.candidates(spark, idxPath, keys)
+    val (cands, total) = DV.indexLookup(spark, root, keys)
     require(cands.length < total,
       s"sidecar skipped nothing (${cands.length}/$total files)")
     val hits = if (cands.isEmpty)

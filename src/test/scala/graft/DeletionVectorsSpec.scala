@@ -302,6 +302,80 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(pruned.flatMap(_.files.map(_.getPath.toString)).toSet == dayFiles)
   }
 
+  test("skipping-index maintenance rides the manifest: a STALE lookup " +
+      "after purge+upsert neither reads dead files nor misses moved/" +
+      "new rows, and refresh re-indexes ONLY the files the index " +
+      "never saw") {
+    val (root, ev) = freshTable()
+    val (_, _, built) = DV.refreshIndex(spark, root, "event_id")
+    assert(built > 0)
+    val prevIndexed = Snapshots.readLatest(spark, DV.indexTable(root))
+      .select("file", "bloom").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+
+    // clustered delete -> one day's files go hot (keyed by event_id,
+    // which is day-local — a user_id victim set would mark rows on
+    // EVERY day and make all files hot); purge replaces just those;
+    // an upsert appends fresh files
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .groupBy("d").count().orderBy(desc("count"), asc("d"))
+      .first().getString(0)
+    DV.delete(spark, root, "event_id",
+      ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+        .filter(col("event_id") % 2 === 0)
+        .select("event_id").distinct())
+    val hot = DV.purge(spark, root, "day", 0.3)
+    assert(hot.nonEmpty)
+    val inserts = ev.filter(col("event_id") % 25 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+    DV.upsert(spark, root, "day", "event_id", inserts)
+    val liveNow = DV.manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSet
+
+    // STALE lookup (no refresh yet): a surviving needle from the
+    // purged day now lives in a REPLACEMENT file the index never saw
+    val moved = ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+      .filter(col("event_id") % 2 =!= 0)
+      .select("event_id").orderBy("event_id").first().getLong(0)
+    assert(moved % 2 != 0)
+    val (cMoved, totalLive) = DV.indexLookup(spark, root, Seq(moved))
+    assert(cMoved.forall(liveNow.contains), "stale lookup read dead files")
+    assert(DV.readFiles(spark, root, cMoved)
+      .filter(col("event_id") === moved).count() ==
+      ev.filter(col("event_id") === moved).count(),
+      "stale lookup missed a row moved by the purge")
+    // an INSERTED key (file added after the index build) is found too
+    val insKey = inserts.select("event_id").orderBy("event_id")
+      .first().getLong(0)
+    val (cIns, _) = DV.indexLookup(spark, root, Seq(insKey))
+    assert(DV.readFiles(spark, root, cIns)
+      .filter(col("event_id") === insKey).count() == 1,
+      "stale lookup missed a freshly inserted row")
+
+    // refresh: carried rows byte-identical, only new files computed
+    val (_, kept, added) = DV.refreshIndex(spark, root, "event_id")
+    val expectedKept = prevIndexed.keySet.intersect(liveNow)
+    val expectedNew = liveNow -- prevIndexed.keySet
+    assert(kept == expectedKept.size.toLong)
+    assert(added == expectedNew.size.toLong)
+    assert(added < totalLive, "refresh rebuilt instead of incrementing")
+    val after = Snapshots.readLatest(spark, DV.indexTable(root))
+      .select("file", "bloom").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(after.keySet == liveNow, "refreshed index must cover the live set")
+    expectedKept.foreach { f =>
+      assert(java.util.Arrays.equals(after(f), prevIndexed(f)),
+        s"carried index row for untouched file $f was recomputed differently")
+    }
+
+    // post-refresh: selective again and still correct
+    val (c2, t2) = DV.indexLookup(spark, root, Seq(moved))
+    assert(c2.length < t2, "refreshed index skipped nothing")
+    assert(DV.readFiles(spark, root, c2)
+      .filter(col("event_id") === moved).count() ==
+      ev.filter(col("event_id") === moved).count())
+  }
+
   test("vacuum deletes dead data files and dead per-file tombstone " +
       "dirs; the live table is untouched") {
     val (root, ev) = freshTable()
