@@ -267,8 +267,95 @@ object FuzzQueries {
         "l_quantity, l_extendedprice, wval NULLS FIRST")
   }
 
+  // ---- set-op grid: operator × null handling × dup profile --------
+  //
+  // The fourth fuzz axis — the one relational family the other grids
+  // don't sweep, and a classic cross-engine divergence surface:
+  // UNION/INTERSECT/EXCEPT in DISTINCT vs ALL form (bag vs set
+  // semantics: EXCEPT ALL's multiset subtraction and INTERSECT ALL's
+  // min-multiplicity are the usual suspects), NULL equality inside
+  // set ops (the standard says set ops treat NULLs as equal — unlike
+  // predicates), and null ORDERING (each case ranks its result rows
+  // with an explicit NULLS FIRST/LAST window, one spelling fed to
+  // both engines). Legs are built from the SAME SQL fragments via
+  // selectExpr, so there is exactly one spelling of every predicate
+  // and projection. Results are emitted as (row, multiplicity) groups
+  // — order-free, multiset-exact, compact.
+
+  /** (pair id, (predicate, b-projection) per leg). b injects NULLs on
+    * different conditions per side; lp1 is near-disjoint (empty
+    * INTERSECT / one-sided EXCEPT edges); lp2 is maximally duplicated
+    * (3-value b), stressing the ALL forms' multiplicity math.
+    */
+  private val setLegPairs: Seq[(String, (String, String), (String, String))] = Seq(
+    ("lp0",
+      ("l_quantity < 30",
+        "CASE WHEN l_linenumber = 3 THEN NULL ELSE l_linenumber END"),
+      ("l_quantity > 20",
+        "CASE WHEN l_linenumber = 5 THEN NULL ELSE l_linenumber END")),
+    ("lp1",
+      ("l_quantity < 10", "l_linenumber"),
+      ("l_quantity >= 45",
+        "CASE WHEN l_returnflag = 'R' THEN NULL ELSE l_linenumber END")),
+    ("lp2",
+      ("l_tax > l_discount", "l_suppkey % 3"),
+      ("l_orderkey % 2 = 0",
+        "CASE WHEN l_suppkey % 7 = 0 THEN NULL ELSE l_suppkey % 3 END")))
+
+  private val setOps: Seq[(String, String,
+      (DataFrame, DataFrame) => DataFrame)] = Seq(
+    ("union", "UNION", (a, b) => a.union(b).distinct()),
+    ("unionall", "UNION ALL", (a, b) => a.union(b)),
+    ("intersect", "INTERSECT", (a, b) => a.intersect(b)),
+    ("intersectall", "INTERSECT ALL", (a, b) => a.intersectAll(b)),
+    ("except", "EXCEPT", (a, b) => a.except(b)),
+    ("exceptall", "EXCEPT ALL", (a, b) => a.exceptAll(b)))
+
+  private val nullRules = Seq(("nf", "NULLS FIRST"), ("nl", "NULLS LAST"))
+
+  private def rnSql(nrule: String): String =
+    s"CAST(row_number() OVER (ORDER BY b $nrule, a) AS BIGINT)"
+
+  def fuzzSetopGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def leg(pred: String, bExpr: String) = li.where(pred)
+      .selectExpr("l_returnflag AS a", s"CAST($bExpr AS BIGINT) AS b")
+    val legs = for {
+      (lp, (pa, ba), (pb, bb)) <- setLegPairs
+      (opId, _, opFn) <- setOps
+      (nid, nrule) <- nullRules
+    } yield opFn(leg(pa, ba), leg(pb, bb))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("rn", expr(rnSql(nrule)))
+      .select(lit(s"$opId-$lp-$nid").as("case_id"),
+        col("a"), col("b"), col("n"), col("rn"))
+    legs.reduce(_ unionByName _)
+      .orderBy(col("case_id"), col("a"), col("b").asc_nulls_first)
+  }
+
+  private val fuzzSetopOracle: String = {
+    val legs = for {
+      (lp, (pa, ba), (pb, bb)) <- setLegPairs
+      (opId, opSql, _) <- setOps
+      (nid, nrule) <- nullRules
+    } yield
+      s"""SELECT '$opId-$lp-$nid' AS case_id, a, b, n, ${rnSql(nrule)} AS rn
+         |FROM (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT l_returnflag AS a, CAST($ba AS BIGINT) AS b
+         |    FROM lineitem WHERE $pa
+         |    $opSql
+         |    SELECT l_returnflag AS a, CAST($bb AS BIGINT) AS b
+         |    FROM lineitem WHERE $pb
+         |  ) GROUP BY a, b)""".stripMargin
+    legs.mkString("", "\nUNION ALL\n",
+      "\nORDER BY case_id, a, b NULLS FIRST")
+  }
+
   def queries: Seq[Q] = Seq(
     Q("fuzz_relational_grid", Some(fuzzOracle), fuzzRelationalGrid),
     Q("fuzz_join_grid", Some(fuzzJoinOracle), fuzzJoinGrid),
-    Q("fuzz_window_grid", Some(fuzzWindowOracle), fuzzWindowGrid))
+    Q("fuzz_window_grid", Some(fuzzWindowOracle), fuzzWindowGrid),
+    Q("fuzz_setop_grid", Some(fuzzSetopOracle), fuzzSetopGrid))
 }
