@@ -113,6 +113,10 @@ object LakeProbe {
       // DV path
       val dPath = s"$tmp/graft_lakeprobe_dv_$tag"
       DV.init(spark, withDay, dPath, "day")
+      // untimed warmup (probe C's rule): first scan over the
+      // just-written files pays footer reads + codegen compilation
+      // that neither deletion mechanism owns
+      DV.read(spark, dPath).count(): Unit
       val t1 = System.nanoTime()
       val marked = DV.delete(spark, dPath, "user_id", victims)
       val tDv = (System.nanoTime() - t1) / 1e9
@@ -163,6 +167,67 @@ object LakeProbe {
 
     probeIdx("1x", Tables.lineitem(spark, sfDir), 32)
     probeIdx(s"${scale}x", spark.read.parquet(liScaled), 32 * scale)
+
+    // ---- probe C: masked-read cost is per-PROBED-file, ------------
+    // not per-sidecar (the round-10 read-path claim)
+    //
+    // The round-9 reader broadcast the WHOLE tombstone sidecar into an
+    // anti-join on every masked read — read cost tracked TOTAL
+    // tombstone volume. The round-10 reader resolves tombstones
+    // per file inside the scan tasks, so a partition-pruned read pays
+    // only for the tombstones of the files it actually opens. The
+    // probe: fix one day's masked read, then grow the OTHER days'
+    // tombstones ~50x — the probed day's resolvable tombstones are
+    // byte-identical (deterministic metric) and the read's wall clock
+    // must stay flat instead of tracking the sidecar.
+    {
+      val dPath = s"$tmp/graft_lakeprobe_dvread"
+      val withDay = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      DV.init(spark, withDay, dPath, "day")
+      val day = withDay.groupBy("day").count()
+        .orderBy(desc("count"), asc("day")).first().getString(0)
+      def liveFiles() = DV.manifest(spark, dPath).select("file")
+        .collect().map(_.getString(0)).toSeq
+      def tombs(files: Seq[String]) =
+        files.map(f => graft.operators.DvBlobs.tombstoneCount(dPath, f)).sum
+      def probedFiles() = liveFiles().filter(_.contains(s"day=$day"))
+      def timeProbe(): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val n = DV.read(spark, dPath).filter(col("day") === day)
+            .agg(count(lit(1)), sum(col("value"))).head().getLong(0)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (runs.map(_._1).min, runs.head._2)
+      }
+
+      // phase 1: scattered 1%-of-users delete (probe day included)
+      DV.delete(spark, dPath, "user_id",
+        withDay.select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("probe_"),
+            col("user_id").cast("string"))) % 100 === 0))
+      timeProbe() // codegen/footer warmup outside the timed window
+      val (tSmall, rowsSmall) = timeProbe()
+      val (probedSmall, totalSmall) = (tombs(probedFiles()), tombs(liveFiles()))
+
+      // phase 2: tombstone HALF of every OTHER day's rows (event_id
+      // is day-local, so the probed day's blob dirs are untouched)
+      DV.delete(spark, dPath, "event_id",
+        withDay.filter(col("day") =!= day)
+          .filter(col("event_id") % 2 === 0).select(col("event_id")))
+      val (tBig, rowsBig) = timeProbe()
+      val (probedBig, totalBig) = (tombs(probedFiles()), tombs(liveFiles()))
+
+      require(rowsBig == rowsSmall,
+        s"probe-day rows changed: $rowsSmall -> $rowsBig")
+      require(probedBig == probedSmall,
+        s"probe-day tombstones changed: $probedSmall -> $probedBig")
+      println(f"[lakeprobe] dvread: sidecar grew $totalSmall -> $totalBig " +
+        f"tombstones (${totalBig.toDouble / totalSmall}%.1fx); probed-day " +
+        f"tombstones flat at $probedSmall; masked day-read " +
+        f"$tSmall%.2fs -> $tBig%.2fs (${tBig / tSmall}%.2fx wall)")
+    }
 
     spark.stop()
   }

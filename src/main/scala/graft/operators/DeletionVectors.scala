@@ -309,13 +309,22 @@ object DeletionVectors {
     */
   def delete(spark: SparkSession, root: String, keyCol: String,
       victims: DataFrame, maintWaitMs: Long = 15L * 60 * 1000): Long = {
+    val dbg = sys.env.contains("GRAFT_DV_DEBUG_TIMING")
+    var tMark = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"[dv-delete] $tag: ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
     val vic = victims.select(col(keyCol)).distinct().localCheckpoint()
+    lap("vic checkpoint")
     var firstPass = -1L
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 10, "delete/purge conflict retries exhausted")
       val entries = liveEntries(spark, root)
+      lap("liveEntries")
       if (entries.isEmpty) return math.max(firstPass, 0L)
       val marked = scanWithPos(spark, root, entries)
         .join(broadcast(vic), Seq(keyCol), "left_semi")
@@ -323,8 +332,16 @@ object DeletionVectors {
       val nAcc = spark.sparkContext.longAccumulator("dv_marked")
       val touchedAcc =
         spark.sparkContext.collectionAccumulator[String]("dv_touched")
+      // explicit partition count: AQE would coalesce this KB-sized
+      // shuffle to ONE partition, serializing the per-file blob
+      // writes behind a single task (measured 10s -> 1s at 1020
+      // files); blob IO parallelism must track file count, not
+      // shuffle bytes
+      val writeTasks = math.max(1, math.min(entries.size,
+        spark.sparkContext.defaultParallelism))
       marked.groupBy(col("__file"))
         .agg(collect_list(col("__pos")).as("poss"))
+        .repartition(writeTasks, col("__file"))
         .foreachPartition {
           (it: Iterator[org.apache.spark.sql.Row]) =>
             it.foreach { r =>
@@ -335,6 +352,7 @@ object DeletionVectors {
               touchedAcc.add(file)
             }
         }
+      lap("mark+write job")
       if (firstPass < 0) firstPass = nAcc.value
       // nothing marked ⇒ nothing a racing rewrite could lose: no
       // fence needed (this also lets an insert-only upsert proceed
@@ -343,9 +361,11 @@ object DeletionVectors {
       // fence: wait out maintenance, then confirm nothing we marked
       // was concurrently replaced
       waitNoMaintenance(spark, root, maintWaitMs)
+      lap("fence wait")
       val liveNow = manifest(spark, root).select("file")
         .collect().map(_.getString(0)).toSet
       val touched = touchedAcc.value.asScala.toSet
+      lap("fence manifest recheck")
       if (touched.forall(liveNow.contains)) return firstPass
       // else: loop — the masked re-scan marks only the rows whose
       // tombstones went inert with their replaced files
@@ -589,6 +609,7 @@ object DeletionVectors {
     */
   def refreshIndex(spark: SparkSession, root: String, keyCol: String,
       mBits: Int = 1 << 18): (Long, Long, Long) = {
+    import spark.implicits._
     val it = indexTable(root)
     val live = manifest(spark, root).select("file")
       .collect().map(_.getString(0)).toSeq
@@ -597,9 +618,17 @@ object DeletionVectors {
     val prevFiles = prev.map(_.select("file").collect()
       .map(_.getString(0)).toSet).getOrElse(Set.empty)
     val newFiles = live.filterNot(prevFiles)
-    val kept = prev.map(_.filter(col("file").isin(live: _*)))
+    // semi-join, not isin: at millions of files an IN-list is a
+    // multi-megabyte plan literal; a broadcast semi-join against the
+    // (metadata-sized) live list is the shape that survives 100x
+    val liveDf = spark.createDataset(live).toDF("file")
+    val kept = prev.map(_.join(broadcast(liveDf), Seq("file"), "left_semi"))
     val added =
       if (newFiles.isEmpty) None
+      else if (prevFiles.isEmpty)
+        // first build: index the whole live scan, no filter needed
+        Some(SkippingIndex.statsOf(spark, rawScan(spark, root),
+          keyCol, mBits))
       else Some(SkippingIndex.statsOf(spark,
         rawScan(spark, root)
           .filter(col("_metadata.file_path").isin(newFiles: _*)),
@@ -614,8 +643,10 @@ object DeletionVectors {
           .toDF("file", "min_key", "max_key", "n_rows", "bloom")
     }
     val next2 = next.localCheckpoint() // count + publish, one derivation
-    val keptN = next2.filter(col("file").isin(
-      prevFiles.intersect(live.toSet).toSeq: _*)).count()
+    val prevLive = spark.createDataset(
+      prevFiles.intersect(live.toSet).toSeq).toDF("file")
+    val keptN = next2.join(broadcast(prevLive), Seq("file"), "left_semi")
+      .count()
     val v = Snapshots.publish(spark, it, next2)
     (v, keptN, newFiles.size.toLong)
   }

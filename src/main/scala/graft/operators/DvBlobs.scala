@@ -54,7 +54,15 @@ object DvBlobs {
 
   private lazy val hconf = new Configuration()
 
-  private def fs(p: Path): FileSystem = p.getFileSystem(hconf)
+  private def fs(p: Path): FileSystem = {
+    val f = p.getFileSystem(hconf)
+    // blobs are tiny and carry their own magic + self-describing
+    // layout; the local ChecksumFileSystem's .crc twin would DOUBLE
+    // the per-blob file creations (real stores — HDFS, S3 — checksum
+    // natively and ignore this flag)
+    f.setWriteChecksum(false)
+    f
+  }
 
   def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
