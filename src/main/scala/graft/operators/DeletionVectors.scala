@@ -182,12 +182,20 @@ object DeletionVectors {
 
   private def entriesOf(spark: SparkSession,
       files: Seq[String]): Seq[GraftDvApi.LiveFile] = {
-    // explicit file lists (index candidates, historical sets) may
-    // reference files absent from the latest manifest — stat them
+    // explicit file lists (index candidates, historical sets, freshly
+    // moved files) may reference files absent from the latest
+    // manifest — stat them. The stat both validates existence and
+    // NORMALIZES the entry into manifest space (qualified +
+    // URL-encoded via urlOf), so a raw unqualified path from
+    // moveStaged round-trips to the same string _metadata will emit
+    // for it — the manifest must hold ONE spelling per file.
     files.map { p =>
-      val st = hfs(spark, p).getFileStatus(new Path(p))
-      GraftDvApi.LiveFile(p, st.getLen,
-        GraftDvApi.parsePartition(p).map(_._2))
+      val hp = GraftDvApi.pathOf(p)
+      val f = hfs(spark, p)
+      val st = f.getFileStatus(hp)
+      val canon = GraftDvApi.urlOf(f.makeQualified(st.getPath))
+      GraftDvApi.LiveFile(canon, st.getLen,
+        GraftDvApi.parsePartition(canon).map(_._2))
     }
   }
 
@@ -199,7 +207,13 @@ object DeletionVectors {
       GraftDvApi.parsePartition(e.path).map(_._1)).distinct
     require(partCols.size <= 1,
       s"mixed partition columns under ${dataDir(root)}: $partCols")
-    val dataSchema = spark.read.parquet(entries.head.path).schema
+    // schema straight from one entry's parquet FOOTER — string-path
+    // DataSource resolution re-encodes escaped partition segments
+    // (part=a%3Ab -> a%253Ab, PATH_NOT_FOUND), and a directory probe
+    // can see stale pre-vacuum siblings or an emptied dir
+    val head = GraftDvApi.pathOf(entries.head.path)
+    val dataSchema = GraftDvApi.fileSchema(spark,
+      hfs(spark, entries.head.path).getFileStatus(head))
     GraftDvApi.relation(spark, dataDir(root), partCols.headOption,
       entries, dataSchema)
   }
@@ -438,8 +452,10 @@ object DeletionVectors {
           val movedStats =
             if (moved.isEmpty) spark.range(0).select(
               lit("").as("file"), lit(0L).as("rows"), lit(0L).as("bytes"))
-            else perFileStats(spark.read
-              .option("basePath", dataDir(root)).parquet(moved: _*))
+            // manifest-fed relation, not parquet(strings): explicit
+            // path strings re-encode escaped partition segments
+            else perFileStats(
+              relationOver(spark, root, entriesOf(spark, moved)))
           onBeforeCommit()
           // CAS loop: a CDC upsert committing mid-purge only ADDS
           // files — rebase the (live − hot) ∪ replacements math onto
@@ -450,7 +466,13 @@ object DeletionVectors {
               spark, manifestTable(root)).get
             val latest = Snapshots.readVersion(
               spark, manifestTable(root), base)
-            val next = latest.filter(!col("file").isin(hot: _*))
+            // anti-join, not isin: hot can approach the full file
+            // count after a broad delete — an IN-list would be a
+            // manifest-sized plan literal (the refreshIndex rule)
+            val hotDf = spark.createDataset(hot)(
+              org.apache.spark.sql.Encoders.STRING).toDF("file")
+            val next = latest.join(broadcast(hotDf), Seq("file"),
+                "left_anti")
               .unionByName(movedStats.withColumn("cdc_batch",
                 lit(lastCdcBatch(spark, root))))
             committed = Snapshots.publishCas(
@@ -464,7 +486,10 @@ object DeletionVectors {
   }
 
   /** Move staged partition dirs into the live data dirs under fresh
-    * names (invisible until a manifest references them).
+    * names (invisible until a manifest references them). Returned
+    * strings are MANIFEST-SPACE (qualified + URL-encoded, see
+    * [[GraftDvApi.LiveFile]]'s path-spaces note) — never raw
+    * `Path.toString`, which diverges on escaped partition dirs.
     */
   private def moveStaged(spark: SparkSession, root: String,
       partCol: String, stage: String, prefix: String): Seq[String] = {
@@ -482,7 +507,7 @@ object DeletionVectors {
           .zipWithIndex.foreach { case (s, i) =>
             val dest = new Path(destDir, s"$prefix-$tag-$i.parquet")
             require(f.rename(s.getPath, dest), s"rename to $dest failed")
-            moved += dest.toString
+            moved += GraftDvApi.urlOf(f.makeQualified(dest))
           }
       }
     f.delete(new Path(stage), true)
@@ -562,20 +587,31 @@ object DeletionVectors {
         "or dedupe upstream (one image per key per batch)")
 
     val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
+    val newFiles = appendCommitted(spark, root, partCol, staged,
+      cdcBatch, "upsert")
+    (masked, newFiles)
+  }
 
-    // append the new images invisibly (the purge move discipline),
-    // then flip the manifest via CAS
+  /** Stage `rows` into the partition dirs invisibly (the purge move
+    * discipline), then flip the manifest via CAS — the write half
+    * every mutating path shares. Returns the committed new files.
+    */
+  private def appendCommitted(spark: SparkSession, root: String,
+      partCol: String, rows: DataFrame, cdcBatch: Option[Long],
+      prefix: String): Seq[String] = {
     val f = hfs(spark, root)
-    val stage = s"$root/_upsert_stage"
+    val stage = s"$root/_${prefix}_stage"
     f.delete(new Path(stage), true)
-    staged.write.mode("overwrite").partitionBy(partCol).parquet(stage)
-    val newFiles = moveStaged(spark, root, partCol, stage, "upsert")
+    rows.write.mode("overwrite").partitionBy(partCol).parquet(stage)
+    val newFiles = moveStaged(spark, root, partCol, stage, prefix)
     val movedStats =
       if (newFiles.isEmpty) {
         import spark.implicits._
         Seq.empty[(String, Long, Long)].toDF("file", "rows", "bytes")
-      } else perFileStats(spark.read
-        .option("basePath", dataDir(root)).parquet(newFiles: _*))
+      } else perFileStats(
+        // manifest-fed relation, not parquet(strings): explicit path
+        // strings re-encode escaped partition segments
+        relationOver(spark, root, entriesOf(spark, newFiles)))
 
     var committed = false
     while (!committed) {
@@ -587,8 +623,32 @@ object DeletionVectors {
         .withColumn("cdc_batch", greatest(col("cdc_batch"), lit(cdc)))
       committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
     }
-    (masked, newFiles)
+    newFiles
   }
+
+  /** Key-free APPEND: new rows land as fresh files behind one CAS
+    * manifest flip — no tombstones, no key contract (the
+    * `df.write.format("graft-dv").mode("append")` face; keyed change
+    * application is [[upsert]]). Returns the committed new files.
+    */
+  def append(spark: SparkSession, root: String, partCol: String,
+      rows: DataFrame): Seq[String] =
+    appendCommitted(spark, root, partCol, rows.localCheckpoint(),
+      None, "append")
+
+  /** Is there a committed manifest at `root`? (The writer-mode
+    * existence check — a data dir without a committed manifest is NOT
+    * a table.)
+    */
+  def exists(spark: SparkSession, root: String): Boolean =
+    Snapshots.latestVersion(spark, manifestTable(root)).isDefined
+
+  /** The table's partition column, recovered from the committed live
+    * set's hive paths (None for an empty or unpartitioned table).
+    */
+  def partitionColOf(spark: SparkSession, root: String): Option[String] =
+    manifest(spark, root).select("file").limit(1).collect().headOption
+      .flatMap(r => GraftDvApi.parsePartition(r.getString(0)).map(_._1))
 
   // ---- skipping-index maintenance ---------------------------------------
 
@@ -629,10 +689,14 @@ object DeletionVectors {
         // first build: index the whole live scan, no filter needed
         Some(SkippingIndex.statsOf(spark, rawScan(spark, root),
           keyCol, mBits))
-      else Some(SkippingIndex.statsOf(spark,
-        rawScan(spark, root)
-          .filter(col("_metadata.file_path").isin(newFiles: _*)),
-        keyCol, mBits))
+      else
+        // prune at the FileIndex, not with a filter: a scan built
+        // over ONLY the new files plans zero tasks for the old ones
+        // (an isin over _metadata would still enumerate every file
+        // into the plan and open every old footer)
+        Some(SkippingIndex.statsOf(spark,
+          relationOver(spark, root, entriesOf(spark, newFiles)),
+          keyCol, mBits))
     val next = (kept, added) match {
       case (Some(k), Some(a)) => k.unionByName(a)
       case (Some(k), None) => k
@@ -719,7 +783,11 @@ object DeletionVectors {
           f.listStatus(dir.getPath)
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .foreach { s =>
-              if (!referenced.contains(s.getPath.toString)
+              // compare in manifest space (urlOf): listed paths are
+              // raw, manifest strings are URL-encoded — a naive
+              // toString mismatch here would reclaim LIVE files in
+              // escaped partitions
+              if (!referenced.contains(GraftDvApi.urlOf(s.getPath))
                   && now - s.getModificationTime >= minAgeMs) {
                 f.delete(s.getPath, false): Unit
                 dataDeleted += 1
@@ -747,6 +815,42 @@ object DeletionVectors {
         }
       }
       (dataDeleted, dvDeleted)
+    } finally releaseMaintenance(spark, root)
+  }
+
+  /** Merge each data file's accumulated delta blobs into one
+    * ([[DvBlobs.compactDir]]), DISTRIBUTEDLY — one task per blob dir,
+    * so the work scales with files-carrying-deletes, never table
+    * size. Bounds the per-read listing+merge tax between purges: a
+    * file receiving K delete batches (each its own immutable blob —
+    * the no-coordination write path) serves its mask from K blobs
+    * until either purge rewrites it or this folds them to one.
+    *
+    * Holds the maintenance claim — not for safety (compaction
+    * preserves the position set at every instant; racing deletes
+    * append NEW blobs the point-in-time input listing never touches)
+    * but to avoid forcing a concurrent purge's delta-signature
+    * re-validation into pointless restaging.
+    *
+    * @return (dirs compacted, input blobs removed)
+    */
+  def compactBlobs(spark: SparkSession, root: String,
+      minBlobs: Int = 2): (Long, Long) = {
+    claimMaintenance(spark, root)
+    try {
+      import spark.implicits._
+      val dirs = DvBlobs.allFileDirs(root)
+      if (dirs.isEmpty) (0L, 0L)
+      else {
+        val stats = spark.createDataset(dirs)
+          .flatMap(d => DvBlobs.compactDir(d, minBlobs).map {
+            case (inputs, _) => (1L, inputs.toLong)
+          })
+          .toDF("dirs", "inputs")
+          .agg(sum("dirs"), sum("inputs")).head()
+        if (stats.isNullAt(0)) (0L, 0L)
+        else (stats.getLong(0), stats.getLong(1))
+      }
     } finally releaseMaintenance(spark, root)
   }
 }

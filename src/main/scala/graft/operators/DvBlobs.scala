@@ -214,6 +214,48 @@ object DvBlobs {
     }
   }
 
+  /** Compact one blob dir: merge its CURRENT visible deltas into a
+    * single blob, then remove exactly those inputs. Safe against
+    * uncoordinated racing deletes by construction:
+    *  - the input set is a point-in-time listing; a delete landing
+    *    mid-compaction appends a NEW blob, which is never touched;
+    *  - the merged blob renames in BEFORE any input is removed, so a
+    *    crash at any step leaves (merged ∪ some inputs) — positions
+    *    double-marked at worst, which the read-side merge dedupes;
+    *  - merge preserves the position SET exactly, so the mask is
+    *    equivalent at every instant (a racing purge sees a changed
+    *    delta signature and restages — wasteful, never wrong; callers
+    *    that hold the maintenance claim avoid even that).
+    * Returns (input blobs removed, positions in the merged blob), or
+    * None if the dir had fewer than `minBlobs` deltas.
+    */
+  def compactDir(dirPath: String, minBlobs: Int = 2): Option[(Int, Long)] = {
+    val inputs = deltasIn(dirPath)
+    if (inputs.size < minBlobs) None
+    else {
+      val blobs = inputs.map(readDelta)
+      val dataFile = blobs.head._1
+      val m = blobs.flatMap(_._2).toArray
+      java.util.Arrays.sort(m)
+      var w = 0
+      var i = 0
+      while (i < m.length) {
+        if (w == 0 || m(w - 1) != m(i)) { m(w) = m(i); w += 1 }
+        i += 1
+      }
+      val merged = java.util.Arrays.copyOf(m, w)
+      val tableRoot = {
+        // dirPath = <tableRoot>/_dv/f=<md5>; recover the root
+        val p = new Path(dirPath)
+        p.getParent.getParent.toString
+      }
+      writeDelta(tableRoot, dataFile, merged): Unit
+      val f = fs(new Path(dirPath))
+      inputs.foreach(p => f.delete(new Path(p), false): Unit)
+      Some((inputs.size, merged.length.toLong))
+    }
+  }
+
   // ---- merged-vector cache (executor-side read path) ---------------
 
   // immutable-blob cache: blob path -> its sorted positions

@@ -353,9 +353,81 @@ object FuzzQueries {
       "\nORDER BY case_id, a, b NULLS FIRST")
   }
 
+  // ---- TLP grid: ternary-logic partitioning (Rigger & Su, OSDI'20) --
+  //
+  // The four grids above are DIFFERENTIAL (Spark vs DuckDB); this one
+  // is additionally SELF-CHECKING: for any predicate p, the table
+  // partitions exactly into (p IS TRUE) ⊎ (p IS FALSE) ⊎ (p IS NULL),
+  // so any aggregate over the whole must equal its recombination over
+  // the three legs — and each leg takes a DIFFERENT optimized plan
+  // (different pushed filters, different codegen'd null tests), which
+  // is where 3-valued-logic optimizer bugs hide. lineitem has no
+  // natural NULLs, so every predicate below injects them (nullif /
+  // CASE) and the grid deliberately walks the 3VL edges: NULL AND
+  // FALSE = FALSE, NULL OR TRUE = TRUE, NOT NULL = NULL, IN with a
+  // NULL element, boolean = boolean. Each predicate is ONE SQL
+  // fragment parsed by both engines (the window-grid trick), emitted
+  // as 4 rows (whole/true/false/null legs × count + exact sum).
+  // TlpSpec asserts the partition identity in-engine; the oracle gate
+  // asserts both engines agree on every leg.
+
+  private[graft] val tlpPreds: Seq[(String, String)] = Seq(
+    ("t0", "nullif(l_quantity, 17) > 25"),
+    ("t1", "nullif(l_returnflag, 'A') = 'R'"),
+    ("t2", "nullif(l_discount, 0.04) BETWEEN 0.02 AND 0.06"),
+    ("t3", "(nullif(l_quantity, 17) > 25) AND (l_tax > 0.03)"),
+    ("t4", "(nullif(l_quantity, 17) > 25) OR (l_tax <= 0.03)"),
+    ("t5", "NOT (nullif(l_quantity, 17) > 25)"),
+    ("t6",
+      "(CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END) > 30"),
+    ("t7", "nullif(l_linenumber, 3) < nullif(l_quantity, 25)"),
+    ("t8", "l_returnflag IN ('R', nullif('A', 'A'))"),
+    ("t9",
+      "(nullif(l_tax, 0.0) > 0.05) = (nullif(l_discount, 0.0) > 0.05)"))
+
+  private val tlpLegs: Seq[(String, String => String)] = Seq(
+    ("w", _ => "1=1"),
+    ("t", p => s"($p) IS TRUE"),
+    ("f", p => s"($p) IS FALSE"),
+    ("n", p => s"($p) IS NULL"))
+
+  /** One leg of one case, DataFrame face — the WHERE fragment is the
+    * same text DuckDB parses.
+    */
+  private[graft] def tlpLeg(li: DataFrame, id: String, leg: String,
+      cond: String): DataFrame =
+    li.filter(expr(cond))
+      .agg(count(lit(1)).cast("double").as("n"),
+        round(Enrich.exactSum(col("l_extendedprice")), 4).as("s"))
+      .select(lit(id).as("case_id"), lit(leg).as("leg"), col("n"),
+        col("s"))
+
+  def fuzzTlpGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    (for {
+      (id, p) <- tlpPreds
+      (leg, mk) <- tlpLegs
+    } yield tlpLeg(li, id, leg, mk(p)))
+      .reduce(_ unionByName _)
+      .orderBy(col("case_id"), col("leg"))
+  }
+
+  private val fuzzTlpOracle: String =
+    (for {
+      (id, p) <- tlpPreds
+      (leg, mk) <- tlpLegs
+    } yield
+      s"""SELECT '$id' AS case_id, '$leg' AS leg,
+         |  CAST(count(*) AS DOUBLE) AS n,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)))
+         |    AS DOUBLE), 4) AS s
+         |FROM lineitem WHERE ${mk(p)}""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY case_id, leg")
+
   def queries: Seq[Q] = Seq(
     Q("fuzz_relational_grid", Some(fuzzOracle), fuzzRelationalGrid),
     Q("fuzz_join_grid", Some(fuzzJoinOracle), fuzzJoinGrid),
     Q("fuzz_window_grid", Some(fuzzWindowOracle), fuzzWindowGrid),
-    Q("fuzz_setop_grid", Some(fuzzSetopOracle), fuzzSetopGrid))
+    Q("fuzz_setop_grid", Some(fuzzSetopOracle), fuzzSetopGrid),
+    Q("fuzz_tlp_grid", Some(fuzzTlpOracle), fuzzTlpGrid))
 }

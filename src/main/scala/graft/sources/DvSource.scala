@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.DeletionVectors
@@ -33,14 +33,53 @@ import graft.operators.DeletionVectors
   *    time, so a table mutated between two queries serves each query
   *    its then-current committed state.
   */
-class DvSource extends RelationProvider with DataSourceRegister {
+class DvSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-dv"
 
-  override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
-    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-dv requires a path option (the DV table root)"))
-    DvRelation(sqlContext.sparkSession, root)
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    DvRelation(sqlContext.sparkSession, rootOf(parameters))
+
+  /** Writer face: `df.write.format("graft-dv")`. DSv1 does not route
+    * `partitionBy` to a CreatableRelationProvider, so the partition
+    * column rides as `option("partitionCol", ...)` (required on
+    * table creation; an existing table's layout wins thereafter).
+    * Overwrite = re-init; Append = new files behind one CAS manifest
+    * flip (key-free — keyed merges are [[DeletionVectors.upsert]] /
+    * the CDC stream).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val present = DeletionVectors.exists(spark, root)
+    def partCol: String = parameters.getOrElse("partitionCol",
+      if (present)
+        DeletionVectors.partitionColOf(spark, root).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-dv table at $root is unpartitioned; writes " +
+              "require option(\"partitionCol\", ...)"))
+      else throw new IllegalArgumentException(
+        "creating a graft-dv table requires option(\"partitionCol\", ...)"))
+    mode match {
+      case SaveMode.Overwrite =>
+        DeletionVectors.init(spark, data, root, partCol): Unit
+      case SaveMode.Append =>
+        if (present) DeletionVectors.append(spark, root, partCol, data): Unit
+        else DeletionVectors.init(spark, data, root, partCol): Unit
+      case SaveMode.ErrorIfExists =>
+        if (present) throw new IllegalStateException(
+          s"graft-dv table already exists at $root (mode=ErrorIfExists)")
+        else DeletionVectors.init(spark, data, root, partCol): Unit
+      case SaveMode.Ignore =>
+        if (!present) DeletionVectors.init(spark, data, root, partCol): Unit
+    }
+    DvRelation(spark, root)
   }
 }
 

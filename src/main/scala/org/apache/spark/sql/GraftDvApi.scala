@@ -34,13 +34,51 @@ object GraftDvApi {
   /** One committed live file: absolute path, byte length, and the
     * single-level hive partition value parsed from its path (None for
     * unpartitioned layouts).
+    *
+    * PATH SPACES — the invariant every consumer relies on: manifest
+    * "file" strings (and `LiveFile.path`) live in the URL-ENCODED
+    * space `_metadata.file_path` emits — a hive-escaped dir like
+    * `part=a%3Ab` (value "a:b") appears as `part=a%253Ab`. On-disk
+    * names are the RAW hive-escaped forms. Convert to a filesystem
+    * [[Path]] ONLY via [[pathOf]] (URI-decodes), and from a listed
+    * [[Path]] back into manifest space ONLY via [[urlOf]] — naive
+    * `new Path(str)` / `path.toString` round-trips double-encode and
+    * read dirs that don't exist (caught by the escaped-partition
+    * spec).
     */
   final case class LiveFile(path: String, bytes: Long,
       partValue: Option[String])
 
-  /** Parse `.../<col>=<val>/file.parquet` into (col, unescaped val). */
+  /** Manifest-space string -> filesystem Path (URI-decode; strings
+    * that aren't valid URIs — operator-supplied raw paths — pass
+    * through as-is).
+    */
+  def pathOf(fileString: String): Path =
+    try new Path(new java.net.URI(fileString))
+    catch { case _: java.net.URISyntaxException => new Path(fileString) }
+
+  /** Filesystem Path -> manifest-space string (the same URL-encoded
+    * qualified form `_metadata.file_path` emits for this file).
+    * Normalizes an EMPTY authority away: `makeQualified`/`listStatus`
+    * render the local FS as `file:///tmp/...` while `_metadata`
+    * renders `file:/tmp/...` — one file, two spellings, and a set
+    * compare across them deems live files unreferenced (vacuum would
+    * reclaim them). Real authorities (HDFS namenodes, buckets) pass
+    * through untouched; the multi-arg URI constructor re-encodes the
+    * decoded path, so escaped partition segments round-trip.
+    */
+  def urlOf(p: Path): String = {
+    val u = p.toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty).orNull
+    new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
+  }
+
+  /** Parse `.../<col>=<val>/file.parquet` into (col, unescaped val).
+    * Accepts manifest-space (URL-encoded) or raw path strings — the
+    * segment is URI-decoded first, then hive-unescaped.
+    */
   def parsePartition(path: String): Option[(String, String)] = {
-    val segs = path.split('/')
+    val segs = pathOf(path).toString.split('/')
     if (segs.length < 2) None
     else {
       val dir = segs(segs.length - 2)
@@ -50,6 +88,17 @@ object GraftDvApi {
         ExternalCatalogUtils.unescapePathName(dir.drop(eq + 1))))
     }
   }
+
+  /** Data schema straight from one file's parquet footer — never
+    * resolve schema through string-path DataSource plumbing (it
+    * re-encodes escaped partition segments), and never from a
+    * directory listing (stale siblings may linger until vacuum).
+    */
+  def fileSchema(spark: SparkSession, status: FileStatus): StructType =
+    new ParquetFileFormat().inferSchema(
+      spark.asInstanceOf[classic.SparkSession], Map.empty, Seq(status))
+      .getOrElse(throw new IllegalStateException(
+        s"no parquet schema in ${status.getPath}"))
 
   /** The manifest IS the listing: no filesystem calls, partition
     * pruning evaluated against the manifest's own partition values.
@@ -71,7 +120,7 @@ object GraftDvApi {
 
     private def status(f: LiveFile): FileStatus =
       new FileStatus(f.bytes, false, 1, 128L * 1024 * 1024, 0L,
-        new Path(f.path))
+        pathOf(f.path))
 
     private lazy val dirs: Seq[PartitionDirectory] =
       files.groupBy(_.partValue).toSeq.sortBy(_._1).map { case (pv, fs) =>

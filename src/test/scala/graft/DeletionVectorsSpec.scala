@@ -53,6 +53,53 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.dv(spark, root).count() == expectDeleted)
   }
 
+  test("blob compaction folds K delta blobs per file into one without " +
+      "changing the mask, the threshold math, or open-ness to new deletes") {
+    val (root, ev) = freshTable()
+    // three SEPARATE delete batches -> up to three blobs per touched file
+    for (r <- 0 to 2)
+      DV.delete(spark, root, "user_id",
+        ev.select("user_id").distinct().filter(col("user_id") % 11 === r))
+    val tombBefore = DV.dv(spark, root).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    val keptBefore = DV.read(spark, root).count()
+    // manifest paths, not java.io paths: blob dirs key on the
+    // qualified form the manifest records
+    val files = DV.manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val countsBefore = files.map(f =>
+      f -> graft.operators.DvBlobs.tombstoneCount(root, f)).toMap
+    val maxBlobs = files.map(f =>
+      graft.operators.DvBlobs.listDeltas(root, f).size).max
+    assert(maxBlobs >= 2, "fixture must accumulate multiple blobs")
+
+    val (dirs, inputs) = DV.compactBlobs(spark, root)
+    assert(dirs > 0 && inputs > dirs,
+      s"expected real folding, got dirs=$dirs inputs=$inputs")
+    assert(files.forall(f =>
+      graft.operators.DvBlobs.listDeltas(root, f).size <= 1))
+    // the mask is the SAME position set, threshold math unchanged
+    val tombAfter = DV.dv(spark, root).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(tombAfter == tombBefore)
+    assert(DV.read(spark, root).count() == keptBefore)
+    assert(files.map(f =>
+      f -> graft.operators.DvBlobs.tombstoneCount(root, f)).toMap
+      == countsBefore)
+
+    // compaction is idempotent, and the dir stays open: a later
+    // delete appends a fresh blob that the next compaction folds too
+    assert(DV.compactBlobs(spark, root) == ((0L, 0L)))
+    val marked = DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 11 === 3))
+    assert(marked > 0)
+    assert(DV.dv(spark, root).count() == tombBefore.size + marked)
+    val (dirs2, _) = DV.compactBlobs(spark, root)
+    assert(dirs2 > 0)
+    assert(DV.read(spark, root).filter(col("user_id") % 11 <= 3).count()
+      == 0)
+  }
+
   test("read agrees with the plain filtered frame, column for column") {
     val (root, ev) = freshTable()
     DV.delete(spark, root, "user_id",
@@ -374,6 +421,41 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.readFiles(spark, root, c2)
       .filter(col("event_id") === moved).count() ==
       ev.filter(col("event_id") === moved).count())
+  }
+
+  test("partition values needing path-escaping round-trip through " +
+      "init -> manifest-served pruning -> delete -> purge (the Erasure " +
+      "escaping-bug class, pinned on the DV path)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dv_esc").toString
+    // partition values with ':', ' ', '%', '=', and a numeric-looking
+    // one — all must survive escapePathName/unescapePathName both ways
+    val rows = Seq(
+      (1L, "a:b", 10.0), (2L, "a:b", 20.0), (3L, "c d", 30.0),
+      (4L, "p%q", 40.0), (5L, "e=f", 50.0), (6L, "0017", 60.0),
+      (7L, "a:b", 70.0), (8L, "c d", 80.0))
+      .toDF("id", "part", "v")
+    DV.init(spark, rows, root, "part")
+
+    // pruning via the manifest: a partition filter must resolve the
+    // UNESCAPED value
+    val one = DV.read(spark, root).filter(col("part") === "a:b")
+    assert(one.count() == 3)
+    assert(DV.read(spark, root).filter(col("part") === "0017").count() == 1,
+      "numeric-looking partition value mis-typed or mis-unescaped")
+    assert(DV.read(spark, root).filter(col("part") === "e=f").count() == 1)
+
+    // delete inside an escaped partition, then purge it at threshold 0
+    DV.delete(spark, root, "id", Seq(1L, 3L).toDF("id"))
+    assert(DV.read(spark, root).count() == 6)
+    assert(DV.read(spark, root).filter(col("part") === "a:b").count() == 2)
+    val replaced = DV.purge(spark, root, "part", 0.0)
+    assert(replaced.nonEmpty)
+    assert(DV.read(spark, root).count() == 6)
+    assert(DV.read(spark, root).filter(col("part") === "c d")
+      .agg(sum("v")).head().getDouble(0) == 80.0)
+    // post-purge the moved files still parse their partition values
+    assert(DV.partitionColOf(spark, root).contains("part"))
   }
 
   test("vacuum deletes dead data files and dead per-file tombstone " +

@@ -82,6 +82,52 @@ class DvSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.dvScan", "true")
   }
 
+  test("writer face: df.write.format(graft-dv) creates, appends behind " +
+      "one manifest flip, respects save modes, and composes with delete") {
+    val root = Files.createTempDirectory("graft_dvsrc_w").toString + "/t"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    graft.plans.GraftPlans.ensureDvScan(spark)
+
+    // create requires the partition column
+    intercept[Exception] {
+      half1.write.format("graft-dv").save(root)
+    }
+    half1.write.format("graft-dv").option("partitionCol", "day").save(root)
+    def viaFormat = spark.read.format("graft-dv").load(root)
+    assert(viaFormat.count() == half1.count())
+
+    // default mode is ErrorIfExists on an existing table
+    intercept[Exception] {
+      half2.write.format("graft-dv").option("partitionCol", "day").save(root)
+    }
+    // append: existing layout wins, partitionCol option not needed;
+    // version advances by exactly one (one CAS flip for the batch)
+    val v0 = graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+    half2.write.format("graft-dv").mode("append").save(root)
+    val v1 = graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+    assert(v1 == v0 + 1)
+    assert(viaFormat.count() == ev.count())
+
+    // appended rows are maskable like any others
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 9 === 0))
+    assert(viaFormat.count() == ev.filter(col("user_id") % 9 =!= 0).count())
+
+    // overwrite re-initializes (tombstones gone with the old table)
+    half1.write.format("graft-dv").mode("overwrite")
+      .option("partitionCol", "day").save(root)
+    assert(viaFormat.count() == half1.count())
+
+    // ignore on an existing table is a no-op
+    half2.write.format("graft-dv").mode("ignore").save(root)
+    assert(viaFormat.count() == half1.count())
+  }
+
   test("CREATE TABLE ... USING graft-dv gives the table a catalog " +
       "name ordinary SQL reads") {
     val (root, ev) = freshTable()
