@@ -227,6 +227,28 @@ object LakeProbe {
         f"tombstones (${totalBig.toDouble / totalSmall}%.1fx); probed-day " +
         f"tombstones flat at $probedSmall; masked day-read " +
         f"$tSmall%.2fs -> $tBig%.2fs (${tBig / tSmall}%.2fx wall)")
+
+      // phase 3: K more delete rounds pile K more blobs onto every
+      // file; compaction folds each dir to ONE blob with the position
+      // set (and so the mask, and the read) byte-identical
+      for (r <- 0 to 3)
+        DV.delete(spark, dPath, "event_id",
+          withDay.filter(col("event_id") % 7 === r).select(col("event_id")))
+      def blobCounts() = liveFiles().map(f =>
+        graft.operators.DvBlobs.listDeltas(dPath, f).size)
+      val (blobsBefore, tombsBefore) = (blobCounts().sum, tombs(liveFiles()))
+      val (tMany, rowsMany) = timeProbe()
+      val (dirs, inputs) = DV.compactBlobs(spark, dPath)
+      val (blobsAfter, tombsAfter) = (blobCounts().sum, tombs(liveFiles()))
+      val (tOne, rowsOne) = timeProbe()
+      require(rowsOne == rowsMany,
+        s"compaction changed the masked read: $rowsMany -> $rowsOne")
+      require(tombsAfter == tombsBefore,
+        s"compaction changed tombstone counts: $tombsBefore -> $tombsAfter")
+      println(f"[lakeprobe] dvcompact: $blobsBefore blobs " +
+        f"($tombsBefore tombstones) -> $blobsAfter blobs after folding " +
+        f"$inputs inputs across $dirs dirs; masked day-read " +
+        f"$tMany%.2fs -> $tOne%.2fs")
     }
 
     spark.stop()

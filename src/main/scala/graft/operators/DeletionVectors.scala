@@ -140,10 +140,17 @@ object DeletionVectors {
     * planning — one metadata-column aggregate at write time).
     */
   def init(spark: SparkSession, df: DataFrame, root: String,
-      partCol: String): Long = {
+      partCol: String): Long = init(spark, df, root, Seq(partCol))
+
+  /** Multi-level form: `partCols` outermost first (the hive layout
+    * `partitionBy` writes, e.g. day then region).
+    */
+  def init(spark: SparkSession, df: DataFrame, root: String,
+      partCols: Seq[String]): Long = {
     val f = hfs(spark, root)
     f.delete(new Path(root), true)
-    df.write.mode("overwrite").partitionBy(partCol).parquet(dataDir(root))
+    df.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(dataDir(root))
     val manifest = manifestOf(spark,
       perFileStats(spark.read.parquet(dataDir(root))), cdcBatch = -1L)
     Snapshots.publish(spark, manifestTable(root), manifest)
@@ -177,7 +184,7 @@ object DeletionVectors {
       .map { r =>
         val p = r.getString(0)
         GraftDvApi.LiveFile(p, r.getLong(1),
-          GraftDvApi.parsePartition(p).map(_._2))
+          GraftDvApi.parsePartitions(p).map(_._2))
       }
 
   private def entriesOf(spark: SparkSession,
@@ -195,7 +202,7 @@ object DeletionVectors {
       val st = f.getFileStatus(hp)
       val canon = GraftDvApi.urlOf(f.makeQualified(st.getPath))
       GraftDvApi.LiveFile(canon, st.getLen,
-        GraftDvApi.parsePartition(canon).map(_._2))
+        GraftDvApi.parsePartitions(canon).map(_._2))
     }
   }
 
@@ -203,10 +210,10 @@ object DeletionVectors {
 
   private def relationOver(spark: SparkSession, root: String,
       entries: Seq[GraftDvApi.LiveFile]): DataFrame = {
-    val partCols = entries.flatMap(e =>
-      GraftDvApi.parsePartition(e.path).map(_._1)).distinct
-    require(partCols.size <= 1,
-      s"mixed partition columns under ${dataDir(root)}: $partCols")
+    val vectors = entries.map(e =>
+      GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
+    require(vectors.size == 1,
+      s"mixed partition layouts under ${dataDir(root)}: $vectors")
     // schema straight from one entry's parquet FOOTER — string-path
     // DataSource resolution re-encodes escaped partition segments
     // (part=a%3Ab -> a%253Ab, PATH_NOT_FOUND), and a directory probe
@@ -214,7 +221,7 @@ object DeletionVectors {
     val head = GraftDvApi.pathOf(entries.head.path)
     val dataSchema = GraftDvApi.fileSchema(spark,
       hfs(spark, entries.head.path).getFileStatus(head))
-    GraftDvApi.relation(spark, dataDir(root), partCols.headOption,
+    GraftDvApi.relation(spark, dataDir(root), vectors.head,
       entries, dataSchema)
   }
 
@@ -412,7 +419,13 @@ object DeletionVectors {
     */
   def purge(spark: SparkSession, root: String, partCol: String,
       maxDeletedFraction: Double,
-      onBeforeCommit: () => Unit = () => ()): Seq[String] = {
+      onBeforeCommit: () => Unit = () => ()): Seq[String] =
+    purge(spark, root, Seq(partCol), maxDeletedFraction, onBeforeCommit)
+
+  /** Multi-level form: `partCols` outermost first. */
+  def purge(spark: SparkSession, root: String, partCols: Seq[String],
+      maxDeletedFraction: Double,
+      onBeforeCommit: () => Unit): Seq[String] = {
     claimMaintenance(spark, root)
     try {
       import spark.implicits._
@@ -442,8 +455,8 @@ object DeletionVectors {
         f.delete(new Path(stage), true)
         scanWithPos(spark, root, entriesOf(spark, hot))
           .drop("__file", "__pos")
-          .write.mode("overwrite").partitionBy(partCol).parquet(stage)
-        val moved = moveStaged(spark, root, partCol, stage, "purged")
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
+        val moved = moveStaged(spark, root, stage, "purged")
 
         val sigNow = hot.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
         if (sigNow != sig0 && sigAttempts < 3) {
@@ -486,30 +499,37 @@ object DeletionVectors {
   }
 
   /** Move staged partition dirs into the live data dirs under fresh
-    * names (invisible until a manifest references them). Returned
+    * names (invisible until a manifest references them). Walks the
+    * staged hive layout recursively, so any partition depth moves —
+    * the relative `col=val/...` chain is preserved verbatim. Returned
     * strings are MANIFEST-SPACE (qualified + URL-encoded, see
     * [[GraftDvApi.LiveFile]]'s path-spaces note) — never raw
     * `Path.toString`, which diverges on escaped partition dirs.
     */
   private def moveStaged(spark: SparkSession, root: String,
-      partCol: String, stage: String, prefix: String): Seq[String] = {
+      stage: String, prefix: String): Seq[String] = {
     val f = hfs(spark, root)
     val moved = Seq.newBuilder[String]
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    f.listStatus(new Path(stage))
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(s"$partCol="))
-      .foreach { dir =>
-        val destDir = new Path(s"${dataDir(root)}/${dir.getPath.getName}")
-        f.mkdirs(destDir)
-        f.listStatus(dir.getPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (s, i) =>
-            val dest = new Path(destDir, s"$prefix-$tag-$i.parquet")
-            require(f.rename(s.getPath, dest), s"rename to $dest failed")
-            moved += GraftDvApi.urlOf(f.makeQualified(dest))
-          }
+    var i = 0
+    def walk(dir: Path, rel: String): Unit =
+      f.listStatus(dir).foreach { s =>
+        if (s.isDirectory && s.getPath.getName.contains("="))
+          walk(s.getPath,
+            if (rel.isEmpty) s.getPath.getName
+            else s"$rel/${s.getPath.getName}")
+        else if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+          val destDir =
+            if (rel.isEmpty) new Path(dataDir(root))
+            else new Path(s"${dataDir(root)}/$rel")
+          f.mkdirs(destDir)
+          val dest = new Path(destDir, s"$prefix-$tag-$i.parquet")
+          i += 1
+          require(f.rename(s.getPath, dest), s"rename to $dest failed")
+          moved += GraftDvApi.urlOf(f.makeQualified(dest))
+        }
       }
+    walk(new Path(stage), "")
     f.delete(new Path(stage), true)
     moved.result()
   }
@@ -542,7 +562,13 @@ object DeletionVectors {
   def upsert(spark: SparkSession, root: String, partCol: String,
       keyCol: String, changes: DataFrame,
       latestBy: Option[String] = None): (Long, Seq[String]) =
-    applyChanges(spark, root, partCol, keyCol, changes, latestBy, None)
+    applyChanges(spark, root, Seq(partCol), keyCol, changes, latestBy, None)
+
+  /** Multi-level form: `partCols` outermost first. */
+  def upsert(spark: SparkSession, root: String, partCols: Seq[String],
+      keyCol: String, changes: DataFrame,
+      latestBy: Option[String]): (Long, Seq[String]) =
+    applyChanges(spark, root, partCols, keyCol, changes, latestBy, None)
 
   /** Streaming CDC batch apply with manifest-borne exactly-once:
     * no-ops (returning false) if `batchId`'s effects are already
@@ -553,14 +579,14 @@ object DeletionVectors {
       latestBy: Option[String] = None): Boolean = {
     if (batchId <= lastCdcBatch(spark, root)) false
     else {
-      applyChanges(spark, root, partCol, keyCol, batch, latestBy,
+      applyChanges(spark, root, Seq(partCol), keyCol, batch, latestBy,
         Some(batchId)): Unit
       true
     }
   }
 
   private def applyChanges(spark: SparkSession, root: String,
-      partCol: String, keyCol: String, changes: DataFrame,
+      partCols: Seq[String], keyCol: String, changes: DataFrame,
       latestBy: Option[String],
       cdcBatch: Option[Long]): (Long, Seq[String]) = {
     import org.apache.spark.sql.expressions.Window
@@ -587,7 +613,7 @@ object DeletionVectors {
         "or dedupe upstream (one image per key per batch)")
 
     val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
-    val newFiles = appendCommitted(spark, root, partCol, staged,
+    val newFiles = appendCommitted(spark, root, partCols, staged,
       cdcBatch, "upsert")
     (masked, newFiles)
   }
@@ -597,13 +623,13 @@ object DeletionVectors {
     * every mutating path shares. Returns the committed new files.
     */
   private def appendCommitted(spark: SparkSession, root: String,
-      partCol: String, rows: DataFrame, cdcBatch: Option[Long],
+      partCols: Seq[String], rows: DataFrame, cdcBatch: Option[Long],
       prefix: String): Seq[String] = {
     val f = hfs(spark, root)
     val stage = s"$root/_${prefix}_stage"
     f.delete(new Path(stage), true)
-    rows.write.mode("overwrite").partitionBy(partCol).parquet(stage)
-    val newFiles = moveStaged(spark, root, partCol, stage, prefix)
+    rows.write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
+    val newFiles = moveStaged(spark, root, stage, prefix)
     val movedStats =
       if (newFiles.isEmpty) {
         import spark.implicits._
@@ -633,7 +659,12 @@ object DeletionVectors {
     */
   def append(spark: SparkSession, root: String, partCol: String,
       rows: DataFrame): Seq[String] =
-    appendCommitted(spark, root, partCol, rows.localCheckpoint(),
+    append(spark, root, Seq(partCol), rows)
+
+  /** Multi-level form: `partCols` outermost first. */
+  def append(spark: SparkSession, root: String, partCols: Seq[String],
+      rows: DataFrame): Seq[String] =
+    appendCommitted(spark, root, partCols, rows.localCheckpoint(),
       None, "append")
 
   /** Is there a committed manifest at `root`? (The writer-mode
@@ -643,12 +674,14 @@ object DeletionVectors {
   def exists(spark: SparkSession, root: String): Boolean =
     Snapshots.latestVersion(spark, manifestTable(root)).isDefined
 
-  /** The table's partition column, recovered from the committed live
-    * set's hive paths (None for an empty or unpartitioned table).
+  /** The table's partition columns (outermost first), recovered from
+    * the committed live set's hive paths (empty for an empty or
+    * unpartitioned table).
     */
-  def partitionColOf(spark: SparkSession, root: String): Option[String] =
+  def partitionColsOf(spark: SparkSession, root: String): Seq[String] =
     manifest(spark, root).select("file").limit(1).collect().headOption
-      .flatMap(r => GraftDvApi.parsePartition(r.getString(0)).map(_._1))
+      .map(r => GraftDvApi.parsePartitions(r.getString(0)).map(_._1))
+      .getOrElse(Seq.empty)
 
   // ---- skipping-index maintenance ---------------------------------------
 

@@ -47,37 +47,44 @@ class DvSource extends RelationProvider with CreatableRelationProvider
 
   /** Writer face: `df.write.format("graft-dv")`. DSv1 does not route
     * `partitionBy` to a CreatableRelationProvider, so the partition
-    * column rides as `option("partitionCol", ...)` (required on
-    * table creation; an existing table's layout wins thereafter).
-    * Overwrite = re-init; Append = new files behind one CAS manifest
-    * flip (key-free — keyed merges are [[DeletionVectors.upsert]] /
-    * the CDC stream).
+    * columns ride as `option("partitionCol", "day")` — or a
+    * comma-separated list for multi-level layouts
+    * (`"day,region"`, outermost first). Required on table creation;
+    * an existing table's layout wins thereafter. Overwrite = re-init;
+    * Append = new files behind one CAS manifest flip (key-free —
+    * keyed merges are [[DeletionVectors.upsert]] / the CDC stream).
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val present = DeletionVectors.exists(spark, root)
-    def partCol: String = parameters.getOrElse("partitionCol",
-      if (present)
-        DeletionVectors.partitionColOf(spark, root).getOrElse(
-          throw new IllegalArgumentException(
+    def partCols: Seq[String] = parameters.get("partitionCol")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse {
+        val existing =
+          if (present) DeletionVectors.partitionColsOf(spark, root)
+          else Seq.empty
+        if (existing.nonEmpty) existing
+        else throw new IllegalArgumentException(
+          if (present)
             s"graft-dv table at $root is unpartitioned; writes " +
-              "require option(\"partitionCol\", ...)"))
-      else throw new IllegalArgumentException(
-        "creating a graft-dv table requires option(\"partitionCol\", ...)"))
+              "require option(\"partitionCol\", ...)"
+          else "creating a graft-dv table requires " +
+            "option(\"partitionCol\", ...)")
+      }
     mode match {
       case SaveMode.Overwrite =>
-        DeletionVectors.init(spark, data, root, partCol): Unit
+        DeletionVectors.init(spark, data, root, partCols): Unit
       case SaveMode.Append =>
-        if (present) DeletionVectors.append(spark, root, partCol, data): Unit
-        else DeletionVectors.init(spark, data, root, partCol): Unit
+        if (present) DeletionVectors.append(spark, root, partCols, data): Unit
+        else DeletionVectors.init(spark, data, root, partCols): Unit
       case SaveMode.ErrorIfExists =>
         if (present) throw new IllegalStateException(
           s"graft-dv table already exists at $root (mode=ErrorIfExists)")
-        else DeletionVectors.init(spark, data, root, partCol): Unit
+        else DeletionVectors.init(spark, data, root, partCols): Unit
       case SaveMode.Ignore =>
-        if (!present) DeletionVectors.init(spark, data, root, partCol): Unit
+        if (!present) DeletionVectors.init(spark, data, root, partCols): Unit
     }
     DvRelation(spark, root)
   }

@@ -100,6 +100,54 @@ class DeletionVectorsSpec extends SparkSpec {
       == 0)
   }
 
+  test("multi-level partitioning: (day, region) layout inits, prunes " +
+      "on either level, deletes, purges, and recovers its column " +
+      "vector — single-level is just the depth-1 case") {
+    val root = Files.createTempDirectory("graft_dv_ml").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("region", (col("user_id") % 3).cast("string"))
+    DV.init(spark, ev, root, Seq("day", "region"))
+    assert(DV.partitionColsOf(spark, root) == Seq("day", "region"))
+
+    def rd = DV.read(spark, root)
+    assert(rd.count() == ev.count())
+    // prune on the INNER level alone, the outer alone, and both
+    assert(rd.filter(col("region") === "1").count()
+      == ev.filter(col("region") === "1").count())
+    val day = ev.select("day").orderBy("day").first().getString(0)
+    assert(rd.filter(col("day") === day).count()
+      == ev.filter(col("day") === day).count())
+    assert(rd.filter(col("day") === day && col("region") === "2").count()
+      == ev.filter(col("day") === day && col("region") === "2").count())
+    // the inner-level prune really prunes: listed files shrink
+    val pruned = rd.filter(col("region") === "0")
+      .select(col("_metadata.file_path")).distinct().count()
+    val total = rd.select(col("_metadata.file_path")).distinct().count()
+    assert(pruned < total, "region filter pruned no files")
+
+    // delete + threshold purge over the 2-level layout
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 4 === 0))
+    val kept = ev.filter(col("user_id") % 4 =!= 0)
+    assert(rd.count() == kept.count())
+    val hot = DV.purge(spark, root, Seq("day", "region"), 0.0, () => ())
+    assert(hot.nonEmpty)
+    assert(rd.count() == kept.count())
+    assert(DV.partitionColsOf(spark, root) == Seq("day", "region"),
+      "purge replacements lost the partition vector")
+    assert(rd.filter(col("region") === "1").count()
+      == kept.filter(col("region") === "1").count())
+
+    // writer face takes the comma list
+    val root2 = Files.createTempDirectory("graft_dv_ml2").toString + "/t"
+    ev.limit(500).write.format("graft-dv")
+      .option("partitionCol", "day,region").save(root2)
+    ev.limit(500).write.format("graft-dv").mode("append").save(root2)
+    assert(DV.partitionColsOf(spark, root2) == Seq("day", "region"))
+    assert(spark.read.format("graft-dv").load(root2).count() == 1000)
+  }
+
   test("read agrees with the plain filtered frame, column for column") {
     val (root, ev) = freshTable()
     DV.delete(spark, root, "user_id",
@@ -331,10 +379,10 @@ class DeletionVectorsSpec extends SparkSpec {
     val entries = DV.manifest(spark, root).select("file", "bytes")
       .collect().toSeq.map { r =>
         GraftDvApi.LiveFile(r.getString(0), r.getLong(1),
-          GraftDvApi.parsePartition(r.getString(0)).map(_._2))
+          GraftDvApi.parsePartitions(r.getString(0)).map(_._2))
       }
     val fi = new GraftDvApi.ManifestFileIndex(
-      new org.apache.hadoop.fs.Path(DV.dataDir(root)), Some("day"), entries)
+      new org.apache.hadoop.fs.Path(DV.dataDir(root)), Seq("day"), entries)
     val total = fi.listFiles(Nil, Nil).map(_.files.size).sum
     val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
       .orderBy("d").first().getString(0)
@@ -345,7 +393,7 @@ class DeletionVectorsSpec extends SparkSpec {
       "manifest-side partition pruning pruned nothing")
     assert(pruned.nonEmpty && pruned.map(_.files.size).sum > 0)
     // and the pruned file set is exactly that day's live files
-    val dayFiles = entries.filter(_.partValue.contains(day)).map(_.path).toSet
+    val dayFiles = entries.filter(_.partValues.contains(day)).map(_.path).toSet
     assert(pruned.flatMap(_.files.map(_.getPath.toString)).toSet == dayFiles)
   }
 
@@ -455,7 +503,7 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.read(spark, root).filter(col("part") === "c d")
       .agg(sum("v")).head().getDouble(0) == 80.0)
     // post-purge the moved files still parse their partition values
-    assert(DV.partitionColOf(spark, root).contains("part"))
+    assert(DV.partitionColsOf(spark, root) == Seq("part"))
   }
 
   test("vacuum deletes dead data files and dead per-file tombstone " +
@@ -609,7 +657,7 @@ class DeletionVectorsSpec extends SparkSpec {
     val hot = DV.purge(spark, root, "day", 0.2, onBeforeCommit = () => {
       // the purge staged+moved; an upsert now commits FIRST — the
       // purge's CAS must fail once and rebase onto the new manifest
-      try DV.upsert(spark, root, "day", "event_id", inserts)
+      try { DV.upsert(spark, root, "day", "event_id", inserts): Unit }
       catch { case t: Throwable => upsertErr = t }
     })
     assert(hot.nonEmpty)
