@@ -1034,6 +1034,47 @@ object ScaleQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Blob-compaction lifecycle
+    * ([[graft.operators.DeletionVectors.compactBlobs]]): three
+    * SEPARATE delete batches pile up to three delta blobs on every
+    * touched file (the price of uncoordinated O(deleted rows)
+    * deletes), compaction folds each file's blobs to one, and the
+    * masked read afterwards must still hash-match the plain filtered
+    * oracle — any position lost or duplicated in the fold goes red.
+    * A post-compaction delete then proves the dirs stay open. The
+    * maintenance ladder this completes: delete appends → compact
+    * folds → purge rewrites past the threshold → vacuum reclaims.
+    */
+  def dvCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "compact")()
+    val ev = Tables.events(spark, sfDir)
+    def vics(m: Int) = ev.select(col("user_id")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("dvcmp_"), col("user_id").cast("string"))) % 9 === m)
+    for (m <- 0 to 2) DV.delete(spark, root, "user_id", vics(m))
+    DV.compactBlobs(spark, root)
+    // the dirs stay open: one more delete AFTER the fold
+    DV.delete(spark, root, "user_id", vics(3))
+    DV.read(spark, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvCompactOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('dvcmp_' || CAST(user_id AS VARCHAR))")} % 9 IN (0, 1, 2, 3)"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events WHERE NOT ($victim)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** MERGE-ON-READ upsert through the deletion-vector table
     * ([[graft.operators.DeletionVectors.upsert]]): a CDC-style change
     * batch — ~20% of events get a new row image (value doubled),
@@ -1155,6 +1196,7 @@ object ScaleQueries {
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("dv_delete", Some(dvDeleteOracle), dvDelete),
     Q("dv_purge", Some(dvPurgeOracle), dvPurge),
+    Q("dv_compact", Some(dvCompactOracle), dvCompact),
     Q("dv_upsert", Some(dvUpsertOracle), dvUpsert),
     Q("dv_index_lookup", Some(dvIndexLookupOracle), dvIndexLookup),
     Q("index_point_lookup", Some(iplOracle), indexPointLookup),
