@@ -149,6 +149,11 @@ object DeletionVectors {
       partCols: Seq[String]): Long = {
     val f = hfs(spark, root)
     f.delete(new Path(root), true)
+    // re-creating a table RESTARTS its version numbering, so the
+    // (root, version)-keyed snapshot cache must forget this root —
+    // within a session init is the only recreate path; recreation by
+    // ANOTHER process is the standard lakehouse REFRESH caveat
+    entriesCache.keySet.removeIf(_.contains(s"|$root|")): Unit
     df.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataDir(root))
     val manifest = manifestOf(spark,
@@ -176,16 +181,36 @@ object DeletionVectors {
 
   /** Driver-side live entries for the file index — bounded by file
     * count (metadata, the same driver-holds-the-action-list shape as
-    * Delta/Iceberg planning).
+    * Delta/Iceberg planning). Cached per (root, manifest VERSION) —
+    * the Delta snapshot-cache pattern: resolving the current version
+    * is one marker listing, so a read on an unmutated table skips the
+    * manifest-parquet job entirely, while any committed mutation
+    * bumps the version and misses the cache. Tombstones are resolved
+    * at SCAN time by the mask (never from this cache), so deletes —
+    * which don't touch the manifest — need no invalidation here.
     */
+  private val entriesCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[GraftDvApi.LiveFile]]()
+
   private def liveEntries(spark: SparkSession,
-      root: String): Seq[GraftDvApi.LiveFile] =
-    manifest(spark, root).select("file", "bytes").collect().toSeq
-      .map { r =>
-        val p = r.getString(0)
-        GraftDvApi.LiveFile(p, r.getLong(1),
-          GraftDvApi.parsePartitions(p).map(_._2))
-      }
+      root: String): Seq[GraftDvApi.LiveFile] = {
+    val v = Snapshots.latestVersion(spark, manifestTable(root))
+      .getOrElse(-1L)
+    val key = s"${spark.sparkContext.applicationId}|$root|$v"
+    // crude bound: snapshot states are small (file metadata), but a
+    // long-lived session mutating many tables should not accrete them
+    if (entriesCache.size > 64) entriesCache.clear()
+    entriesCache.computeIfAbsent(key, _ =>
+      Snapshots.readVersion(spark, manifestTable(root), v)
+        .filter(col("file") =!= Sentinel)
+        .select("file", "bytes").collect().toSeq
+        .map { r =>
+          val p = r.getString(0)
+          GraftDvApi.LiveFile(p, r.getLong(1),
+            GraftDvApi.parsePartitions(p).map(_._2))
+        })
+  }
 
   private def entriesOf(spark: SparkSession,
       files: Seq[String]): Seq[GraftDvApi.LiveFile] = {
