@@ -149,13 +149,18 @@ object DeletionVectors {
       partCols: Seq[String]): Long = {
     val f = hfs(spark, root)
     f.delete(new Path(root), true)
-    // re-creating a table RESTARTS its version numbering, so the
-    // (root, version)-keyed snapshot cache must forget this root —
-    // within a session init is the only recreate path; recreation by
-    // ANOTHER process is the standard lakehouse REFRESH caveat
-    entriesCache.keySet.removeIf(_.contains(s"|$root|")): Unit
+    // re-creating a table RESTARTS its version numbering, so version
+    // numbers alone cannot key the snapshot cache across recreations
+    // (a racing read could even poison the new table's key with the
+    // old live set). Every incarnation gets a fresh table id; the
+    // cache keys on it, so stale entries become unreachable rather
+    // than needing a racy invalidation.
     df.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataDir(root))
+    val tidOut = f.create(new Path(tidMarker(root)), true)
+    try tidOut.write(
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally tidOut.close()
     val manifest = manifestOf(spark,
       perFileStats(spark.read.parquet(dataDir(root))), cdcBatch = -1L)
     Snapshots.publish(spark, manifestTable(root), manifest)
@@ -193,11 +198,35 @@ object DeletionVectors {
     new java.util.concurrent.ConcurrentHashMap[
       String, Seq[GraftDvApi.LiveFile]]()
 
+  private def tidMarker(root: String): String = s"$root/_tid"
+
+  /** This incarnation's table id ("" for pre-_tid legacy layouts).
+    * One small read per lookup — the price of recreation-proof cache
+    * keys (version numbers restart when a root is re-inited; a
+    * (root, version) key alone can serve the OLD table's live set to
+    * the new one).
+    */
+  private def tableId(spark: SparkSession, root: String): String = {
+    val p = new Path(tidMarker(root))
+    val f = hfs(spark, root)
+    if (!f.exists(p)) ""
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        var b = in.read()
+        while (b >= 0) { buf.write(b); b = in.read() }
+        buf.toString("UTF-8")
+      } finally in.close()
+    }
+  }
+
   private def liveEntries(spark: SparkSession,
       root: String): Seq[GraftDvApi.LiveFile] = {
     val v = Snapshots.latestVersion(spark, manifestTable(root))
       .getOrElse(-1L)
-    val key = s"${spark.sparkContext.applicationId}|$root|$v"
+    val tid = tableId(spark, root)
+    val key = s"${spark.sparkContext.applicationId}|$root|$tid|$v"
     // crude bound: snapshot states are small (file metadata), but a
     // long-lived session mutating many tables should not accrete them
     if (entriesCache.size > 64) entriesCache.clear()
@@ -686,11 +715,13 @@ object DeletionVectors {
       rows: DataFrame): Seq[String] =
     append(spark, root, Seq(partCol), rows)
 
-  /** Multi-level form: `partCols` outermost first. */
+  /** Multi-level form: `partCols` outermost first. `rows` is consumed
+    * exactly once (the staged write) — no checkpoint, unlike upsert's
+    * multi-consumer staging.
+    */
   def append(spark: SparkSession, root: String, partCols: Seq[String],
       rows: DataFrame): Seq[String] =
-    appendCommitted(spark, root, partCols, rows.localCheckpoint(),
-      None, "append")
+    appendCommitted(spark, root, partCols, rows, None, "append")
 
   /** Is there a committed manifest at `root`? (The writer-mode
     * existence check — a data dir without a committed manifest is NOT
@@ -889,6 +920,15 @@ object DeletionVectors {
     * append NEW blobs the point-in-time input listing never touches)
     * but to avoid forcing a concurrent purge's delta-signature
     * re-validation into pointless restaging.
+    *
+    * Duplicate task attempts (speculative execution, stage retry)
+    * follow the same rule as racing deletes: each attempt writes its
+    * own merged blob and removes the inputs it listed — the worst
+    * outcome is a TRANSIENTLY doubled dir (two merged blobs with
+    * identical positions) that the read-side merge dedupes and the
+    * next fold collapses; never a lost or phantom position. Readers
+    * that listed a blob a concurrent fold then removed retry through
+    * [[DvBlobs.merged]]'s supersession rule.
     *
     * @return (dirs compacted, input blobs removed)
     */

@@ -198,7 +198,21 @@ object DvBlobs {
     * file from the blob headers. Maintenance/diagnostic enumeration
     * (the read path goes through [[merged]]'s cache instead).
     */
-  def readDirMerged(dirPath: String): Option[(String, Array[Long])] = {
+  def readDirMerged(dirPath: String): Option[(String, Array[Long])] =
+    readDirMergedAttempt(dirPath, attempts = 5)
+
+  private def readDirMergedAttempt(dirPath: String,
+      attempts: Int): Option[(String, Array[Long])] = {
+    // same supersession-retry rule as [[merged]]
+    try readDirMergedOnce(dirPath)
+    catch {
+      case _: java.io.FileNotFoundException if attempts > 1 =>
+        readDirMergedAttempt(dirPath, attempts - 1)
+    }
+  }
+
+  private def readDirMergedOnce(
+      dirPath: String): Option[(String, Array[Long])] = {
     val blobs = deltasIn(dirPath).map(readDelta)
     if (blobs.isEmpty) None
     else {
@@ -284,7 +298,29 @@ object DvBlobs {
     * of its CURRENT visible delta set. One listing + O(file's
     * tombstones) merge, memoized until the delta set changes.
     */
-  def merged(tableRoot: String, dataFile: String): Array[Long] = {
+  def merged(tableRoot: String, dataFile: String): Array[Long] =
+    mergedAttempt(tableRoot, dataFile, attempts = 5)
+
+  /** A blob listed and then found MISSING can only mean supersession
+    * — [[compactDir]] folded it into a merged blob after our listing
+    * (blobs are otherwise immutable; only compaction and vacuum
+    * remove them, and vacuum only touches DEAD files' dirs). The
+    * position SET is preserved by every fold, so re-listing and
+    * re-merging converges — the reader-side answer to list-then-open
+    * racing uncoordinated maintenance, bounded because each retry
+    * needs a fresh fold to race.
+    */
+  private def mergedAttempt(tableRoot: String, dataFile: String,
+      attempts: Int): Array[Long] = {
+    try mergedOnce(tableRoot, dataFile)
+    catch {
+      case _: java.io.FileNotFoundException if attempts > 1 =>
+        mergedAttempt(tableRoot, dataFile, attempts - 1)
+    }
+  }
+
+  private def mergedOnce(tableRoot: String,
+      dataFile: String): Array[Long] = {
     val deltas = listDeltas(tableRoot, dataFile)
     if (deltas.isEmpty) Array.emptyLongArray
     else {

@@ -59,20 +59,36 @@ class DvSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val present = DeletionVectors.exists(spark, root)
-    def partCols: Seq[String] = parameters.get("partitionCol")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse {
-        val existing =
-          if (present) DeletionVectors.partitionColsOf(spark, root)
-          else Seq.empty
-        if (existing.nonEmpty) existing
-        else throw new IllegalArgumentException(
-          if (present)
-            s"graft-dv table at $root is unpartitioned; writes " +
-              "require option(\"partitionCol\", ...)"
-          else "creating a graft-dv table requires " +
-            "option(\"partitionCol\", ...)")
+    def partCols: Seq[String] = {
+      val requested = parameters.get("partitionCol")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      val existing =
+        if (present && mode != SaveMode.Overwrite)
+          DeletionVectors.partitionColsOf(spark, root)
+        else Seq.empty
+      (requested, existing) match {
+        // an explicit option must MATCH an existing layout — a
+        // mismatched append would commit a mixed-layout manifest
+        // that bricks every later read ("the existing layout wins")
+        case (Some(r), e) if e.nonEmpty && r != e =>
+          throw new IllegalArgumentException(
+            s"graft-dv table at $root is partitioned by " +
+              s"${e.mkString(",")}; option(\"partitionCol\", " +
+              s"\"${r.mkString(",")}\") contradicts it — drop the " +
+              "option to append into the existing layout, or " +
+              "mode(\"overwrite\") to re-create")
+        case (Some(r), _) => r
+        case (None, e) if e.nonEmpty => e
+        case (None, _) =>
+          throw new IllegalArgumentException(
+            if (present)
+              s"graft-dv table at $root has an EMPTY live set, so " +
+                "its partition layout cannot be recovered from live " +
+                "paths — pass option(\"partitionCol\", ...) explicitly"
+            else "creating a graft-dv table requires " +
+              "option(\"partitionCol\", ...)")
       }
+    }
     mode match {
       case SaveMode.Overwrite =>
         DeletionVectors.init(spark, data, root, partCols): Unit
