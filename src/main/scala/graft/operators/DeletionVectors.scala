@@ -513,7 +513,19 @@ object DeletionVectors {
         val moved = moveStaged(spark, root, stage, "purged")
 
         val sigNow = hot.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
-        if (sigNow != sig0 && sigAttempts < 3) {
+        if (sigNow != sig0) {
+          // a delete raced the staging scan: the staged replacements'
+          // masks lack its victims. NEVER commit a stale stage —
+          // committing would rest correctness on the racing deleter
+          // surviving to run its post-write fence (a deleter that
+          // crashes after its deltas land but before fencing would
+          // have its delete silently resurrected). Restage (bounded),
+          // then fail loudly like delete's retry cap.
+          require(sigAttempts < 3,
+            s"purge restaged 3 times and a concurrent delete raced " +
+              s"each attempt on $root — delete churn is pathological; " +
+              "rerun purge when the delete storm subsides " +
+              "(abandoned staged files are vacuum fodder)")
           sigAttempts += 1 // abandoned moved files = vacuum fodder
         } else {
           val movedStats =
@@ -528,7 +540,9 @@ object DeletionVectors {
           // files — rebase the (live − hot) ∪ replacements math onto
           // whatever the latest manifest now says
           var committed = false
+          var casAttempts = 0
           while (!committed) {
+            casAttempts = boundedCasRetry(root, casAttempts)
             val base = Snapshots.latestVersion(
               spark, manifestTable(root)).get
             val latest = Snapshots.readVersion(
@@ -694,7 +708,9 @@ object DeletionVectors {
         relationOver(spark, root, entriesOf(spark, newFiles)))
 
     var committed = false
+    var casAttempts = 0
     while (!committed) {
+      casAttempts = boundedCasRetry(root, casAttempts)
       val base = Snapshots.latestVersion(spark, manifestTable(root)).get
       val latest = Snapshots.readVersion(spark, manifestTable(root), base)
       val cdc = cdcBatch.getOrElse(-1L)
@@ -704,6 +720,27 @@ object DeletionVectors {
       committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
     }
     newFiles
+  }
+
+  /** Shared bound on the manifest CAS rebase loops (purge commit,
+    * appendCommitted). Snapshots claims are deliberately never
+    * auto-expired, so a writer that crashed between tryClaim and
+    * releaseClaim leaves `_claims/<base+1>` behind forever — an
+    * unbounded rebase loop would then hot-spin, re-running the
+    * manifest read + parquet write each pass. Fail loudly instead,
+    * naming the stale marker (mirrors delete's capped fence retries);
+    * the small sleep keeps genuine contention from spinning.
+    */
+  private val MaxCasAttempts = 20
+  private def boundedCasRetry(root: String, attempts: Int): Int = {
+    if (attempts >= MaxCasAttempts) throw new IllegalStateException(
+      s"manifest CAS publish on ${manifestTable(root)} failed " +
+        s"$MaxCasAttempts times — a crashed writer's stale claim under " +
+        s"${manifestTable(root)}/_claims/ blocks the next version " +
+        "(remove the stale marker to recover), or writer contention " +
+        "is pathological")
+    if (attempts > 0) Thread.sleep(50L * attempts)
+    attempts + 1
   }
 
   /** Key-free APPEND: new rows land as fresh files behind one CAS
@@ -867,22 +904,28 @@ object DeletionVectors {
       val f = hfs(spark, root)
       val now = System.currentTimeMillis()
       var dataDeleted = 0L
-      f.listStatus(new Path(dataDir(root))).filter(_.isDirectory)
-        .foreach { dir =>
-          f.listStatus(dir.getPath)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .foreach { s =>
-              // compare in manifest space (urlOf): listed paths are
-              // raw, manifest strings are URL-encoded — a naive
-              // toString mismatch here would reclaim LIVE files in
-              // escaped partitions
-              if (!referenced.contains(GraftDvApi.urlOf(s.getPath))
-                  && now - s.getModificationTime >= minAgeMs) {
-                f.delete(s.getPath, false): Unit
-                dataDeleted += 1
-              }
+      // recurse the hive layout to ANY depth (multi-level day=X/
+      // region=Y/... tables) and also catch files directly under
+      // data/ (unpartitioned layouts) — the same walk discipline as
+      // moveStaged. A one-level walk silently never reclaims dead
+      // files of deeper layouts, and once their manifest versions are
+      // vacuumed they become permanently invisible orphans.
+      def sweep(dir: Path): Unit =
+        f.listStatus(dir).foreach { s =>
+          if (s.isDirectory) sweep(s.getPath)
+          else if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+            // compare in manifest space (urlOf): listed paths are
+            // raw, manifest strings are URL-encoded — a naive
+            // toString mismatch here would reclaim LIVE files in
+            // escaped partitions
+            if (!referenced.contains(GraftDvApi.urlOf(s.getPath))
+                && now - s.getModificationTime >= minAgeMs) {
+              f.delete(s.getPath, false): Unit
+              dataDeleted += 1
             }
+          }
         }
+      sweep(new Path(dataDir(root)))
       Snapshots.vacuum(spark, mt, keepVersions)
       // tombstone dirs of dead files: whole-dir GC, resolved
       // DISTRIBUTEDLY (one header read per dir decides)

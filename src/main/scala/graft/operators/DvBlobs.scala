@@ -54,14 +54,26 @@ object DvBlobs {
 
   private lazy val hconf = new Configuration()
 
+  // PRIVATE FileSystem instances, one per (scheme, authority): blobs
+  // are tiny and self-describing, so the local ChecksumFileSystem's
+  // .crc twin would DOUBLE the per-blob file creations — but the
+  // Hadoop FS cache keys on (scheme, authority, ugi), NOT on the
+  // Configuration, so flipping setWriteChecksum on a cached instance
+  // would mutate the SHARED FileSystem Spark and Snapshots use,
+  // process-wide, as a side effect of any blob IO. newInstance gives
+  // an uncached instance whose writer flags are ours alone; memoized
+  // here because each newInstance carries its own statistics threads.
+  private val fsInstances = new ConcurrentHashMap[String, FileSystem]()
+
   private def fs(p: Path): FileSystem = {
-    val f = p.getFileSystem(hconf)
-    // blobs are tiny and carry their own magic + self-describing
-    // layout; the local ChecksumFileSystem's .crc twin would DOUBLE
-    // the per-blob file creations (real stores — HDFS, S3 — checksum
-    // natively and ignore this flag)
-    f.setWriteChecksum(false)
-    f
+    val u = p.toUri
+    val key = s"${u.getScheme}|${u.getAuthority}"
+    fsInstances.computeIfAbsent(key, _ => {
+      val f = FileSystem.newInstance(
+        FileSystem.getDefaultUri(hconf).resolve(u), hconf)
+      f.setWriteChecksum(false)
+      f
+    })
   }
 
   def md5hex(s: String): String =

@@ -139,6 +139,17 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(rd.filter(col("region") === "1").count()
       == kept.filter(col("region") === "1").count())
 
+    // vacuum recurses the 2-level hive layout: every file the purge
+    // replaced (now referenced by NO retained manifest) is reclaimed
+    // from its day=/region= depth — a one-level walk would silently
+    // orphan all of them — and the live set is untouched
+    val (dataGone, _) = DV.vacuum(spark, root, keepVersions = 1,
+      minAgeMs = 0L)
+    assert(dataGone >= hot.size,
+      s"vacuum reclaimed $dataGone files but the purge replaced " +
+        s"${hot.size} at depth 2 — the walk missed the inner level")
+    assert(rd.count() == kept.count(), "vacuum over-deleted live files")
+
     // writer face takes the comma list
     val root2 = Files.createTempDirectory("graft_dv_ml2").toString + "/t"
     ev.limit(500).write.format("graft-dv")
