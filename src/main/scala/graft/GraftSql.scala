@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftPlanApi, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
+
+import graft.plans.DvDmlRule
+
+/** SQL entry point with DML routed to the graft-dv lakehouse layer.
+  *
+  * For a session built with the engine's extensions
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), plain
+  * `spark.sql("DELETE FROM ev WHERE ...")` already works — the
+  * injected [[graft.plans.DvDmlRule]] swaps the resolved statement in
+  * the analyzer's resolution window. This wrapper serves sessions the
+  * engine does NOT build (the harness driver owns its session, and
+  * `experimental.extraOptimizations` runs AFTER checkAnalysis has
+  * rejected DML on a V1 relation): it parses with the session's own
+  * parser, lets the session's own analyzer RESOLVE the statement
+  * (conditions, assignments, MERGE star expansion — all standard
+  * Spark), applies the same swap rule, and executes. Everything that
+  * is not a DML statement over a graft-dv table — SELECTs, DDL, DML
+  * on other sources — delegates verbatim to `spark.sql`, so this is a
+  * drop-in superset.
+  *
+  * Error surfaces are unchanged: an unresolvable statement (bad
+  * column, bad table) never matches the rule's `resolved` guard and
+  * falls through to `spark.sql`, which raises the standard analyzer
+  * error.
+  */
+object GraftSql {
+
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    parsed match {
+      case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable =>
+        val analyzed = spark.sessionState.analyzer.execute(parsed)
+        val routed = DvDmlRule(analyzed)
+        if (routed eq analyzed) spark.sql(text)
+        else GraftPlanApi.ofRows(spark, routed)
+      case _ => spark.sql(text)
+    }
+  }
+}

@@ -317,6 +317,20 @@ object DeletionVectors {
     scanWithPos(spark, root, entriesOf(spark, files))
       .drop("__file", "__pos")
 
+  /** Masked positional scan — the table's columns plus `__file` /
+    * `__pos` (the physical coordinates tombstones address). The hook
+    * the SQL DML layer ([[graft.plans.DvDml]]) classifies against; an
+    * empty live set yields an empty frame with the same shape.
+    */
+  private[graft] def readWithPos(spark: SparkSession,
+      root: String): DataFrame = {
+    val entries = liveEntries(spark, root)
+    if (entries.isEmpty)
+      spark.read.parquet(dataDir(root)).limit(0)
+        .withColumn("__file", lit("")).withColumn("__pos", lit(0L))
+    else scanWithPos(spark, root, entries)
+  }
+
   /** UNMASKED scan of the live set with `_metadata` columns available
     * — the input for sidecar builds (e.g. the skipping index, which
     * must index physical files, tombstoned rows included: a
@@ -384,6 +398,37 @@ object DeletionVectors {
     */
   def delete(spark: SparkSession, root: String, keyCol: String,
       victims: DataFrame, maintWaitMs: Long = 15L * 60 * 1000): Long = {
+    val vic = victims.select(col(keyCol)).distinct().localCheckpoint()
+    markWhere(spark, root,
+      scan => scan.join(broadcast(vic), Seq(keyCol), "left_semi")
+        .select(col("__file"), col("__pos")),
+      maintWaitMs)
+  }
+
+  /** Predicate form of [[delete]] — tombstone every live row matching
+    * `cond` (the `DELETE FROM t WHERE ...` shape, see
+    * [[graft.plans.DvDml]]). Same write path, same purge fencing; the
+    * marking scan pushes `cond` into the masked parquet scan instead
+    * of semi-joining a victim-key frame.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      maintWaitMs: Long = 15L * 60 * 1000): Long =
+    markWhere(spark, root,
+      scan => scan.filter(cond).select(col("__file"), col("__pos")),
+      maintWaitMs)
+
+  /** The shared mark-and-fence core every tombstoning path rides:
+    * `mark` maps the masked positional scan (table columns + `__file`,
+    * `__pos`) to the rows to tombstone, and MUST be a deterministic
+    * pure function of the scan — the purge fence re-executes it
+    * against the post-rewrite live set when a racing maintenance
+    * commit replaced a touched file, so a non-deterministic mark would
+    * fence a different row set than it marked.
+    */
+  private[graft] def markWhere(spark: SparkSession, root: String,
+      mark: DataFrame => DataFrame,
+      maintWaitMs: Long = 15L * 60 * 1000): Long = {
     val dbg = sys.env.contains("GRAFT_DV_DEBUG_TIMING")
     var tMark = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
@@ -391,8 +436,6 @@ object DeletionVectors {
       println(f"[dv-delete] $tag: ${(now - tMark) / 1e9}%.2fs")
       tMark = now
     }
-    val vic = victims.select(col(keyCol)).distinct().localCheckpoint()
-    lap("vic checkpoint")
     var firstPass = -1L
     var attempts = 0
     while (true) {
@@ -401,8 +444,7 @@ object DeletionVectors {
       val entries = liveEntries(spark, root)
       lap("liveEntries")
       if (entries.isEmpty) return math.max(firstPass, 0L)
-      val marked = scanWithPos(spark, root, entries)
-        .join(broadcast(vic), Seq(keyCol), "left_semi")
+      val marked = mark(scanWithPos(spark, root, entries))
         .select(col("__file"), col("__pos"))
       val nAcc = spark.sparkContext.longAccumulator("dv_marked")
       val touchedAcc =
@@ -690,7 +732,7 @@ object DeletionVectors {
     * discipline), then flip the manifest via CAS — the write half
     * every mutating path shares. Returns the committed new files.
     */
-  private def appendCommitted(spark: SparkSession, root: String,
+  private[graft] def appendCommitted(spark: SparkSession, root: String,
       partCols: Seq[String], rows: DataFrame, cdcBatch: Option[Long],
       prefix: String): Seq[String] = {
     val f = hfs(spark, root)

@@ -56,6 +56,13 @@ object TextOps {
   def h60Sql(s: String): String =
     s"CAST('0x'||substr(md5($s),1,15) AS BIGINT)"
 
+  /** [[h60]] as Spark-SQL text (the DuckDB dialect above spells hex
+    * casts differently) — for statements routed through
+    * [[graft.GraftSql]] where the predicate must live IN the SQL.
+    */
+  def h60SparkSql(s: String): String =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+
   /** Mersenne prime 2^31-1: modulus of the MinHash permutation family. */
   val P31 = 2147483647L
 

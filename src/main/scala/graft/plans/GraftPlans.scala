@@ -19,6 +19,11 @@ object GraftPlans {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
     ext.injectOptimizerRule(s => DvScanRule(s))
+    // SQL DML (DELETE/UPDATE/MERGE) on graft-dv tables: must swap in
+    // the RESOLUTION window — checkAnalysis rejects DML over a V1
+    // relation before any optimizer rule could run. Driver-owned
+    // sessions get the same routing via graft.GraftSql.sql.
+    ext.injectResolutionRule(_ => DvDmlRule)
   }
 
   /** Idempotent per-session strategy + optimizer-rule registration. */

@@ -220,6 +220,14 @@ object Registry {
     // 48-leg differential-testing harness, not a plan you'd run at
     // scale — its aggregate shapes are benched via tq1/agg_group.
     "index_point_lookup",
+    // round 11: SQL MERGE INTO routed onto the DV table — the one
+    // DML statement with a NEW physical shape: an outer join of the
+    // positional masked scan against the source with first-match
+    // when-chain classification feeding both the tombstone mark and
+    // the image append. dv_sql_delete / dv_sql_update stay
+    // Verify-only: their physical shapes are dvd's marking scan and
+    // the upsert append, both already timed.
+    "dv_sql_merge",
   )
 
   /** Short stable keys for the bench JSON line (round 7).
@@ -290,5 +298,7 @@ object Registry {
     "join_runtime_bloom" -> "jbl",
     // round-9 additions (append-only; see the stability contract above)
     "dv_delete" -> "dvd", "dv_purge" -> "dvp",
-    "index_point_lookup" -> "ipl")
+    "index_point_lookup" -> "ipl",
+    // round-11 additions (append-only; see the stability contract above)
+    "dv_sql_merge" -> "dvm")
 }

@@ -1192,8 +1192,146 @@ object ScaleQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** The masked-read aggregate every DV lifecycle query gates on. */
+  private def dvAggregate(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+
+  /** Memoized catalog name for a DV table root (CREATE IF NOT EXISTS
+    * is per-session-catalog; the name embeds the session + sf so
+    * parallel suites never cross roots).
+    */
+  private def dvCatalogTable(spark: SparkSession, sfDir: String,
+      root: String, tag: String): String = {
+    val tbl = s"dv_sql_${tag}_${System.identityHashCode(spark)}_" +
+      s"${math.abs(sfDir.hashCode)}"
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING `graft-dv` " +
+      s"OPTIONS (path '$root')")
+    graft.plans.GraftPlans.ensureDvScan(spark)
+    tbl
+  }
+
+  /** SQL DML face #1 — `DELETE FROM` on the graft-dv CATALOG table
+    * ([[graft.plans.DvDml]] routing through [[graft.GraftSql]]): the
+    * statement's predicate is tombstoned merge-on-read (O(deleted
+    * rows) sidecar bytes, no data file touched, purge-fenced), and the
+    * read-back goes through `spark.table` — catalog in, catalog out.
+    * Replay-safe: already-masked rows are invisible to the marking
+    * scan, so re-execution deletes 0 rows and the state is a fixed
+    * point (the bench reps re-run the statement).
+    */
+  def dvSqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val root = dvTable(spark, sfDir, "sqldel")()
+    val tbl = dvCatalogTable(spark, sfDir, root, "del")
+    val vic = TextOps.h60SparkSql(
+      "concat('dvsdl_', CAST(user_id AS STRING))") + " % 4 = 0"
+    graft.GraftSql.sql(spark, s"DELETE FROM $tbl WHERE $vic").collect()
+    dvAggregate(spark.table(tbl))
+  }
+
+  private val dvSqlDeleteOracle = {
+    import graft.operators.TextOps
+    val vic =
+      s"${TextOps.h60Sql("('dvsdl_' || CAST(user_id AS VARCHAR))")} % 4 = 0"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events WHERE NOT ($vic)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** SQL DML face #2 — `UPDATE ... SET ... WHERE`: new images from
+    * the pre-update masked state, old images tombstoned, one CAS
+    * append ([[graft.plans.DvUpdateCommand]]). The SET expression
+    * depends only on a column the statement does NOT update, so
+    * re-execution rewrites the same images — a state fixed point
+    * under bench reps (file churn, identical content).
+    */
+  def dvSqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val root = dvTable(spark, sfDir, "squpd")()
+    val tbl = dvCatalogTable(spark, sfDir, root, "upd")
+    val vic = TextOps.h60SparkSql(
+      "concat('dvsud_', CAST(user_id AS STRING))") + " % 5 = 0"
+    graft.GraftSql.sql(spark,
+      s"UPDATE $tbl SET value = CAST(user_id % 100 AS DOUBLE) / 10.0 " +
+        s"WHERE $vic").collect()
+    dvAggregate(spark.table(tbl))
+  }
+
+  private val dvSqlUpdateOracle = {
+    import graft.operators.TextOps
+    val vic =
+      s"${TextOps.h60Sql("('dvsud_' || CAST(user_id AS VARCHAR))")} % 5 = 0"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(
+       |    CASE WHEN $vic THEN CAST(user_id % 100 AS DOUBLE) / 10.0
+       |         ELSE value END AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** SQL DML face #3 — `MERGE INTO`: one outer join of the positional
+    * scan against the source, first-match clause classification,
+    * multi-match failing loudly (spec-pinned), tombstone + one CAS
+    * append ([[graft.plans.DvMergeCommand]]). Source images derive
+    * from the IMMUTABLE events fact, so a re-run's matched updates
+    * rewrite identical images and its former inserts become matched
+    * updates of themselves — the state is a fixed point under bench
+    * reps. The analyzer expands `UPDATE SET *` / `INSERT *` before
+    * the swap; nothing here re-resolves user expressions.
+    */
+  def dvSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val root = dvTable(spark, sfDir, "sqmrg")()
+    val tbl = dvCatalogTable(spark, sfDir, root, "mrg")
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val upd = ev.filter(TextOps.h60(
+        concat(lit("dvsmu_"), col("event_id").cast("string"))) % 6 === 0)
+      .withColumn("value", col("value") + 1000)
+    val ins = ev.filter(TextOps.h60(
+        concat(lit("dvsmi_"), col("event_id").cast("string"))) % 40 === 0)
+      .withColumn("event_id", col("event_id") + lit(2000000000L))
+      .withColumn("user_id", col("user_id") + lit(20000000L))
+    upd.unionByName(ins).createOrReplaceTempView("dv_sql_merge_src")
+    graft.GraftSql.sql(spark,
+      s"""MERGE INTO $tbl t USING dv_sql_merge_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    dvAggregate(spark.table(tbl))
+  }
+
+  private val dvSqlMergeOracle = {
+    import graft.operators.TextOps
+    val upd = s"${TextOps.h60Sql("('dvsmu_' || CAST(event_id AS VARCHAR))")} % 6 = 0"
+    val ins = s"${TextOps.h60Sql("('dvsmi_' || CAST(event_id AS VARCHAR))")} % 40 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, user_id,
+       |    CASE WHEN $upd THEN value + 1000 ELSE value END AS value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, user_id + 20000000 AS user_id, value
+       |  FROM events WHERE $ins)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
+    Q("dv_sql_delete", Some(dvSqlDeleteOracle), dvSqlDelete),
+    Q("dv_sql_update", Some(dvSqlUpdateOracle), dvSqlUpdate),
+    Q("dv_sql_merge", Some(dvSqlMergeOracle), dvSqlMerge),
     Q("dv_delete", Some(dvDeleteOracle), dvDelete),
     Q("dv_purge", Some(dvPurgeOracle), dvPurge),
     Q("dv_compact", Some(dvCompactOracle), dvCompact),

@@ -17,4 +17,14 @@ object GraftPlanApi {
   /** Analyzed logical plan + resolved output attributes of a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Wrap a catalyst Expression as a Column (`ExpressionUtils.column`
+    * is `private[sql]`). The SQL-DML layer uses this to carry the
+    * analyzer's RESOLVED condition/assignment expressions — exprIds
+    * intact — into DataFrame operators over plans that preserve those
+    * exprIds, instead of lossily round-tripping through SQL text.
+    */
+  def column(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
