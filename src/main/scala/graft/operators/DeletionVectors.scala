@@ -117,16 +117,102 @@ object DeletionVectors {
 
   // ---- manifest ----------------------------------------------------
 
-  /** Build manifest rows (file, rows, bytes, cdc_batch) from a scan's
-    * per-file stats, sentinel included.
+  /** Build manifest rows (file, rows, bytes, cdc_batch, schema_json,
+    * part_cols) from a scan's per-file stats. Table-level metadata —
+    * the CDC high-water mark AND (round 11) the table's data schema +
+    * partition columns — rides the SENTINEL row only, so the schema is
+    * versioned atomically with every manifest flip: an append that
+    * widens the schema commits rows and schema in ONE CAS, and time
+    * travel to an old version reads under that version's own schema.
+    * Partition columns are encoded as a StructType's field list (the
+    * battle-tested JSON codec; values are string-typed in the file
+    * index regardless).
     */
   private def manifestOf(spark: SparkSession, stats: DataFrame,
-      cdcBatch: Long): DataFrame = {
+      cdcBatch: Long, dataSchema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): DataFrame = {
     stats.select(col("file"), col("rows"), col("bytes"),
-        lit(cdcBatch).as("cdc_batch"))
+        lit(cdcBatch).as("cdc_batch"),
+        lit(null).cast("string").as("schema_json"),
+        lit(null).cast("string").as("part_cols"))
       .unionByName(spark.range(1).select(lit(Sentinel).as("file"),
         lit(0L).as("rows"), lit(0L).as("bytes"),
-        lit(cdcBatch).as("cdc_batch")))
+        lit(cdcBatch).as("cdc_batch"),
+        lit(dataSchema.json).as("schema_json"),
+        lit(partColsJson(partCols)).as("part_cols")))
+  }
+
+  private def partColsJson(partCols: Seq[String]): String =
+    org.apache.spark.sql.types.StructType(partCols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType))).json
+
+  private def partColsOfJson(json: String): Seq[String] =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+
+  /** Add the round-11 metadata columns (null) to a pre-evolution
+    * manifest frame so unions across manifest generations line up.
+    */
+  private def ensureMetaCols(df: DataFrame): DataFrame = {
+    val s = if (df.columns.contains("schema_json")) df
+      else df.withColumn("schema_json", lit(null).cast("string"))
+    if (s.columns.contains("part_cols")) s
+    else s.withColumn("part_cols", lit(null).cast("string"))
+  }
+
+  /** (data schema, partition cols) recorded in version v's sentinel —
+    * None for pre-evolution manifests (readers fall back to the
+    * legacy footer-schema + path-parse derivation). Cached like
+    * [[liveEntries]]: committed manifests are immutable.
+    */
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(org.apache.spark.sql.types.StructType, Seq[String])]]()
+
+  private def metaAt(spark: SparkSession, root: String,
+      v: Long): Option[(org.apache.spark.sql.types.StructType, Seq[String])] = {
+    val key = s"${spark.sparkContext.applicationId}|$root|" +
+      s"${tableId(spark, root)}|$v|meta"
+    if (metaCache.size > 64) metaCache.clear()
+    metaCache.computeIfAbsent(key, _ => {
+      val m = Snapshots.readVersion(spark, manifestTable(root), v)
+      if (!m.columns.contains("schema_json")) None
+      else m.filter(col("file") === Sentinel)
+        .select("schema_json", "part_cols").collect().headOption
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => (org.apache.spark.sql.types.DataType
+          .fromJson(r.getString(0))
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+          partColsOfJson(r.getString(1))))
+    })
+  }
+
+  private def currentMeta(spark: SparkSession, root: String)
+      : Option[(org.apache.spark.sql.types.StructType, Seq[String])] =
+    Snapshots.latestVersion(spark, manifestTable(root))
+      .flatMap(v => metaAt(spark, root, v))
+
+  /** Add-only schema merge: existing columns must keep their type
+    * (no retyping/widening — fail loudly), new columns append as
+    * nullable (old files null-fill at read, the standard parquet
+    * missing-column rule).
+    */
+  private def mergeSchemas(cur: org.apache.spark.sql.types.StructType,
+      inc: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = cur.fields.map(f => f.name -> f).toMap
+    inc.fields.foreach { f =>
+      byName.get(f.name).foreach { c =>
+        require(c.dataType == f.dataType,
+          s"incompatible schema change for column ${f.name}: table " +
+            s"has ${c.dataType.sql}, append carries ${f.dataType.sql}" +
+            " — graft-dv evolves by ADDING columns, never retyping")
+      }
+    }
+    org.apache.spark.sql.types.StructType(cur.fields ++
+      inc.fields.filterNot(f => byName.contains(f.name))
+        .map(_.copy(nullable = true)))
   }
 
   private def perFileStats(scan: DataFrame): DataFrame =
@@ -161,8 +247,11 @@ object DeletionVectors {
     try tidOut.write(
       java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
     finally tidOut.close()
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(fd => partCols.contains(fd.name)))
     val manifest = manifestOf(spark,
-      perFileStats(spark.read.parquet(dataDir(root))), cdcBatch = -1L)
+      perFileStats(spark.read.parquet(dataDir(root))), cdcBatch = -1L,
+      dataSchema, partCols)
     Snapshots.publish(spark, manifestTable(root), manifest)
   }
 
@@ -263,19 +352,27 @@ object DeletionVectors {
   // ---- read path ----------------------------------------------------
 
   private def relationOver(spark: SparkSession, root: String,
-      entries: Seq[GraftDvApi.LiveFile]): DataFrame = {
-    val vectors = entries.map(e =>
-      GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
-    require(vectors.size == 1,
-      s"mixed partition layouts under ${dataDir(root)}: $vectors")
-    // schema straight from one entry's parquet FOOTER — string-path
-    // DataSource resolution re-encodes escaped partition segments
-    // (part=a%3Ab -> a%253Ab, PATH_NOT_FOUND), and a directory probe
-    // can see stale pre-vacuum siblings or an emptied dir
-    val head = GraftDvApi.pathOf(entries.head.path)
-    val dataSchema = GraftDvApi.fileSchema(spark,
-      hfs(spark, entries.head.path).getFileStatus(head))
-    GraftDvApi.relation(spark, dataDir(root), vectors.head,
+      entries: Seq[GraftDvApi.LiveFile],
+      meta: Option[(org.apache.spark.sql.types.StructType, Seq[String])])
+      : DataFrame = {
+    val partCols = meta.map(_._2).getOrElse {
+      val vectors = entries.map(e =>
+        GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
+      require(vectors.size == 1,
+        s"mixed partition layouts under ${dataDir(root)}: $vectors")
+      vectors.head
+    }
+    // schema from the manifest sentinel (versioned with the live set —
+    // the schema-evolution carrier); legacy manifests fall back to one
+    // entry's parquet FOOTER — never string-path DataSource resolution
+    // (re-encodes escaped partition segments, PATH_NOT_FOUND) and
+    // never a directory probe (stale pre-vacuum siblings)
+    val dataSchema = meta.map(_._1).getOrElse {
+      val head = GraftDvApi.pathOf(entries.head.path)
+      GraftDvApi.fileSchema(spark,
+        hfs(spark, entries.head.path).getFileStatus(head))
+    }
+    GraftDvApi.relation(spark, dataDir(root), partCols,
       entries, dataSchema)
   }
 
@@ -284,8 +381,10 @@ object DeletionVectors {
     * (plan-time check), so the fast path is a bare parquet scan.
     */
   private def scanWithPos(spark: SparkSession, root: String,
-      entries: Seq[GraftDvApi.LiveFile]): DataFrame = {
-    val data = relationOver(spark, root, entries)
+      entries: Seq[GraftDvApi.LiveFile],
+      meta: Option[(org.apache.spark.sql.types.StructType, Seq[String])])
+      : DataFrame = {
+    val data = relationOver(spark, root, entries, meta)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     if (DvBlobs.hasAny(root))
@@ -301,8 +400,104 @@ object DeletionVectors {
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     val entries = liveEntries(spark, root)
-    if (entries.isEmpty) spark.read.parquet(dataDir(root)).limit(0)
-    else scanWithPos(spark, root, entries).drop("__file", "__pos")
+    if (entries.isEmpty) emptyTable(spark, root)
+    else scanWithPos(spark, root, entries, currentMeta(spark, root))
+      .drop("__file", "__pos")
+  }
+
+  /** Typed empty frame for an emptied live set: schema from the
+    * manifest sentinel when present (partition values read back as
+    * string, matching the file index's partition typing); legacy
+    * tables fall back to the data-dir footer probe.
+    */
+  private def emptyTable(spark: SparkSession, root: String): DataFrame =
+    currentMeta(spark, root) match {
+      case Some((ds, pcs)) =>
+        val full = org.apache.spark.sql.types.StructType(
+          ds.fields ++ pcs.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.StringType)))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), full)
+      case None => spark.read.parquet(dataDir(root)).limit(0)
+    }
+
+  /** The table as of committed manifest version `v`, masked — read
+    * under THAT version's recorded schema (time travel across schema
+    * evolution shows each version's own column set; tombstones stay
+    * retroactively current per the pinned semantics).
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val files = manifestAt(spark, root, v).select("file")
+      .collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) emptyTable(spark, root)
+    else scanWithPos(spark, root, entriesOf(spark, files),
+      metaAt(spark, root, v)).drop("__file", "__pos")
+  }
+
+  /** CHANGE DATA FEED (batch face): row-level changes between two
+    * committed manifest versions, as the table's columns plus
+    * `_change_type` ('insert' | 'delete') and `_commit_version`.
+    *
+    * Semantics — exactly the manifest-versioned change stream, one
+    * step per committed version in `(fromV, toV]`: a step's inserts
+    * are the masked rows of its ADDED files minus the masked rows of
+    * its REMOVED files (multiset exceptAll), deletes the converse.
+    * The FOLD LAW (DvCdfSpec): applying the feed's steps in order to
+    * the masked read of `fromV` reproduces the masked read of `toV`
+    * exactly. Two corollaries of the pinned retroactive-tombstone
+    * time travel:
+    *  - a purge emits NOTHING (its removed files' surviving rows
+    *    reappear verbatim in the replacements and cancel);
+    *  - row DELETION surfaces as the retroactive mask (visible at
+    *    every version), never as feed rows — with today's operations
+    *    the 'delete' side is structurally empty, and it exists for
+    *    manifest-level row removal semantics (and consumers that
+    *    replay against unmasked snapshots).
+    *
+    * Each step reads under ITS later version's recorded schema;
+    * steps union with null-fill, so a feed spanning schema evolution
+    * carries the widest column set. 100 TB shape: a step's cost is a
+    * shuffle over the TOUCHED files' rows (added ∪ removed), never
+    * the table — a CDC trickle feeds from exactly its appended
+    * files.
+    */
+  def readChanges(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val committed = Snapshots.committedVersions(spark, manifestTable(root))
+    require(committed.contains(fromV) && committed.contains(toV),
+      s"readChanges endpoints must be committed versions of $root " +
+        s"(have ${committed.mkString(",")}, asked $fromV -> $toV)")
+    require(fromV <= toV, s"readChanges: $fromV > $toV")
+    val vs = fromV +: committed.filter(v => v > fromV && v <= toV)
+    val steps = vs.sliding(2).filter(_.size == 2).flatMap { pair =>
+      val (a, b) = (pair.head, pair.last)
+      val filesA = manifestAt(spark, root, a).select("file")
+        .collect().map(_.getString(0)).toSet
+      val filesB = manifestAt(spark, root, b).select("file")
+        .collect().map(_.getString(0)).toSet
+      val meta = metaAt(spark, root, b)
+      def rd(files: Set[String]): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(scanWithPos(spark, root,
+          entriesOf(spark, files.toSeq.sorted), meta)
+          .drop("__file", "__pos"))
+      def tag(df: DataFrame, t: String): DataFrame =
+        df.withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(b))
+      (rd(filesB -- filesA), rd(filesA -- filesB)) match {
+        case (None, None) => None
+        case (Some(add), None) => Some(tag(add, "insert"))
+        case (None, Some(rem)) => Some(tag(rem, "delete"))
+        case (Some(add), Some(rem)) =>
+          Some(tag(add.exceptAll(rem), "insert")
+            .unionByName(tag(rem.exceptAll(add), "delete")))
+      }
+    }.toSeq
+    steps.reduceOption(
+        _.unionByName(_, allowMissingColumns = true))
+      .getOrElse(emptyTable(spark, root)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)))
   }
 
   /** Masked read restricted to an explicit file subset — the hook
@@ -314,7 +509,8 @@ object DeletionVectors {
     */
   def readFiles(spark: SparkSession, root: String,
       files: Seq[String]): DataFrame =
-    scanWithPos(spark, root, entriesOf(spark, files))
+    scanWithPos(spark, root, entriesOf(spark, files),
+      currentMeta(spark, root))
       .drop("__file", "__pos")
 
   /** Masked positional scan — the table's columns plus `__file` /
@@ -326,9 +522,9 @@ object DeletionVectors {
       root: String): DataFrame = {
     val entries = liveEntries(spark, root)
     if (entries.isEmpty)
-      spark.read.parquet(dataDir(root)).limit(0)
+      emptyTable(spark, root)
         .withColumn("__file", lit("")).withColumn("__pos", lit(0L))
-    else scanWithPos(spark, root, entries)
+    else scanWithPos(spark, root, entries, currentMeta(spark, root))
   }
 
   /** UNMASKED scan of the live set with `_metadata` columns available
@@ -338,7 +534,8 @@ object DeletionVectors {
     * composition, never silently vanish from the index).
     */
   def rawScan(spark: SparkSession, root: String): DataFrame =
-    relationOver(spark, root, liveEntries(spark, root))
+    relationOver(spark, root, liveEntries(spark, root),
+      currentMeta(spark, root))
 
   /** All current tombstones as (file, pos) rows — reconstructed
     * DISTRIBUTEDLY from the per-file blob dirs (one task per blob
@@ -444,7 +641,8 @@ object DeletionVectors {
       val entries = liveEntries(spark, root)
       lap("liveEntries")
       if (entries.isEmpty) return math.max(firstPass, 0L)
-      val marked = mark(scanWithPos(spark, root, entries))
+      val marked = mark(
+          scanWithPos(spark, root, entries, currentMeta(spark, root)))
         .select(col("__file"), col("__pos"))
       val nAcc = spark.sparkContext.longAccumulator("dv_marked")
       val touchedAcc =
@@ -549,7 +747,10 @@ object DeletionVectors {
         val f = hfs(spark, root)
         val stage = s"$root/_purge_stage"
         f.delete(new Path(stage), true)
-        scanWithPos(spark, root, entriesOf(spark, hot))
+        // staged under the CURRENT schema: a purge after evolution
+        // materializes the null-filled columns into the replacements
+        scanWithPos(spark, root, entriesOf(spark, hot),
+            currentMeta(spark, root))
           .drop("__file", "__pos")
           .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
         val moved = moveStaged(spark, root, stage, "purged")
@@ -575,8 +776,8 @@ object DeletionVectors {
               lit("").as("file"), lit(0L).as("rows"), lit(0L).as("bytes"))
             // manifest-fed relation, not parquet(strings): explicit
             // path strings re-encode escaped partition segments
-            else perFileStats(
-              relationOver(spark, root, entriesOf(spark, moved)))
+            else perFileStats(relationOver(spark, root,
+              entriesOf(spark, moved), currentMeta(spark, root)))
           onBeforeCommit()
           // CAS loop: a CDC upsert committing mid-purge only ADDS
           // files — rebase the (live − hot) ∪ replacements math onto
@@ -594,10 +795,13 @@ object DeletionVectors {
             // manifest-sized plan literal (the refreshIndex rule)
             val hotDf = spark.createDataset(hot)(
               org.apache.spark.sql.Encoders.STRING).toDF("file")
-            val next = latest.join(broadcast(hotDf), Seq("file"),
-                "left_anti")
-              .unionByName(movedStats.withColumn("cdc_batch",
-                lit(lastCdcBatch(spark, root))))
+            // meta (schema/part_cols) rides the sentinel row through
+            // the anti-join untouched — purge never changes schema
+            val next = ensureMetaCols(
+                latest.join(broadcast(hotDf), Seq("file"), "left_anti"))
+              .unionByName(ensureMetaCols(
+                movedStats.withColumn("cdc_batch",
+                  lit(lastCdcBatch(spark, root)))))
             committed = Snapshots.publishCas(
               spark, manifestTable(root), base, next)
           }
@@ -686,13 +890,56 @@ object DeletionVectors {
     */
   def applyCdcBatch(spark: SparkSession, root: String, partCol: String,
       keyCol: String, batch: DataFrame, batchId: Long,
-      latestBy: Option[String] = None): Boolean = {
+      latestBy: Option[String] = None,
+      autoCompactBlobsAt: Int = DefaultAutoCompactBlobs): Boolean = {
     if (batchId <= lastCdcBatch(spark, root)) false
     else {
       applyChanges(spark, root, Seq(partCol), keyCol, batch, latestBy,
         Some(batchId)): Unit
+      if (autoCompactBlobsAt > 0)
+        autoCompactBlobs(spark, root, autoCompactBlobsAt): Unit
       true
     }
+  }
+
+  /** Default per-file delta-blob bound for [[autoCompactBlobs]]: a
+    * file's mask resolution does one listing + K blob reads, so K is
+    * the read-side tax a long-running CDC stream pays between
+    * compactions. 8 keeps the tax ~one IO burst while folding rarely
+    * enough that compaction cost amortizes over ≥8 delete batches.
+    */
+  val DefaultAutoCompactBlobs: Int = 8
+
+  /** THRESHOLD-TRIGGERED blob compaction — the maintenance policy a
+    * long-running CDC stream needs so its own delete trickle cannot
+    * grow any file's blob directory without bound (every
+    * [[applyCdcBatch]] appends one delta blob per touched file; after
+    * K batches an untended dir costs K reads per mask resolution).
+    * Folds ONLY directories past `maxBlobs` (one distributed pass,
+    * the threshold check IS [[DvBlobs.compactDir]]'s minBlobs guard —
+    * no separate listing job), and is OPPORTUNISTIC about the
+    * maintenance claim: if purge/vacuum holds it, this returns
+    * immediately and the next batch retries — ingest never blocks on
+    * maintenance. DvCdcSpec pins the bound across a many-batch run.
+    */
+  def autoCompactBlobs(spark: SparkSession, root: String,
+      maxBlobs: Int = DefaultAutoCompactBlobs): (Long, Long) = {
+    if (!Snapshots.tryExclusiveCreate(spark, maintMarker(root)))
+      return (0L, 0L) // maintenance busy — the next batch retries
+    try {
+      import spark.implicits._
+      val dirs = DvBlobs.allFileDirs(root)
+      if (dirs.isEmpty) (0L, 0L)
+      else {
+        val stats = spark.createDataset(dirs)
+          .flatMap(d => DvBlobs.compactDir(d, minBlobs = maxBlobs + 1)
+            .map { case (inputs, _) => (1L, inputs.toLong) })
+          .toDF("dirs", "inputs")
+          .agg(sum("dirs"), sum("inputs")).head()
+        if (stats.isNullAt(0)) (0L, 0L)
+        else (stats.getLong(0), stats.getLong(1))
+      }
+    } finally releaseMaintenance(spark, root)
   }
 
   private def applyChanges(spark: SparkSession, root: String,
@@ -735,6 +982,32 @@ object DeletionVectors {
   private[graft] def appendCommitted(spark: SparkSession, root: String,
       partCols: Seq[String], rows: DataFrame, cdcBatch: Option[Long],
       prefix: String): Seq[String] = {
+    // SCHEMA EVOLUTION happens here — the one write-side gate every
+    // mutating path (append, upsert, CDC, DML update/merge) funnels
+    // through: merge the table's committed schema with the batch's
+    // (add-only; retyping fails loudly in mergeSchemas), and commit
+    // the merged schema ON the same manifest flip that makes the new
+    // files visible. Old files read under the merged schema null-fill
+    // the added columns (the parquet missing-column rule); old
+    // VERSIONS keep their own sentinel schema for time travel.
+    val incoming = org.apache.spark.sql.types.StructType(
+      rows.schema.filterNot(fd => partCols.contains(fd.name)))
+    val mergedSchema = currentMeta(spark, root) match {
+      case Some((cur, pcs)) =>
+        require(pcs == partCols,
+          s"graft-dv table at $root is partitioned by " +
+            s"${pcs.mkString(",")}; append requested ${partCols.mkString(",")}")
+        mergeSchemas(cur, incoming)
+      case None =>
+        // legacy manifest: derive the current schema from a live
+        // footer if any files exist, else adopt the batch's
+        val live = liveEntries(spark, root)
+        if (live.isEmpty) incoming
+        else mergeSchemas(org.apache.spark.sql.GraftDvApi.fileSchema(
+          spark, hfs(spark, live.head.path).getFileStatus(
+            GraftDvApi.pathOf(live.head.path))), incoming)
+    }
+
     val f = hfs(spark, root)
     val stage = s"$root/_${prefix}_stage"
     f.delete(new Path(stage), true)
@@ -747,7 +1020,8 @@ object DeletionVectors {
       } else perFileStats(
         // manifest-fed relation, not parquet(strings): explicit path
         // strings re-encode escaped partition segments
-        relationOver(spark, root, entriesOf(spark, newFiles)))
+        relationOver(spark, root, entriesOf(spark, newFiles),
+          Some((mergedSchema, partCols))))
 
     var committed = false
     var casAttempts = 0
@@ -756,9 +1030,18 @@ object DeletionVectors {
       val base = Snapshots.latestVersion(spark, manifestTable(root)).get
       val latest = Snapshots.readVersion(spark, manifestTable(root), base)
       val cdc = cdcBatch.getOrElse(-1L)
-      val next = latest.unionByName(
-        movedStats.withColumn("cdc_batch", lit(cdc)))
+      // re-merge against the REBASED base's sentinel: a rival append
+      // may have widened the schema with columns ours never saw — a
+      // plain overwrite would silently drop them from the log
+      val commitSchema = metaAt(spark, root, base).map(_._1)
+        .map(s => mergeSchemas(s, mergedSchema)).getOrElse(mergedSchema)
+      val next = ensureMetaCols(latest).unionByName(ensureMetaCols(
+          movedStats.withColumn("cdc_batch", lit(cdc))))
         .withColumn("cdc_batch", greatest(col("cdc_batch"), lit(cdc)))
+        .withColumn("schema_json", when(col("file") === Sentinel,
+          lit(commitSchema.json)).otherwise(col("schema_json")))
+        .withColumn("part_cols", when(col("file") === Sentinel,
+          lit(partColsJson(partCols))).otherwise(col("part_cols")))
       committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
     }
     newFiles
@@ -809,14 +1092,16 @@ object DeletionVectors {
   def exists(spark: SparkSession, root: String): Boolean =
     Snapshots.latestVersion(spark, manifestTable(root)).isDefined
 
-  /** The table's partition columns (outermost first), recovered from
-    * the committed live set's hive paths (empty for an empty or
-    * unpartitioned table).
+  /** The table's partition columns (outermost first): from the
+    * manifest sentinel (survives an EMPTIED live set), falling back
+    * to the committed live set's hive paths for legacy manifests
+    * (empty for an empty legacy or unpartitioned table).
     */
   def partitionColsOf(spark: SparkSession, root: String): Seq[String] =
-    manifest(spark, root).select("file").limit(1).collect().headOption
-      .map(r => GraftDvApi.parsePartitions(r.getString(0)).map(_._1))
-      .getOrElse(Seq.empty)
+    currentMeta(spark, root).map(_._2).getOrElse(
+      manifest(spark, root).select("file").limit(1).collect().headOption
+        .map(r => GraftDvApi.parsePartitions(r.getString(0)).map(_._1))
+        .getOrElse(Seq.empty))
 
   // ---- skipping-index maintenance ---------------------------------------
 
@@ -863,7 +1148,8 @@ object DeletionVectors {
         // (an isin over _metadata would still enumerate every file
         // into the plan and open every old footer)
         Some(SkippingIndex.statsOf(spark,
-          relationOver(spark, root, entriesOf(spark, newFiles)),
+          relationOver(spark, root, entriesOf(spark, newFiles),
+            currentMeta(spark, root)),
           keyCol, mBits))
     val next = (kept, added) match {
       case (Some(k), Some(a)) => k.unionByName(a)

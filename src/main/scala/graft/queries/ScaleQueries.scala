@@ -1214,6 +1214,71 @@ object ScaleQueries {
     tbl
   }
 
+  /** CHANGE DATA FEED out of the DV table
+    * ([[graft.operators.DeletionVectors.readChanges]]): the table is
+    * mutated by an append, a keyed upsert, a scattered delete, and a
+    * threshold purge (all inside the memoized setup — once per
+    * process); the query reads the feed across every committed
+    * version and aggregates it. The oracle encodes the feed's pinned
+    * semantics: the append's rows and the upsert's NEW images arrive
+    * as inserts; the purge step cancels to NOTHING (its replacements
+    * carry exactly its removed files' surviving rows); row deletion
+    * surfaces as the retroactive mask, never as feed rows — so the
+    * expected feed is computable from the immutable events fact in
+    * pure SQL. DvCdfSpec pins the fold law (folding this feed onto
+    * the fromV snapshot reproduces the toV snapshot) and the
+    * streaming face over the same machinery.
+    */
+  def dvChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "cdf") { r =>
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val extra = ev.filter(TextOps.h60(
+          concat(lit("dvcfa_"), col("event_id").cast("string"))) % 30 === 0)
+        .withColumn("event_id", col("event_id") + lit(4000000000L))
+      DV.append(spark, r, Seq("day"), extra): Unit
+      val upd = ev.filter(TextOps.h60(
+          concat(lit("dvcfb_"), col("event_id").cast("string"))) % 7 === 0)
+        .withColumn("value", col("value") + 500)
+      DV.upsert(spark, root = r, partCol = "day", keyCol = "event_id",
+        changes = upd): Unit
+      DV.delete(spark, r, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvcfd_"),
+            col("user_id").cast("string"))) % 9 === 0)): Unit
+      DV.purge(spark, r, "day", 0.05): Unit
+    }
+    val committed = Snapshots.committedVersions(
+      spark, DV.manifestTable(root))
+    DV.readChanges(spark, root, committed.head, committed.last)
+      .groupBy(col("_change_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("_change_type"), col("event_type"))
+  }
+
+  private val dvChangesOracle = {
+    import graft.operators.TextOps
+    val selA = s"${TextOps.h60Sql("('dvcfa_' || CAST(event_id AS VARCHAR))")} % 30 = 0"
+    val selB = s"${TextOps.h60Sql("('dvcfb_' || CAST(event_id AS VARCHAR))")} % 7 = 0"
+    // the scattered delete is RETROACTIVE (tombstones are global and
+    // current), so the feed's masked reads exclude its victims from
+    // the append's and the upsert's insert steps too
+    val dead = s"${TextOps.h60Sql("('dvcfd_' || CAST(user_id AS VARCHAR))")} % 9 = 0"
+    s"""WITH chg AS (
+       |  SELECT 'insert' AS _change_type, event_type, value
+       |  FROM events WHERE $selA AND NOT ($dead)
+       |  UNION ALL
+       |  SELECT 'insert' AS _change_type, event_type, value + 500 AS value
+       |  FROM events WHERE $selB AND NOT ($dead))
+       |SELECT _change_type, event_type, count(*) AS n_rows,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM chg GROUP BY _change_type, event_type
+       |ORDER BY _change_type, event_type""".stripMargin
+  }
+
   /** SQL DML face #1 — `DELETE FROM` on the graft-dv CATALOG table
     * ([[graft.plans.DvDml]] routing through [[graft.GraftSql]]): the
     * statement's predicate is tombstoned merge-on-read (O(deleted
@@ -1327,8 +1392,60 @@ object ScaleQueries {
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Schema evolution on the mutable DV table: an append carrying a
+    * NEW column commits rows and the widened schema on ONE manifest
+    * flip (the sentinel row carries `schema_json`, versioned with the
+    * live set — the Delta/Iceberg schema-in-log shape), and the read
+    * null-fills the added column on pre-evolution files via the
+    * standard parquet missing-column rule. Retyping an existing
+    * column fails loudly (spec-pinned), and time travel to a
+    * pre-evolution version reads under THAT version's schema
+    * ([[graft.operators.DeletionVectors.readVersion]], spec-pinned).
+    * The append runs INSIDE the memoized setup — exactly once per
+    * process — so re-executions read a fixed point.
+    */
+  def dvSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "schevo") { r =>
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val extra = ev.filter(TextOps.h60(
+          concat(lit("dvsev_"), col("event_id").cast("string"))) % 25 === 0)
+        .withColumn("event_id", col("event_id") + lit(3000000000L))
+        .withColumn("priority", (col("user_id") % 5).cast("int"))
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    DV.read(spark, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("priority")).as("n_prio"),
+        sum(coalesce(col("priority"), lit(0))).cast("long").as("prio_sum"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvSchemaEvolutionOracle = {
+    import graft.operators.TextOps
+    val sel = s"${TextOps.h60Sql("('dvsev_' || CAST(event_id AS VARCHAR))")} % 25 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, value, CAST(NULL AS INTEGER) AS priority
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, value, CAST(user_id % 5 AS INTEGER) AS priority
+       |  FROM events WHERE $sel)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(priority) AS n_prio,
+       |  CAST(sum(coalesce(priority, 0)) AS BIGINT) AS prio_sum,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
+    Q("dv_schema_evolution", Some(dvSchemaEvolutionOracle),
+      dvSchemaEvolution),
+    Q("dv_changes", Some(dvChangesOracle), dvChanges),
     Q("dv_sql_delete", Some(dvSqlDeleteOracle), dvSqlDelete),
     Q("dv_sql_update", Some(dvSqlUpdateOracle), dvSqlUpdate),
     Q("dv_sql_merge", Some(dvSqlMergeOracle), dvSqlMerge),

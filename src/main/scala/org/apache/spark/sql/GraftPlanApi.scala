@@ -27,4 +27,16 @@ object GraftPlanApi {
   def column(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Re-tag a batch DataFrame as a STREAMING frame (isStreaming=true)
+    * — what a DSv1 [[org.apache.spark.sql.execution.streaming.Source]]
+    * must return from `getBatch` (MicroBatchExecution asserts it).
+    * Evaluation stays lazy: the streaming frame wraps the batch
+    * plan's executed RDD, produced when the micro-batch runs.
+    */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -159,6 +159,60 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(spark.read.format("graft-dv").load(root2).count() == 1000)
   }
 
+  test("schema evolution: an append with a new column widens the " +
+      "table atomically, old files null-fill, old versions time-travel " +
+      "under their own schema, and retyping fails loudly") {
+    val (root, ev) = freshTable()
+    val v1 = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+    val extra = ev.limit(50)
+      .withColumn("event_id", col("event_id") + 9000000L)
+      .withColumn("priority", (col("user_id") % 5).cast("int"))
+    DV.append(spark, root, Seq("day"), extra)
+    val v2 = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+
+    val rd = DV.read(spark, root)
+    assert(rd.columns.contains("priority"), "appended column missing")
+    assert(rd.count() == ev.count() + 50)
+    // old rows null-fill, new rows carry values
+    assert(rd.filter(col("event_id") < 9000000L)
+      .filter(col("priority").isNotNull).count() == 0)
+    assert(rd.filter(col("event_id") >= 9000000L)
+      .filter(col("priority").isNull).count() == 0)
+
+    // time travel: v1 reads under the PRE-evolution schema
+    val old = DV.readVersion(spark, root, v1)
+    assert(!old.columns.contains("priority"),
+      "old version must read under its own schema")
+    assert(old.count() == ev.count())
+    assert(DV.readVersion(spark, root, v2).columns.contains("priority"))
+
+    // deletes + purge still work across the mixed-schema live set:
+    // replacements materialize the null-filled column
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 3 === 0))
+    val hot = DV.purge(spark, root, Seq("day"), 0.0, () => ())
+    assert(hot.nonEmpty)
+    val after = DV.read(spark, root)
+    assert(after.columns.contains("priority"))
+    assert(after.count() ==
+      ev.filter(col("user_id") % 3 =!= 0).count()
+        + extra.filter(col("user_id") % 3 =!= 0).count())
+
+    // retyping an existing column fails loudly, committing nothing
+    val vBefore = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+    val bad = ev.limit(5).withColumn("value", lit("oops"))
+    val e = intercept[IllegalArgumentException] {
+      DV.append(spark, root, Seq("day"), bad)
+    }
+    assert(e.getMessage.contains("incompatible schema change"))
+    assert(Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+      == vBefore, "failed append must not commit a manifest")
+
+    // an emptied table still knows its layout and schema from the
+    // sentinel (partitionColsOf no longer needs live paths)
+    assert(DV.partitionColsOf(spark, root) == Seq("day"))
+  }
+
   test("read agrees with the plain filtered frame, column for column") {
     val (root, ev) = freshTable()
     DV.delete(spark, root, "user_id",

@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{DeletionVectors => DV, DvBlobs, Snapshots}
+
+/** Change data feed OUT of the deletion-vector table — the batch face
+  * ([[DV.readChanges]]) under its fold law, the streaming face
+  * (`graft-dv-cdf`, offsets = manifest versions), and the CDC
+  * auto-compaction policy bounding blob dirs over a long run.
+  */
+class DvCdfSpec extends SparkSpec {
+
+  private def mkTable(): (String, DataFrame) = {
+    val root = Files.createTempDirectory("graft_dvcdf").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .orderBy("event_id").limit(400)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .localCheckpoint()
+    DV.init(spark, ev, root, "day")
+    (root, ev)
+  }
+
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("fold law: applying the feed's steps in order to the fromV " +
+      "masked read reproduces the toV masked read; a purge step emits " +
+      "nothing; deletes surface as the retroactive mask, not feed rows") {
+    val (root, ev) = mkTable()
+    val mt = DV.manifestTable(root)
+    val v1 = Snapshots.latestVersion(spark, mt).get
+
+    // v2: key-free append of shifted rows
+    val extra = ev.limit(60)
+      .withColumn("event_id", col("event_id") + 7000000L)
+    DV.append(spark, root, Seq("day"), extra)
+    // v3: upsert — updates of original keys + fresh inserts
+    val upd = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") + 50)
+    DV.upsert(spark, root, "day", "event_id", upd, None)
+    // scattered delete (tombstones only — no manifest version)
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 7 === 0))
+    // v4: threshold purge — rewrites hot files, a NET-ZERO feed step
+    val hot = DV.purge(spark, root, Seq("day"), 0.05, () => ())
+    assert(hot.nonEmpty, "fixture needs a real purge step")
+    val vN = Snapshots.latestVersion(spark, mt).get
+    val vPurge = vN // purge commits last
+
+    val feed = DV.readChanges(spark, root, v1, vN).localCheckpoint()
+    assert(feed.filter(col("_change_type") === "delete").count() == 0,
+      "row deletion must surface as the retroactive mask, never as " +
+        "feed rows (the pinned time-travel semantics)")
+    assert(feed.filter(col("_commit_version") === vPurge).count() == 0,
+      "a purge preserves the live row set — its feed step must cancel")
+
+    // the fold: start at v1 (current mask — retroactive), apply steps
+    val cols = feed.columns.filterNot(
+      Set("_change_type", "_commit_version"))
+    var acc = DV.readVersion(spark, root, v1).select(cols.map(col): _*)
+    Snapshots.committedVersions(spark, mt)
+      .filter(v => v > v1 && v <= vN).foreach { v =>
+        val step = feed.filter(col("_commit_version") === v)
+        acc = acc
+          .unionByName(step.filter(col("_change_type") === "insert")
+            .select(cols.map(col): _*))
+          .exceptAll(step.filter(col("_change_type") === "delete")
+            .select(cols.map(col): _*))
+      }
+    val end = DV.read(spark, root).select(cols.map(col): _*)
+    assert(multisetEqual(acc, end),
+      "folding the change feed must reproduce the endpoint snapshot")
+
+    // endpoints must be committed versions — vacuumed history fails
+    // loudly rather than silently skipping
+    intercept[IllegalArgumentException] {
+      DV.readChanges(spark, root, v1 - 1, vN)
+    }
+  }
+
+  test("feed across schema evolution carries the widest column set, " +
+      "null-filling pre-evolution steps") {
+    val (root, ev) = mkTable()
+    val mt = DV.manifestTable(root)
+    val v1 = Snapshots.latestVersion(spark, mt).get
+    DV.append(spark, root, Seq("day"),
+      ev.limit(20).withColumn("event_id", col("event_id") + 8000000L))
+    DV.append(spark, root, Seq("day"),
+      ev.limit(10).withColumn("event_id", col("event_id") + 9000000L)
+        .withColumn("priority", (col("user_id") % 3).cast("int")))
+    val vN = Snapshots.latestVersion(spark, mt).get
+    val feed = DV.readChanges(spark, root, v1, vN)
+    assert(feed.columns.contains("priority"))
+    assert(feed.filter(col("event_id") >= 9000000L)
+      .filter(col("priority").isNull).count() == 0)
+    assert(feed.filter(col("event_id") < 9000000L)
+      .filter(col("priority").isNotNull).count() == 0)
+    assert(feed.count() == 30)
+  }
+
+  test("streaming face: graft-dv-cdf drains exactly the batch face's " +
+      "rows from startingVersion, through the engine's offset log") {
+    val (root, ev) = mkTable()
+    val mt = DV.manifestTable(root)
+    val v1 = Snapshots.latestVersion(spark, mt).get
+    DV.append(spark, root, Seq("day"),
+      ev.limit(30).withColumn("event_id", col("event_id") + 6000000L))
+    DV.upsert(spark, root, "day", "event_id",
+      ev.filter(col("event_id") % 9 === 0)
+        .withColumn("value", col("value") * 2), None)
+    val vN = Snapshots.latestVersion(spark, mt).get
+
+    val ckpt = Files.createTempDirectory("graft_dvcdf_ck").toString
+    val out = Files.createTempDirectory("graft_dvcdf_out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-dv-cdf")
+        .option("path", root).option("startingVersion", v1).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    runOnce()
+
+    val got = spark.read.parquet(out)
+    val want = DV.readChanges(spark, root, v1, vN)
+    assert(got.count() == want.count())
+    assert(multisetEqual(got, want.select(got.columns.map(col): _*)))
+
+    // checkpoint restart with no new commits: nothing redelivers
+    runOnce()
+    assert(spark.read.parquet(out).count() == want.count())
+
+    // a commit AFTER the restart window delivers exactly its step
+    DV.append(spark, root, Seq("day"),
+      ev.limit(5).withColumn("event_id", col("event_id") + 7500000L))
+    runOnce()
+    assert(spark.read.parquet(out).count() == want.count() + 5)
+  }
+
+  test("auto-compaction bounds every blob dir across a 24-batch CDC " +
+      "run (threshold 3) and the content stays exact") {
+    val (root, ev) = mkTable()
+    // DISJOINT victim subsets per batch: every batch's old images
+    // live in the SAME init files, so each batch appends one more
+    // delta blob to the same dirs — the unbounded-listing shape a
+    // long-running stream produces
+    val bound = 3
+    var maxSeen = 0
+    for (i <- 0 until 24) {
+      val batch = ev.filter(col("event_id") % 50 === i)
+        .withColumn("value", col("value") + (i + 1))
+      assert(DV.applyCdcBatch(spark, root, "day", "event_id", batch,
+        i.toLong, None, autoCompactBlobsAt = bound))
+      val dirs = DvBlobs.allFileDirs(root)
+      val worst = dirs.map(d => DvBlobs.dirDataFile(d) match {
+        case Some(f) => DvBlobs.listDeltas(root, f).size
+        case None => 0
+      }).maxOption.getOrElse(0)
+      maxSeen = math.max(maxSeen, worst)
+      assert(worst <= bound,
+        s"batch $i left a blob dir at $worst deltas (bound $bound)")
+    }
+    assert(maxSeen > 1, "fixture never accumulated blobs — no test")
+    // content: each disjoint subset carries its batch's image
+    val expect = ev.withColumn("value",
+      when(col("event_id") % 50 < 24,
+        col("value") + (col("event_id") % 50) + 1)
+        .otherwise(col("value")))
+    def sums(df: DataFrame) = df
+      .agg(count(lit(1)), sum(col("value").cast("decimal(28,4)")))
+      .head().toSeq
+    assert(sums(DV.read(spark, root)) == sums(expect))
+    // a busy maintenance claim makes auto-compaction SKIP, not block
+    assert(Snapshots.tryExclusiveCreate(spark, s"$root/_maint"))
+    try assert(DV.autoCompactBlobs(spark, root, 0) == ((0L, 0L)))
+    finally Snapshots.removeMarker(spark, s"$root/_maint")
+  }
+}
