@@ -251,6 +251,65 @@ object LakeProbe {
         f"$tMany%.2fs -> $tOne%.2fs")
     }
 
+    // ---- probe D: lazy manifest pruning at a 100k-file manifest ----
+    // What the driver MATERIALIZES under filters (round-10 ceiling:
+    // every read collected the full manifest before any pruning). The
+    // manifest rows are synthetic phantom files — listFiles is pure
+    // manifest math until a scan opens data, so this measures exactly
+    // the driver-side planning cost at a file count no local fixture
+    // could write for real.
+    {
+      import org.apache.spark.sql.GraftDvApi
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import org.apache.spark.unsafe.types.UTF8String
+      import graft.operators.Snapshots
+
+      val nFiles = 100000
+      val nDays = 200
+      val mroot = s"$tmp/graft_lakeprobe_manifest"
+      val f = new org.apache.hadoop.fs.Path(mroot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(mroot), true)
+      val rows = spark.range(nFiles).selectExpr(
+        s"concat('file:/probe/data/day=', lpad(cast(id % $nDays as string), 3, '0'), '/part-', cast(id as string), '.parquet') as file",
+        "cast(1000 as bigint) as rows", "cast(1048576 as bigint) as bytes",
+        s"array(lpad(cast(id % $nDays as string), 3, '0')) as part_values",
+        "map('seq', cast(id * 1000 as string)) as smin",
+        "map('seq', cast(id * 1000 + 999 as string)) as smax",
+        "cast(-1 as bigint) as cdc_batch",
+        "cast(null as string) as schema_json",
+        "cast(null as string) as part_cols",
+        "cast(null as string) as stats_cols")
+      Snapshots.publish(spark, s"$mroot/_manifest", rows)
+      val idx = new GraftDvApi.LazyManifestFileIndex(spark,
+        new org.apache.hadoop.fs.Path("file:/probe/data"),
+        s"$mroot/_manifest/v=1", Seq("day"),
+        StructType(Seq(StructField("seq", LongType))), 0L)
+
+      def timed[A](body: => A): (Double, A) = {
+        val t0 = System.nanoTime()
+        val a = body
+        ((System.nanoTime() - t0) / 1e9, a)
+      }
+      timed(idx.survivors(Nil, Nil)) // footer/codegen warmup
+      val (tFull, full) = timed(idx.survivors(Nil, Nil))
+      val dayF = EqualTo(AttributeReference("day", StringType)(),
+        Literal(UTF8String.fromString("007"), StringType))
+      val (tDay, day) = timed(idx.survivors(Seq(dayF), Nil))
+      val seqA = AttributeReference("seq", LongType)()
+      val (tSeq, seq) = timed(idx.survivors(Nil, Seq(
+        GreaterThanOrEqual(seqA, Literal(50000000L)),
+        LessThanOrEqual(seqA, Literal(50099999L)))))
+      require(full.size == nFiles && day.size == nFiles / nDays,
+        s"pruning math wrong: full=${full.size} day=${day.size}")
+      require(seq.size <= 101, s"stats pruning too weak: ${seq.size}")
+      println(f"[lakeprobe] manifestprune: ${full.size} entries " +
+        f"($tFull%.2fs) full; day-filter materializes ${day.size} " +
+        f"($tDay%.2fs); stats-range materializes ${seq.size} " +
+        f"($tSeq%.2fs) — driver holdings track the PRUNED set")
+    }
+
     spark.stop()
   }
 }

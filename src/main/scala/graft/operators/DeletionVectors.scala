@@ -130,16 +130,23 @@ object DeletionVectors {
     */
   private def manifestOf(spark: SparkSession, stats: DataFrame,
       cdcBatch: Long, dataSchema: org.apache.spark.sql.types.StructType,
-      partCols: Seq[String]): DataFrame = {
+      partCols: Seq[String],
+      statsSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     stats.select(col("file"), col("rows"), col("bytes"),
+        col("part_values"), col("smin"), col("smax"),
         lit(cdcBatch).as("cdc_batch"),
         lit(null).cast("string").as("schema_json"),
-        lit(null).cast("string").as("part_cols"))
+        lit(null).cast("string").as("part_cols"),
+        lit(null).cast("string").as("stats_cols"))
       .unionByName(spark.range(1).select(lit(Sentinel).as("file"),
         lit(0L).as("rows"), lit(0L).as("bytes"),
+        lit(null).cast("array<string>").as("part_values"),
+        lit(null).cast("map<string,string>").as("smin"),
+        lit(null).cast("map<string,string>").as("smax"),
         lit(cdcBatch).as("cdc_batch"),
         lit(dataSchema.json).as("schema_json"),
-        lit(partColsJson(partCols)).as("part_cols")))
+        lit(partColsJson(partCols)).as("part_cols"),
+        lit(statsSchema.json).as("stats_cols")))
   }
 
   private def partColsJson(partCols: Seq[String]): String =
@@ -156,40 +163,76 @@ object DeletionVectors {
     * manifest frame so unions across manifest generations line up.
     */
   private def ensureMetaCols(df: DataFrame): DataFrame = {
-    val s = if (df.columns.contains("schema_json")) df
-      else df.withColumn("schema_json", lit(null).cast("string"))
-    if (s.columns.contains("part_cols")) s
-    else s.withColumn("part_cols", lit(null).cast("string"))
+    val want = Seq(
+      "schema_json" -> "string", "part_cols" -> "string",
+      "stats_cols" -> "string", "part_values" -> "array<string>",
+      "smin" -> "map<string,string>", "smax" -> "map<string,string>")
+    want.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(t))
+    }
   }
 
-  /** (data schema, partition cols) recorded in version v's sentinel —
-    * None for pre-evolution manifests (readers fall back to the
-    * legacy footer-schema + path-parse derivation). Cached like
+  /** Empty per-file-stats frame (no files moved). */
+  private def emptyStatsFrame(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").as("file"), lit(0L).as("rows"),
+      lit(0L).as("bytes"),
+      lit(null).cast("map<string,string>").as("smin"),
+      lit(null).cast("map<string,string>").as("smax"),
+      lit(null).cast("array<string>").as("part_values"))
+
+  /** Table-level metadata a manifest version's sentinel carries:
+    * data schema, partition columns (outermost first), and the
+    * declared stats columns (name + type — the columns whose per-file
+    * min/max ride the manifest rows).
+    */
+  final case class TableMeta(
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
+      statsSchema: org.apache.spark.sql.types.StructType)
+
+  /** Metadata recorded in version v's sentinel — None for
+    * pre-evolution manifests (readers fall back to the legacy
+    * footer-schema + path-parse derivation). Cached like
     * [[liveEntries]]: committed manifests are immutable.
     */
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(org.apache.spark.sql.types.StructType, Seq[String])]]()
+    String, Option[TableMeta]]()
 
   private def metaAt(spark: SparkSession, root: String,
-      v: Long): Option[(org.apache.spark.sql.types.StructType, Seq[String])] = {
+      v: Long): Option[TableMeta] = {
     val key = s"${spark.sparkContext.applicationId}|$root|" +
       s"${tableId(spark, root)}|$v|meta"
     if (metaCache.size > 64) metaCache.clear()
     metaCache.computeIfAbsent(key, _ => {
       val m = Snapshots.readVersion(spark, manifestTable(root), v)
       if (!m.columns.contains("schema_json")) None
-      else m.filter(col("file") === Sentinel)
-        .select("schema_json", "part_cols").collect().headOption
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        .map(r => (org.apache.spark.sql.types.DataType
-          .fromJson(r.getString(0))
-          .asInstanceOf[org.apache.spark.sql.types.StructType],
-          partColsOfJson(r.getString(1))))
+      else {
+        val cols =
+          if (m.columns.contains("stats_cols"))
+            Seq("schema_json", "part_cols", "stats_cols")
+          else Seq("schema_json", "part_cols")
+        m.filter(col("file") === Sentinel)
+          .select(cols.map(col): _*).collect().headOption
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .map { r =>
+            val stats =
+              if (cols.size > 2 && !r.isNullAt(2))
+                org.apache.spark.sql.types.DataType
+                  .fromJson(r.getString(2))
+                  .asInstanceOf[org.apache.spark.sql.types.StructType]
+              else new org.apache.spark.sql.types.StructType()
+            TableMeta(org.apache.spark.sql.types.DataType
+              .fromJson(r.getString(0))
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+              partColsOfJson(r.getString(1)), stats)
+          }
+      }
     })
   }
 
-  private def currentMeta(spark: SparkSession, root: String)
-      : Option[(org.apache.spark.sql.types.StructType, Seq[String])] =
+  private def currentMeta(spark: SparkSession,
+      root: String): Option[TableMeta] =
     Snapshots.latestVersion(spark, manifestTable(root))
       .flatMap(v => metaAt(spark, root, v))
 
@@ -215,10 +258,36 @@ object DeletionVectors {
         .map(_.copy(nullable = true)))
   }
 
-  private def perFileStats(scan: DataFrame): DataFrame =
+  /** Per-file stats for manifest rows: row/byte counts, the hive
+    * partition VALUES (parsed once at write time so reads can prune
+    * the manifest scan itself without touching path strings), and —
+    * for the table's declared stats columns — per-file min/max maps
+    * (the Delta/Iceberg stats-in-log shape: every read gets file
+    * skipping from the manifest alone; the bloom sidecar becomes the
+    * escalation tier). The partition-value UDF runs once per FILE at
+    * write time — metadata scale, never the row path.
+    */
+  private def perFileStats(scan: DataFrame,
+      statsSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val partValsOf = udf((f: String) =>
+      GraftDvApi.parsePartitions(f).map(_._2))
+    val statAggs =
+      if (statsSchema.isEmpty)
+        Seq(lit(null).cast("map<string,string>").as("smin"),
+          lit(null).cast("map<string,string>").as("smax"))
+      else Seq(
+        map(statsSchema.fields.toSeq.flatMap(f =>
+          Seq(lit(f.name), min(col(f.name)).cast("string"))): _*)
+          .as("smin"),
+        map(statsSchema.fields.toSeq.flatMap(f =>
+          Seq(lit(f.name), max(col(f.name)).cast("string"))): _*)
+          .as("smax"))
+    val aggs = Seq(count(lit(1)).as("rows"),
+      max(col("_metadata.file_size")).as("bytes")) ++ statAggs
     scan.groupBy(col("_metadata.file_path").as("file"))
-      .agg(count(lit(1)).as("rows"),
-        max(col("_metadata.file_size")).as("bytes"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("part_values", partValsOf(col("file")))
+  }
 
   /** Create the table: write `df` hive-partitioned by `partCol` and
     * commit manifest v1 = every written file (with per-file row/byte
@@ -232,7 +301,7 @@ object DeletionVectors {
     * `partitionBy` writes, e.g. day then region).
     */
   def init(spark: SparkSession, df: DataFrame, root: String,
-      partCols: Seq[String]): Long = {
+      partCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
     val f = hfs(spark, root)
     f.delete(new Path(root), true)
     // re-creating a table RESTARTS its version numbering, so version
@@ -249,9 +318,15 @@ object DeletionVectors {
     finally tidOut.close()
     val dataSchema = org.apache.spark.sql.types.StructType(
       df.schema.filterNot(fd => partCols.contains(fd.name)))
+    val statsSchema = org.apache.spark.sql.types.StructType(
+      statsCols.map { c =>
+        require(dataSchema.fieldNames.contains(c),
+          s"statsCols entry $c is not a data column of the table")
+        dataSchema(c)
+      })
     val manifest = manifestOf(spark,
-      perFileStats(spark.read.parquet(dataDir(root))), cdcBatch = -1L,
-      dataSchema, partCols)
+      perFileStats(spark.read.parquet(dataDir(root)), statsSchema),
+      cdcBatch = -1L, dataSchema, partCols, statsSchema)
     Snapshots.publish(spark, manifestTable(root), manifest)
   }
 
@@ -353,9 +428,8 @@ object DeletionVectors {
 
   private def relationOver(spark: SparkSession, root: String,
       entries: Seq[GraftDvApi.LiveFile],
-      meta: Option[(org.apache.spark.sql.types.StructType, Seq[String])])
-      : DataFrame = {
-    val partCols = meta.map(_._2).getOrElse {
+      meta: Option[TableMeta]): DataFrame = {
+    val partCols = meta.map(_.partCols).getOrElse {
       val vectors = entries.map(e =>
         GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
       require(vectors.size == 1,
@@ -367,7 +441,7 @@ object DeletionVectors {
     // entry's parquet FOOTER — never string-path DataSource resolution
     // (re-encodes escaped partition segments, PATH_NOT_FOUND) and
     // never a directory probe (stale pre-vacuum siblings)
-    val dataSchema = meta.map(_._1).getOrElse {
+    val dataSchema = meta.map(_.dataSchema).getOrElse {
       val head = GraftDvApi.pathOf(entries.head.path)
       GraftDvApi.fileSchema(spark,
         hfs(spark, entries.head.path).getFileStatus(head))
@@ -382,9 +456,12 @@ object DeletionVectors {
     */
   private def scanWithPos(spark: SparkSession, root: String,
       entries: Seq[GraftDvApi.LiveFile],
-      meta: Option[(org.apache.spark.sql.types.StructType, Seq[String])])
-      : DataFrame = {
-    val data = relationOver(spark, root, entries, meta)
+      meta: Option[TableMeta]): DataFrame =
+    withPosAndMask(spark, root, relationOver(spark, root, entries, meta))
+
+  private def withPosAndMask(spark: SparkSession, root: String,
+      data0: DataFrame): DataFrame = {
+    val data = data0
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     if (DvBlobs.hasAny(root))
@@ -393,16 +470,61 @@ object DeletionVectors {
     else data
   }
 
+  /** Total live bytes of a manifest version (the lazy file index's
+    * planning statistic) — one small manifest aggregate, cached per
+    * immutable committed version.
+    */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def liveBytesAt(spark: SparkSession, root: String,
+      v: Long): Long = {
+    val key = s"${spark.sparkContext.applicationId}|$root|" +
+      s"${tableId(spark, root)}|$v|bytes"
+    if (sizeCache.size > 256) sizeCache.clear()
+    sizeCache.computeIfAbsent(key, _ => {
+      val r = Snapshots.readVersion(spark, manifestTable(root), v)
+        .filter(col("file") =!= Sentinel).agg(sum("bytes")).head()
+      java.lang.Long.valueOf(if (r.isNullAt(0)) 0L else r.getLong(0))
+    }).longValue()
+  }
+
+  /** The LAZY masked scan (metadata-bearing manifests only): the
+    * live-file set stays in the manifest parquet until the query's
+    * own partition/stats filters prune it
+    * ([[GraftDvApi.LazyManifestFileIndex]]) — the driver never
+    * materializes entries a pruned query doesn't touch.
+    */
+  private def scanLazyWithPos(spark: SparkSession, root: String,
+      v: Long, meta: TableMeta): DataFrame =
+    withPosAndMask(spark, root, GraftDvApi.lazyRelation(spark,
+      dataDir(root), s"${manifestTable(root)}/v=$v", meta.partCols,
+      meta.statsSchema, meta.dataSchema, liveBytesAt(spark, root, v)))
+
   /** The table as readers see it: committed files minus tombstones.
     * A table whose purge removed EVERY file from the manifest (all
     * rows deleted) is still readable — schema comes from the data
     * directory, which keeps the dead files until [[vacuum]].
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val entries = liveEntries(spark, root)
-    if (entries.isEmpty) emptyTable(spark, root)
-    else scanWithPos(spark, root, entries, currentMeta(spark, root))
-      .drop("__file", "__pos")
+  def read(spark: SparkSession, root: String): DataFrame =
+    readPos0(spark, root).drop("__file", "__pos")
+
+  /** Shared masked positional read: lazy manifest-resolved scan when
+    * the manifest carries metadata (no driver entry materialization
+    * until the query's filters prune the manifest), legacy eager
+    * collect otherwise.
+    */
+  private def readPos0(spark: SparkSession, root: String): DataFrame = {
+    val vOpt = Snapshots.latestVersion(spark, manifestTable(root))
+    vOpt.flatMap(v => metaAt(spark, root, v).map(m => (v, m))) match {
+      case Some((v, m)) => scanLazyWithPos(spark, root, v, m)
+      case None =>
+        val entries = liveEntries(spark, root)
+        if (entries.isEmpty)
+          emptyTable(spark, root)
+            .withColumn("__file", lit("")).withColumn("__pos", lit(0L))
+        else scanWithPos(spark, root, entries, None)
+    }
   }
 
   /** Typed empty frame for an emptied live set: schema from the
@@ -412,7 +534,7 @@ object DeletionVectors {
     */
   private def emptyTable(spark: SparkSession, root: String): DataFrame =
     currentMeta(spark, root) match {
-      case Some((ds, pcs)) =>
+      case Some(TableMeta(ds, pcs, _)) =>
         val full = org.apache.spark.sql.types.StructType(
           ds.fields ++ pcs.map(c => org.apache.spark.sql.types.StructField(
             c, org.apache.spark.sql.types.StringType)))
@@ -519,13 +641,7 @@ object DeletionVectors {
     * empty live set yields an empty frame with the same shape.
     */
   private[graft] def readWithPos(spark: SparkSession,
-      root: String): DataFrame = {
-    val entries = liveEntries(spark, root)
-    if (entries.isEmpty)
-      emptyTable(spark, root)
-        .withColumn("__file", lit("")).withColumn("__pos", lit(0L))
-    else scanWithPos(spark, root, entries, currentMeta(spark, root))
-  }
+      root: String): DataFrame = readPos0(spark, root)
 
   /** UNMASKED scan of the live set with `_metadata` columns available
     * — the input for sidecar builds (e.g. the skipping index, which
@@ -772,12 +888,13 @@ object DeletionVectors {
           sigAttempts += 1 // abandoned moved files = vacuum fodder
         } else {
           val movedStats =
-            if (moved.isEmpty) spark.range(0).select(
-              lit("").as("file"), lit(0L).as("rows"), lit(0L).as("bytes"))
+            if (moved.isEmpty) emptyStatsFrame(spark)
             // manifest-fed relation, not parquet(strings): explicit
             // path strings re-encode escaped partition segments
             else perFileStats(relationOver(spark, root,
-              entriesOf(spark, moved), currentMeta(spark, root)))
+              entriesOf(spark, moved), currentMeta(spark, root)),
+              currentMeta(spark, root).map(_.statsSchema)
+                .getOrElse(new org.apache.spark.sql.types.StructType()))
           onBeforeCommit()
           // CAS loop: a CDC upsert committing mid-purge only ADDS
           // files — rebase the (live − hot) ∪ replacements math onto
@@ -795,10 +912,13 @@ object DeletionVectors {
             // manifest-sized plan literal (the refreshIndex rule)
             val hotDf = spark.createDataset(hot)(
               org.apache.spark.sql.Encoders.STRING).toDF("file")
-            // meta (schema/part_cols) rides the sentinel row through
-            // the anti-join untouched — purge never changes schema
+            // no broadcast HINT on the file list: hot approaches the
+            // full file count after a broad delete, and at ~10M files
+            // a forced broadcast is GB-scale — AQE picks BHJ while
+            // small and the shuffle form past the threshold
+            // (round-11: the same treatment the read path got)
             val next = ensureMetaCols(
-                latest.join(broadcast(hotDf), Seq("file"), "left_anti"))
+                latest.join(hotDf, Seq("file"), "left_anti"))
               .unionByName(ensureMetaCols(
                 movedStats.withColumn("cdc_batch",
                   lit(lastCdcBatch(spark, root)))))
@@ -992,8 +1112,11 @@ object DeletionVectors {
     // VERSIONS keep their own sentinel schema for time travel.
     val incoming = org.apache.spark.sql.types.StructType(
       rows.schema.filterNot(fd => partCols.contains(fd.name)))
-    val mergedSchema = currentMeta(spark, root) match {
-      case Some((cur, pcs)) =>
+    val curMeta = currentMeta(spark, root)
+    val statsSchema = curMeta.map(_.statsSchema)
+      .getOrElse(new org.apache.spark.sql.types.StructType())
+    val mergedSchema = curMeta match {
+      case Some(TableMeta(cur, pcs, _)) =>
         require(pcs == partCols,
           s"graft-dv table at $root is partitioned by " +
             s"${pcs.mkString(",")}; append requested ${partCols.mkString(",")}")
@@ -1014,14 +1137,13 @@ object DeletionVectors {
     rows.write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
     val newFiles = moveStaged(spark, root, stage, prefix)
     val movedStats =
-      if (newFiles.isEmpty) {
-        import spark.implicits._
-        Seq.empty[(String, Long, Long)].toDF("file", "rows", "bytes")
-      } else perFileStats(
+      if (newFiles.isEmpty) emptyStatsFrame(spark)
+      else perFileStats(
         // manifest-fed relation, not parquet(strings): explicit path
         // strings re-encode escaped partition segments
         relationOver(spark, root, entriesOf(spark, newFiles),
-          Some((mergedSchema, partCols))))
+          Some(TableMeta(mergedSchema, partCols, statsSchema))),
+        statsSchema)
 
     var committed = false
     var casAttempts = 0
@@ -1033,7 +1155,7 @@ object DeletionVectors {
       // re-merge against the REBASED base's sentinel: a rival append
       // may have widened the schema with columns ours never saw — a
       // plain overwrite would silently drop them from the log
-      val commitSchema = metaAt(spark, root, base).map(_._1)
+      val commitSchema = metaAt(spark, root, base).map(_.dataSchema)
         .map(s => mergeSchemas(s, mergedSchema)).getOrElse(mergedSchema)
       val next = ensureMetaCols(latest).unionByName(ensureMetaCols(
           movedStats.withColumn("cdc_batch", lit(cdc))))
@@ -1042,6 +1164,8 @@ object DeletionVectors {
           lit(commitSchema.json)).otherwise(col("schema_json")))
         .withColumn("part_cols", when(col("file") === Sentinel,
           lit(partColsJson(partCols))).otherwise(col("part_cols")))
+        .withColumn("stats_cols", when(col("file") === Sentinel,
+          lit(statsSchema.json)).otherwise(col("stats_cols")))
       committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
     }
     newFiles
@@ -1098,7 +1222,7 @@ object DeletionVectors {
     * (empty for an empty legacy or unpartitioned table).
     */
   def partitionColsOf(spark: SparkSession, root: String): Seq[String] =
-    currentMeta(spark, root).map(_._2).getOrElse(
+    currentMeta(spark, root).map(_.partCols).getOrElse(
       manifest(spark, root).select("file").limit(1).collect().headOption
         .map(r => GraftDvApi.parsePartitions(r.getString(0)).map(_._1))
         .getOrElse(Seq.empty))
@@ -1132,10 +1256,12 @@ object DeletionVectors {
       .map(_.getString(0)).toSet).getOrElse(Set.empty)
     val newFiles = live.filterNot(prevFiles)
     // semi-join, not isin: at millions of files an IN-list is a
-    // multi-megabyte plan literal; a broadcast semi-join against the
-    // (metadata-sized) live list is the shape that survives 100x
+    // multi-megabyte plan literal. No broadcast HINT either (round
+    // 11): a live-file list at ~10M files is GB-scale — AQE keeps
+    // the broadcast while the list is small and switches to the
+    // shuffle form past the threshold
     val liveDf = spark.createDataset(live).toDF("file")
-    val kept = prev.map(_.join(broadcast(liveDf), Seq("file"), "left_semi"))
+    val kept = prev.map(_.join(liveDf, Seq("file"), "left_semi"))
     val added =
       if (newFiles.isEmpty) None
       else if (prevFiles.isEmpty)
@@ -1163,7 +1289,7 @@ object DeletionVectors {
     val next2 = next.localCheckpoint() // count + publish, one derivation
     val prevLive = spark.createDataset(
       prevFiles.intersect(live.toSet).toSeq).toDF("file")
-    val keptN = next2.join(broadcast(prevLive), Seq("file"), "left_semi")
+    val keptN = next2.join(prevLive, Seq("file"), "left_semi")
       .count()
     val v = Snapshots.publish(spark, it, next2)
     (v, keptN, newFiles.size.toLong)
@@ -1256,19 +1382,22 @@ object DeletionVectors {
       sweep(new Path(dataDir(root)))
       Snapshots.vacuum(spark, mt, keepVersions)
       // tombstone dirs of dead files: whole-dir GC, resolved
-      // DISTRIBUTEDLY (one header read per dir decides)
+      // DISTRIBUTEDLY (one header read per dir decides) and matched
+      // against the referenced set by ANTI-JOIN, not a broadcast of
+      // the live-file list (GB-scale at ~10M files; round-11 rule:
+      // no forced broadcast of unbounded file lists in maintenance)
       import spark.implicits._
       val dirs = DvBlobs.allFileDirs(root)
       var dvDeleted = 0L
       if (dirs.nonEmpty) {
-        val refs = spark.sparkContext.broadcast(referenced)
-        val dead = spark.createDataset(dirs)
-          .flatMap { d =>
-            DvBlobs.dirDataFile(d) match {
-              case Some(file) if refs.value.contains(file) => None
-              case _ => Some(d) // dead data file, or empty dir
-            }
-          }.collect()
+        val dirFile = spark.createDataset(dirs)
+          .map(d => (d, DvBlobs.dirDataFile(d).getOrElse("")))
+          .toDF("dir", "file")
+        val refDf = keep.map(v =>
+            Snapshots.readVersion(spark, mt, v).select("file"))
+          .reduce(_ unionByName _).distinct()
+        val dead = dirFile.join(refDf, Seq("file"), "left_anti")
+          .select("dir").collect().map(_.getString(0))
         dead.foreach { d =>
           f.delete(new Path(d), true): Unit
           dvDeleted += 1

@@ -424,10 +424,159 @@ object FuzzQueries {
          |FROM lineitem WHERE ${mk(p)}""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY case_id, leg")
 
+  // ---- DV-mutation differential grid --------------------------------
+
+  /** The sixth fuzz axis: the MUTABLE-table lifecycle. A fixed,
+    * deterministic interleaving of delete → upsert → purge →
+    * compactBlobs → delete → vacuum → upsert runs against a FRESH
+    * deletion-vector table (rebuilt per invocation — the legs observe
+    * intermediate states, so memoization would corrupt leg 0 on
+    * re-execution), and after EVERY op a leg snapshot of the masked
+    * read is taken. The DuckDB twin computes each leg's expected
+    * state as pure SQL over the immutable events fact — expressible
+    * because every op is a deterministic function of events, and
+    * because the layer's pinned semantics (retroactive tombstones;
+    * upsert re-inserts a deleted key's row; purge/compact/vacuum are
+    * content-invariant) each reduce to a CASE/union. The whole grid
+    * runs at BOTH partitionings (day, and day+region) against ONE
+    * oracle cross-joined over the layout tag — layout must never
+    * change content. A wrong mask merge, a purge double-count, a
+    * vacuum over-delete, a resurrection, or a layout-dependent
+    * difference each breaks exactly one (layout, leg) row's hash.
+    */
+  def fuzzDvGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    def h(tag: String, c: Column): Column =
+      TextOps.h60(concat(lit(tag), c.cast("string")))
+    val ev0 = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("region", (col("user_id") % 3).cast("string"))
+    val sid = System.identityHashCode(spark)
+
+    def runLayout(tag: String, partCols: Seq[String]): Seq[org.apache.spark.sql.Row] = {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_fuzzdv_${tag}_${sid}_${math.abs(sfDir.hashCode)}"
+      DV.init(spark, ev0, root, partCols)
+      val out = Seq.newBuilder[org.apache.spark.sql.Row]
+      def leg(id: String): Unit =
+        out ++= DV.read(spark, root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+          .select(lit(tag).as("layout"), lit(id).as("leg_id"),
+            col("event_type"), col("n_rows"), col("n_users"),
+            col("value_sum"))
+          .collect().toSeq
+      leg("L0")
+      DV.delete(spark, root, "user_id",
+        ev0.select(col("user_id")).distinct()
+          .filter(h("fz1_", col("user_id")) % 5 === 0))
+      leg("L1")
+      val u1 = ev0.filter(h("fz2_", col("event_id")) % 6 === 0)
+        .withColumn("value", col("value") + 100)
+      val i1 = ev0.filter(h("fz3_", col("event_id")) % 35 === 0)
+        .withColumn("event_id", col("event_id") + lit(5000000000L))
+        .withColumn("user_id", col("user_id") + lit(30000000L))
+      DV.upsert(spark, root, partCols, "event_id",
+        u1.unionByName(i1), None)
+      leg("L2")
+      DV.purge(spark, root, partCols, 0.2, () => ())
+      leg("L3")
+      DV.compactBlobs(spark, root)
+      leg("L4")
+      DV.delete(spark, root, "user_id",
+        DV.read(spark, root).select(col("user_id")).distinct()
+          .filter(h("fz4_", col("user_id")) % 7 === 0))
+      leg("L5")
+      DV.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+      leg("L6")
+      DV.upsert(spark, root, partCols, "event_id",
+        ev0.filter(h("fz5_", col("event_id")) % 8 === 0)
+          .withColumn("value", col("value") - 50), None)
+      leg("L7")
+      out.result()
+    }
+
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("layout", StringType), StructField("leg_id", StringType),
+      StructField("event_type", StringType), StructField("n_rows", LongType),
+      StructField("n_users", LongType), StructField("value_sum", DoubleType)))
+    val rows = runLayout("day", Seq("day")) ++
+      runLayout("day_region", Seq("day", "region"))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+      .orderBy(col("layout"), col("leg_id"), col("event_type"))
+  }
+
+  private val fuzzDvOracle: String = {
+    import graft.operators.TextOps
+    def h(tag: String, e: String) = TextOps.h60Sql(s"('$tag' || CAST($e AS VARCHAR))")
+    val d1 = s"${h("fz1_", "user_id")} % 5 = 0"
+    val u1 = s"${h("fz2_", "event_id")} % 6 = 0"
+    val i1 = s"${h("fz3_", "event_id")} % 35 = 0"
+    val d2 = s"${h("fz4_", "user_id")} % 7 = 0"
+    val d2s = s"${h("fz4_", "(user_id + 30000000)")} % 7 = 0"
+    val u2 = s"${h("fz5_", "event_id")} % 8 = 0"
+    val s0 = "SELECT event_type, user_id, value FROM events"
+    val s1 = s"SELECT event_type, user_id, value FROM events WHERE NOT ($d1)"
+    // leg-2 state: survivors of d1 not updated by u1, u1's new images
+    // (value+100 — appended AFTER d1, so a deleted user's updated row
+    // is resurrected), and i1's shifted inserts
+    val s2 =
+      s"""SELECT event_type, user_id, value FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1)
+         |UNION ALL SELECT event_type, user_id, value + 100 FROM events
+         |  WHERE $u1
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1""".stripMargin
+    // leg-5 state: s2 minus the second delete's victims (evaluated on
+    // each branch's EFFECTIVE user id — the inserts carry shifted ids)
+    val s5 =
+      s"""SELECT event_type, user_id, value FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id, value + 100 FROM events
+         |  WHERE $u1 AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    // leg-7 state: the second upsert's images (value-50) win
+    // unconditionally for u2 keys (upsert re-inserts deleted keys)
+    val s7 =
+      s"""SELECT event_type, user_id, value FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id, value + 100 FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id, value - 50 FROM events
+         |  WHERE $u2
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    val legStates = Seq(
+      "L0" -> s0, "L1" -> s1, "L2" -> s2, "L3" -> s2, "L4" -> s2,
+      "L5" -> s5, "L6" -> s5, "L7" -> s7)
+    val legs = legStates.map { case (id, st) =>
+      s"SELECT '$id' AS leg_id, event_type, user_id, value FROM ($st)"
+    }.mkString("\nUNION ALL ")
+    s"""WITH legs AS (
+       |$legs),
+       |layouts AS (SELECT 'day' AS layout UNION ALL
+       |            SELECT 'day_region' AS layout)
+       |SELECT layout, leg_id, event_type,
+       |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM legs CROSS JOIN layouts
+       |GROUP BY layout, leg_id, event_type
+       |ORDER BY layout, leg_id, event_type""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("fuzz_relational_grid", Some(fuzzOracle), fuzzRelationalGrid),
     Q("fuzz_join_grid", Some(fuzzJoinOracle), fuzzJoinGrid),
     Q("fuzz_window_grid", Some(fuzzWindowOracle), fuzzWindowGrid),
     Q("fuzz_setop_grid", Some(fuzzSetopOracle), fuzzSetopGrid),
-    Q("fuzz_tlp_grid", Some(fuzzTlpOracle), fuzzTlpGrid))
+    Q("fuzz_tlp_grid", Some(fuzzTlpOracle), fuzzTlpGrid),
+    Q("fuzz_dv_grid", Some(fuzzDvOracle), fuzzDvGrid))
 }

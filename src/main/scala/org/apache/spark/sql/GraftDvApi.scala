@@ -167,4 +167,151 @@ object GraftDvApi {
       None, new ParquetFileFormat, Map.empty[String, String])(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel))
   }
+
+  /** LAZY manifest-fed file index: the live-file set stays IN the
+    * manifest parquet until `listFiles` runs with the query's actual
+    * filters — partition predicates (over the write-time-parsed
+    * `part_values` column) and min/max predicates on the table's
+    * declared stats columns (over the per-file `smin`/`smax` maps)
+    * are pushed into the MANIFEST SCAN itself, so the driver
+    * materializes only the SURVIVING entries. This removes the
+    * round-10 ceiling where every read collected the full manifest
+    * (`liveEntries`) before any pruning: at tens of millions of
+    * files, a day-pruned query now materializes one day's entries,
+    * not the table's (LakeProbe measures this at a 100k-file
+    * manifest).
+    *
+    * Untranslatable partition filters (anything whose references
+    * aren't all partition columns, or carrying a plan subexpression)
+    * are NOT pushed — survivors are re-filtered through the eager
+    * [[ManifestFileIndex]]'s bind-and-eval, so semantics never depend
+    * on translatability. Stats predicates prune only when provably
+    * safe: both bounds present (a missing/all-null column yields
+    * null bounds, and a non-null-literal comparison cannot match an
+    * all-null file) and literal/column types align.
+    */
+  final class LazyManifestFileIndex(
+      spark: SparkSession,
+      root: Path,
+      manifestVersionDir: String,
+      partCols: Seq[String],
+      statsSchema: StructType,
+      totalBytes: Long) extends FileIndex {
+
+    import org.apache.spark.sql.functions.{col, element_at}
+
+    override val rootPaths: Seq[Path] = Seq(root)
+
+    override val partitionSchema: StructType =
+      StructType(partCols.map(c =>
+        StructField(c, StringType, nullable = true)))
+
+    private def manifestRows: DataFrame =
+      spark.read.parquet(manifestVersionDir).filter(col("file") =!= "")
+
+    private def translatable(e: Expression): Boolean =
+      e.references.forall(a => partCols.contains(a.name)) &&
+        e.find(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+          .isEmpty
+
+    /** Partition filter -> predicate over the manifest's part_values. */
+    private def partCol(e: Expression): Column = {
+      val slot = partCols.zipWithIndex.toMap
+      val bound = e.transform {
+        case a: Attribute =>
+          classic.ExpressionUtils.expression(
+            element_at(col("part_values"), slot(a.name) + 1))
+      }
+      classic.ExpressionUtils.column(bound)
+    }
+
+    /** Data filter -> safe min/max range predicate, when expressible. */
+    private def statsCol(e: Expression): Option[Column] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      def ok(a: Attribute, l: Literal): Boolean =
+        statsSchema.fieldNames.contains(a.name) && l.value != null &&
+          l.dataType == a.dataType
+      def mn(a: Attribute) =
+        element_at(col("smin"), a.name).cast(a.dataType)
+      def mx(a: Attribute) =
+        element_at(col("smax"), a.name).cast(a.dataType)
+      def lv(l: Literal) = classic.ExpressionUtils.column(l)
+      def guarded(a: Attribute, c: Column): Column =
+        mn(a).isNotNull && mx(a).isNotNull && c
+      e match {
+        case EqualTo(a: Attribute, l: Literal) if ok(a, l) =>
+          Some(guarded(a, mn(a) <= lv(l) && mx(a) >= lv(l)))
+        case EqualTo(l: Literal, a: Attribute) if ok(a, l) =>
+          Some(guarded(a, mn(a) <= lv(l) && mx(a) >= lv(l)))
+        case GreaterThan(a: Attribute, l: Literal) if ok(a, l) =>
+          Some(guarded(a, mx(a) > lv(l)))
+        case GreaterThan(l: Literal, a: Attribute) if ok(a, l) =>
+          Some(guarded(a, mn(a) < lv(l)))
+        case GreaterThanOrEqual(a: Attribute, l: Literal) if ok(a, l) =>
+          Some(guarded(a, mx(a) >= lv(l)))
+        case GreaterThanOrEqual(l: Literal, a: Attribute) if ok(a, l) =>
+          Some(guarded(a, mn(a) <= lv(l)))
+        case LessThan(a: Attribute, l: Literal) if ok(a, l) =>
+          Some(guarded(a, mn(a) < lv(l)))
+        case LessThan(l: Literal, a: Attribute) if ok(a, l) =>
+          Some(guarded(a, mx(a) > lv(l)))
+        case LessThanOrEqual(a: Attribute, l: Literal) if ok(a, l) =>
+          Some(guarded(a, mn(a) <= lv(l)))
+        case LessThanOrEqual(l: Literal, a: Attribute) if ok(a, l) =>
+          Some(guarded(a, mx(a) >= lv(l)))
+        case _ => None
+      }
+    }
+
+    /** Materialize only the filter-surviving manifest entries (public:
+      * the spec/probe surface that measures what the driver holds).
+      */
+    def survivors(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[LiveFile] = {
+      val (pushable, residual) =
+        partitionFilters.partition(translatable)
+      var df = manifestRows.select("file", "bytes", "part_values")
+      if (pushable.nonEmpty && partCols.nonEmpty)
+        df = df.filter(partCol(pushable.reduce(And)))
+      dataFilters.flatMap(statsCol).foreach(p => df = df.filter(p))
+      val rows = df.collect().toSeq.map { r =>
+        LiveFile(r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) parsePartitions(r.getString(0)).map(_._2)
+          else r.getSeq[String](2))
+      }
+      // residual (untranslatable) filters re-apply via bind-and-eval
+      if (residual.isEmpty) rows
+      else new ManifestFileIndex(root, partCols, rows)
+        .listFiles(residual, Nil)
+        .flatMap(_.files.map(f => LiveFile(urlOf(f.getPath), f.getLen,
+          parsePartitions(urlOf(f.getPath)).map(_._2))))
+    }
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      new ManifestFileIndex(root, partCols,
+        survivors(partitionFilters, dataFilters)).listFiles(Nil, Nil)
+
+    override def inputFiles: Array[String] =
+      manifestRows.select("file").collect().map(_.getString(0))
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = totalBytes
+  }
+
+  /** DataFrame whose live-file set is resolved LAZILY from the
+    * manifest version directory at listFiles time (see
+    * [[LazyManifestFileIndex]]). `dataSchema` excludes partitions.
+    */
+  def lazyRelation(spark: SparkSession, root: String,
+      manifestVersionDir: String, partCols: Seq[String],
+      statsSchema: StructType, dataSchema: StructType,
+      totalBytes: Long): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val fi = new LazyManifestFileIndex(spark, new Path(root),
+      manifestVersionDir, partCols, statsSchema, totalBytes)
+    val rel = HadoopFsRelation(fi, fi.partitionSchema, dataSchema,
+      None, new ParquetFileFormat, Map.empty[String, String])(cs)
+    classic.Dataset.ofRows(cs, LogicalRelation(rel))
+  }
 }

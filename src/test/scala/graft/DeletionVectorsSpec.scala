@@ -213,6 +213,103 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DV.partitionColsOf(spark, root) == Seq("day"))
   }
 
+  test("manifest-borne min/max stats + lazy pruning: the driver " +
+      "materializes only filter-surviving entries, range predicates " +
+      "on the declared stats column prune files with NO skipping-index " +
+      "sidecar, and the masked answer stays exact") {
+    import org.apache.spark.sql.GraftDvApi
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val root = Files.createTempDirectory("graft_dv_stats").toString
+    // narrow per-file seq ranges: range-repartition before the
+    // partitioned write, so min/max skipping has something to skip
+    val df = spark.range(20000).select(
+      (col("id") % 4).cast("string").as("day"),
+      col("id").as("seq"),
+      (col("id") * 2).as("payload"))
+      .repartitionByRange(8, col("seq"))
+      .sortWithinPartitions("seq")
+    DV.init(spark, df, root, Seq("day"), statsCols = Seq("seq"))
+    assert(!new java.io.File(DV.indexTable(root)).exists(),
+      "this path must carry NO skipping-index sidecar")
+
+    val rd = DV.read(spark, root)
+    val idx = rd.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation].location
+    }.get.asInstanceOf[GraftDvApi.LazyManifestFileIndex]
+
+    val total = idx.survivors(Nil, Nil).size
+    assert(total > 8, s"fixture too small: $total files")
+
+    // partition filter: the DRIVER materializes ~1/4 of the entries
+    val dayAttr = AttributeReference("day",
+      org.apache.spark.sql.types.StringType)()
+    val oneDay = idx.survivors(Seq(EqualTo(dayAttr,
+      Literal(UTF8String.fromString("2"),
+        org.apache.spark.sql.types.StringType))), Nil)
+    assert(oneDay.nonEmpty && oneDay.size <= total / 2,
+      s"partition filter materialized ${oneDay.size}/$total entries")
+    assert(oneDay.forall(_.partValues == Seq("2")))
+
+    // stats range predicate: only files whose [min,max] overlaps
+    val seqAttr = AttributeReference("seq", LongType)()
+    val ranged = idx.survivors(Nil, Seq(
+      GreaterThanOrEqual(seqAttr, Literal(5000L)),
+      LessThanOrEqual(seqAttr, Literal(5999L)))).size
+    assert(ranged < total / 2,
+      s"stats predicate pruned nothing: $ranged/$total files")
+
+    // a predicate on an UNDECLARED column must not prune
+    val payAttr = AttributeReference("payload", LongType)()
+    assert(idx.survivors(Nil,
+      Seq(EqualTo(payAttr, Literal(10L)))).size == total)
+
+    // end-to-end: the real query (filters travel through the scan)
+    // returns exact answers, with the tombstone mask composing
+    assert(rd.filter(col("seq").between(5000, 5999)).count() == 1000)
+    DV.delete(spark, root, "seq",
+      df.select("seq").filter(col("seq") % 2 === 0))
+    assert(DV.read(spark, root)
+      .filter(col("seq").between(5000, 5999)).count() == 500)
+    assert(DV.read(spark, root).count() == 10000)
+  }
+
+  test("maintenance joins carry no forced broadcast: the whole " +
+      "delete / refreshIndex / purge / vacuum cycle stays correct " +
+      "with autoBroadcastJoinThreshold=-1 — the regime a 10M-file " +
+      "live list forces, where every file-list join must take the " +
+      "shuffle form") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (root, ev) = freshTable()
+      DV.delete(spark, root, "user_id",
+        ev.select("user_id").distinct().filter(col("user_id") % 4 === 0))
+      val kept = ev.filter(col("user_id") % 4 =!= 0)
+      val (_, _, fresh) = DV.refreshIndex(spark, root, "event_id")
+      assert(fresh > 0)
+      val hot = DV.purge(spark, root, Seq("day"), 0.0, () => ())
+      assert(hot.nonEmpty)
+      // refresh rides the rewritten manifest (kept rows carry over,
+      // replacements index fresh) — both its file-list semi-joins
+      // run in the no-broadcast regime here
+      val (_, carriedN, freshN) = DV.refreshIndex(spark, root, "event_id")
+      assert(carriedN + freshN > 0)
+      DV.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+      assert(DV.read(spark, root).count() == kept.count())
+      val keys = kept.select("event_id").orderBy("event_id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val (cands, total) = DV.indexLookup(spark, root, keys)
+      assert(cands.size < total, "index skipped nothing post-purge")
+      assert(DV.readFiles(spark, root, cands)
+        .filter(col("event_id").isin(keys: _*)).count() == keys.size)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("read agrees with the plain filtered frame, column for column") {
     val (root, ev) = freshTable()
     DV.delete(spark, root, "user_id",
