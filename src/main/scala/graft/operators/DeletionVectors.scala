@@ -386,9 +386,12 @@ object DeletionVectors {
   }
 
   private def liveEntries(spark: SparkSession,
-      root: String): Seq[GraftDvApi.LiveFile] = {
-    val v = Snapshots.latestVersion(spark, manifestTable(root))
-      .getOrElse(-1L)
+      root: String): Seq[GraftDvApi.LiveFile] =
+    entriesAt(spark, root,
+      Snapshots.latestVersion(spark, manifestTable(root)).getOrElse(-1L))
+
+  private def entriesAt(spark: SparkSession, root: String,
+      v: Long): Seq[GraftDvApi.LiveFile] = {
     val tid = tableId(spark, root)
     val key = s"${spark.sparkContext.applicationId}|$root|$tid|$v"
     // crude bound: snapshot states are small (file metadata), but a
@@ -499,7 +502,12 @@ object DeletionVectors {
       v: Long, meta: TableMeta): DataFrame =
     withPosAndMask(spark, root, GraftDvApi.lazyRelation(spark,
       dataDir(root), s"${manifestTable(root)}/v=$v", meta.partCols,
-      meta.statsSchema, meta.dataSchema, liveBytesAt(spark, root, v)))
+      meta.statsSchema, meta.dataSchema, liveBytesAt(spark, root, v),
+      // unfiltered executions serve from the per-version entries
+      // cache instead of re-running a manifest job each time —
+      // pinned to THIS index's version (re-resolving latest here
+      // could serve a newer live set than the index's manifest)
+      Some(() => entriesAt(spark, root, v))))
 
   /** The table as readers see it: committed files minus tombstones.
     * A table whose purge removed EVERY file from the manifest (all

@@ -1279,6 +1279,79 @@ object ScaleQueries {
        |ORDER BY _change_type, event_type""".stripMargin
   }
 
+  /** MANIFEST-STATS file skipping, oracle-gated: the table declares
+    * `event_id` a stats column at init (its per-file min/max ride the
+    * manifest rows — the Delta/Iceberg stats-in-log shape) and is
+    * written range-clustered, so a range predicate prunes at the
+    * MANIFEST tier — no bloom sidecar, no directory listing, the
+    * lazy file index materializes only overlapping files (require()d
+    * in-query, the dv_index_lookup discipline). The mask composes on
+    * top: a scattered delete's victims stay invisible inside the
+    * range. This is the entry skipping tier of a 100 TB mutable
+    * table; the bloom sidecar (`dv_index_lookup`) is the escalation
+    * tier for unclustered point keys.
+    */
+  def dvStatsLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val sid = System.identityHashCode(spark)
+    val key = s"${spark.sparkContext.applicationId}|$sid|$sfDir|stats"
+    val root = dvTableMemo.computeIfAbsent(key, _ => {
+      val r = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_dv_stats_${sid}_${math.abs(sfDir.hashCode)}"
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartitionByRange(16, col("event_id"))
+        .sortWithinPartitions("event_id")
+      DV.init(spark, ev, r, Seq("day"), statsCols = Seq("event_id"))
+      DV.delete(spark, r, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvstl_"),
+            col("user_id").cast("string"))) % 6 === 0)): Unit
+      r
+    })
+    // deterministic range: the middle 2% of the id space
+    val bounds = Tables.events(spark, sfDir)
+      .agg(min("event_id"), max("event_id")).head()
+    val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+    val lo = lo0 + (hi0 - lo0) * 49 / 100
+    val hi = lo0 + (hi0 - lo0) * 51 / 100
+    // the lazy index must prune: materialized entries < live files
+    val rd = DV.read(spark, root)
+    val idx = org.apache.spark.sql.GraftPlanApi.analyzed(rd).collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.get.asInstanceOf[org.apache.spark.sql.GraftDvApi.LazyManifestFileIndex]
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val a = AttributeReference("event_id",
+      org.apache.spark.sql.types.LongType)()
+    val pruned = idx.survivors(Nil, Seq(
+      GreaterThanOrEqual(a, Literal(lo)), LessThanOrEqual(a, Literal(hi)))).size
+    val total = idx.survivors(Nil, Nil).size
+    require(pruned < total,
+      s"manifest stats skipped nothing ($pruned/$total files)")
+    rd.filter(col("event_id").between(lo, hi))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value").cast("decimal(28,4)").cast("double"), 4)
+          .as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val dvStatsLookupOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('dvstl_' || CAST(user_id AS VARCHAR))")} % 6 = 0"
+    s"""WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0
+       |           FROM events)
+       |SELECT event_id, user_id, event_type,
+       |  round(CAST(CAST(value AS DECIMAL(28,4)) AS DOUBLE), 4) AS value
+       |FROM events, b
+       |WHERE event_id BETWEEN lo0 + (hi0 - lo0) * 49 // 100
+       |                   AND lo0 + (hi0 - lo0) * 51 // 100
+       |  AND NOT ($victim)
+       |ORDER BY event_id""".stripMargin
+  }
+
   /** SQL DML face #1 — `DELETE FROM` on the graft-dv CATALOG table
     * ([[graft.plans.DvDml]] routing through [[graft.GraftSql]]): the
     * statement's predicate is tombstoned merge-on-read (O(deleted
@@ -1446,6 +1519,7 @@ object ScaleQueries {
     Q("dv_schema_evolution", Some(dvSchemaEvolutionOracle),
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
+    Q("dv_stats_lookup", Some(dvStatsLookupOracle), dvStatsLookup),
     Q("dv_sql_delete", Some(dvSqlDeleteOracle), dvSqlDelete),
     Q("dv_sql_update", Some(dvSqlUpdateOracle), dvSqlUpdate),
     Q("dv_sql_merge", Some(dvSqlMergeOracle), dvSqlMerge),

@@ -196,7 +196,8 @@ object GraftDvApi {
       manifestVersionDir: String,
       partCols: Seq[String],
       statsSchema: StructType,
-      totalBytes: Long) extends FileIndex {
+      totalBytes: Long,
+      cachedFull: Option[() => Seq[LiveFile]] = None) extends FileIndex {
 
     import org.apache.spark.sql.functions.{col, element_at}
 
@@ -271,10 +272,24 @@ object GraftDvApi {
         dataFilters: Seq[Expression]): Seq[LiveFile] = {
       val (pushable, residual) =
         partitionFilters.partition(translatable)
+      val statsPreds = dataFilters.flatMap(statsCol)
+      // nothing to push -> serve the caller's cached per-version
+      // listing instead of re-running a manifest job per execution
+      // (the unfiltered-read fast path; pruned reads pay the one
+      // small manifest scan that saves them the materialization)
+      if (pushable.isEmpty && statsPreds.isEmpty && cachedFull.isDefined)
+        return {
+          val rows = cachedFull.get.apply()
+          if (residual.isEmpty) rows
+          else new ManifestFileIndex(root, partCols, rows)
+            .listFiles(residual, Nil)
+            .flatMap(_.files.map(f => LiveFile(urlOf(f.getPath),
+              f.getLen, parsePartitions(urlOf(f.getPath)).map(_._2))))
+        }
       var df = manifestRows.select("file", "bytes", "part_values")
       if (pushable.nonEmpty && partCols.nonEmpty)
         df = df.filter(partCol(pushable.reduce(And)))
-      dataFilters.flatMap(statsCol).foreach(p => df = df.filter(p))
+      statsPreds.foreach(p => df = df.filter(p))
       val rows = df.collect().toSeq.map { r =>
         LiveFile(r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) parsePartitions(r.getString(0)).map(_._2)
@@ -306,10 +321,11 @@ object GraftDvApi {
   def lazyRelation(spark: SparkSession, root: String,
       manifestVersionDir: String, partCols: Seq[String],
       statsSchema: StructType, dataSchema: StructType,
-      totalBytes: Long): DataFrame = {
+      totalBytes: Long,
+      cachedFull: Option[() => Seq[LiveFile]] = None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val fi = new LazyManifestFileIndex(spark, new Path(root),
-      manifestVersionDir, partCols, statsSchema, totalBytes)
+      manifestVersionDir, partCols, statsSchema, totalBytes, cachedFull)
     val rel = HadoopFsRelation(fi, fi.partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel))
