@@ -1356,54 +1356,74 @@ object DeletionVectors {
       minAgeMs: Long = DefaultVacuumGraceMs): (Long, Long) = {
     claimMaintenance(spark, root)
     try {
+      import spark.implicits._
       val mt = manifestTable(root)
       val keep = Snapshots.committedVersions(spark, mt)
         .takeRight(keepVersions)
-      val referenced = keep.map(v =>
+      // the retained live set stays a DATAFRAME end to end — vacuum
+      // never materializes a referenced-file set on the driver (at
+      // ~10M files that set is GB-scale; round-10's driver walk +
+      // membership test was the last full-manifest driver collect in
+      // the maintenance paths)
+      def refDf = keep.map(v =>
           Snapshots.readVersion(spark, mt, v).select("file"))
         .reduce(_ unionByName _).distinct()
-        .collect().map(_.getString(0)).toSet - Sentinel
+        .filter(col("file") =!= Sentinel)
       val f = hfs(spark, root)
       val now = System.currentTimeMillis()
+      // DISTRIBUTED sweep: the driver lists only the FIRST level
+      // under data/ (bounded by the outermost partition cardinality);
+      // executors recurse the hive layout to any depth — multi-level
+      // tables reclaim dead files at their real depth, unpartitioned
+      // layouts surface as first-level files. Listed paths convert to
+      // manifest space (urlOf) AT THE LISTING, so the anti-join
+      // compares one spelling — a raw-vs-encoded mismatch here would
+      // reclaim LIVE files in escaped partitions.
+      val seeds = f.listStatus(new Path(dataDir(root))).toSeq
+        .map(_.getPath.toString)
       var dataDeleted = 0L
-      // recurse the hive layout to ANY depth (multi-level day=X/
-      // region=Y/... tables) and also catch files directly under
-      // data/ (unpartitioned layouts) — the same walk discipline as
-      // moveStaged. A one-level walk silently never reclaims dead
-      // files of deeper layouts, and once their manifest versions are
-      // vacuumed they become permanently invisible orphans.
-      def sweep(dir: Path): Unit =
-        f.listStatus(dir).foreach { s =>
-          if (s.isDirectory) sweep(s.getPath)
-          else if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
-            // compare in manifest space (urlOf): listed paths are
-            // raw, manifest strings are URL-encoded — a naive
-            // toString mismatch here would reclaim LIVE files in
-            // escaped partitions
-            if (!referenced.contains(GraftDvApi.urlOf(s.getPath))
-                && now - s.getModificationTime >= minAgeMs) {
-              f.delete(s.getPath, false): Unit
-              dataDeleted += 1
+      if (seeds.nonEmpty) {
+        val listed = spark.createDataset(seeds).flatMap { s =>
+          val p = new Path(s)
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          def walk(st: org.apache.hadoop.fs.FileStatus)
+              : Seq[(String, Long)] =
+            if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+            else if (st.getPath.getName.endsWith(".parquet"))
+              Seq((GraftDvApi.urlOf(fs.makeQualified(st.getPath)),
+                st.getModificationTime))
+            else Seq.empty
+          walk(fs.getFileStatus(p))
+        }.toDF("file", "mtime")
+        // age gate FIRST (an in-flight writer's moved-but-uncommitted
+        // files look identical to dead ones; age discriminates), then
+        // anti-join against every retained manifest, then delete from
+        // the EXECUTORS — the dead list never lands on the driver
+        val delAcc = spark.sparkContext.longAccumulator("vacuum_deleted")
+        listed.filter(col("mtime") <= lit(now - minAgeMs))
+          .join(refDf, Seq("file"), "left_anti")
+          .select("file")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            it.foreach { r =>
+              val p = GraftDvApi.pathOf(r.getString(0))
+              if (p.getFileSystem(conf).delete(p, false)) delAcc.add(1L)
             }
           }
-        }
-      sweep(new Path(dataDir(root)))
+        dataDeleted = delAcc.value
+      }
       Snapshots.vacuum(spark, mt, keepVersions)
       // tombstone dirs of dead files: whole-dir GC, resolved
       // DISTRIBUTEDLY (one header read per dir decides) and matched
       // against the referenced set by ANTI-JOIN, not a broadcast of
       // the live-file list (GB-scale at ~10M files; round-11 rule:
       // no forced broadcast of unbounded file lists in maintenance)
-      import spark.implicits._
       val dirs = DvBlobs.allFileDirs(root)
       var dvDeleted = 0L
       if (dirs.nonEmpty) {
         val dirFile = spark.createDataset(dirs)
           .map(d => (d, DvBlobs.dirDataFile(d).getOrElse("")))
           .toDF("dir", "file")
-        val refDf = keep.map(v =>
-            Snapshots.readVersion(spark, mt, v).select("file"))
-          .reduce(_ unionByName _).distinct()
         val dead = dirFile.join(refDf, Seq("file"), "left_anti")
           .select("dir").collect().map(_.getString(0))
         dead.foreach { d =>
