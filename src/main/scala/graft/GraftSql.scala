@@ -31,13 +31,19 @@ object GraftSql {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    // time travel swaps on the PARSED plan: Spark's own resolution
+    // throws UNSUPPORTED_FEATURE.TIME_TRAVEL for non-DSv2 relations
+    // before any post-resolution hook could run
+    val pre = graft.plans.DvTimeTravelRule(spark)(parsed)
     parsed match {
       case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable =>
-        val analyzed = spark.sessionState.analyzer.execute(parsed)
+        val analyzed = spark.sessionState.analyzer.execute(pre)
         val routed = DvDmlRule(analyzed)
-        if (routed eq analyzed) spark.sql(text)
+        if ((routed eq analyzed) && (pre eq parsed)) spark.sql(text)
         else GraftPlanApi.ofRows(spark, routed)
-      case _ => spark.sql(text)
+      case _ =>
+        if (pre eq parsed) spark.sql(text)
+        else GraftPlanApi.ofRows(spark, pre)
     }
   }
 }

@@ -88,6 +88,27 @@ object Snapshots {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     committedVersions(spark, table).lastOption
 
+  /** Highest version committed AT OR BEFORE `tsMillis` — the
+    * `TIMESTAMP AS OF` resolution rule. The commit INSTANT is the
+    * commit marker's filesystem mtime: the marker create IS the
+    * atomic visibility step, so its timestamp is definitionally when
+    * the version became readable (no clock data rides in the marker
+    * itself). None if nothing was committed yet at that instant.
+    */
+  def versionAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/_commits")
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.nonEmpty && n.forall(_.isDigit) &&
+          s.getModificationTime <= tsMillis
+      }
+      .map(_.getPath.getName.toLong).sorted.lastOption
+  }
+
   /** Atomic exclusive create of an empty marker. The primitive must be
     * a real compare-and-create: on HDFS `create(overwrite=false)` is
     * atomic (namenode-arbitrated) and on S3 it maps to conditional put,

@@ -24,6 +24,10 @@ object GraftPlans {
     // relation before any optimizer rule could run. Driver-owned
     // sessions get the same routing via graft.GraftSql.sql.
     ext.injectResolutionRule(_ => DvDmlRule)
+    // SQL time travel (VERSION/TIMESTAMP AS OF): must swap BEFORE the
+    // resolution batch (ResolveRelations itself throws on time travel
+    // over a V1 relation) — the Hints batch precedes Resolution.
+    ext.injectHintResolutionRule(s => DvTimeTravelRule(s))
   }
 
   /** Idempotent per-session strategy + optimizer-rule registration. */

@@ -1352,6 +1352,68 @@ object ScaleQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** SQL TIME TRAVEL on the graft-dv catalog table
+    * ([[graft.plans.DvTimeTravelRule]] via [[graft.GraftSql]]): one
+    * statement unions a `VERSION AS OF 1` snapshot aggregate with the
+    * current table's — both read through the manifest (each version
+    * under its own recorded schema), with the pinned RETROACTIVE
+    * tombstone rule: the setup's delete (after v1!) is visible in the
+    * v1 snapshot too, so right-to-be-forgotten composes with history.
+    * The oracle computes both snapshots from the immutable fact. The
+    * mutations run once in the memoized setup; the query itself is
+    * pure SQL end to end (travel clause in, catalog read out).
+    */
+  def dvSqlTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqltt") { r =>
+      DV.delete(spark, r, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvstt_"),
+            col("user_id").cast("string"))) % 5 === 0)): Unit
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvstta_"), col("event_id").cast("string"))) % 20 === 0)
+        .withColumn("event_id", col("event_id") + lit(6000000000L))
+        .withColumn("user_id", col("user_id") + lit(40000000L))
+        .withColumn("value", col("value") + 7)
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "tt")
+    def snap(src: String, tag: String): String =
+      s"""SELECT '$tag' AS snap, event_type, count(*) AS n_events,
+         |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+         |    AS value_sum
+         |FROM $src GROUP BY event_type""".stripMargin
+    graft.GraftSql.sql(spark,
+      s"""${snap(s"$tbl VERSION AS OF 1", "v1")}
+         |UNION ALL
+         |${snap(tbl, "cur")}
+         |ORDER BY snap, event_type""".stripMargin)
+  }
+
+  private val dvSqlTimetravelOracle = {
+    import graft.operators.TextOps
+    val dead = s"${TextOps.h60Sql("('dvstt_' || CAST(user_id AS VARCHAR))")} % 5 = 0"
+    val added = s"${TextOps.h60Sql("('dvstta_' || CAST(event_id AS VARCHAR))")} % 20 = 0"
+    s"""WITH v1 AS (
+       |  SELECT event_type, value FROM events WHERE NOT ($dead)),
+       |cur AS (
+       |  SELECT event_type, value FROM events WHERE NOT ($dead)
+       |  UNION ALL
+       |  SELECT event_type, value + 7 AS value FROM events WHERE $added)
+       |SELECT 'v1' AS snap, event_type, count(*) AS n_events,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM v1 GROUP BY event_type
+       |UNION ALL
+       |SELECT 'cur' AS snap, event_type, count(*) AS n_events,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM cur GROUP BY event_type
+       |ORDER BY snap, event_type""".stripMargin
+  }
+
   /** SQL DML face #1 — `DELETE FROM` on the graft-dv CATALOG table
     * ([[graft.plans.DvDml]] routing through [[graft.GraftSql]]): the
     * statement's predicate is tombstoned merge-on-read (O(deleted
@@ -1520,6 +1582,7 @@ object ScaleQueries {
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
     Q("dv_stats_lookup", Some(dvStatsLookupOracle), dvStatsLookup),
+    Q("dv_sql_timetravel", Some(dvSqlTimetravelOracle), dvSqlTimetravel),
     Q("dv_sql_delete", Some(dvSqlDeleteOracle), dvSqlDelete),
     Q("dv_sql_update", Some(dvSqlUpdateOracle), dvSqlUpdate),
     Q("dv_sql_merge", Some(dvSqlMergeOracle), dvSqlMerge),
