@@ -30,6 +30,12 @@ import graft.plans.DvDmlRule
 object GraftSql {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
+    // maintenance statements (VACUUM/OPTIMIZE) are not in Spark's
+    // grammar at all — recognize them before the parser rejects them
+    graft.plans.DvMaintenanceSql.parse(text) match {
+      case Some(cmd) => return GraftPlanApi.ofRows(spark, cmd)
+      case None => ()
+    }
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
     // time travel swaps on the PARSED plan: Spark's own resolution
     // throws UNSUPPORTED_FEATURE.TIME_TRAVEL for non-DSv2 relations

@@ -46,6 +46,34 @@ import graft.sources.DvRelation
   */
 object DvDml {
 
+  /** Resolve a catalog identifier to a graft-dv table root (None for
+    * temp views, missing tables, other providers, or non-session
+    * catalogs) — the pre-resolution lookup time travel and the
+    * maintenance statements share.
+    */
+  def dvCatalogRoot(session: SparkSession,
+      ident: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = session.sessionState.catalog
+    val tid = ident match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    try {
+      if (cat.isTempView(ident) || !cat.tableExists(tid)) None
+      else {
+        val m = cat.getTableMetadata(tid)
+        if (m.provider.exists(_.equalsIgnoreCase("graft-dv")))
+          m.storage.properties.get("path")
+            .orElse(m.storage.locationUri.map(_.toString))
+        else None
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Unwrap alias wrappers down to a graft-dv [[LogicalRelation]]. */
   def dvTarget(plan: LogicalPlan): Option[(String, LogicalRelation)] =
     plan match {

@@ -41,26 +41,8 @@ import graft.operators.{DeletionVectors => DV, Snapshots}
 case class DvTimeTravelRule(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  private def dvRootOf(ident: Seq[String]): Option[String] = {
-    val cat = session.sessionState.catalog
-    val tid = ident match {
-      case Seq(t) => TableIdentifier(t)
-      case Seq(db, t) => TableIdentifier(t, Some(db))
-      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
-        TableIdentifier(t, Some(db))
-      case _ => return None
-    }
-    try {
-      if (cat.isTempView(ident) || !cat.tableExists(tid)) None
-      else {
-        val m = cat.getTableMetadata(tid)
-        if (m.provider.exists(_.equalsIgnoreCase("graft-dv")))
-          m.storage.properties.get("path")
-            .orElse(m.storage.locationUri.map(_.toString))
-        else None
-      }
-    } catch { case _: Exception => None }
-  }
+  private def dvRootOf(ident: Seq[String]): Option[String] =
+    DvDml.dvCatalogRoot(session, ident)
 
   private def tsMillis(e: Expression): Long = {
     val micros = Cast(e, TimestampType,

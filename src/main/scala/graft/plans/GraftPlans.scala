@@ -28,6 +28,10 @@ object GraftPlans {
     // resolution batch (ResolveRelations itself throws on time travel
     // over a V1 relation) — the Hints batch precedes Resolution.
     ext.injectHintResolutionRule(s => DvTimeTravelRule(s))
+    // SQL maintenance statements (VACUUM/OPTIMIZE): not in Spark's
+    // grammar — a delegating parser wrapper recognizes exactly the
+    // two shapes (the Delta injectParser pattern).
+    ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
   }
 
   /** Idempotent per-session strategy + optimizer-rule registration. */

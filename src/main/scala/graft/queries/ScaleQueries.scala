@@ -1414,6 +1414,44 @@ object ScaleQueries {
        |ORDER BY snap, event_type""".stripMargin
   }
 
+  /** SQL-driven MAINTENANCE lifecycle
+    * ([[graft.plans.DvMaintenanceSql]] via [[graft.GraftSql]]): three
+    * scattered delete batches pile delta blobs on every file, then
+    * `OPTIMIZE` (fold blobs + threshold purge) and `VACUUM ... RETAIN
+    * 0 HOURS` (reclaim the purge's dead files) run as SQL STATEMENTS,
+    * and the masked read must still hash-match the plain filtered
+    * oracle — the dv_purge/dv_compact gate with the operational verbs
+    * driven through the SQL surface. Idempotent under re-execution:
+    * deletes re-mark nothing, a second OPTIMIZE finds nothing hot,
+    * VACUUM reclaims only dead state.
+    */
+  def dvSqlMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqlmnt")()
+    val tbl = dvCatalogTable(spark, sfDir, root, "mnt")
+    val ev = Tables.events(spark, sfDir)
+    for (m <- 0 to 2)
+      DV.delete(spark, root, "user_id",
+        ev.select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvsmx_"),
+            col("user_id").cast("string"))) % 8 === m))
+    graft.GraftSql.sql(spark, s"OPTIMIZE $tbl").collect()
+    graft.GraftSql.sql(spark,
+      s"VACUUM $tbl RETAIN 0 HOURS KEEP 1 VERSIONS").collect()
+    dvAggregate(spark.table(tbl))
+  }
+
+  private val dvSqlMaintenanceOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('dvsmx_' || CAST(user_id AS VARCHAR))")} % 8 IN (0, 1, 2)"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events WHERE NOT ($victim)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** SQL DML face #1 — `DELETE FROM` on the graft-dv CATALOG table
     * ([[graft.plans.DvDml]] routing through [[graft.GraftSql]]): the
     * statement's predicate is tombstoned merge-on-read (O(deleted
@@ -1583,6 +1621,7 @@ object ScaleQueries {
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
     Q("dv_stats_lookup", Some(dvStatsLookupOracle), dvStatsLookup),
     Q("dv_sql_timetravel", Some(dvSqlTimetravelOracle), dvSqlTimetravel),
+    Q("dv_sql_maintenance", Some(dvSqlMaintenanceOracle), dvSqlMaintenance),
     Q("dv_sql_delete", Some(dvSqlDeleteOracle), dvSqlDelete),
     Q("dv_sql_update", Some(dvSqlUpdateOracle), dvSqlUpdate),
     Q("dv_sql_merge", Some(dvSqlMergeOracle), dvSqlMerge),

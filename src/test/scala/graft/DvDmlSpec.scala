@@ -171,6 +171,40 @@ class DvDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("no_such_column"))
   }
 
+  test("VACUUM / OPTIMIZE SQL statements route to the maintenance " +
+      "machinery with metrics, content invariance, and loud errors") {
+    val (root, name, ev) = freshTable()
+    for (m <- 0 to 2)
+      DV.delete(spark, root, "user_id",
+        ev.select("user_id").distinct().filter(col("user_id") % 9 === m))
+    val kept = ev.filter(col("user_id") % 9 > 2)
+
+    val opt = GraftSql.sql(spark, s"OPTIMIZE $name").head()
+    assert(opt.getLong(0) > 0, "expected blob dirs folded")
+    assert(opt.getLong(2) > 0, "expected hot files rewritten")
+    assert(spark.table(name).count() == kept.count(),
+      "OPTIMIZE must be content-invariant")
+
+    val vac = GraftSql.sql(spark,
+      s"VACUUM $name RETAIN 0 HOURS KEEP 1 VERSIONS").head()
+    assert(vac.getLong(0) > 0, "expected dead data files reclaimed")
+    assert(spark.table(name).count() == kept.count(),
+      "VACUUM must be content-invariant")
+
+    // a second OPTIMIZE has nothing to do — metrics go to zero
+    val opt2 = GraftSql.sql(spark, s"OPTIMIZE $name").head()
+    assert(opt2.getLong(0) == 0 && opt2.getLong(2) == 0)
+
+    // loud error on a non-graft-dv target; garbage stays a parse error
+    val e = intercept[Exception] {
+      GraftSql.sql(spark, "VACUUM no_such_dv_table").collect()
+    }
+    assert(e.getMessage.contains("not a graft-dv"))
+    intercept[Exception] {
+      GraftSql.sql(spark, "FROBNICATE everything").collect()
+    }
+  }
+
   test("UPDATE that moves rows across partitions keeps the layout " +
       "consistent (images land in their new partition dirs)") {
     val (root, name, ev) = freshTable()
