@@ -310,6 +310,52 @@ object LakeProbe {
         f"($tSeq%.2fs) — driver holdings track the PRUNED set")
     }
 
+    // ---- probe E: change-feed cost tracks TOUCHED files, not table --
+    // The CDF scale claim: a feed step reads (added ∪ removed) files
+    // only, so a fixed-size CDC batch's feed step costs the same
+    // whether the table is 1x or scale-x. Deterministic metric: the
+    // feed plan's input files; wall clock as supporting evidence.
+    {
+      import graft.operators.{DeletionVectors => DV, Snapshots}
+      def probeCdf(tag: String, events: DataFrame): (Long, Double, Long) = {
+        val root = s"$tmp/graft_lakeprobe_cdf_$tag"
+        val withDay = events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        DV.init(spark, withDay, root, "day")
+        val v1 = Snapshots.latestVersion(
+          spark, DV.manifestTable(root)).get
+        // fixed-size batch regardless of table scale: 2000 updates
+        val batch = withDay.orderBy("event_id").limit(2000)
+          .withColumn("value", col("value") * 2)
+        DV.upsert(spark, root, "day", "event_id", batch)
+        val v2 = Snapshots.latestVersion(
+          spark, DV.manifestTable(root)).get
+        val feed = DV.readChanges(spark, root, v1, v2)
+        feed.count(): Unit // codegen/footer warmup
+        val t0 = System.nanoTime()
+        val n = feed.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val filesRead = feed.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.length.toLong
+        }.sum
+        val total = DV.manifest(spark, root).count()
+        println(f"[lakeprobe] cdf/$tag: table=$total%d files; feed step " +
+          f"reads $filesRead files, $n rows, $t%.2fs")
+        (filesRead, t, total)
+      }
+      val (f1, t1, n1) = probeCdf("1x", Tables.events(spark, sfDir))
+      val (fx, tx, nx) = probeCdf(s"${scale}x", spark.read.parquet(evScaled))
+      require(nx > n1, "scaled table must carry more live files")
+      require(fx <= f1 * 3,
+        s"feed step's input files grew with the table: $f1 -> $fx")
+      println(f"[lakeprobe] cdf: table files $n1 -> $nx " +
+        f"(${nx.toDouble / n1}%.1fx); feed-step files $f1 -> $fx, " +
+        f"wall $t1%.2fs -> $tx%.2fs — step cost tracks the BATCH")
+    }
+
     spark.stop()
   }
 }
