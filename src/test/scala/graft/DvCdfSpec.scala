@@ -143,6 +143,71 @@ class DvCdfSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == want.count() + 5)
   }
 
+  test("CDF-driven replication: a KEYED mirror forked from a snapshot " +
+      "and folding the feed (upsert-by-key, latest version wins) " +
+      "converges to the source across append / upsert / purge") {
+    val (rootA, ev) = mkTable()
+    val mtA = DV.manifestTable(rootA)
+    // source-side deletes happen BEFORE the fork: pure deletes ride
+    // the retroactive mask, never the feed — a replicator of deletes
+    // subscribes to the erasure stream, not the CDF (the documented
+    // contract; this spec replicates the keyed-change stream)
+    DV.delete(spark, rootA, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 6 === 0))
+    val forkV = Snapshots.latestVersion(spark, mtA).get
+
+    // the mirror forks from the masked snapshot at subscription time
+    val rootB = Files.createTempDirectory("graft_dvcdf_mirror").toString
+    DV.init(spark, DV.readVersion(spark, rootA, forkV), rootB, "day")
+
+    // source evolves: two keyed upserts (overlapping keys — the
+    // mirror must take the LATER image), a key-free append, a purge
+    DV.upsert(spark, rootA, "day", "event_id",
+      ev.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") + 100), None)
+    DV.append(spark, rootA, Seq("day"),
+      ev.limit(30).withColumn("event_id", col("event_id") + 4000000L))
+    DV.upsert(spark, rootA, "day", "event_id",
+      ev.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000), None)
+    DV.purge(spark, rootA, Seq("day"), 0.05, () => ())
+    val toV = Snapshots.latestVersion(spark, mtA).get
+
+    // the consumer: drain the feed (one batch here, several versions
+    // inside), dedupe each key to its HIGHEST commit version, apply
+    // as one merge-on-read upsert into the mirror
+    val feed = DV.readChanges(spark, rootA, forkV, toV)
+    assert(feed.filter(col("_change_type") === "delete").count() == 0)
+    val cols = feed.columns
+      .filterNot(Set("_change_type", "_commit_version"))
+    import org.apache.spark.sql.expressions.Window
+    val latest = feed
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy(col("event_id"))
+        .orderBy(desc("_commit_version"))))
+      .filter(col("__rk") === 1)
+      .select(cols.map(col): _*)
+    DV.upsert(spark, rootB, "day", "event_id", latest, None)
+
+    // convergence: the mirror's masked read equals the source's
+    val a = DV.read(spark, rootA).select(cols.map(col): _*)
+    val b = DV.read(spark, rootB).select(cols.map(col): _*)
+    assert(multisetEqual(a, b),
+      "mirror did not converge to the source after folding the feed")
+
+    // incremental catch-up: one more source upsert, one more fold
+    DV.upsert(spark, rootA, "day", "event_id",
+      ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") * 3), None)
+    val toV2 = Snapshots.latestVersion(spark, mtA).get
+    val step = DV.readChanges(spark, rootA, toV, toV2)
+      .select(cols.map(col): _*)
+    DV.upsert(spark, rootB, "day", "event_id", step, None)
+    assert(multisetEqual(
+      DV.read(spark, rootA).select(cols.map(col): _*),
+      DV.read(spark, rootB).select(cols.map(col): _*)))
+  }
+
   test("auto-compaction bounds every blob dir across a 24-batch CDC " +
       "run (threshold 3) and the content stays exact") {
     val (root, ev) = mkTable()
