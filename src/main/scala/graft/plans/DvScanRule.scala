@@ -38,9 +38,13 @@ case class DvScanRule(session: SparkSession) extends Rule[LogicalPlan] {
         val root = l.relation.asInstanceOf[DvRelation].root
         val masked = DeletionVectors.read(session, root)
         val newPlan = GraftPlanApi.analyzed(masked)
-        Project(l.output.zip(newPlan.output).map { case (o, n) =>
-          Alias(n, o.name)(exprId = o.exprId)
-        }, newPlan)
+        // map BY NAME, never by position: a catalog relation resolved
+        // through a declared (creation-time) schema may expose a
+        // SUBSET of the live columns after schema evolution — a
+        // positional zip would silently alias wrong columns
+        val byName = newPlan.output.map(a => a.name -> a).toMap
+        Project(l.output.map(o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId)), newPlan)
     }
   }
 }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.DeletionVectors
@@ -33,8 +33,8 @@ import graft.operators.DeletionVectors
   *    time, so a table mutated between two queries serves each query
   *    its then-current committed state.
   */
-class DvSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+class DvSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-dv"
 
   private def rootOf(parameters: Map[String, String]): String =
@@ -44,6 +44,34 @@ class DvSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     DvRelation(sqlContext.sparkSession, rootOf(parameters))
+
+  /** Schema-bearing resolution — what the session catalog uses for a
+    * `CREATE TABLE ... USING graft-dv` name (it stores the
+    * creation-time schema and hands it back on every read). The
+    * declared schema is honored as a VIEW of the live table — it must
+    * be a name/type-compatible SUBSET, so a catalog entry created
+    * before a schema evolution keeps reading (its column set, current
+    * rows) instead of failing the resolver's exact-match check; the
+    * evolved column surfaces when the catalog entry is re-created (or
+    * the table is read schema-free through `format("graft-dv")`).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val live = DeletionVectors.read(spark, root).schema
+    schema.fields.foreach { f =>
+      val l = live.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"declared column ${f.name} does not exist in the graft-dv " +
+            s"table at $root (live: ${live.fieldNames.mkString(", ")})"))
+      require(l.dataType == f.dataType,
+        s"declared column ${f.name} has type ${f.dataType.sql} but the " +
+          s"table carries ${l.dataType.sql}")
+    }
+    DvRelation(spark, root, Some(schema))
+  }
 
   /** Writer face: `df.write.format("graft-dv")`. DSv1 does not route
     * `partitionBy` to a CreatableRelationProvider, so the partition
@@ -106,12 +134,18 @@ class DvSource extends RelationProvider with CreatableRelationProvider
   }
 }
 
-case class DvRelation(spark: SparkSession, root: String)
+case class DvRelation(spark: SparkSession, root: String,
+    declared: Option[StructType] = None)
     extends BaseRelation with PrunedScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  override val schema: StructType = DeletionVectors.read(spark, root).schema
+  /** Declared (catalog) schema when resolving a catalog name — a
+    * validated subset view (see [[DvSource.createRelation]]) — else
+    * the live manifest schema.
+    */
+  override val schema: StructType =
+    declared.getOrElse(DeletionVectors.read(spark, root).schema)
 
   /** Conservative fallback for sessions without the swap rule: the
     * masked read, column-pruned; Spark re-applies every filter above

@@ -141,6 +141,36 @@ class DvSourceSpec extends SparkSpec {
       val got = spark.sql(
         "SELECT count(*) AS n FROM dv_events_cat").head().getLong(0)
       assert(got == ev.filter(col("user_id") % 3 =!= 0).count())
+
+      // SCHEMA EVOLUTION through the catalog name: the session
+      // catalog stores the CREATION-TIME schema and hands it back on
+      // every read, so the catalog entry keeps serving its declared
+      // column set as a validated SUBSET VIEW of the evolved table
+      // (SchemaRelationProvider; without it the resolver's
+      // exact-match check would fail every read after evolution) —
+      // current LIVE rows, old columns, name-mapped (never
+      // positional) onto the masked plan. Re-creating the catalog
+      // entry surfaces the new column — the standard V1 contract.
+      DV.append(spark, root, Seq("day"),
+        ev.limit(20).withColumn("event_id", col("event_id") + 3000000L)
+          .withColumn("priority", (col("user_id") % 3).cast("int")))
+      spark.sql("REFRESH TABLE dv_events_cat")
+      val pre = spark.table("dv_events_cat")
+      assert(!pre.columns.contains("priority"),
+        "declared catalog schema is the creation-time column set")
+      assert(pre.count() ==
+        ev.filter(col("user_id") % 3 =!= 0).count() + 20,
+        "the declared-schema view must still serve the current LIVE SET")
+      // value correctness through the subset view (name mapping): the
+      // appended rows' event_ids are the shifted ones
+      assert(pre.filter(col("event_id") >= 3000000L).count() == 20)
+      spark.sql("DROP TABLE dv_events_cat")
+      spark.sql("CREATE TABLE dv_events_cat USING `graft-dv` " +
+        s"OPTIONS (path '$root')")
+      val post = spark.table("dv_events_cat")
+      assert(post.columns.contains("priority"),
+        "re-created catalog entry must carry the evolved schema")
+      assert(post.filter(col("priority").isNotNull).count() == 20)
     } finally spark.sql("DROP TABLE IF EXISTS dv_events_cat"): Unit
   }
 }
