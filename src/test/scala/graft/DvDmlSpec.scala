@@ -171,6 +171,46 @@ class DvDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("no_such_column"))
   }
 
+  test("DML edge cases: no-match statements commit nothing, " +
+      "insert-only MERGE never tombstones, conditional NOT MATCHED " +
+      "filters inserts") {
+    val (root, name, ev) = freshTable()
+    val v0 = graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+
+    // DELETE matching nothing: zero rows, zero tombstone blobs
+    assert(GraftSql.sql(spark,
+      s"DELETE FROM $name WHERE user_id < 0").head().getLong(0) == 0L)
+    assert(graft.operators.DvBlobs.allFileDirs(root).isEmpty)
+
+    // UPDATE matching nothing: zero rows, NO manifest version burned
+    assert(GraftSql.sql(spark,
+      s"UPDATE $name SET value = 0 WHERE user_id < 0").head().getLong(0)
+      == 0L)
+    assert(graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get == v0,
+      "a no-op UPDATE must not commit a manifest")
+
+    // insert-only MERGE: matched rows exist but carry NO matched
+    // action — nothing tombstones, only the conditional inserts land
+    val src = ev.limit(20)
+      .withColumn("event_id", col("event_id") + 2000000L)
+      .unionByName(ev.limit(10)) // 10 matched rows, no matched clause
+    src.createOrReplaceTempView("dvdml_edge_src")
+    val res = GraftSql.sql(spark,
+      s"""MERGE INTO $name t USING dvdml_edge_src s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED AND s.user_id % 2 = 0 THEN INSERT *""".stripMargin)
+      .head()
+    val expectIns = ev.limit(20).filter(col("user_id") % 2 === 0).count()
+    assert(res.getLong(0) == 0L, "insert-only MERGE must tombstone nothing")
+    assert(res.getLong(1) == expectIns,
+      "conditional NOT MATCHED must filter the inserts")
+    assert(DV.read(spark, root).count() == ev.count() + expectIns)
+    assert(graft.operators.DvBlobs.allFileDirs(root).isEmpty,
+      "no tombstone blob may exist after an insert-only MERGE")
+  }
+
   test("VACUUM / OPTIMIZE SQL statements route to the maintenance " +
       "machinery with metrics, content invariance, and loud errors") {
     val (root, name, ev) = freshTable()
