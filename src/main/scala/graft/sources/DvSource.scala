@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, PrunedScan, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.DeletionVectors
@@ -136,7 +136,7 @@ class DvSource extends RelationProvider with SchemaRelationProvider
 
 case class DvRelation(spark: SparkSession, root: String,
     declared: Option[StructType] = None)
-    extends BaseRelation with PrunedScan {
+    extends BaseRelation with PrunedScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
@@ -146,6 +146,24 @@ case class DvRelation(spark: SparkSession, root: String,
     */
   override val schema: StructType =
     declared.getOrElse(DeletionVectors.read(spark, root).schema)
+
+  /** `INSERT INTO t ...` / `INSERT OVERWRITE t ...` on the catalog
+    * name — Spark's own [[InsertableRelation]] routing, completing
+    * the SQL DML quartet with a STANDARD interface (no custom rule:
+    * the engine aligns the query's columns to this relation's schema
+    * and calls here). Append = new files behind one CAS manifest flip
+    * (key-free — keyed merges are `MERGE INTO`); overwrite = re-init
+    * preserving the table's partition layout.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val partCols = DeletionVectors.partitionColsOf(spark, root)
+    require(partCols.nonEmpty,
+      s"cannot INSERT into graft-dv table at $root: its partition " +
+        "layout is unrecoverable (legacy manifest with an empty live " +
+        "set) — re-create via the writer face with partitionCol")
+    if (overwrite) DeletionVectors.init(spark, data, root, partCols): Unit
+    else DeletionVectors.append(spark, root, partCols, data): Unit
+  }
 
   /** Conservative fallback for sessions without the swap rule: the
     * masked read, column-pruned; Spark re-applies every filter above

@@ -211,6 +211,29 @@ class DvDmlSpec extends SparkSpec {
       "no tombstone blob may exist after an insert-only MERGE")
   }
 
+  test("INSERT INTO / INSERT OVERWRITE on the catalog name route " +
+      "through InsertableRelation: append behind one manifest flip, " +
+      "overwrite re-inits preserving the layout") {
+    val (root, name, ev) = freshTable()
+    val v0 = graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+    ev.limit(15).withColumn("event_id", col("event_id") + 1000000L)
+      .createOrReplaceTempView("dvdml_ins_src")
+    spark.sql(s"INSERT INTO $name SELECT * FROM dvdml_ins_src")
+    assert(graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get == v0 + 1,
+      "append must commit exactly one manifest version")
+    assert(DV.read(spark, root).count() == ev.count() + 15)
+    // the inserted rows compose with a later DELETE like any others
+    GraftSql.sql(spark,
+      s"DELETE FROM $name WHERE event_id >= 1000000").collect()
+    assert(DV.read(spark, root).count() == ev.count())
+    // overwrite re-inits, preserving the partition layout
+    spark.sql(s"INSERT OVERWRITE $name SELECT * FROM dvdml_ins_src")
+    assert(DV.read(spark, root).count() == 15)
+    assert(DV.partitionColsOf(spark, root) == Seq("day"))
+  }
+
   test("VACUUM / OPTIMIZE SQL statements route to the maintenance " +
       "machinery with metrics, content invariance, and loud errors") {
     val (root, name, ev) = freshTable()
