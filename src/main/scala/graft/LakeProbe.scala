@@ -356,6 +356,43 @@ object LakeProbe {
         f"wall $t1%.2fs -> $tx%.2fs — step cost tracks the BATCH")
     }
 
+    // ---- probe F: RESTORE moves zero data bytes; DESCRIBE HISTORY ----
+    // is manifest-scale. The restore claim: flipping a table of ANY
+    // size back to an old version is one manifest write — the data
+    // directory is byte-identical before and after (deterministic
+    // metric), and the wall tracks the MANIFEST row count, never the
+    // data volume (a copy-based restore would move the table).
+    {
+      import graft.operators.{DeletionVectors => DV}
+      def probeRestore(tag: String, events: DataFrame): Unit = {
+        val root = s"$tmp/graft_lakeprobe_restore_$tag"
+        val withDay = events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        DV.init(spark, withDay, root, "day")
+        DV.append(spark, root, Seq("day"), withDay.orderBy("event_id")
+          .limit(1000).withColumn("event_id",
+            col("event_id") + 900000000L))
+        val dataBytes = dirBytes(s"$root/data")
+        val t0 = System.nanoTime()
+        val nv = DV.restore(spark, root, 1L)
+        val tRestore = (System.nanoTime() - t0) / 1e9
+        require(dirBytes(s"$root/data") == dataBytes,
+          "restore must not move a single data byte")
+        val t1 = System.nanoTime()
+        val hist = DV.history(spark, root).collect()
+        val tHist = (System.nanoTime() - t1) / 1e9
+        require(hist.map(_.getString(2)).toSeq ==
+          Seq("init", "append", "restore"), "history verbs wrong")
+        val files = DV.manifest(spark, root).count()
+        println(f"[lakeprobe] restore/$tag: ${mb(dataBytes)} data, " +
+          f"$files%d live files; restore -> v$nv in $tRestore%.2fs " +
+          f"(0 data bytes moved); DESCRIBE HISTORY " +
+          f"(${hist.length} versions) $tHist%.2fs")
+      }
+      probeRestore("1x", Tables.events(spark, sfDir))
+      probeRestore(s"${scale}x", spark.read.parquet(evScaled))
+    }
+
     spark.stop()
   }
 }

@@ -35,6 +35,41 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  import org.apache.spark.sql.Column
+
+  /** Interleave a 16-bit value's bits with zeros (the Morton spread):
+    * column arithmetic only, so the whole layout key stays inside
+    * whole-stage codegen — no UDF, no custom Expression
+    * (shiftleft/and/or all compile into the same generated stage).
+    */
+  private def spreadBits16(x: Column): Column = {
+    val v0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton (Z-order) code: interleaves the bits of two 16-bit
+    * keys so lexicographic order on the code is locality-preserving in
+    * BOTH dimensions.
+    */
+  def morton2(x: Column, y: Column): Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+
+  /** Scales a key from [minV, maxV] onto the full 16-bit Morton
+    * domain. Without this, keys of different magnitudes interleave
+    * unfairly: raw (l_partkey ≤ 20000, l_suppkey ≤ 1000) puts
+    * partkey's bits 10+ ABOVE every suppkey bit, so a z-sort is just
+    * a partkey sort and the second dimension gets no locality at all
+    * (measured: 16/16 files hit). Same normalization step Delta's
+    * OPTIMIZE ZORDER applies (range-bound scaling) before
+    * interleaving. Integer arithmetic only — no float rounding in the
+    * layout key.
+    */
+  def normalize16(c: Column, minV: Column, maxV: Column): Column =
+    (c.cast("long") - minV) * 65535L / greatest(maxV - minV, lit(1L))
+
   /** Per-partition-directory stats from one FS listing. */
   final case class PartStats(value: String, files: Int, bytes: Long)
 

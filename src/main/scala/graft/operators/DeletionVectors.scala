@@ -131,13 +131,16 @@ object DeletionVectors {
   private def manifestOf(spark: SparkSession, stats: DataFrame,
       cdcBatch: Long, dataSchema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
-      statsSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+      statsSchema: org.apache.spark.sql.types.StructType,
+      op: String): DataFrame = {
     stats.select(col("file"), col("rows"), col("bytes"),
         col("part_values"), col("smin"), col("smax"),
         lit(cdcBatch).as("cdc_batch"),
         lit(null).cast("string").as("schema_json"),
         lit(null).cast("string").as("part_cols"),
-        lit(null).cast("string").as("stats_cols"))
+        lit(null).cast("string").as("stats_cols"),
+        lit(null).cast("string").as("op"),
+        lit(null).cast("map<string,string>").as("constraints"))
       .unionByName(spark.range(1).select(lit(Sentinel).as("file"),
         lit(0L).as("rows"), lit(0L).as("bytes"),
         lit(null).cast("array<string>").as("part_values"),
@@ -146,8 +149,19 @@ object DeletionVectors {
         lit(cdcBatch).as("cdc_batch"),
         lit(dataSchema.json).as("schema_json"),
         lit(partColsJson(partCols)).as("part_cols"),
-        lit(statsSchema.json).as("stats_cols")))
+        lit(statsSchema.json).as("stats_cols"),
+        lit(op).as("op"),
+        lit(null).cast("map<string,string>").as("constraints")))
   }
+
+  /** Stamp `op` onto the sentinel row of a next-manifest frame (and
+    * null it on file rows — the operation belongs to the VERSION, so
+    * carried-forward sentinels must not leak the previous commit's
+    * verb into this one's history line).
+    */
+  private def withSentinelOp(next: DataFrame, op: String): DataFrame =
+    next.withColumn("op", when(col("file") === Sentinel, lit(op))
+      .otherwise(lit(null).cast("string")))
 
   private def partColsJson(partCols: Seq[String]): String =
     org.apache.spark.sql.types.StructType(partCols.map(c =>
@@ -166,7 +180,8 @@ object DeletionVectors {
     val want = Seq(
       "schema_json" -> "string", "part_cols" -> "string",
       "stats_cols" -> "string", "part_values" -> "array<string>",
-      "smin" -> "map<string,string>", "smax" -> "map<string,string>")
+      "smin" -> "map<string,string>", "smax" -> "map<string,string>",
+      "op" -> "string", "constraints" -> "map<string,string>")
     want.foldLeft(df) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(t))
@@ -182,14 +197,17 @@ object DeletionVectors {
       lit(null).cast("array<string>").as("part_values"))
 
   /** Table-level metadata a manifest version's sentinel carries:
-    * data schema, partition columns (outermost first), and the
-    * declared stats columns (name + type — the columns whose per-file
-    * min/max ride the manifest rows).
+    * data schema, partition columns (outermost first), the declared
+    * stats columns (name + type — the columns whose per-file min/max
+    * ride the manifest rows), and the table's CHECK constraints
+    * (name → boolean SQL expression, enforced on every mutating write
+    * through [[appendCommitted]]).
     */
   final case class TableMeta(
       dataSchema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
-      statsSchema: org.apache.spark.sql.types.StructType)
+      statsSchema: org.apache.spark.sql.types.StructType,
+      constraints: Map[String, String] = Map.empty)
 
   /** Metadata recorded in version v's sentinel — None for
     * pre-evolution manifests (readers fall back to the legacy
@@ -208,24 +226,27 @@ object DeletionVectors {
       val m = Snapshots.readVersion(spark, manifestTable(root), v)
       if (!m.columns.contains("schema_json")) None
       else {
-        val cols =
-          if (m.columns.contains("stats_cols"))
-            Seq("schema_json", "part_cols", "stats_cols")
-          else Seq("schema_json", "part_cols")
+        val cols = Seq("schema_json", "part_cols") ++
+          Seq("stats_cols", "constraints").filter(m.columns.contains)
         m.filter(col("file") === Sentinel)
           .select(cols.map(col): _*).collect().headOption
           .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
           .map { r =>
-            val stats =
-              if (cols.size > 2 && !r.isNullAt(2))
-                org.apache.spark.sql.types.DataType
-                  .fromJson(r.getString(2))
-                  .asInstanceOf[org.apache.spark.sql.types.StructType]
-              else new org.apache.spark.sql.types.StructType()
+            def at[T](name: String)(get: Int => T): Option[T] = {
+              val i = cols.indexOf(name)
+              if (i < 0 || r.isNullAt(i)) None else Some(get(i))
+            }
+            val stats = at("stats_cols")(i =>
+              org.apache.spark.sql.types.DataType
+                .fromJson(r.getString(i))
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+              .getOrElse(new org.apache.spark.sql.types.StructType())
+            val cons = at("constraints")(i =>
+              r.getMap[String, String](i).toMap).getOrElse(Map.empty)
             TableMeta(org.apache.spark.sql.types.DataType
               .fromJson(r.getString(0))
               .asInstanceOf[org.apache.spark.sql.types.StructType],
-              partColsOfJson(r.getString(1)), stats)
+              partColsOfJson(r.getString(1)), stats, cons)
           }
       }
     })
@@ -326,7 +347,7 @@ object DeletionVectors {
       })
     val manifest = manifestOf(spark,
       perFileStats(spark.read.parquet(dataDir(root)), statsSchema),
-      cdcBatch = -1L, dataSchema, partCols, statsSchema)
+      cdcBatch = -1L, dataSchema, partCols, statsSchema, op = "init")
     Snapshots.publish(spark, manifestTable(root), manifest)
   }
 
@@ -347,6 +368,75 @@ object DeletionVectors {
   /** Highest CDC batch id whose effects are committed (-1 if none). */
   def lastCdcBatch(spark: SparkSession, root: String): Long =
     manifestFull(spark, root).agg(max("cdc_batch")).head().getLong(0)
+
+  /** Table history — one row per RETAINED committed manifest version
+    * (the `DESCRIBE HISTORY` face): commit instant (the commit
+    * marker's mtime, the `TIMESTAMP AS OF` clock), the recorded
+    * operation (init/append/upsert/update/merge/purge/restore — null
+    * for pre-round-11 manifests, which predate op recording), live
+    * file/row/byte totals, the file-set delta vs the PREVIOUS RETAINED
+    * version (files_added/files_removed — vacuumed predecessors make
+    * the earliest retained version report its whole set as added), and
+    * the CDC high-water mark.
+    *
+    * Scale shape: the manifest table is hive-partitioned by `v=`, so
+    * every retained version reads as ONE scan with `v` a partition
+    * column; the deltas are two self-anti-joins on (version, file) —
+    * all metadata-sized (manifest rows, never data). Row deletes don't
+    * appear here by design: tombstones never touch the manifest (the
+    * history of a table's VERSIONS is the manifest log; row-image
+    * history is the CDF/SCD2 family's job).
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val mt = manifestTable(root)
+    val versions = Snapshots.committedVersions(spark, mt)
+    require(versions.nonEmpty, s"no committed manifest at $root")
+    val instants = Snapshots.commitInstants(spark, mt)
+    val all = ensureMetaCols(spark.read
+        .option("basePath", mt).option("mergeSchema", "true")
+        .parquet(versions.map(v => s"$mt/v=$v"): _*))
+      .withColumn("version", col("v").cast("long")).drop("v")
+    val files = all.filter(col("file") =!= Sentinel)
+    val live = files.groupBy("version").agg(
+      count(lit(1)).as("live_files"), sum("rows").as("live_rows"),
+      sum("bytes").as("live_bytes"))
+    val sent = all.filter(col("file") === Sentinel)
+      .select(col("version"), col("cdc_batch"), col("op").as("operation"))
+    // previous RETAINED version per version (vacuum can thin the log)
+    val meta = spark.createDataFrame(versions.map(v =>
+        (v, new java.sql.Timestamp(instants.getOrElse(v, 0L)))))
+      .toDF("version", "committed_at")
+    val prevOf = spark.createDataFrame(
+        versions.zip(-1L +: versions.init)).toDF("version", "prev_v")
+    val cur = files.select(col("version"), col("file"))
+    val prevFiles = files.select(col("version").as("pv"),
+      col("file").as("pfile"))
+    val withPrev = cur.join(prevOf, Seq("version"))
+    val added = withPrev.join(prevFiles,
+        withPrev("prev_v") === prevFiles("pv") &&
+          withPrev("file") === prevFiles("pfile"), "left_anti")
+      .groupBy("version").agg(count(lit(1)).as("files_added"))
+    val nextOf = prevOf.withColumnRenamed("version", "nv")
+    val prevWithNext = prevFiles.join(nextOf,
+      prevFiles("pv") === nextOf("prev_v"))
+    val removed = prevWithNext.join(cur,
+        prevWithNext("nv") === cur("version") &&
+          prevWithNext("pfile") === cur("file"), "left_anti")
+      .groupBy(col("nv")).agg(count(lit(1)).as("files_removed"))
+      .withColumnRenamed("nv", "version")
+    meta.join(sent, Seq("version"), "left")
+      .join(live, Seq("version"), "left")
+      .join(added, Seq("version"), "left")
+      .join(removed, Seq("version"), "left")
+      .select(col("version"), col("committed_at"), col("operation"),
+        coalesce(col("live_files"), lit(0L)).as("live_files"),
+        coalesce(col("live_rows"), lit(0L)).as("live_rows"),
+        coalesce(col("live_bytes"), lit(0L)).as("live_bytes"),
+        coalesce(col("files_added"), lit(0L)).as("files_added"),
+        coalesce(col("files_removed"), lit(0L)).as("files_removed"),
+        col("cdc_batch"))
+      .orderBy("version")
+  }
 
   /** Driver-side live entries for the file index — bounded by file
     * count (metadata, the same driver-holds-the-action-list shape as
@@ -542,7 +632,7 @@ object DeletionVectors {
     */
   private def emptyTable(spark: SparkSession, root: String): DataFrame =
     currentMeta(spark, root) match {
-      case Some(TableMeta(ds, pcs, _)) =>
+      case Some(TableMeta(ds, pcs, _, _)) =>
         val full = org.apache.spark.sql.types.StructType(
           ds.fields ++ pcs.map(c => org.apache.spark.sql.types.StructField(
             c, org.apache.spark.sql.types.StringType)))
@@ -925,15 +1015,305 @@ object DeletionVectors {
             // a forced broadcast is GB-scale — AQE picks BHJ while
             // small and the shuffle form past the threshold
             // (round-11: the same treatment the read path got)
-            val next = ensureMetaCols(
+            val next = withSentinelOp(ensureMetaCols(
                 latest.join(hotDf, Seq("file"), "left_anti"))
               .unionByName(ensureMetaCols(
                 movedStats.withColumn("cdc_batch",
-                  lit(lastCdcBatch(spark, root)))))
+                  lit(lastCdcBatch(spark, root))))), "purge")
             committed = Snapshots.publishCas(
               spark, manifestTable(root), base, next)
           }
           result = hot
+        }
+      }
+      result
+    } finally releaseMaintenance(spark, root)
+  }
+
+  /** RESTORE the table to committed manifest version `v`: publish a
+    * NEW version whose live set, schema, and layout are exactly `v`'s
+    * (the Delta `RESTORE TABLE` shape — history moves FORWARD; nothing
+    * is rewound or deleted, so concurrent readers and time travel keep
+    * working and a bad restore is itself restorable). Zero data bytes
+    * move: the commit is one manifest write.
+    *
+    * Semantics that differ from Delta, both pinned by the layer's
+    * existing contracts:
+    *  - tombstones are GLOBAL AND CURRENT (retroactive deletes — the
+    *    right-to-be-forgotten rule): restoring does NOT resurrect
+    *    deleted rows, it restores the FILE SET (un-doing appends,
+    *    upserts' new images, purge rewrites);
+    *  - the CDC high-water mark is carried FORWARD (`greatest` of the
+    *    restored sentinel's and the current one), so an exactly-once
+    *    CDC stream never re-applies batches it already applied.
+    *
+    * Fails loudly if `v`'s files were vacuumed (checked before the
+    * CAS), if `v` was never committed, or if its manifest version was
+    * itself vacuumed. Restoring to the current version is a no-op.
+    *
+    * @return the NEW manifest version serving `v`'s content (or `v`
+    *         itself when already current)
+    */
+  def restore(spark: SparkSession, root: String, v: Long): Long = {
+    val mt = manifestTable(root)
+    require(Snapshots.committedVersions(spark, mt).contains(v),
+      s"cannot restore $root to version $v: not a committed manifest " +
+        "version (never committed, or vacuumed from the log)")
+    claimMaintenance(spark, root)
+    try {
+      // files referenced by v but absent from the CURRENT live set may
+      // have been vacuumed — verify existence BEFORE committing a
+      // manifest that would point at missing data. Only the difference
+      // set needs checking; past a threshold the exists() probes run
+      // on the EXECUTORS (a long-diverged restore on a large table
+      // would otherwise serialize millions of driver RPCs).
+      val targetFiles = entriesAt(spark, root, v).map(_.path)
+      val curLive = liveEntries(spark, root).map(_.path).toSet
+      val candidates = targetFiles.filterNot(curLive)
+      val missing =
+        if (candidates.size <= 256) {
+          val f = hfs(spark, root)
+          candidates.filterNot(p => f.exists(GraftDvApi.pathOf(p)))
+        } else {
+          import spark.implicits._
+          spark.createDataset(candidates)
+            .mapPartitions { it =>
+              val conf = new org.apache.hadoop.conf.Configuration()
+              it.filterNot { p =>
+                val hp = GraftDvApi.pathOf(p)
+                hp.getFileSystem(conf).exists(hp)
+              }
+            }.collect().toSeq
+        }
+      require(missing.isEmpty,
+        s"cannot restore $root to version $v: ${missing.size} of its " +
+          s"data files were vacuumed (e.g. ${missing.take(3).mkString(", ")})")
+      var out = -1L
+      var casAttempts = 0
+      while (out < 0) {
+        casAttempts = boundedCasRetry(root, casAttempts)
+        val base = Snapshots.latestVersion(spark, mt).get
+        if (base == v) return v
+        val hw = lastCdcBatch(spark, root)
+        val next = withSentinelOp(
+            ensureMetaCols(Snapshots.readVersion(spark, mt, v)), "restore")
+          .withColumn("cdc_batch", when(col("file") === Sentinel,
+            greatest(col("cdc_batch"), lit(hw))).otherwise(col("cdc_batch")))
+        if (Snapshots.publishCas(spark, mt, base, next)) out = base + 1
+      }
+      out
+    } finally releaseMaintenance(spark, root)
+  }
+
+  /** Metadata-only manifest flip: publish base+1 = `next(base,
+    * latest-with-op)` behind the CAS loop — the commit shape shared by
+    * the ALTER family (schema/constraint changes move ZERO data bytes;
+    * the sentinel is the whole diff).
+    */
+  private def sentinelFlip(spark: SparkSession, root: String,
+      op: String)(next: (Long, DataFrame) => DataFrame): Long = {
+    val mt = manifestTable(root)
+    var out = -1L
+    var casAttempts = 0
+    while (out < 0) {
+      casAttempts = boundedCasRetry(root, casAttempts)
+      val base = Snapshots.latestVersion(spark, mt).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $root"))
+      val latest = withSentinelOp(
+        ensureMetaCols(Snapshots.readVersion(spark, mt, base)), op)
+      if (Snapshots.publishCas(spark, mt, base, next(base, latest)))
+        out = base + 1
+    }
+    out
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS`: widen the committed schema by
+    * `add` (nullable — old files null-fill at read, the same
+    * parquet missing-column rule the append-side evolution uses)
+    * behind ONE metadata-only manifest flip. Validation runs against
+    * the REBASED base inside the CAS loop, so two racing alters adding
+    * the same name cannot both commit. Time travel to pre-alter
+    * versions keeps reading under their own sentinel schema.
+    */
+  def alterAddColumns(spark: SparkSession, root: String,
+      add: org.apache.spark.sql.types.StructType): Long = {
+    require(add.nonEmpty, "ALTER TABLE ADD COLUMNS takes at least one column")
+    sentinelFlip(spark, root, "alter") { (base, latest) =>
+      val meta = metaAt(spark, root, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-dv table at $root has a legacy manifest without " +
+            "schema metadata — ALTER needs a schema-in-log table"))
+      add.fields.foreach { fd =>
+        require(!meta.dataSchema.fieldNames.contains(fd.name) &&
+            !meta.partCols.contains(fd.name),
+          s"column ${fd.name} already exists on the graft-dv table at $root")
+      }
+      val merged = org.apache.spark.sql.types.StructType(
+        meta.dataSchema.fields ++ add.fields.map(_.copy(nullable = true)))
+      latest.withColumn("schema_json", when(col("file") === Sentinel,
+        lit(merged.json)).otherwise(col("schema_json")))
+    }
+  }
+
+  /** The table's CHECK constraints (name → boolean SQL expression). */
+  def constraintsOf(spark: SparkSession,
+      root: String): Map[String, String] =
+    currentMeta(spark, root).map(_.constraints).getOrElse(Map.empty)
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`: record a
+    * CHECK constraint in the sentinel (enforced on every mutating
+    * write through [[appendCommitted]] — only FALSE violates, NULL
+    * passes, the SQL three-valued rule). Like Delta, the EXISTING rows
+    * must already satisfy it (one masked-scan validation pass before
+    * the metadata-only flip).
+    */
+  def alterAddConstraint(spark: SparkSession, root: String,
+      name: String, check: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier; got '$name'")
+    val violating = read(spark, root)
+      .filter(coalesce(expr(check), lit(true)) === false).limit(1).count()
+    require(violating == 0,
+      s"cannot add CHECK constraint $name on $root: existing rows " +
+        s"violate ($check)")
+    sentinelFlip(spark, root, "alter") { (base, latest) =>
+      val cons = metaAt(spark, root, base).map(_.constraints)
+        .getOrElse(Map.empty)
+      require(!cons.contains(name),
+        s"constraint $name already exists on the graft-dv table at $root")
+      latest.withColumn("constraints", when(col("file") === Sentinel,
+          map_concat(coalesce(col("constraints"),
+            map().cast("map<string,string>")),
+            map(lit(name), lit(check))))
+        .otherwise(col("constraints")))
+    }
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT name` — metadata-only flip. */
+  def alterDropConstraint(spark: SparkSession, root: String,
+      name: String): Long =
+    sentinelFlip(spark, root, "alter") { (base, latest) =>
+      val cons = metaAt(spark, root, base).map(_.constraints)
+        .getOrElse(Map.empty)
+      require(cons.contains(name),
+        s"no CHECK constraint named $name on the graft-dv table at $root")
+      latest.withColumn("constraints", when(col("file") === Sentinel,
+          map_filter(col("constraints"), (k, _) => k =!= name))
+        .otherwise(col("constraints")))
+    }
+
+  /** `OPTIMIZE ... ZORDER BY (c1[, c2])`: rewrite every live file with
+    * rows clustered by the Morton code of the (range-normalized) z
+    * columns — one or two dimensions — so each file covers a tight
+    * bounding box in z-space and the MANIFEST's per-file min/max stats
+    * (plus parquet row-group stats) prune box predicates on EITHER
+    * dimension. The rewrite materializes the current mask (tombstones
+    * fold into the replacements, like [[purge]]) and commits behind
+    * one CAS flip; racing deletes are caught by the same per-file
+    * delta-signature restage discipline purge uses, and the dead
+    * originals are vacuum fodder.
+    *
+    * This is the expensive, explicitly-requested layout operation
+    * (Delta's OPTIMIZE ZORDER): a full rewrite of the live bytes —
+    * never triggered implicitly. Returns the replaced files.
+    */
+  def zorder(spark: SparkSession, root: String,
+      zCols: Seq[String]): Seq[String] = {
+    require(zCols.nonEmpty && zCols.size <= 2,
+      s"ZORDER BY takes 1 or 2 columns; got ${zCols.mkString(", ")}")
+    claimMaintenance(spark, root)
+    try {
+      val partCols = partitionColsOf(spark, root)
+      require(partCols.nonEmpty,
+        s"graft-dv table at $root has no recoverable partition layout")
+      zCols.foreach(c => require(!partCols.contains(c),
+        s"ZORDER BY column $c is a partition column — partition values " +
+          "are constant within a file; z-ordering them is a no-op"))
+      var sigAttempts = 0
+      var result: Seq[String] = null
+      while (result == null) {
+        val live = liveEntries(spark, root).map(_.path)
+        if (live.isEmpty) return Seq.empty
+        val sig0 = live.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
+
+        val meta = currentMeta(spark, root)
+        val scan = scanWithPos(spark, root, entriesOf(spark, live), meta)
+          .drop("__file", "__pos")
+        // range-normalize each z column over the LIVE rows (one tiny
+        // stats pass — the same pre-pass Delta's ZORDER does), then
+        // interleave; single-column form is a plain range cluster
+        val b = scan.agg(
+          zCols.flatMap(c => Seq(min(col(c).cast("long")),
+            max(col(c).cast("long")))).head,
+          zCols.flatMap(c => Seq(min(col(c).cast("long")),
+            max(col(c).cast("long")))).tail: _*).head()
+        // an all-masked table has null ranges — any constant works
+        def lv(i: Int) = if (b.isNullAt(i)) 0L else b.getLong(i)
+        val norm = zCols.zipWithIndex.map { case (c, i) =>
+          Compaction.normalize16(col(c), lit(lv(2 * i)),
+            lit(lv(2 * i + 1))) }
+        val z = if (norm.size == 2) Compaction.morton2(norm(0), norm(1))
+          else norm.head
+        val f = hfs(spark, root)
+        val stage = s"$root/_zorder_stage"
+        f.delete(new Path(stage), true)
+        // size the range shuffle by LIVE BYTES, not the session
+        // shuffle default: a 100 TB rewrite needs bytes/
+        // maxPartitionBytes tasks or every task spills, and a layout
+        // rewrite must produce the same file granularity whatever
+        // parallelism the session happens to run at (the determinism
+        // probe re-runs under a different thread count). The floor of
+        // 16 buckets keeps z-range SPLITTING — the whole point of the
+        // op — even on tables small enough to fit one task.
+        val liveBytes = liveEntries(spark, root).map(_.bytes).sum
+        val targetBytes = math.max(1L,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        val shuffleN = math.max(16, math.min(
+          (liveBytes / targetBytes).toInt + 1, 1 << 20))
+        scan.withColumn("__z", z)
+          .repartitionByRange(shuffleN,
+            (partCols.map(col) :+ col("__z")): _*)
+          .sortWithinPartitions(
+            (partCols.map(col) :+ col("__z")): _*)
+          .drop("__z")
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
+        val moved = moveStaged(spark, root, stage, "zordered")
+
+        val sigNow = live.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
+        if (sigNow != sig0) {
+          // a delete raced the staging scan — same rule as purge:
+          // never commit a stale stage (abandoned files = vacuum fodder)
+          require(sigAttempts < 3,
+            s"zorder restaged 3 times and a concurrent delete raced " +
+              s"each attempt on $root — rerun when the delete storm " +
+              "subsides (abandoned staged files are vacuum fodder)")
+          sigAttempts += 1
+        } else {
+          val statsSchema = meta.map(_.statsSchema)
+            .getOrElse(new org.apache.spark.sql.types.StructType())
+          val movedStats =
+            if (moved.isEmpty) emptyStatsFrame(spark)
+            else perFileStats(relationOver(spark, root,
+              entriesOf(spark, moved), meta), statsSchema)
+          var committed = false
+          var casAttempts = 0
+          while (!committed) {
+            casAttempts = boundedCasRetry(root, casAttempts)
+            val base = Snapshots.latestVersion(
+              spark, manifestTable(root)).get
+            val latest = Snapshots.readVersion(
+              spark, manifestTable(root), base)
+            val liveDf = spark.createDataset(live)(
+              org.apache.spark.sql.Encoders.STRING).toDF("file")
+            val next = withSentinelOp(ensureMetaCols(
+                latest.join(liveDf, Seq("file"), "left_anti"))
+              .unionByName(ensureMetaCols(
+                movedStats.withColumn("cdc_batch",
+                  lit(lastCdcBatch(spark, root))))), "zorder")
+            committed = Snapshots.publishCas(
+              spark, manifestTable(root), base, next)
+          }
+          result = live
         }
       }
       result
@@ -1097,10 +1477,45 @@ object DeletionVectors {
         s"${dups.headOption.map(_.get(0))} — pass latestBy to resolve, " +
         "or dedupe upstream (one image per key per batch)")
 
+    // constraints check BEFORE the old images are tombstoned: a
+    // rejected batch must leave the table untouched, not half-applied
+    enforceConstraints(spark, root, staged)
     val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
     val newFiles = appendCommitted(spark, root, partCols, staged,
       cdcBatch, "upsert")
     (masked, newFiles)
+  }
+
+  /** Validate a write batch against the table's CHECK constraints
+    * (no-op when none exist — zero cost for unconstrained tables).
+    * SQL three-valued logic: only FALSE violates; NULL passes; a
+    * table column the batch doesn't carry evaluates as NULL — exactly
+    * the value readers will see. One aggregate job over the batch,
+    * reporting EVERY violated constraint by name. Mutating paths that
+    * tombstone before appending call this FIRST so a rejected batch
+    * never half-applies.
+    */
+  private[graft] def enforceConstraints(spark: SparkSession,
+      root: String, rows: DataFrame): Unit = {
+    val meta = currentMeta(spark, root)
+    val constraints = meta.map(_.constraints).getOrElse(Map.empty)
+    if (constraints.isEmpty) return
+    val tableCols = meta.map(m =>
+      m.dataSchema.fields ++ m.partCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))).getOrElse(Array.empty)
+    val withAll = tableCols.filterNot(fd => rows.columns.contains(fd.name))
+      .foldLeft(rows)((d, fd) =>
+        d.withColumn(fd.name, lit(null).cast(fd.dataType)))
+    val flags = constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      max(when(coalesce(expr(e), lit(true)) === false, lit(n))).as(n) }
+    val bad = withAll.agg(flags.head, flags.tail: _*).head()
+    val violated = (0 until bad.length).flatMap(i =>
+      Option(bad.getString(i)))
+    require(violated.isEmpty,
+      s"write to graft-dv table at $root violates CHECK constraint" +
+        s"(s): " + violated.map(n => s"$n CHECK (${constraints(n)})")
+          .mkString("; ") + " — no data was written")
   }
 
   /** Stage `rows` into the partition dirs invisibly (the purge move
@@ -1124,7 +1539,7 @@ object DeletionVectors {
     val statsSchema = curMeta.map(_.statsSchema)
       .getOrElse(new org.apache.spark.sql.types.StructType())
     val mergedSchema = curMeta match {
-      case Some(TableMeta(cur, pcs, _)) =>
+      case Some(TableMeta(cur, pcs, _, _)) =>
         require(pcs == partCols,
           s"graft-dv table at $root is partitioned by " +
             s"${pcs.mkString(",")}; append requested ${partCols.mkString(",")}")
@@ -1138,6 +1553,15 @@ object DeletionVectors {
           spark, hfs(spark, live.head.path).getFileStatus(
             GraftDvApi.pathOf(live.head.path))), incoming)
     }
+
+    // CHECK constraints — enforced HERE because every mutating path
+    // funnels through this gate (append, INSERT, upsert, CDC, DML
+    // update/merge): the batch fails loudly BEFORE any file is staged,
+    // so a rejected APPEND mutates nothing. Paths that tombstone old
+    // images BEFORE appending (upsert/UPDATE/MERGE) additionally
+    // pre-check via [[enforceConstraints]] before their first
+    // tombstone lands, so a rejected batch never half-applies.
+    enforceConstraints(spark, root, rows)
 
     val f = hfs(spark, root)
     val stage = s"$root/_${prefix}_stage"
@@ -1165,7 +1589,8 @@ object DeletionVectors {
       // plain overwrite would silently drop them from the log
       val commitSchema = metaAt(spark, root, base).map(_.dataSchema)
         .map(s => mergeSchemas(s, mergedSchema)).getOrElse(mergedSchema)
-      val next = ensureMetaCols(latest).unionByName(ensureMetaCols(
+      val next = withSentinelOp(
+        ensureMetaCols(latest).unionByName(ensureMetaCols(
           movedStats.withColumn("cdc_batch", lit(cdc))))
         .withColumn("cdc_batch", greatest(col("cdc_batch"), lit(cdc)))
         .withColumn("schema_json", when(col("file") === Sentinel,
@@ -1173,7 +1598,7 @@ object DeletionVectors {
         .withColumn("part_cols", when(col("file") === Sentinel,
           lit(partColsJson(partCols))).otherwise(col("part_cols")))
         .withColumn("stats_cols", when(col("file") === Sentinel,
-          lit(statsSchema.json)).otherwise(col("stats_cols")))
+          lit(statsSchema.json)).otherwise(col("stats_cols"))), prefix)
       committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
     }
     newFiles

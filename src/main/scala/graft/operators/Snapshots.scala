@@ -88,6 +88,23 @@ object Snapshots {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     committedVersions(spark, table).lastOption
 
+  /** Commit instant (epoch millis) per committed version — the commit
+    * marker's filesystem mtime, the same clock [[versionAsOf]] resolves
+    * `TIMESTAMP AS OF` against (the marker create IS the atomic
+    * visibility step). One `_commits` listing; metadata scale.
+    */
+  def commitInstants(spark: SparkSession,
+      table: String): Map[Long, Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/_commits")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.nonEmpty &&
+        s.getPath.getName.forall(_.isDigit))
+      .map(s => s.getPath.getName.toLong -> s.getModificationTime)
+      .toMap
+  }
+
   /** Highest version committed AT OR BEFORE `tsMillis` — the
     * `TIMESTAMP AS OF` resolution rule. The commit INSTANT is the
     * commit marker's filesystem mtime: the marker create IS the

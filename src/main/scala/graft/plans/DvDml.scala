@@ -213,6 +213,9 @@ case class DvUpdateCommand(root: String, targetOutput: Seq[Attribute],
     val images = GraftPlanApi.ofRows(session, Filter(condE, proj0))
       .select(DvDml.imageCols(targetOutput, sets): _*)
       .localCheckpoint()
+    // CHECK constraints validate the NEW images BEFORE any tombstone
+    // lands — a rejected UPDATE must leave the table untouched
+    DV.enforceConstraints(session, root, images)
     val marked = DV.markWhere(session, root, { scan =>
       val (proj, f, p) = DvDml.rebound(scan, targetOutput)
       GraftPlanApi.ofRows(session, Filter(condE, proj))
@@ -344,6 +347,9 @@ case class DvMergeCommand(root: String, targetOutput: Seq[Attribute],
         imagesOf(notMatchedBySourceActions, bySourceP, bIdx)
     val images = imageFrames.reduceOption(_ unionByName _)
       .map(_.localCheckpoint())
+    // CHECK constraints validate the NEW images BEFORE any tombstone
+    // lands — a rejected MERGE must leave the table untouched
+    images.foreach(df => DV.enforceConstraints(session, root, df))
 
     // tombstone every matched / by-source row an UPDATE or DELETE
     // action claimed (first-match, same classification as the

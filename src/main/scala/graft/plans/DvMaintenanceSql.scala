@@ -18,11 +18,14 @@ import graft.operators.{DeletionVectors => DV}
   *   VACUUM ev                                -- default retention
   *   VACUUM ev RETAIN 168 HOURS KEEP 3 VERSIONS
   *   OPTIMIZE ev                              -- fold blobs + purge
+  *   DESCRIBE HISTORY ev                      -- the manifest log
+  *   RESTORE TABLE ev TO VERSION AS OF 3      -- forward-only restore
+  *   RESTORE TABLE ev TO TIMESTAMP AS OF '2026-08-15 12:00:00'
   * }}}
   *
-  * Neither statement exists in Spark's grammar (they are the
+  * None of these statements exist in Spark's grammar (they are the
   * Delta-shaped operational verbs), so this layer owns a TINY
-  * recognizer for exactly these two shapes and routes everything else
+  * recognizer for exactly these shapes and routes everything else
   * to the session parser unchanged: [[GraftSqlParser]] wraps the
   * parser for extension-built sessions (`injectParser`, the Delta
   * pattern), and [[graft.GraftSql.sql]] consults the recognizer first
@@ -41,14 +44,37 @@ object DvMaintenanceSql {
 
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
-  private val OptimizeRe = """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*;?\s*""".r
+  private val AddConsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
-  /** The two maintenance shapes, or None for anything else. */
+  /** The maintenance/lifecycle shapes, or None for anything else. */
   def parse(text: String): Option[LogicalPlan] = text match {
     case VacuumRe(ident, hours, keepV) =>
       Some(DvVacuumCommand(ident, Option(hours).map(_.toLong),
         Option(keepV).map(_.toInt)))
-    case OptimizeRe(ident) => Some(DvOptimizeCommand(ident))
+    case OptimizeRe(ident, zcols) => Some(DvOptimizeCommand(ident,
+      Option(zcols).map(_.split(',').toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)).getOrElse(Nil)))
+    case AddConsRe(ident, name, check) =>
+      Some(DvAddConstraintCommand(ident, name, check.trim))
+    case DropConsRe(ident, name) =>
+      Some(DvDropConstraintCommand(ident, name))
+    case HistoryRe(ident) => Some(DvHistoryCommand(ident))
+    case RestoreRe(ident, v) => Some(DvRestoreCommand(ident,
+      Left(v.toLong)))
+    case RestoreTsRe(ident, ts) => Some(DvRestoreCommand(ident,
+      Right(ts)))
     case _ => None
   }
 
@@ -86,9 +112,13 @@ case class DvVacuumCommand(identText: String, retainHours: Option[Long],
 
 /** `OPTIMIZE t` — fold delta blobs, then rewrite files past the
   * deleted-fraction threshold behind one CAS manifest flip.
+  * `OPTIMIZE t ZORDER BY (c1[, c2])` — rewrite every live file with
+  * rows Morton-clustered on the given columns ([[DV.zorder]]): the
+  * explicit layout operation; masks fold into the replacements, so no
+  * separate purge pass runs.
   */
-case class DvOptimizeCommand(identText: String)
-    extends LeafRunnableCommand {
+case class DvOptimizeCommand(identText: String,
+    zorderCols: Seq[String] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("blob_dirs_compacted", LongType, nullable = false)(),
@@ -97,12 +127,114 @@ case class DvOptimizeCommand(identText: String)
 
   override def run(session: SparkSession): Seq[Row] = {
     val root = DvMaintenanceSql.rootOf(session, identText)
-    val (dirs, inputs) = DV.compactBlobs(session, root)
-    val partCols = DV.partitionColsOf(session, root)
-    val rewritten =
-      if (partCols.isEmpty) 0L
-      else DV.purge(session, root, partCols, 0.25, () => ()).size.toLong
-    Seq(Row(dirs, inputs, rewritten))
+    if (zorderCols.nonEmpty) {
+      val rewritten = DV.zorder(session, root, zorderCols).size.toLong
+      Seq(Row(0L, 0L, rewritten))
+    } else {
+      val (dirs, inputs) = DV.compactBlobs(session, root)
+      val partCols = DV.partitionColsOf(session, root)
+      val rewritten =
+        if (partCols.isEmpty) 0L
+        else DV.purge(session, root, partCols, 0.25, () => ()).size.toLong
+      Seq(Row(dirs, inputs, rewritten))
+    }
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — record a CHECK
+  * constraint (validated against existing rows, enforced on every
+  * mutating write; [[DV.alterAddConstraint]]).
+  */
+case class DvAddConstraintCommand(identText: String, name: String,
+    check: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = DvMaintenanceSql.rootOf(session, identText)
+    val v = DV.alterAddConstraint(session, root, name, check)
+    Seq(Row(name, v))
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — metadata-only flip. */
+case class DvDropConstraintCommand(identText: String, name: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = DvMaintenanceSql.rootOf(session, identText)
+    val v = DV.alterDropConstraint(session, root, name)
+    Seq(Row(name, v))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — one row per retained manifest version:
+  * commit instant, recorded operation, live totals, file-set delta vs
+  * the previous retained version, CDC high-water mark
+  * ([[DV.history]]). Metadata-scale: manifest rows, never data.
+  */
+case class DvHistoryCommand(identText: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType, nullable = false)(),
+    AttributeReference("operation",
+      org.apache.spark.sql.types.StringType, nullable = true)(),
+    AttributeReference("live_files", LongType, nullable = false)(),
+    AttributeReference("live_rows", LongType, nullable = false)(),
+    AttributeReference("live_bytes", LongType, nullable = false)(),
+    AttributeReference("files_added", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)(),
+    AttributeReference("cdc_batch", LongType, nullable = true)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = DvMaintenanceSql.rootOf(session, identText)
+    DV.history(session, root).collect().toSeq
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` /
+  * `RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts'` — publish a new
+  * manifest version serving exactly version n's live set/schema
+  * ([[DV.restore]]: forward-only history, retroactive tombstones kept,
+  * CDC high-water carried forward, zero data bytes moved).
+  */
+case class DvRestoreCommand(identText: String,
+    target: Either[Long, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType,
+      nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = DvMaintenanceSql.rootOf(session, identText)
+    val v = target match {
+      case Left(n) => n
+      case Right(ts) =>
+        val at =
+          try java.sql.Timestamp.valueOf(ts).getTime
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"RESTORE ... TO TIMESTAMP AS OF takes " +
+                s"'yyyy-mm-dd hh:mm:ss[.f]'; got '$ts'") }
+        graft.operators.Snapshots.versionAsOf(session,
+          DV.manifestTable(root), at).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version of $identText at or before $ts"))
+    }
+    val nv = DV.restore(session, root, v)
+    Seq(Row(v, nv))
   }
 }
 

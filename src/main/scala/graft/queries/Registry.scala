@@ -228,6 +228,14 @@ object Registry {
     // Verify-only: their physical shapes are dvd's marking scan and
     // the upsert append, both already timed.
     "dv_sql_merge",
+    // round 11 (late): the lifecycle DDL statements stay Verify-only
+    // by the subsumption rule — dv_sql_restore/dv_sql_history/
+    // dv_sql_alter/dv_constraints are metadata-only manifest flips
+    // plus scan/aggregate shapes benched everywhere (manifest publish
+    // = snapshot_timetravel's lifecycle; the constraint check is one
+    // codegen'd aggregate over the batch), and dv_sql_zorder's layout
+    // rewrite is zorder_cluster's benched write shape plus dvd's
+    // masked scan behind the same CAS publish.
   )
 
   /** Short stable keys for the bench JSON line (round 7).

@@ -394,39 +394,16 @@ object ScaleQueries {
       |  UNION ALL SELECT 'size', CAST(p_size AS VARCHAR) FROM part)
       |GROUP BY field ORDER BY field""".stripMargin
 
-  /** Bit-spread for 16-bit Morton interleave: zeros between the bits
-    * of a 16-bit non-negative key, as plain codegen'd column
-    * arithmetic (SURVEY §7.3 tier (a): compose built-ins before
-    * reaching for a custom Expression — shiftleft/and/or all compile
-    * into the same generated stage).
-    */
-  private def spreadBits16(x: Column): Column = {
-    val v0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
-    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
-    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
-    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
-  }
-
-  /** 2-D Morton (Z-order) code: interleaves the bits of two 16-bit
-    * keys so lexicographic order on the code is locality-preserving in
-    * BOTH dimensions.
+  /** Morton/Z-order layout helpers — shared with the DV table's
+    * `OPTIMIZE ... ZORDER BY` rewrite, so they live with the
+    * maintenance operators ([[graft.operators.Compaction]]); these
+    * forwards keep the query-layer call sites and specs stable.
     */
   def morton2(x: Column, y: Column): Column =
-    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+    graft.operators.Compaction.morton2(x, y)
 
-  /** Scales a key from [minV, maxV] onto the full 16-bit Morton
-    * domain. Without this, keys of different magnitudes interleave
-    * unfairly: raw (l_partkey ≤ 20000, l_suppkey ≤ 1000) puts
-    * partkey's bits 10+ ABOVE every suppkey bit, so a z-sort is just
-    * a partkey sort and the second dimension gets no locality at all
-    * (measured: 16/16 files hit). Same normalization step Delta's
-    * OPTIMIZE ZORDER applies (range-bound scaling) before
-    * interleaving. Integer arithmetic only — no float rounding in the
-    * layout key.
-    */
   def normalize16(c: Column, minV: Column, maxV: Column): Column =
-    (c.cast("long") - minV) * 65535L / greatest(maxV - minV, lit(1L))
+    graft.operators.Compaction.normalize16(c, minV, maxV)
 
   /** Z-order clustered layout + multi-dimensional data skipping: the
     * fact table is written range-partitioned and sorted by the Morton
@@ -1352,6 +1329,84 @@ object ScaleQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** `OPTIMIZE ... ZORDER BY` on the graft-dv catalog table
+    * ([[graft.operators.DeletionVectors.zorder]] via the SQL
+    * maintenance surface): the table is initialized HASH-SCATTERED
+    * (every file spans the whole event_id space — manifest min/max
+    * stats prune nothing) with a scattered delete on top; the query
+    * drives the z-order rewrite as a SQL statement, REQUIRES that the
+    * manifest-stats tier now prunes a range probe (the in-query
+    * plan-shape gate, the dv_stats_lookup discipline), and reads the
+    * range back through the mask-folded replacements against the
+    * plain filtered oracle. 100 TB shape: ZORDER is the explicit
+    * layout rewrite (bounded by live bytes, CAS-committed, delete-
+    * fenced); the reward is entry-tier file skipping on every later
+    * read — the same trade Delta's OPTIMIZE ZORDER sells.
+    */
+  def dvSqlZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val sid = System.identityHashCode(spark)
+    val key = s"${spark.sparkContext.applicationId}|$sid|$sfDir|zord"
+    val root = dvTableMemo.computeIfAbsent(key, _ => {
+      val r = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_dv_zord_${sid}_${math.abs(sfDir.hashCode)}"
+      // partitioned by the categorical column; user_id is UNIFORM
+      // within every partition (unlike event_id, which is 99.9%
+      // day-correlated in this fact — a probe on it would prune via
+      // the partition layout alone and prove nothing about zorder)
+      val ev = Tables.events(spark, sfDir).repartition(16)
+      DV.init(spark, ev, r, Seq("event_type"),
+        statsCols = Seq("user_id"))
+      DV.delete(spark, r, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvzrd_"),
+            col("user_id").cast("string"))) % 7 === 0)): Unit
+      r
+    })
+    val tbl = dvCatalogTable(spark, sfDir, root, "zord")
+    graft.GraftSql.sql(spark,
+      s"OPTIMIZE $tbl ZORDER BY (user_id)").collect()
+    val bounds = Tables.events(spark, sfDir)
+      .agg(min("user_id"), max("user_id")).head()
+    val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+    val lo = lo0 + (hi0 - lo0) * 49 / 100
+    val hi = lo0 + (hi0 - lo0) * 53 / 100
+    val rd = DV.read(spark, root)
+    val idx = org.apache.spark.sql.GraftPlanApi.analyzed(rd).collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.get.asInstanceOf[org.apache.spark.sql.GraftDvApi.LazyManifestFileIndex]
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val a = AttributeReference("user_id",
+      org.apache.spark.sql.types.LongType)()
+    val pruned = idx.survivors(Nil, Seq(
+      GreaterThanOrEqual(a, Literal(lo)), LessThanOrEqual(a, Literal(hi)))).size
+    val total = idx.survivors(Nil, Nil).size
+    require(pruned < total,
+      s"zorder left manifest stats unable to skip ($pruned/$total files)")
+    rd.filter(col("user_id").between(lo, hi))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value").cast("decimal(28,4)").cast("double"), 4)
+          .as("value"))
+      .orderBy(col("event_id"), col("user_id"))
+  }
+
+  private val dvSqlZorderOracle = {
+    import graft.operators.TextOps
+    val victim = s"${TextOps.h60Sql("('dvzrd_' || CAST(user_id AS VARCHAR))")} % 7 = 0"
+    s"""WITH b AS (SELECT min(user_id) AS lo0, max(user_id) AS hi0
+       |           FROM events)
+       |SELECT event_id, user_id, event_type,
+       |  round(CAST(CAST(value AS DECIMAL(28,4)) AS DOUBLE), 4) AS value
+       |FROM events, b
+       |WHERE user_id BETWEEN lo0 + (hi0 - lo0) * 49 // 100
+       |                  AND lo0 + (hi0 - lo0) * 53 // 100
+       |  AND NOT ($victim)
+       |ORDER BY event_id, user_id""".stripMargin
+  }
+
   /** SQL TIME TRAVEL on the graft-dv catalog table
     * ([[graft.plans.DvTimeTravelRule]] via [[graft.GraftSql]]): one
     * statement unions a `VERSION AS OF 1` snapshot aggregate with the
@@ -1614,8 +1669,234 @@ object ScaleQueries {
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** SQL `RESTORE TABLE ... TO VERSION AS OF` on the graft-dv catalog
+    * table ([[graft.plans.DvRestoreCommand]] via [[graft.GraftSql]]):
+    * the memoized setup deletes a scattered victim set (retroactive
+    * tombstones — no manifest version) and appends an extra batch
+    * (v2); the query RESTORES to v1 and reads back through the
+    * catalog. The oracle is the fact MINUS the victims: the restore
+    * un-does the append (v1's file set) while the deletes stay applied
+    * (tombstones are global and current — right-to-be-forgotten
+    * survives a restore, spec-pinned in DvHistorySpec). Forward-only:
+    * each execution publishes a NEW version serving v1's content, so
+    * re-execution is output-idempotent and zero data bytes ever move.
+    */
+  def dvSqlRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqlrst") { r =>
+      DV.delete(spark, r, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvrst_"),
+            col("user_id").cast("string"))) % 6 === 0)): Unit
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvrsa_"), col("event_id").cast("string"))) % 15 === 0)
+        .withColumn("event_id", col("event_id") + lit(5000000000L))
+        .withColumn("value", col("value") + 11)
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "rst")
+    graft.GraftSql.sql(spark,
+      s"RESTORE TABLE $tbl TO VERSION AS OF 1").collect()
+    dvAggregate(spark.table(tbl))
+  }
+
+  private val dvSqlRestoreOracle = {
+    import graft.operators.TextOps
+    val victim =
+      s"${TextOps.h60Sql("('dvrst_' || CAST(user_id AS VARCHAR))")} % 6 = 0"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM events WHERE NOT ($victim)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** `DESCRIBE HISTORY` on the graft-dv catalog table
+    * ([[graft.plans.DvHistoryCommand]] via [[graft.GraftSql]]): the
+    * memoized setup drives init → append → upsert → restore-to-v2, and
+    * the query reads the manifest log's deterministic columns. The
+    * oracle encodes the layer's pinned physics: live_rows counts
+    * PHYSICAL manifest rows, so the upsert ADDS its new images (old
+    * images are tombstoned — masked, never removed from files) and the
+    * restore lands exactly back on v2's total; operations are the
+    * verbs each commit recorded in its sentinel. Timestamps and
+    * file-set deltas ride the statement too but are host-dependent, so
+    * the gate pins the deterministic ones.
+    */
+  def dvSqlHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "hist") { r =>
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val extra = ev.filter(TextOps.h60(
+          concat(lit("dvhsa_"), col("event_id").cast("string"))) % 15 === 0)
+        .withColumn("event_id", col("event_id") + lit(7000000000L))
+      DV.append(spark, r, Seq("day"), extra): Unit
+      val upd = ev.filter(TextOps.h60(
+          concat(lit("dvhsu_"), col("event_id").cast("string"))) % 11 === 0)
+        .withColumn("value", col("value") + 9)
+      DV.upsert(spark, root = r, partCol = "day", keyCol = "event_id",
+        changes = upd): Unit
+      DV.restore(spark, r, 2L): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "hist")
+    graft.GraftSql.sql(spark, s"DESCRIBE HISTORY $tbl")
+      .select(col("version"), col("operation"), col("live_rows"))
+      .orderBy(col("version"))
+  }
+
+  private val dvSqlHistoryOracle = {
+    import graft.operators.TextOps
+    val selA = s"${TextOps.h60Sql("('dvhsa_' || CAST(event_id AS VARCHAR))")} % 15 = 0"
+    val selU = s"${TextOps.h60Sql("('dvhsu_' || CAST(event_id AS VARCHAR))")} % 11 = 0"
+    s"""WITH n AS (SELECT count(*) AS c FROM events),
+       |a AS (SELECT count(*) AS c FROM events WHERE $selA),
+       |u AS (SELECT count(*) AS c FROM events WHERE $selU)
+       |SELECT CAST(1 AS BIGINT) AS version, 'init' AS operation,
+       |  (SELECT c FROM n) AS live_rows
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), 'append',
+       |  (SELECT c FROM n) + (SELECT c FROM a)
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), 'upsert',
+       |  (SELECT c FROM n) + (SELECT c FROM a) + (SELECT c FROM u)
+       |UNION ALL
+       |SELECT CAST(4 AS BIGINT), 'restore',
+       |  (SELECT c FROM n) + (SELECT c FROM a)
+       |ORDER BY version""".stripMargin
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS` on the graft-dv catalog table
+    * ([[graft.GraftSql]] routing the parsed AddColumns to a
+    * metadata-only manifest flip + a catalog schema refresh): the
+    * setup ALTERs `priority INT` onto the table and appends a batch
+    * CARRYING it, and the read — `spark.table`, catalog in/out — must
+    * null-fill every pre-alter row while serving the batch's values.
+    * The sibling `dv_schema_evolution` evolves implicitly through an
+    * append; this is the EXPLICIT DDL face over the same
+    * schema-in-log machinery (old versions keep their own sentinel
+    * schema — DvAlterSpec pins time travel under the pre-alter
+    * schema).
+    */
+  def dvSqlAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqlalt") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "alt")
+      graft.GraftSql.sql(spark,
+        s"ALTER TABLE $tbl ADD COLUMNS (priority INT)").collect()
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvalt_"), col("event_id").cast("string"))) % 21 === 0)
+        .withColumn("event_id", col("event_id") + lit(8000000000L))
+        .withColumn("priority", (col("user_id") % 7).cast("int"))
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "alt")
+    spark.table(tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("priority")).as("n_prio"),
+        sum(coalesce(col("priority"), lit(0))).cast("long").as("prio_sum"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvSqlAlterOracle = {
+    import graft.operators.TextOps
+    val sel = s"${TextOps.h60Sql("('dvalt_' || CAST(event_id AS VARCHAR))")} % 21 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, value, CAST(NULL AS INTEGER) AS priority
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, value, CAST(user_id % 7 AS INTEGER) AS priority
+       |  FROM events WHERE $sel)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(priority) AS n_prio,
+       |  CAST(sum(coalesce(priority, 0)) AS BIGINT) AS prio_sum,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** CHECK constraints on the mutable table
+    * ([[graft.operators.DeletionVectors.alterAddConstraint]] via the
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK` statement): the setup
+    * records a constraint and appends a SATISFYING batch; the query
+    * itself drives a VIOLATING `INSERT INTO` through the catalog and
+    * requires it to fail loudly while writing NOTHING (the version
+    * stays put — rejected batches never stage a byte), then reads the
+    * table back through the hash gate. Enforcement lives in the one
+    * write-side gate every mutating path funnels through
+    * (appendCommitted), so INSERT/append/upsert/MERGE are all covered
+    * by the same check; DvAlterSpec pins the NULL-passes three-valued
+    * rule and the existing-rows validation on ADD.
+    */
+  def dvConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, Snapshots, TextOps}
+    val root = dvTable(spark, sfDir, "cons") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "cons")
+      graft.GraftSql.sql(spark, s"ALTER TABLE $tbl ADD CONSTRAINT " +
+        "ev_bounds CHECK (event_id >= 0 AND user_id >= 0)").collect()
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvcns_"), col("event_id").cast("string"))) % 17 === 0)
+        .withColumn("event_id", col("event_id") + lit(9000000000L))
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "cons")
+    val vBefore = Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+    val rejected =
+      try {
+        graft.GraftSql.sql(spark, s"INSERT INTO $tbl SELECT " +
+          s"-1 * event_id - 1 AS event_id, ts, user_id, event_type, " +
+          s"value, props, day FROM $tbl LIMIT 7").collect()
+        false
+      } catch {
+        case e: Throwable =>
+          // the constraint name must surface somewhere in the chain
+          var t: Throwable = e; var hit = false
+          while (t != null && !hit) {
+            hit = t.getMessage != null &&
+              t.getMessage.contains("ev_bounds")
+            t = t.getCause
+          }
+          hit
+      }
+    require(rejected,
+      "a violating INSERT must fail loudly naming the constraint")
+    require(Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+        == vBefore,
+      "a rejected batch must not commit a manifest version")
+    dvAggregate(spark.table(tbl))
+  }
+
+  private val dvConstraintsOracle = {
+    import graft.operators.TextOps
+    val sel = s"${TextOps.h60Sql("('dvcns_' || CAST(event_id AS VARCHAR))")} % 17 = 0"
+    s"""WITH final AS (
+       |  SELECT user_id, event_type, value FROM events
+       |  UNION ALL
+       |  SELECT user_id, event_type, value FROM events WHERE $sel)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
+    Q("dv_sql_restore", Some(dvSqlRestoreOracle), dvSqlRestore),
+    Q("dv_sql_history", Some(dvSqlHistoryOracle), dvSqlHistory),
+    Q("dv_sql_alter", Some(dvSqlAlterOracle), dvSqlAlter),
+    Q("dv_constraints", Some(dvConstraintsOracle), dvConstraints),
+    Q("dv_sql_zorder", Some(dvSqlZorderOracle), dvSqlZorder),
     Q("dv_schema_evolution", Some(dvSchemaEvolutionOracle),
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
