@@ -1105,6 +1105,60 @@ object DeletionVectors {
     } finally releaseMaintenance(spark, root)
   }
 
+  /** SHALLOW CLONE: create a NEW table at `dstRoot` whose v1 manifest
+    * references `srcRoot`'s data files AS OF `version` (default: the
+    * latest committed) — zero data bytes copied; only the manifest
+    * and the tombstone sidecar (metadata-scale: O(deleted rows), not
+    * O(data)) are written under the clone. The sidecar copy is what
+    * keeps the pinned retroactive-delete rule intact on the clone at
+    * its creation instant: the mask resolves blobs under the READING
+    * table's root, so a clone without the blobs would resurrect every
+    * deleted row.
+    *
+    * After the clone, the tables diverge freely: clone deletes land
+    * in the clone's own sidecar; clone appends/purges write under the
+    * clone's data dir (a purge gradually un-shares the hot files);
+    * clone vacuum can never reclaim a source file because its sweep
+    * walks only the clone's data dir. The one shared-fate hazard is
+    * the standard shallow-clone contract: a VACUUM on the SOURCE can
+    * reclaim files the clone still references — run `purge` on the
+    * clone (rewriting shared files under its own root) before
+    * vacuuming a source you intend to keep mutating.
+    *
+    * @return the clone's first manifest version (always 1)
+    */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+      dstRoot: String, version: Option[Long] = None): Long = {
+    val srcMt = manifestTable(srcRoot)
+    val v = version.getOrElse(Snapshots.latestVersion(spark, srcMt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no graft-dv table at $srcRoot")))
+    require(Snapshots.committedVersions(spark, srcMt).contains(v),
+      s"cannot clone $srcRoot at version $v: not a committed manifest " +
+        "version (never committed, or vacuumed from the log)")
+    require(!exists(spark, dstRoot),
+      s"a graft-dv table already exists at $dstRoot")
+    val f = hfs(spark, dstRoot)
+    f.delete(new Path(dstRoot), true)
+    // an empty data dir so maintenance sweeps (vacuum's distributed
+    // listing) have a root to walk before the first local write
+    f.mkdirs(new Path(dataDir(dstRoot)))
+    // sidecar travels with the clone (metadata-scale file copy)
+    val srcDv = new Path(dvDir(srcRoot))
+    val srcFs = hfs(spark, srcRoot)
+    if (srcFs.exists(srcDv))
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, srcDv, f,
+        new Path(dvDir(dstRoot)), false, true,
+        spark.sparkContext.hadoopConfiguration): Unit
+    val tidOut = f.create(new Path(tidMarker(dstRoot)), true)
+    try tidOut.write(
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally tidOut.close()
+    val next = withSentinelOp(
+      ensureMetaCols(Snapshots.readVersion(spark, srcMt, v)), "clone")
+    Snapshots.publish(spark, manifestTable(dstRoot), next)
+  }
+
   /** Metadata-only manifest flip: publish base+1 = `next(base,
     * latest-with-op)` behind the CAS loop — the commit shape shared by
     * the ALTER family (schema/constraint changes move ZERO data bytes;

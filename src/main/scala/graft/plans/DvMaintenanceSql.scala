@@ -21,6 +21,10 @@ import graft.operators.{DeletionVectors => DV}
   *   DESCRIBE HISTORY ev                      -- the manifest log
   *   RESTORE TABLE ev TO VERSION AS OF 3      -- forward-only restore
   *   RESTORE TABLE ev TO TIMESTAMP AS OF '2026-08-15 12:00:00'
+  *   OPTIMIZE ev ZORDER BY (user_id)          -- layout rewrite
+  *   ALTER TABLE ev ADD CONSTRAINT c CHECK (user_id >= 0)
+  *   ALTER TABLE ev DROP CONSTRAINT c
+  *   CREATE TABLE ev2 SHALLOW CLONE ev VERSION AS OF 2 LOCATION '/t2'
   * }}}
   *
   * None of these statements exist in Spark's grammar (they are the
@@ -50,6 +54,8 @@ object DvMaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConsRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
   private val RestoreRe =
@@ -70,6 +76,8 @@ object DvMaintenanceSql {
       Some(DvAddConstraintCommand(ident, name, check.trim))
     case DropConsRe(ident, name) =>
       Some(DvDropConstraintCommand(ident, name))
+    case CloneRe(dst, src, v, loc) => Some(DvCloneCommand(dst, src,
+      Option(v).map(_.toLong), loc))
     case HistoryRe(ident) => Some(DvHistoryCommand(ident))
     case RestoreRe(ident, v) => Some(DvRestoreCommand(ident,
       Left(v.toLong)))
@@ -138,6 +146,33 @@ case class DvOptimizeCommand(identText: String,
         else DV.purge(session, root, partCols, 0.25, () => ()).size.toLong
       Seq(Row(dirs, inputs, rewritten))
     }
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n] LOCATION
+  * '<root>'` — zero-copy table clone ([[DV.shallowClone]]: the clone's
+  * manifest references the source's data files; the tombstone sidecar
+  * copies at metadata scale so retroactive deletes hold on the clone),
+  * then the clone registers under `dst` in the session catalog. The
+  * LOCATION clause is REQUIRED: graft-dv tables are rooted filesystem
+  * layouts, never metastore-managed paths.
+  */
+case class DvCloneCommand(dstIdent: String, srcIdent: String,
+    version: Option[Long], dstRoot: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", LongType, nullable = false)(),
+    AttributeReference("location",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcRoot = DvMaintenanceSql.rootOf(session, srcIdent)
+    val v = version.getOrElse(graft.operators.Snapshots
+      .latestVersion(session, DV.manifestTable(srcRoot)).get)
+    DV.shallowClone(session, srcRoot, dstRoot, Some(v)): Unit
+    session.sql(s"CREATE TABLE $dstIdent USING `graft-dv` " +
+      s"OPTIONS (path '$dstRoot')"): Unit
+    Seq(Row(v, dstRoot))
   }
 }
 

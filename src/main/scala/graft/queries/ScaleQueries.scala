@@ -1407,6 +1407,79 @@ object ScaleQueries {
        |ORDER BY event_id, user_id""".stripMargin
   }
 
+  /** `CREATE TABLE ... SHALLOW CLONE` ([[graft.operators
+    * .DeletionVectors.shallowClone]] via the SQL recognizer): the
+    * memoized setup appends an extra batch to the SOURCE, deletes a
+    * scattered victim set (so the clone must inherit the retroactive
+    * mask through the copied sidecar), clones — zero data bytes — and
+    * then deletes a SECOND victim set on the CLONE ONLY. The query
+    * reads the clone through the catalog against an oracle carrying
+    * both victim sets, and REQUIRES the source's masked count to
+    * exceed the clone's (divergence: the clone-side delete never
+    * touched the source). Purge/vacuum isolation and the
+    * source-vacuum hazard are DvCloneSpec's territory.
+    */
+  def dvSqlClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val sid = System.identityHashCode(spark)
+    val cloneRoot = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_dv_clget_${sid}_${math.abs(sfDir.hashCode)}"
+    val root = dvTable(spark, sfDir, "clsrc") { r =>
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvclna_"), col("event_id").cast("string"))) % 18 === 0)
+        .withColumn("event_id", col("event_id") + lit(11000000000L))
+        .withColumn("value", col("value") + 13)
+      DV.append(spark, r, Seq("day"), extra): Unit
+      // delete BEFORE the clone: masks base + extras, and the clone
+      // must inherit it through the copied sidecar
+      DV.delete(spark, r, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvcln_"),
+            col("user_id").cast("string"))) % 8 === 0)): Unit
+      val srcTbl = dvCatalogTable(spark, sfDir, r, "clsrc")
+      // clear any leftover root from a crashed prior run (clone
+      // itself refuses to overwrite an existing table)
+      new org.apache.hadoop.fs.Path(cloneRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(cloneRoot), true): Unit
+      graft.GraftSql.sql(spark, s"CREATE TABLE dv_sql_clone_dst_${sid}_" +
+        s"${math.abs(sfDir.hashCode)} SHALLOW CLONE $srcTbl " +
+        s"LOCATION '$cloneRoot'").collect(): Unit
+      // diverge: this delete lands in the CLONE's sidecar only
+      DV.delete(spark, cloneRoot, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvclnb_"),
+            col("user_id").cast("string"))) % 9 === 0)): Unit
+      r
+    }
+    val srcCount = DV.read(spark, root).count()
+    val cloneCount = DV.read(spark, cloneRoot).count()
+    require(srcCount > cloneCount,
+      s"clone-side delete leaked or vanished: src=$srcCount clone=$cloneCount")
+    dvAggregate(spark.table(
+      s"dv_sql_clone_dst_${sid}_${math.abs(sfDir.hashCode)}"))
+  }
+
+  private val dvSqlCloneOracle = {
+    import graft.operators.TextOps
+    val selA = s"${TextOps.h60Sql("('dvclna_' || CAST(event_id AS VARCHAR))")} % 18 = 0"
+    val vicA = s"${TextOps.h60Sql("('dvcln_' || CAST(user_id AS VARCHAR))")} % 8 = 0"
+    val vicB = s"${TextOps.h60Sql("('dvclnb_' || CAST(user_id AS VARCHAR))")} % 9 = 0"
+    s"""WITH final AS (
+       |  SELECT user_id, event_type, value FROM events
+       |  WHERE NOT ($vicA) AND NOT ($vicB)
+       |  UNION ALL
+       |  SELECT user_id, event_type, value + 13 AS value FROM events
+       |  WHERE $selA AND NOT ($vicA) AND NOT ($vicB))
+       |SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** SQL TIME TRAVEL on the graft-dv catalog table
     * ([[graft.plans.DvTimeTravelRule]] via [[graft.GraftSql]]): one
     * statement unions a `VERSION AS OF 1` snapshot aggregate with the
@@ -1897,6 +1970,7 @@ object ScaleQueries {
     Q("dv_sql_alter", Some(dvSqlAlterOracle), dvSqlAlter),
     Q("dv_constraints", Some(dvConstraintsOracle), dvConstraints),
     Q("dv_sql_zorder", Some(dvSqlZorderOracle), dvSqlZorder),
+    Q("dv_sql_clone", Some(dvSqlCloneOracle), dvSqlClone),
     Q("dv_schema_evolution", Some(dvSchemaEvolutionOracle),
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
