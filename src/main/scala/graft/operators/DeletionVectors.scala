@@ -1105,6 +1105,121 @@ object DeletionVectors {
     } finally releaseMaintenance(spark, root)
   }
 
+  /** Bin-pack SMALL live files: within each partition directory,
+    * rewrite every live file under `minBytes` (when two or more share
+    * the dir — a single sliver has nothing to merge with) into one
+    * replacement per dir, behind the purge commit discipline
+    * (maintenance claim, per-file delta-signature restage on racing
+    * deletes, CAS flip; masks fold into the replacements; dead
+    * originals are vacuum fodder).
+    *
+    * This is the file-COUNT half of OPTIMIZE that [[purge]]'s
+    * tombstone-fraction rule never fires on: a CDC trickle appends a
+    * sliver per batch per partition, and at 100 TB the file count —
+    * listing cost, task startup, footer overhead, manifest rows — is
+    * the bottleneck long before deleted fractions are. Planning is
+    * pure MANIFEST math (the [[GraftDvApi.LiveFile]] entries carry
+    * bytes + partition values — no filesystem listing); execution is
+    * one masked scan of the victims hash-routed by partition values,
+    * so each partition's slivers land in one task and one file.
+    *
+    * @return the replaced (dead) files
+    */
+  def compactSmallFiles(spark: SparkSession, root: String,
+      minBytes: Long = 64L * 1024 * 1024): Seq[String] = {
+    claimMaintenance(spark, root)
+    try {
+      val partCols = partitionColsOf(spark, root)
+      require(partCols.nonEmpty,
+        s"graft-dv table at $root has no recoverable partition layout")
+      var sigAttempts = 0
+      var result: Seq[String] = null
+      while (result == null) {
+        val victims = liveEntries(spark, root)
+          .filter(_.bytes < minBytes)
+          .groupBy(_.partValues).filter(_._2.size >= 2)
+          .values.flatten.map(_.path).toSeq
+        if (victims.isEmpty) return Seq.empty
+        val sig0 = victims.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
+
+        val meta = currentMeta(spark, root)
+        val f = hfs(spark, root)
+        val stage = s"$root/_compact_stage"
+        f.delete(new Path(stage), true)
+        // per-group bin counts so no replacement exceeds the split
+        // target even when a dir holds many slivers (the Compaction
+        // broadcast-plan shape: the plan frame is partitions x 1 int)
+        val target = math.max(1L,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        val vicSet = victims.toSet
+        val binsOf = liveEntries(spark, root)
+          .filter(e => vicSet.contains(e.path))
+          .groupBy(_.partValues)
+          .map { case (pv, es) =>
+            pv -> math.max(1, (es.map(_.bytes).sum / target).toInt + 1) }
+        val planRows = binsOf.toSeq.map { case (pv, b) =>
+          org.apache.spark.sql.Row.fromSeq(pv :+ b) }
+        val planDf = spark.createDataFrame(
+          new java.util.ArrayList(planRows.asJava),
+          org.apache.spark.sql.types.StructType(
+            partCols.map(c => org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType)) :+
+              org.apache.spark.sql.types.StructField("__bins",
+                org.apache.spark.sql.types.IntegerType)))
+        val scan = scanWithPos(spark, root, entriesOf(spark, victims),
+          meta).drop("__file", "__pos")
+        val dataCols = scan.columns.filterNot(partCols.contains).toSeq
+        val totalBins = binsOf.values.sum
+        scan.join(broadcast(planDf), partCols)
+          .withColumn("__bin",
+            pmod(hash(dataCols.map(col): _*), col("__bins")))
+          .repartition(math.max(1, totalBins),
+            (partCols.map(col) :+ col("__bin")): _*)
+          .drop("__bin", "__bins")
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
+        val moved = moveStaged(spark, root, stage, "packed")
+
+        val sigNow = victims.map(f0 =>
+          f0 -> DvBlobs.signature(root, f0)).toMap
+        if (sigNow != sig0) {
+          require(sigAttempts < 3,
+            s"small-file compaction restaged 3 times and a concurrent " +
+              s"delete raced each attempt on $root — rerun when the " +
+              "delete storm subsides (abandoned staged files are " +
+              "vacuum fodder)")
+          sigAttempts += 1
+        } else {
+          val statsSchema = meta.map(_.statsSchema)
+            .getOrElse(new org.apache.spark.sql.types.StructType())
+          val movedStats =
+            if (moved.isEmpty) emptyStatsFrame(spark)
+            else perFileStats(relationOver(spark, root,
+              entriesOf(spark, moved), meta), statsSchema)
+          var committed = false
+          var casAttempts = 0
+          while (!committed) {
+            casAttempts = boundedCasRetry(root, casAttempts)
+            val base = Snapshots.latestVersion(
+              spark, manifestTable(root)).get
+            val latest = Snapshots.readVersion(
+              spark, manifestTable(root), base)
+            val vicDf = spark.createDataset(victims)(
+              org.apache.spark.sql.Encoders.STRING).toDF("file")
+            val next = withSentinelOp(ensureMetaCols(
+                latest.join(vicDf, Seq("file"), "left_anti"))
+              .unionByName(ensureMetaCols(
+                movedStats.withColumn("cdc_batch",
+                  lit(lastCdcBatch(spark, root))))), "compact")
+            committed = Snapshots.publishCas(
+              spark, manifestTable(root), base, next)
+          }
+          result = victims
+        }
+      }
+      result
+    } finally releaseMaintenance(spark, root)
+  }
+
   /** SHALLOW CLONE: create a NEW table at `dstRoot` whose v1 manifest
     * references `srcRoot`'s data files AS OF `version` (default: the
     * latest committed) — zero data bytes copied; only the manifest

@@ -118,12 +118,14 @@ case class DvVacuumCommand(identText: String, retainHours: Option[Long],
   }
 }
 
-/** `OPTIMIZE t` — fold delta blobs, then rewrite files past the
-  * deleted-fraction threshold behind one CAS manifest flip.
+/** `OPTIMIZE t` — fold delta blobs, rewrite files past the
+  * deleted-fraction threshold, then bin-pack small files per
+  * partition dir ([[DV.compactSmallFiles]] — the file-COUNT half a
+  * CDC trickle needs), each behind one CAS manifest flip.
   * `OPTIMIZE t ZORDER BY (c1[, c2])` — rewrite every live file with
   * rows Morton-clustered on the given columns ([[DV.zorder]]): the
   * explicit layout operation; masks fold into the replacements, so no
-  * separate purge pass runs.
+  * separate purge or bin-pack pass runs.
   */
 case class DvOptimizeCommand(identText: String,
     zorderCols: Seq[String] = Nil) extends LeafRunnableCommand {
@@ -131,20 +133,24 @@ case class DvOptimizeCommand(identText: String,
   override val output: Seq[Attribute] = Seq(
     AttributeReference("blob_dirs_compacted", LongType, nullable = false)(),
     AttributeReference("blobs_folded", LongType, nullable = false)(),
-    AttributeReference("files_rewritten", LongType, nullable = false)())
+    AttributeReference("files_rewritten", LongType, nullable = false)(),
+    AttributeReference("small_files_packed", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val root = DvMaintenanceSql.rootOf(session, identText)
     if (zorderCols.nonEmpty) {
       val rewritten = DV.zorder(session, root, zorderCols).size.toLong
-      Seq(Row(0L, 0L, rewritten))
+      Seq(Row(0L, 0L, rewritten, 0L))
     } else {
       val (dirs, inputs) = DV.compactBlobs(session, root)
       val partCols = DV.partitionColsOf(session, root)
       val rewritten =
         if (partCols.isEmpty) 0L
         else DV.purge(session, root, partCols, 0.25, () => ()).size.toLong
-      Seq(Row(dirs, inputs, rewritten))
+      val packed =
+        if (partCols.isEmpty) 0L
+        else DV.compactSmallFiles(session, root).size.toLong
+      Seq(Row(dirs, inputs, rewritten, packed))
     }
   }
 }

@@ -428,7 +428,9 @@ object FuzzQueries {
 
   /** The sixth fuzz axis: the MUTABLE-table lifecycle. A fixed,
     * deterministic interleaving of delete → upsert → purge →
-    * compactBlobs → delete → vacuum → upsert runs against a FRESH
+    * compactBlobs → delete → vacuum → upsert → zorder → small-file
+    * pack → restore → shallow-clone (+ a clone-side delete proving
+    * divergence both ways) runs against a FRESH
     * deletion-vector table (rebuilt per invocation — the legs observe
     * intermediate states, so memoization would corrupt leg 0 on
     * re-execution), and after EVERY op a leg snapshot of the masked
@@ -458,8 +460,8 @@ object FuzzQueries {
         s"graft_fuzzdv_${tag}_${sid}_${math.abs(sfDir.hashCode)}"
       DV.init(spark, ev0, root, partCols)
       val out = Seq.newBuilder[org.apache.spark.sql.Row]
-      def leg(id: String): Unit =
-        out ++= DV.read(spark, root)
+      def legOf(id: String, r: String): Unit =
+        out ++= DV.read(spark, r)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("user_id")).as("n_users"),
@@ -468,6 +470,7 @@ object FuzzQueries {
             col("event_type"), col("n_rows"), col("n_users"),
             col("value_sum"))
           .collect().toSeq
+      def leg(id: String): Unit = legOf(id, root)
       leg("L0")
       DV.delete(spark, root, "user_id",
         ev0.select(col("user_id")).distinct()
@@ -495,6 +498,32 @@ object FuzzQueries {
         ev0.filter(h("fz5_", col("event_id")) % 8 === 0)
           .withColumn("value", col("value") - 50), None)
       leg("L7")
+      // ---- round-11-late verbs, composed onto the same lifecycle ----
+      // zorder + pack are CONTENT-INVARIANT layout rewrites (L8, L9);
+      // restore to the post-L7 commit un-does exactly those two file
+      // flips (L10 — same content again, exercising the forward-only
+      // flip + the retroactive mask on the restored set); a shallow
+      // clone serves the same state (L11), diverges under its own
+      // delete (L12) and leaves the source untouched (L13).
+      val v7 = graft.operators.Snapshots.latestVersion(
+        spark, DV.manifestTable(root)).get
+      DV.zorder(spark, root, Seq("user_id"))
+      leg("L8")
+      DV.compactSmallFiles(spark, root)
+      leg("L9")
+      DV.restore(spark, root, v7)
+      leg("L10")
+      val cloneRoot = root + "_clone"
+      new org.apache.hadoop.fs.Path(cloneRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(cloneRoot), true): Unit
+      DV.shallowClone(spark, root, cloneRoot): Unit
+      legOf("L11", cloneRoot)
+      DV.delete(spark, cloneRoot, "user_id",
+        DV.read(spark, cloneRoot).select(col("user_id")).distinct()
+          .filter(h("fz6_", col("user_id")) % 6 === 0))
+      legOf("L12", cloneRoot)
+      leg("L13")
       out.result()
     }
 
@@ -553,9 +582,27 @@ object FuzzQueries {
          |  WHERE $u2
          |UNION ALL SELECT event_type, user_id + 30000000, value
          |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    // round-11-late legs: zorder (L8), pack (L9), restore-to-L7 (L10),
+    // clone (L11), and the clone's source after divergence (L13) are
+    // all the L7 state; the clone after its own delete (L12) is s7
+    // minus the third victim set, evaluated per-branch on the
+    // EFFECTIVE user id (the inserts carry shifted ids)
+    val d3 = s"${h("fz6_", "user_id")} % 6 = 0"
+    val d3s = s"${h("fz6_", "(user_id + 30000000)")} % 6 = 0"
+    val s12 =
+      s"""SELECT event_type, user_id, value FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($d2)
+         |    AND NOT ($d3)
+         |UNION ALL SELECT event_type, user_id, value + 100 FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($d2) AND NOT ($d3)
+         |UNION ALL SELECT event_type, user_id, value - 50 FROM events
+         |  WHERE $u2 AND NOT ($d3)
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s) AND NOT ($d3s)""".stripMargin
     val legStates = Seq(
       "L0" -> s0, "L1" -> s1, "L2" -> s2, "L3" -> s2, "L4" -> s2,
-      "L5" -> s5, "L6" -> s5, "L7" -> s7)
+      "L5" -> s5, "L6" -> s5, "L7" -> s7, "L8" -> s7, "L9" -> s7,
+      "L10" -> s7, "L11" -> s7, "L12" -> s12, "L13" -> s7)
     val legs = legStates.map { case (id, st) =>
       s"SELECT '$id' AS leg_id, event_type, user_id, value FROM ($st)"
     }.mkString("\nUNION ALL ")
