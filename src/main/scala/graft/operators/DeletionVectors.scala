@@ -1051,10 +1051,21 @@ object DeletionVectors {
     * CAS), if `v` was never committed, or if its manifest version was
     * itself vacuumed. Restoring to the current version is a no-op.
     *
+    * Concurrency contract — LAST WRITER WINS, by design: unlike
+    * purge/pack/zorder, whose CAS loops REBASE a racing append's files
+    * into the next manifest, a restore's next state IS version v's
+    * file set — an append committing inside the restore window has its
+    * files dropped from the live set (data intact on disk, vacuum
+    * fodder; re-append to recover). Any other outcome would mean a
+    * "restore" that doesn't restore. Maintenance (purge/pack/zorder/
+    * vacuum) is excluded by the claim; DvRaceSpec pins the append
+    * race.
+    *
     * @return the NEW manifest version serving `v`'s content (or `v`
     *         itself when already current)
     */
-  def restore(spark: SparkSession, root: String, v: Long): Long = {
+  def restore(spark: SparkSession, root: String, v: Long,
+      onBeforeCas: () => Unit = () => ()): Long = {
     val mt = manifestTable(root)
     require(Snapshots.committedVersions(spark, mt).contains(v),
       s"cannot restore $root to version $v: not a committed manifest " +
@@ -1099,6 +1110,7 @@ object DeletionVectors {
             ensureMetaCols(Snapshots.readVersion(spark, mt, v)), "restore")
           .withColumn("cdc_batch", when(col("file") === Sentinel,
             greatest(col("cdc_batch"), lit(hw))).otherwise(col("cdc_batch")))
+        onBeforeCas()
         if (Snapshots.publishCas(spark, mt, base, next)) out = base + 1
       }
       out
@@ -1126,7 +1138,8 @@ object DeletionVectors {
     * @return the replaced (dead) files
     */
   def compactSmallFiles(spark: SparkSession, root: String,
-      minBytes: Long = 64L * 1024 * 1024): Seq[String] = {
+      minBytes: Long = 64L * 1024 * 1024,
+      onBeforeCommit: () => Unit = () => ()): Seq[String] = {
     claimMaintenance(spark, root)
     try {
       val partCols = partitionColsOf(spark, root)
@@ -1195,6 +1208,10 @@ object DeletionVectors {
             if (moved.isEmpty) emptyStatsFrame(spark)
             else perFileStats(relationOver(spark, root,
               entriesOf(spark, moved), meta), statsSchema)
+          onBeforeCommit()
+          // CAS loop REBASES like purge's: an append/upsert landing
+          // mid-pack only ADDS files — (latest − victims) ∪
+          // replacements keeps the racer's files live
           var committed = false
           var casAttempts = 0
           while (!committed) {
@@ -1386,8 +1403,8 @@ object DeletionVectors {
     * (Delta's OPTIMIZE ZORDER): a full rewrite of the live bytes —
     * never triggered implicitly. Returns the replaced files.
     */
-  def zorder(spark: SparkSession, root: String,
-      zCols: Seq[String]): Seq[String] = {
+  def zorder(spark: SparkSession, root: String, zCols: Seq[String],
+      onBeforeCommit: () => Unit = () => ()): Seq[String] = {
     require(zCols.nonEmpty && zCols.size <= 2,
       s"ZORDER BY takes 1 or 2 columns; got ${zCols.mkString(", ")}")
     claimMaintenance(spark, root)
@@ -1464,6 +1481,11 @@ object DeletionVectors {
             if (moved.isEmpty) emptyStatsFrame(spark)
             else perFileStats(relationOver(spark, root,
               entriesOf(spark, moved), meta), statsSchema)
+          onBeforeCommit()
+          // CAS loop REBASES like purge's: an append/upsert landing
+          // mid-rewrite only ADDS files — (latest − rewritten) ∪
+          // replacements keeps the racer's files live (they just
+          // miss this pass's clustering)
           var committed = false
           var casAttempts = 0
           while (!committed) {

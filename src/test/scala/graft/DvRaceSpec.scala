@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeletionVectors => DV}
+
+/** Concurrency contracts of the round-11-late verbs: pack and zorder
+  * REBASE a racing append (its files stay live), restore is LAST
+  * WRITER WINS by design (its next state IS the target version's file
+  * set). Races are injected deterministically through the same
+  * failpoint hooks purge uses.
+  */
+class DvRaceSpec extends SparkSpec {
+
+  private def fresh(slivers: Int): (String, org.apache.spark.sql.DataFrame) = {
+    val root = Files.createTempDirectory("graft_dvrace").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .orderBy("event_id").limit(240)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .localCheckpoint()
+    def slice(b: Int) = ev.filter(pmod(col("event_id"),
+      lit(slivers.toLong)) === b)
+    DV.init(spark, slice(0), root, "day")
+    for (b <- 1 until slivers)
+      DV.append(spark, root, Seq("day"), slice(b))
+    (root, ev)
+  }
+
+  private def racer(ev: org.apache.spark.sql.DataFrame, off: Long) =
+    ev.limit(25).withColumn("event_id", col("event_id") + off)
+
+  test("an append landing mid-PACK survives: the CAS rebase keeps the " +
+      "racer's files live alongside the replacements") {
+    val (root, ev) = fresh(6)
+    var done = false
+    DV.compactSmallFiles(spark, root, onBeforeCommit = () => {
+      if (!done) { done = true
+        DV.append(spark, root, Seq("day"), racer(ev, 7000000L)): Unit }
+    }): Unit
+    assert(done, "failpoint must have fired")
+    assert(DV.read(spark, root).count() == 240 + 25)
+    assert(DV.read(spark, root)
+      .filter(col("event_id") >= 7000000L).count() == 25)
+  }
+
+  test("an append landing mid-ZORDER survives the rebase the same way") {
+    val (root, ev) = fresh(4)
+    var done = false
+    DV.zorder(spark, root, Seq("user_id"), onBeforeCommit = () => {
+      if (!done) { done = true
+        DV.append(spark, root, Seq("day"), racer(ev, 8000000L)): Unit }
+    }): Unit
+    assert(done)
+    assert(DV.read(spark, root).count() == 240 + 25)
+    assert(DV.read(spark, root)
+      .filter(col("event_id") >= 8000000L).count() == 25)
+  }
+
+  test("an append landing mid-RESTORE is dropped from the live set — " +
+      "last writer wins, files orphaned for vacuum, recoverable by " +
+      "re-append") {
+    val (root, ev) = fresh(1)
+    DV.append(spark, root, Seq("day"), racer(ev, 9000000L)) // v2
+    var done = false
+    val nv = DV.restore(spark, root, 1L, onBeforeCas = () => {
+      if (!done) { done = true
+        DV.append(spark, root, Seq("day"), racer(ev, 9500000L)): Unit }
+    })
+    assert(done)
+    // the racer committed BEFORE the restore's CAS won, so the restore
+    // landed above it — and its content is exactly v1's
+    assert(nv == 4L)
+    assert(DV.read(spark, root).count() == 240)
+    assert(DV.read(spark, root)
+      .filter(col("event_id") >= 9000000L).count() == 0)
+    // the racer's data is intact on disk and recoverable: vacuum with
+    // retention reclaims it as unreferenced, touching nothing live
+    DV.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+    assert(DV.read(spark, root).count() == 240)
+    // and the log tells the story
+    assert(DV.history(spark, root).orderBy(desc("version"))
+      .select("operation").head().getString(0) == "restore")
+  }
+}
