@@ -1946,6 +1946,59 @@ object DeletionVectors {
     }
   }
 
+  /** One-row table summary (the `DESCRIBE DETAIL` face): identity
+    * (format/location/table id), the log position (current version,
+    * retained version count, CDC high-water), the declared metadata
+    * (partition columns, stats columns, constraints), and live totals
+    * (files/rows/bytes from one manifest aggregate; tombstoned rows
+    * counted DISTRIBUTEDLY over the live files' blob dirs — one task
+    * per file, metadata scale).
+    *
+    * Returns (identity+metadata strings, numeric totals) as a single
+    * Row-shaped tuple for the SQL command to emit.
+    */
+  def detail(spark: SparkSession, root: String): (Map[String, String],
+      Map[String, Long]) = {
+    import spark.implicits._
+    val mt = manifestTable(root)
+    val versions = Snapshots.committedVersions(spark, mt)
+    require(versions.nonEmpty, s"no graft-dv table at $root")
+    val meta = currentMeta(spark, root)
+    val agg = manifest(spark, root)
+      .agg(count(lit(1)), sum("rows"), sum("bytes")).head()
+    val live = liveEntries(spark, root).map(_.path)
+    val tombstoned =
+      if (live.isEmpty) 0L
+      else spark.createDataset(live)
+        .map(f => DvBlobs.tombstoneCount(root, f))
+        .agg(sum("value")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    val strings = Map(
+      "format" -> "graft-dv",
+      "location" -> root,
+      "table_id" -> tableId(spark, root),
+      "partition_columns" ->
+        meta.map(_.partCols).getOrElse(partitionColsOf(spark, root))
+          .mkString(","),
+      "stats_columns" ->
+        meta.map(_.statsSchema.fieldNames.mkString(",")).getOrElse(""),
+      "constraints" ->
+        meta.map(_.constraints.toSeq.sortBy(_._1)
+          .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "))
+          .getOrElse(""))
+    val numbers = Map(
+      "current_version" -> versions.last,
+      "num_retained_versions" -> versions.size.toLong,
+      "cdc_batch" -> lastCdcBatch(spark, root),
+      "num_live_files" -> (if (agg.isNullAt(0)) 0L else agg.getLong(0)),
+      "live_rows" -> (if (agg.isNullAt(1)) 0L else agg.getLong(1)),
+      "live_bytes" -> (if (agg.isNullAt(2)) 0L else agg.getLong(2)),
+      "tombstoned_rows" -> tombstoned)
+    (strings, numbers)
+  }
+
   // ---- vacuum -----------------------------------------------------------
 
   /** Grace window shielding a concurrent writer's moved-but-not-yet-
@@ -1970,6 +2023,25 @@ object DeletionVectors {
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
       minAgeMs: Long = DefaultVacuumGraceMs): (Long, Long) = {
+    val (files, _, dirs) = vacuumImpl(spark, root, keepVersions,
+      minAgeMs, dryRun = false)
+    (files, dirs)
+  }
+
+  /** `VACUUM ... DRY RUN`: the exact candidate math of [[vacuum]] —
+    * same retention, same age gate, same anti-joins — but NOTHING is
+    * deleted and the manifest log is untouched. Returns (reclaimable
+    * data files, reclaimable bytes, dead tombstone dirs): the
+    * operational safety check before an aggressive retention setting.
+    */
+  def vacuumDryRun(spark: SparkSession, root: String,
+      keepVersions: Int = 1,
+      minAgeMs: Long = DefaultVacuumGraceMs): (Long, Long, Long) =
+    vacuumImpl(spark, root, keepVersions, minAgeMs, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, root: String,
+      keepVersions: Int, minAgeMs: Long,
+      dryRun: Boolean): (Long, Long, Long) = {
     claimMaintenance(spark, root)
     try {
       import spark.implicits._
@@ -1998,37 +2070,44 @@ object DeletionVectors {
       val seeds = f.listStatus(new Path(dataDir(root))).toSeq
         .map(_.getPath.toString)
       var dataDeleted = 0L
+      var bytesDead = 0L
       if (seeds.nonEmpty) {
         val listed = spark.createDataset(seeds).flatMap { s =>
           val p = new Path(s)
           val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           def walk(st: org.apache.hadoop.fs.FileStatus)
-              : Seq[(String, Long)] =
+              : Seq[(String, Long, Long)] =
             if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
             else if (st.getPath.getName.endsWith(".parquet"))
               Seq((GraftDvApi.urlOf(fs.makeQualified(st.getPath)),
-                st.getModificationTime))
+                st.getModificationTime, st.getLen))
             else Seq.empty
           walk(fs.getFileStatus(p))
-        }.toDF("file", "mtime")
+        }.toDF("file", "mtime", "bytes")
         // age gate FIRST (an in-flight writer's moved-but-uncommitted
         // files look identical to dead ones; age discriminates), then
         // anti-join against every retained manifest, then delete from
         // the EXECUTORS — the dead list never lands on the driver
-        val delAcc = spark.sparkContext.longAccumulator("vacuum_deleted")
-        listed.filter(col("mtime") <= lit(now - minAgeMs))
+        val dead = listed.filter(col("mtime") <= lit(now - minAgeMs))
           .join(refDf, Seq("file"), "left_anti")
-          .select("file")
-          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-            val conf = new org.apache.hadoop.conf.Configuration()
-            it.foreach { r =>
-              val p = GraftDvApi.pathOf(r.getString(0))
-              if (p.getFileSystem(conf).delete(p, false)) delAcc.add(1L)
+        if (dryRun) {
+          val agg = dead.agg(count(lit(1)), sum("bytes")).head()
+          dataDeleted = agg.getLong(0)
+          bytesDead = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+        } else {
+          val delAcc = spark.sparkContext.longAccumulator("vacuum_deleted")
+          dead.select("file")
+            .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+              val conf = new org.apache.hadoop.conf.Configuration()
+              it.foreach { r =>
+                val p = GraftDvApi.pathOf(r.getString(0))
+                if (p.getFileSystem(conf).delete(p, false)) delAcc.add(1L)
+              }
             }
-          }
-        dataDeleted = delAcc.value
+          dataDeleted = delAcc.value
+        }
       }
-      Snapshots.vacuum(spark, mt, keepVersions)
+      if (!dryRun) Snapshots.vacuum(spark, mt, keepVersions)
       // tombstone dirs of dead files: whole-dir GC, resolved
       // DISTRIBUTEDLY (one header read per dir decides) and matched
       // against the referenced set by ANTI-JOIN, not a broadcast of
@@ -2042,12 +2121,13 @@ object DeletionVectors {
           .toDF("dir", "file")
         val dead = dirFile.join(refDf, Seq("file"), "left_anti")
           .select("dir").collect().map(_.getString(0))
-        dead.foreach { d =>
+        if (dryRun) dvDeleted = dead.length.toLong
+        else dead.foreach { d =>
           f.delete(new Path(d), true): Unit
           dvDeleted += 1
         }
       }
-      (dataDeleted, dvDeleted)
+      (dataDeleted, bytesDead, dvDeleted)
     } finally releaseMaintenance(spark, root)
   }
 

@@ -17,7 +17,9 @@ import graft.operators.{DeletionVectors => DV}
   * {{{
   *   VACUUM ev                                -- default retention
   *   VACUUM ev RETAIN 168 HOURS KEEP 3 VERSIONS
-  *   OPTIMIZE ev                              -- fold blobs + purge
+  *   VACUUM ev RETAIN 0 HOURS DRY RUN         -- report, delete nothing
+  *   DESCRIBE DETAIL ev                       -- one-row table summary
+  *   OPTIMIZE ev                              -- fold blobs + purge + pack
   *   DESCRIBE HISTORY ev                      -- the manifest log
   *   RESTORE TABLE ev TO VERSION AS OF 3      -- forward-only restore
   *   RESTORE TABLE ev TO TIMESTAMP AS OF '2026-08-15 12:00:00'
@@ -47,7 +49,9 @@ import graft.operators.{DeletionVectors => DV}
 object DvMaintenanceSql {
 
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+KEEP\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*;?\s*""".r
   private val AddConsRe =
@@ -65,9 +69,10 @@ object DvMaintenanceSql {
 
   /** The maintenance/lifecycle shapes, or None for anything else. */
   def parse(text: String): Option[LogicalPlan] = text match {
-    case VacuumRe(ident, hours, keepV) =>
+    case VacuumRe(ident, hours, keepV, dry) =>
       Some(DvVacuumCommand(ident, Option(hours).map(_.toLong),
-        Option(keepV).map(_.toInt)))
+        Option(keepV).map(_.toInt), dryRun = dry != null))
+    case DetailRe(ident) => Some(DvDetailCommand(ident))
     case OptimizeRe(ident, zcols) => Some(DvOptimizeCommand(ident,
       Option(zcols).map(_.split(',').toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -97,24 +102,79 @@ object DvMaintenanceSql {
   }
 }
 
-/** `VACUUM t [RETAIN n HOURS] [KEEP k VERSIONS]` — reclaim data files
-  * referenced by no retained manifest (and dead tombstone dirs),
-  * shielding files younger than the retention window.
+/** `VACUUM t [RETAIN n HOURS] [KEEP k VERSIONS] [DRY RUN]` — reclaim
+  * data files referenced by no retained manifest (and dead tombstone
+  * dirs), shielding files younger than the retention window. DRY RUN
+  * reports the exact candidate math (files, bytes, dirs) deleting
+  * NOTHING and leaving the manifest log untouched — the safety check
+  * before an aggressive retention setting.
   */
 case class DvVacuumCommand(identText: String, retainHours: Option[Long],
-    keepVersions: Option[Int]) extends LeafRunnableCommand {
+    keepVersions: Option[Int], dryRun: Boolean = false)
+    extends LeafRunnableCommand {
 
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("data_files_deleted", LongType, nullable = false)(),
-    AttributeReference("tombstone_dirs_deleted", LongType,
-      nullable = false)())
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("data_files_reclaimable", LongType,
+        nullable = false)(),
+      AttributeReference("bytes_reclaimable", LongType,
+        nullable = false)(),
+      AttributeReference("tombstone_dirs_reclaimable", LongType,
+        nullable = false)())
+    else Seq(
+      AttributeReference("data_files_deleted", LongType,
+        nullable = false)(),
+      AttributeReference("tombstone_dirs_deleted", LongType,
+        nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val root = DvMaintenanceSql.rootOf(session, identText)
-    val (d, b) = DV.vacuum(session, root, keepVersions.getOrElse(1),
-      retainHours.map(_ * 3600L * 1000L)
-        .getOrElse(DV.DefaultVacuumGraceMs))
-    Seq(Row(d, b))
+    val keep = keepVersions.getOrElse(1)
+    val ageMs = retainHours.map(_ * 3600L * 1000L)
+      .getOrElse(DV.DefaultVacuumGraceMs)
+    if (dryRun) {
+      val (files, bytes, dirs) = DV.vacuumDryRun(session, root, keep, ageMs)
+      Seq(Row(files, bytes, dirs))
+    } else {
+      val (d, b) = DV.vacuum(session, root, keep, ageMs)
+      Seq(Row(d, b))
+    }
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one-row table summary: identity, log
+  * position, declared metadata, live totals, tombstoned rows
+  * ([[DV.detail]]).
+  */
+case class DvDetailCommand(identText: String)
+    extends LeafRunnableCommand {
+
+  private val S = org.apache.spark.sql.types.StringType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", S, nullable = false)(),
+    AttributeReference("location", S, nullable = false)(),
+    AttributeReference("table_id", S, nullable = false)(),
+    AttributeReference("partition_columns", S, nullable = false)(),
+    AttributeReference("stats_columns", S, nullable = false)(),
+    AttributeReference("constraints", S, nullable = false)(),
+    AttributeReference("current_version", LongType, nullable = false)(),
+    AttributeReference("num_retained_versions", LongType,
+      nullable = false)(),
+    AttributeReference("cdc_batch", LongType, nullable = false)(),
+    AttributeReference("num_live_files", LongType, nullable = false)(),
+    AttributeReference("live_rows", LongType, nullable = false)(),
+    AttributeReference("live_bytes", LongType, nullable = false)(),
+    AttributeReference("tombstoned_rows", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = DvMaintenanceSql.rootOf(session, identText)
+    val (s, n) = DV.detail(session, root)
+    Seq(Row(s("format"), s("location"), s("table_id"),
+      s("partition_columns"), s("stats_columns"), s("constraints"),
+      n("current_version"), n("num_retained_versions"), n("cdc_batch"),
+      n("num_live_files"), n("live_rows"), n("live_bytes"),
+      n("tombstoned_rows")))
   }
 }
 

@@ -1480,6 +1480,46 @@ object ScaleQueries {
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** `DESCRIBE DETAIL` on the graft-dv catalog table
+    * ([[graft.plans.DvDetailCommand]]): the one-row operational
+    * summary — identity, log position, declared metadata, live
+    * totals, tombstoned rows. The gate pins the deterministic subset:
+    * live_rows counts PHYSICAL manifest rows (masked rows stay in
+    * files — they surface as tombstoned_rows instead, the layer's
+    * merge-on-read physics), the constraint text round-trips
+    * verbatim, and the version counts the setup's two commits (init +
+    * the ALTER's metadata-only flip). File counts and bytes ride the
+    * statement too but are parallelism-dependent, so they stay out of
+    * the hash.
+    */
+  def dvSqlDetail(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "detail") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "detail")
+      graft.GraftSql.sql(spark, s"ALTER TABLE $tbl ADD CONSTRAINT " +
+        "vc CHECK (user_id >= 0)").collect(): Unit
+      DV.delete(spark, r, "user_id",
+        Tables.events(spark, sfDir).select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvdtl_"),
+            col("user_id").cast("string"))) % 10 === 0)): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "detail")
+    graft.GraftSql.sql(spark, s"DESCRIBE DETAIL $tbl")
+      .select(col("format"), col("partition_columns"),
+        col("constraints"), col("current_version"), col("live_rows"),
+        col("tombstoned_rows"))
+  }
+
+  private val dvSqlDetailOracle = {
+    import graft.operators.TextOps
+    val vic = s"${TextOps.h60Sql("('dvdtl_' || CAST(user_id AS VARCHAR))")} % 10 = 0"
+    s"""SELECT 'graft-dv' AS format, 'day' AS partition_columns,
+       |  'vc CHECK (user_id >= 0)' AS constraints,
+       |  CAST(2 AS BIGINT) AS current_version,
+       |  (SELECT count(*) FROM events) AS live_rows,
+       |  (SELECT count(*) FROM events WHERE $vic) AS tombstoned_rows""".stripMargin
+  }
+
   /** SQL TIME TRAVEL on the graft-dv catalog table
     * ([[graft.plans.DvTimeTravelRule]] via [[graft.GraftSql]]): one
     * statement unions a `VERSION AS OF 1` snapshot aggregate with the
@@ -1971,6 +2011,7 @@ object ScaleQueries {
     Q("dv_constraints", Some(dvConstraintsOracle), dvConstraints),
     Q("dv_sql_zorder", Some(dvSqlZorderOracle), dvSqlZorder),
     Q("dv_sql_clone", Some(dvSqlCloneOracle), dvSqlClone),
+    Q("dv_sql_detail", Some(dvSqlDetailOracle), dvSqlDetail),
     Q("dv_schema_evolution", Some(dvSchemaEvolutionOracle),
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),

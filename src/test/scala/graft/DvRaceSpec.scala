@@ -58,6 +58,36 @@ class DvRaceSpec extends SparkSpec {
       .filter(col("event_id") >= 8000000L).count() == 25)
   }
 
+  test("a crash between staging and the CAS leaves pack and zorder " +
+      "invisible; the rerun completes; vacuum reclaims the debris") {
+    val (root, ev) = fresh(6)
+    val mt = DV.manifestTable(root)
+    val v0 = graft.operators.Snapshots.latestVersion(spark, mt).get
+
+    intercept[RuntimeException](DV.compactSmallFiles(spark, root,
+      onBeforeCommit = () => throw new RuntimeException("boom")))
+    assert(graft.operators.Snapshots.latestVersion(spark, mt).get == v0,
+      "a crashed pack must not commit")
+    assert(DV.read(spark, root).count() == 240)
+
+    intercept[RuntimeException](DV.zorder(spark, root, Seq("user_id"),
+      onBeforeCommit = () => throw new RuntimeException("boom")))
+    assert(graft.operators.Snapshots.latestVersion(spark, mt).get == v0)
+    assert(DV.read(spark, root).count() == 240)
+
+    // reruns claim and complete (the crashed claims were released);
+    // the crashed attempts' moved-but-unreferenced files are debris
+    // the vacuum age-gate exists for — reclaim with age 0
+    assert(DV.compactSmallFiles(spark, root).nonEmpty)
+    assert(DV.read(spark, root).count() == 240)
+    val (reclaimed, _) = DV.vacuum(spark, root, keepVersions = 1,
+      minAgeMs = 0L)
+    assert(reclaimed > 0, "the crashed attempts' staged moves are debris")
+    assert(DV.read(spark, root).count() == 240)
+    assert(DV.read(spark, root).agg(sum("event_id")).head().getLong(0) ==
+      ev.agg(sum("event_id")).head().getLong(0))
+  }
+
   test("an append landing mid-RESTORE is dropped from the live set — " +
       "last writer wins, files orphaned for vacuum, recoverable by " +
       "re-append") {
