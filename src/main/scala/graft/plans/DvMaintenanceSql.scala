@@ -339,6 +339,96 @@ case class DvRestoreCommand(identText: String,
   }
 }
 
+/** `ALTER TABLE t ADD COLUMNS (...)` routing, shared by BOTH session
+  * styles: [[graft.GraftSql]] pattern-matches the parsed plan, and
+  * extension-built sessions get [[DvAlterRule]] in the resolution
+  * window (plain `spark.sql` — the same parity the DML swap has).
+  * Validation of the column specs happens here; the manifest flip +
+  * catalog schema refresh happen in the command's run.
+  */
+object DvAlterColumns {
+
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+  import org.apache.spark.sql.catalyst.plans.logical.AddColumns
+
+  def route(session: SparkSession,
+      ac: AddColumns): Option[LogicalPlan] = ac.table match {
+    case u: UnresolvedTable =>
+      DvDml.dvCatalogRoot(session, u.multipartIdentifier).map { root =>
+        val fields = ac.columnsToAdd.map { q =>
+          require(q.path.isEmpty,
+            "graft-dv supports adding TOP-LEVEL columns only " +
+              s"(got ${q.name.mkString(".")})")
+          require(q.position.isEmpty,
+            "graft-dv adds columns at the END of the schema — " +
+              "FIRST/AFTER positioning is not supported")
+          require(q.default.isEmpty,
+            "graft-dv added columns carry no DEFAULT (old files " +
+              "null-fill; bake defaults into the writing query)")
+          require(q.nullable,
+            s"added column ${q.colName} must be nullable: existing " +
+              "files null-fill it (the parquet missing-column rule)")
+          val meta = q.comment.map(c =>
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString("comment", c).build())
+            .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+          org.apache.spark.sql.types.StructField(
+            q.colName, q.dataType, nullable = true, meta)
+        }
+        DvAddColumnsCommand(u.multipartIdentifier, root,
+          org.apache.spark.sql.types.StructType(fields))
+      }
+    case _ => None
+  }
+}
+
+/** The executed half of `ALTER TABLE ... ADD COLUMNS`: one
+  * metadata-only manifest flip (validated against the REBASED base
+  * inside the CAS loop), then the catalog entry's stored schema is
+  * brought in step + the relation cache refreshed so the very next
+  * `spark.table` serves the added column.
+  */
+case class DvAddColumnsCommand(ident: Seq[String], root: String,
+    add: org.apache.spark.sql.types.StructType)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = DV.alterAddColumns(session, root, add)
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val tid = ident match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    tid.foreach { id =>
+      val cat = session.sessionState.catalog
+      cat.alterTableDataSchema(id, DV.read(session, root).schema)
+      cat.refreshTable(id)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** Resolution-window swap for extension-built sessions: AddColumns on
+  * a graft-dv catalog table becomes [[DvAddColumnsCommand]] before
+  * Spark's v1 fallback rejects the provider. Non-dv targets pass
+  * through untouched.
+  */
+case class DvAlterRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.AddColumns
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case ac: AddColumns =>
+      DvAlterColumns.route(session, ac).getOrElse(plan)
+    case _ => plan
+  }
+}
+
 /** Session-parser wrapper for extension-built sessions
   * (`injectParser`): recognizes the two maintenance statements,
   * delegates every other surface verbatim.

@@ -28,6 +28,11 @@ object GraftPlans {
     // resolution batch (ResolveRelations itself throws on time travel
     // over a V1 relation) — the Hints batch precedes Resolution.
     ext.injectHintResolutionRule(s => DvTimeTravelRule(s))
+    // ALTER TABLE ... ADD COLUMNS on graft-dv: ResolveSessionCatalog
+    // converts (and rejects) the v2 AddColumns inside the Resolution
+    // batch itself, so — like time travel — the swap must run in the
+    // HINTS batch, on the parsed plan.
+    ext.injectHintResolutionRule(s => DvAlterRule(s))
     // SQL maintenance statements (VACUUM/OPTIMIZE): not in Spark's
     // grammar — a delegating parser wrapper recognizes exactly the
     // two shapes (the Delta injectParser pattern).

@@ -1447,11 +1447,14 @@ object ScaleQueries {
       graft.GraftSql.sql(spark, s"CREATE TABLE dv_sql_clone_dst_${sid}_" +
         s"${math.abs(sfDir.hashCode)} SHALLOW CLONE $srcTbl " +
         s"LOCATION '$cloneRoot'").collect(): Unit
-      // diverge: this delete lands in the CLONE's sidecar only
+      // diverge: this delete lands in the CLONE's sidecar only.
+      // Modulus 3, not a sparser one: sf0.001 has only 15 distinct
+      // users and the %9 first cut selected ZERO of them — the
+      // in-query divergence require needs victims at EVERY gate SF
       DV.delete(spark, cloneRoot, "user_id",
         Tables.events(spark, sfDir).select(col("user_id")).distinct()
           .filter(TextOps.h60(concat(lit("dvclnb_"),
-            col("user_id").cast("string"))) % 9 === 0)): Unit
+            col("user_id").cast("string"))) % 3 === 0)): Unit
       r
     }
     val srcCount = DV.read(spark, root).count()
@@ -1466,7 +1469,7 @@ object ScaleQueries {
     import graft.operators.TextOps
     val selA = s"${TextOps.h60Sql("('dvclna_' || CAST(event_id AS VARCHAR))")} % 18 = 0"
     val vicA = s"${TextOps.h60Sql("('dvcln_' || CAST(user_id AS VARCHAR))")} % 8 = 0"
-    val vicB = s"${TextOps.h60Sql("('dvclnb_' || CAST(user_id AS VARCHAR))")} % 9 = 0"
+    val vicB = s"${TextOps.h60Sql("('dvclnb_' || CAST(user_id AS VARCHAR))")} % 3 = 0"
     s"""WITH final AS (
        |  SELECT user_id, event_type, value FROM events
        |  WHERE NOT ($vicA) AND NOT ($vicB)
