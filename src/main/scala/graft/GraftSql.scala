@@ -51,6 +51,10 @@ object GraftSql {
         graft.plans.DvAlterColumns.route(spark, ac)
           .map(cmd => GraftPlanApi.ofRows(spark, cmd))
           .getOrElse(spark.sql(text))
+      case at: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>
+        graft.plans.DvAnalyze.route(spark, at)
+          .map(cmd => GraftPlanApi.ofRows(spark, cmd))
+          .getOrElse(spark.sql(text))
       case _ =>
         if (pre eq parsed) spark.sql(text)
         else GraftPlanApi.ofRows(spark, pre)

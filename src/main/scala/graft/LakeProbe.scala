@@ -393,6 +393,57 @@ object LakeProbe {
       probeRestore(s"${scale}x", spark.read.parquet(evScaled))
     }
 
+    // ---- probe G: ZORDER buys entry-tier skipping at scale ----------
+    // The layout-rewrite claim, measured: on a hash-scattered table a
+    // range probe's manifest-stats survivors == ALL files (nothing to
+    // skip); after OPTIMIZE ZORDER the survivors track the PROBE's
+    // selectivity, and the skipped FRACTION holds as the table scales
+    // (deterministic metric: survivor counts from the lazy index; the
+    // rewrite wall scales with live bytes — the explicitly-purchased
+    // cost).
+    {
+      import graft.operators.{DeletionVectors => DV}
+      import org.apache.spark.sql.GraftPlanApi
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+      def probeZ(tag: String, events: DataFrame): Unit = {
+        val root = s"$tmp/graft_lakeprobe_zorder_$tag"
+        val ev = events.repartition(32)
+        DV.init(spark, ev, root, Seq("event_type"),
+          statsCols = Seq("user_id"))
+        def survivors(): (Int, Int) = {
+          val rd = DV.read(spark, root)
+          val idx = GraftPlanApi.analyzed(rd).collectFirst {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location
+          }.get.asInstanceOf[
+            org.apache.spark.sql.GraftDvApi.LazyManifestFileIndex]
+          val b = events.agg(min("user_id"), max("user_id")).head()
+          val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+          val (lo, hi) = (lo0 + (hi0 - lo0) * 49 / 100,
+            lo0 + (hi0 - lo0) * 51 / 100)
+          val a = AttributeReference("user_id",
+            org.apache.spark.sql.types.LongType)()
+          (idx.survivors(Nil, Seq(GreaterThanOrEqual(a, Literal(lo)),
+            LessThanOrEqual(a, Literal(hi)))).size,
+            idx.survivors(Nil, Nil).size)
+        }
+        val (hitB, totB) = survivors()
+        val t0 = System.nanoTime()
+        DV.zorder(spark, root, Seq("user_id")): Unit
+        val tZ = (System.nanoTime() - t0) / 1e9
+        val (hitA, totA) = survivors()
+        require(hitB == totB, s"scattered layout must be unprunable")
+        require(hitA < totA, s"zorder must make the probe prunable")
+        println(f"[lakeprobe] zorder/$tag: before $hitB/$totB files " +
+          f"survive the 2%% range probe; rewrite $tZ%.2fs; after " +
+          f"$hitA/$totA (${100.0 * (totA - hitA) / totA}%.0f%% skipped)")
+      }
+      probeZ("1x", Tables.events(spark, sfDir))
+      probeZ(s"${scale}x", spark.read.parquet(evScaled))
+    }
+
     spark.stop()
   }
 }

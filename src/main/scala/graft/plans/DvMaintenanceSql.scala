@@ -414,17 +414,86 @@ case class DvAddColumnsCommand(ident: Seq[String], root: String,
   }
 }
 
-/** Resolution-window swap for extension-built sessions: AddColumns on
-  * a graft-dv catalog table becomes [[DvAddColumnsCommand]] before
-  * Spark's v1 fallback rejects the provider. Non-dv targets pass
-  * through untouched.
+/** `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN]` on graft-dv: the
+  * manifest already HOLDS the statistics — live bytes and physical
+  * rows are one metadata aggregate, and the visible row count
+  * subtracts the distributed tombstone count — so the statement costs
+  * O(manifest), never a data scan (Spark's own v1 AnalyzeTableCommand
+  * would row-scan through the fallback relation). Catalog stats land
+  * via `alterTableStats`, feeding the same CBO machinery
+  * `cbo_join_reorder` demonstrates (join reordering needs stats;
+  * AqeProbe measured that AQE alone never repairs join ORDER).
+  * Partitioned (`PARTITION (...)`) and column-level forms fall
+  * through to Spark untouched.
+  */
+object DvAnalyze {
+
+  import org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable
+
+  private def identOf(p: LogicalPlan): Option[Seq[String]] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(u.multipartIdentifier)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(u.multipartIdentifier)
+    case _ => None
+  }
+
+  def route(session: SparkSession,
+      at: AnalyzeTable): Option[LogicalPlan] =
+    if (at.partitionSpec.nonEmpty) None
+    else identOf(at.child).flatMap(id =>
+      DvDml.dvCatalogRoot(session, id).map(root =>
+        DvAnalyzeCommand(id, root)))
+}
+
+/** The executed half of graft-dv ANALYZE: one manifest aggregate +
+  * the distributed tombstone count -> catalog stats (sizeInBytes =
+  * live bytes, rowCount = VISIBLE rows — what the optimizer should
+  * cost joins with).
+  */
+case class DvAnalyzeCommand(ident: Seq[String], root: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("physical_rows", LongType, nullable = false)(),
+    AttributeReference("visible_rows", LongType, nullable = false)(),
+    AttributeReference("live_bytes", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, n) = DV.detail(session, root)
+    val visible = n("live_rows") - n("tombstoned_rows")
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val tid = ident match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    tid.foreach { id =>
+      session.sessionState.catalog.alterTableStats(id, Some(
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          sizeInBytes = BigInt(n("live_bytes")),
+          rowCount = Some(BigInt(visible)))))
+    }
+    Seq(Row(n("live_rows"), visible, n("live_bytes")))
+  }
+}
+
+/** Hints-window statement swap for extension-built sessions (and
+  * [[graft.GraftSql]]): AddColumns / AnalyzeTable on a graft-dv
+  * catalog table become their manifest-native commands before Spark's
+  * v1 fallback rejects (or row-scans) the provider. Non-dv targets
+  * pass through untouched.
   */
 case class DvAlterRule(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.AddColumns
+  import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AnalyzeTable}
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case ac: AddColumns =>
       DvAlterColumns.route(session, ac).getOrElse(plan)
+    case at: AnalyzeTable =>
+      DvAnalyze.route(session, at).getOrElse(plan)
     case _ => plan
   }
 }

@@ -42,6 +42,42 @@ class DvDetailSpec extends SparkSpec {
       "DESCRIBE DETAIL nothere").collect())
   }
 
+  test("ANALYZE TABLE costs one manifest aggregate, records VISIBLE " +
+      "rows in catalog stats, and falls through for non-dv tables") {
+    val root = Files.createTempDirectory("graft_dvanalyze").toString
+    val name = s"dvanalyze_t_${math.abs(root.hashCode)}"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .orderBy("event_id").limit(300)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .localCheckpoint()
+    DV.init(spark, ev, root, "day")
+    spark.sql(s"CREATE TABLE $name USING `graft-dv` OPTIONS (path '$root')")
+    DV.delete(spark, root, "user_id",
+      ev.select("user_id").distinct().filter(col("user_id") % 4 === 0))
+    val visible = ev.filter(col("user_id") % 4 =!= 0).count()
+
+    val a = graft.GraftSql.sql(spark,
+      s"ANALYZE TABLE $name COMPUTE STATISTICS").head()
+    assert(a.getLong(0) == 300L && a.getLong(1) == visible)
+    val stats = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).stats.get
+    assert(stats.rowCount.contains(BigInt(visible)),
+      "the optimizer should cost joins with VISIBLE rows, not physical")
+    assert(stats.sizeInBytes > 0)
+
+    // fall-through: ANALYZE on a plain parquet table still reaches
+    // Spark's own command (row-scan path) and records stats
+    val proot = Files.createTempDirectory("graft_plainpq").toString
+    val pname = s"plainpq_t_${math.abs(proot.hashCode)}"
+    ev.limit(50).write.mode("overwrite").parquet(s"$proot/d")
+    spark.sql(s"CREATE TABLE $pname USING parquet LOCATION '$proot/d'")
+    graft.GraftSql.sql(spark,
+      s"ANALYZE TABLE $pname COMPUTE STATISTICS").collect()
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(pname))
+      .stats.exists(_.rowCount.contains(BigInt(50))))
+  }
+
   test("VACUUM DRY RUN reports the EXACT candidate math of the real " +
       "vacuum, deletes nothing, and leaves the manifest log intact") {
     val root = Files.createTempDirectory("graft_dvdry").toString
