@@ -351,6 +351,30 @@ object DeletionVectors {
     Snapshots.publish(spark, manifestTable(root), manifest)
   }
 
+  /** Create an EMPTY table: no data files, one sentinel-only manifest
+    * pinning schema + partition layout. The streaming sink's first
+    * micro-batch needs this split (create, THEN append with the batch
+    * id) — [[init]] both writes data and records no batch high-water,
+    * so a replayed first batch would double.
+    */
+  def initEmpty(spark: SparkSession, root: String,
+      schemaWithParts: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): Long = {
+    val f = hfs(spark, root)
+    f.delete(new Path(root), true)
+    f.mkdirs(new Path(dataDir(root)))
+    val tidOut = f.create(new Path(tidMarker(root)), true)
+    try tidOut.write(
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally tidOut.close()
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schemaWithParts.filterNot(fd => partCols.contains(fd.name)))
+    Snapshots.publish(spark, manifestTable(root),
+      manifestOf(spark, emptyStatsFrame(spark), cdcBatch = -1L,
+        dataSchema, partCols,
+        new org.apache.spark.sql.types.StructType(), op = "init"))
+  }
+
   /** Latest committed manifest, raw (sentinel included). */
   private def manifestFull(spark: SparkSession, root: String): DataFrame =
     Snapshots.readLatest(spark, manifestTable(root))

@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-import graft.operators.DeletionVectors
 import graft.sources.DvRelation
 
 /** Optimizer rule swapping a [[graft.sources.DvRelation]] placeholder
@@ -14,7 +13,7 @@ import graft.sources.DvRelation
   * masked plan — manifest-fed file index + codegen'd per-file
   * tombstone mask — so queries through the catalog surface get the
   * identical physical shape as the direct
-  * [[DeletionVectors.read]] path: parquet pushdown, manifest-side
+  * [[graft.operators.DeletionVectors.read]] path: parquet pushdown, manifest-side
   * partition pruning, no row-RDD conversion. The [[MvRewriteRule]]
   * discipline applied to storage: output `ExprId`s are preserved by
   * re-aliasing the replacement's columns under the placeholder's ids,
@@ -35,8 +34,10 @@ case class DvScanRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transform {
       case l: LogicalRelation if l.relation.isInstanceOf[DvRelation] =>
-        val root = l.relation.asInstanceOf[DvRelation].root
-        val masked = DeletionVectors.read(session, root)
+        // served() respects reader-option time travel: a pinned
+        // version swaps to ITS manifest-fed plan, the live relation
+        // to the then-current committed state
+        val masked = l.relation.asInstanceOf[DvRelation].served
         val newPlan = GraftPlanApi.analyzed(masked)
         // map BY NAME, never by position: a catalog relation resolved
         // through a declared (creation-time) schema may expose a

@@ -1,12 +1,14 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftPlanApi, Row, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, PrunedScan, RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, PrunedScan, RelationProvider, SchemaRelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.DeletionVectors
+import graft.operators.{DeletionVectors, Snapshots}
 
 /** Catalog/DataSource surface for [[graft.operators.DeletionVectors]]
   * tables — the storage-layer twin of `mv_rewrite`'s transparent
@@ -34,16 +36,45 @@ import graft.operators.DeletionVectors
   *    its then-current committed state.
   */
 class DvSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-dv"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-dv requires a path option (the DV table root)"))
 
+  /** Reader-option time travel (`option("versionAsOf", n)` /
+    * `option("timestampAsOf", "yyyy-mm-dd hh:mm:ss[.f]")`) — the
+    * DataFrame-API parity of the SQL `VERSION/TIMESTAMP AS OF`
+    * clauses, with the same semantics (each version under its own
+    * recorded schema; tombstones retroactive).
+    */
+  private def versionOf(spark: SparkSession, root: String,
+      parameters: Map[String, String]): Option[Long] = {
+    val v = parameters.get("versionAsOf")
+    val ts = parameters.get("timestampAsOf")
+    require(v.isEmpty || ts.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    v.map(_.toLong).orElse(ts.map { t =>
+      val at =
+        try java.sql.Timestamp.valueOf(t).getTime
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"timestampAsOf takes 'yyyy-mm-dd hh:mm:ss[.f]'; got '$t'") }
+      Snapshots.versionAsOf(spark,
+        DeletionVectors.manifestTable(root), at).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version of $root at or before $t"))
+    })
+  }
+
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    DvRelation(sqlContext.sparkSession, rootOf(parameters))
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    DvRelation(spark, root, version = versionOf(spark, root, parameters))
+  }
 
   /** Schema-bearing resolution — what the session catalog uses for a
     * `CREATE TABLE ... USING graft-dv` name (it stores the
@@ -132,20 +163,90 @@ class DvSource extends RelationProvider with SchemaRelationProvider
     }
     DvRelation(spark, root)
   }
+
+  /** Streaming face: `df.writeStream.format("graft-dv")` — the
+    * keyless APPEND sink (event-log shape; keyed change application
+    * is [[graft.streaming.DvCdc]]). Exactly-once rides the manifest's
+    * batch high-water column exactly like the CDC apply: every commit
+    * records the highest applied micro-batch id, so an at-least-once
+    * redelivery (foreachBatch restart, fresh checkpoint over an old
+    * drop dir) no-ops BEFORE touching anything. One streaming writer
+    * per table — the same single-upserter contract the CDC stream
+    * carries.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-dv streaming sink supports Append output mode; got $outputMode")
+    new DvStreamSink(sqlContext.sparkSession, rootOf(parameters),
+      parameters, partitionColumns)
+  }
+}
+
+/** DSv1 streaming sink: per micro-batch, one CAS manifest flip
+  * carrying the batch id — replays are structural no-ops. The first
+  * batch CREATES the table (an empty init pins schema + layout, then
+  * the batch appends with its id — init alone records no high-water,
+  * so a replayed batch 0 would double without the split).
+  */
+class DvStreamSink(spark: SparkSession, root: String,
+    parameters: Map[String, String], partitionColumns: Seq[String])
+    extends Sink {
+
+  override def name(): String = s"graft-dv [$root]"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val present = DeletionVectors.exists(spark, root)
+    if (present &&
+        batchId <= DeletionVectors.lastCdcBatch(spark, root)) return
+    val batch = GraftPlanApi.asBatch(spark, data)
+    val partCols = {
+      val requested = parameters.get("partitionCol")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(if (partitionColumns.nonEmpty) Some(partitionColumns)
+          else None)
+      val existing =
+        if (present) DeletionVectors.partitionColsOf(spark, root)
+        else Seq.empty
+      (requested, existing) match {
+        case (Some(r), e) if e.nonEmpty && r != e =>
+          throw new IllegalArgumentException(
+            s"graft-dv table at $root is partitioned by " +
+              s"${e.mkString(",")}; the stream requested ${r.mkString(",")}")
+        case (Some(r), _) => r
+        case (None, e) if e.nonEmpty => e
+        case (None, _) => throw new IllegalArgumentException(
+          "creating a graft-dv table from a stream requires " +
+            "option(\"partitionCol\", ...)")
+      }
+    }
+    if (!present)
+      DeletionVectors.initEmpty(spark, root, batch.schema, partCols): Unit
+    DeletionVectors.appendCommitted(spark, root, partCols, batch,
+      Some(batchId), "append"): Unit
+  }
 }
 
 case class DvRelation(spark: SparkSession, root: String,
-    declared: Option[StructType] = None)
+    declared: Option[StructType] = None, version: Option[Long] = None)
     extends BaseRelation with PrunedScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
+  /** The masked frame this relation serves: the current committed
+    * state, or — reader-option time travel — a pinned version under
+    * its own recorded schema.
+    */
+  private[graft] def served: DataFrame = version
+    .map(v => DeletionVectors.readVersion(spark, root, v))
+    .getOrElse(DeletionVectors.read(spark, root))
+
   /** Declared (catalog) schema when resolving a catalog name — a
     * validated subset view (see [[DvSource.createRelation]]) — else
-    * the live manifest schema.
+    * the served (live or pinned-version) manifest schema.
     */
-  override val schema: StructType =
-    declared.getOrElse(DeletionVectors.read(spark, root).schema)
+  override val schema: StructType = declared.getOrElse(served.schema)
 
   /** `INSERT INTO t ...` / `INSERT OVERWRITE t ...` on the catalog
     * name — Spark's own [[InsertableRelation]] routing, completing
@@ -156,6 +257,9 @@ case class DvRelation(spark: SparkSession, root: String,
     * preserving the table's partition layout.
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(version.isEmpty,
+      "cannot INSERT into a time-traveled graft-dv read (versionAsOf/" +
+        "timestampAsOf) — write to the current table")
     val partCols = DeletionVectors.partitionColsOf(spark, root)
     require(partCols.nonEmpty,
       s"cannot INSERT into graft-dv table at $root: its partition " +
@@ -171,7 +275,7 @@ case class DvRelation(spark: SparkSession, root: String,
     * rule path exists for the plan, not for correctness.
     */
   override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
-    val df = DeletionVectors.read(spark, root)
+    val df = served
     val pruned =
       if (requiredColumns.isEmpty) df.select()
       else df.select(requiredColumns.map(col).toSeq: _*)

@@ -39,4 +39,16 @@ object GraftPlanApi {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse re-tag: wrap a STREAMING micro-batch frame (what a
+    * DSv1 [[org.apache.spark.sql.execution.streaming.Sink]] receives
+    * in `addBatch`) as a plain batch frame so ordinary writers can
+    * consume it — the standard DSv1 sink pattern (a streaming frame
+    * refuses batch actions directly).
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
