@@ -411,10 +411,17 @@ object DeletionVectors {
     * history of a table's VERSIONS is the manifest log; row-image
     * history is the CDF/SCD2 family's job).
     */
-  def history(spark: SparkSession, root: String): DataFrame = {
+  def history(spark: SparkSession, root: String,
+      limit: Option[Int] = None): DataFrame = {
     val mt = manifestTable(root)
-    val versions = Snapshots.committedVersions(spark, mt)
-    require(versions.nonEmpty, s"no committed manifest at $root")
+    val allVersions = Snapshots.committedVersions(spark, mt)
+    require(allVersions.nonEmpty, s"no committed manifest at $root")
+    // LIMIT n bounds the SCAN, not just the output: only the last n+1
+    // version dirs are read (the +1 gives the window's oldest row its
+    // real file-set delta), so a long-lived table's recent history
+    // costs O(n x manifest), never O(versions)
+    val versions = limit.map(n =>
+      allVersions.takeRight(n + 1)).getOrElse(allVersions)
     val instants = Snapshots.commitInstants(spark, mt)
     val all = ensureMetaCols(spark.read
         .option("basePath", mt).option("mergeSchema", "true")
@@ -448,10 +455,12 @@ object DeletionVectors {
           prevWithNext("pfile") === cur("file"), "left_anti")
       .groupBy(col("nv")).agg(count(lit(1)).as("files_removed"))
       .withColumnRenamed("nv", "version")
+    val emit = limit.map(n => versions.takeRight(n)).getOrElse(versions)
     meta.join(sent, Seq("version"), "left")
       .join(live, Seq("version"), "left")
       .join(added, Seq("version"), "left")
       .join(removed, Seq("version"), "left")
+      .filter(col("version").isin(emit: _*))
       .select(col("version"), col("committed_at"), col("operation"),
         coalesce(col("live_files"), lit(0L)).as("live_files"),
         coalesce(col("live_rows"), lit(0L)).as("live_rows"),
@@ -950,23 +959,37 @@ object DeletionVectors {
     *        and the CAS publish (crash/interleave simulation).
     */
   def purge(spark: SparkSession, root: String, partCol: String,
+      maxDeletedFraction: Double): Seq[String] =
+    purge(spark, root, Seq(partCol), maxDeletedFraction, () => ())
+
+  /** Single-col form with the failpoint hook (no default here — two
+    * overloads may not both carry defaults).
+    */
+  def purge(spark: SparkSession, root: String, partCol: String,
       maxDeletedFraction: Double,
-      onBeforeCommit: () => Unit = () => ()): Seq[String] =
+      onBeforeCommit: () => Unit): Seq[String] =
     purge(spark, root, Seq(partCol), maxDeletedFraction, onBeforeCommit)
 
-  /** Multi-level form: `partCols` outermost first. */
+  /** Multi-level form: `partCols` outermost first. `scope` (an
+    * optional partition predicate, [[scopedFiles]]) bounds the sweep
+    * to matching partitions — the `OPTIMIZE t WHERE ...` form a
+    * 100 TB table maintains yesterday's partition with.
+    */
   def purge(spark: SparkSession, root: String, partCols: Seq[String],
       maxDeletedFraction: Double,
-      onBeforeCommit: () => Unit): Seq[String] = {
+      onBeforeCommit: () => Unit,
+      scope: Option[String] = None): Seq[String] = {
     claimMaintenance(spark, root)
     try {
       import spark.implicits._
       var sigAttempts = 0
       var result: Seq[String] = null
       while (result == null) {
+        val inScope = scope.map(scopedFiles(spark, root, partCols, _))
         val hot = {
           val live = manifest(spark, root).select("file", "rows")
             .as[(String, Long)].collect().toSeq
+            .filter(fr => inScope.forall(_.contains(fr._1)))
           val counts = spark.createDataset(live.map(_._1))
             .map(f => (f, DvBlobs.tombstoneCount(root, f)))
             .collect().toMap
@@ -1141,6 +1164,32 @@ object DeletionVectors {
     } finally releaseMaintenance(spark, root)
   }
 
+  /** Partition scope for bounded maintenance (`OPTIMIZE t WHERE
+    * ...`): evaluate an arbitrary deterministic predicate over the
+    * PARTITION COLUMNS (string-typed, the file-index rule — ISO dates
+    * compare lexicographically) against the distinct partition-value
+    * vectors of the live set, and return the member files. Partition-
+    * cardinality scale: the predicate runs over one tiny local frame,
+    * never the data. A predicate referencing a non-partition column
+    * fails in analysis — loudly, by construction.
+    */
+  private def scopedFiles(spark: SparkSession, root: String,
+      partCols: Seq[String], where: String): Set[String] = {
+    val entries = liveEntries(spark, root)
+    if (entries.isEmpty) return Set.empty
+    val pv = entries.map(_.partValues).distinct
+    val schema = org.apache.spark.sql.types.StructType(partCols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(pv.map(v =>
+        org.apache.spark.sql.Row.fromSeq(v)).asJava), schema)
+    val keep = df.filter(expr(where)).collect()
+      .map(_.toSeq.map(String.valueOf)).toSet
+    entries.filter(e => keep.contains(e.partValues.map(String.valueOf)))
+      .map(_.path).toSet
+  }
+
   /** Bin-pack SMALL live files: within each partition directory,
     * rewrite every live file under `minBytes` (when two or more share
     * the dir — a single sliver has nothing to merge with) into one
@@ -1163,7 +1212,8 @@ object DeletionVectors {
     */
   def compactSmallFiles(spark: SparkSession, root: String,
       minBytes: Long = 64L * 1024 * 1024,
-      onBeforeCommit: () => Unit = () => ()): Seq[String] = {
+      onBeforeCommit: () => Unit = () => (),
+      scope: Option[String] = None): Seq[String] = {
     claimMaintenance(spark, root)
     try {
       val partCols = partitionColsOf(spark, root)
@@ -1172,7 +1222,9 @@ object DeletionVectors {
       var sigAttempts = 0
       var result: Seq[String] = null
       while (result == null) {
+        val inScope = scope.map(scopedFiles(spark, root, partCols, _))
         val victims = liveEntries(spark, root)
+          .filter(e => inScope.forall(_.contains(e.path)))
           .filter(_.bytes < minBytes)
           .groupBy(_.partValues).filter(_._2.size >= 2)
           .values.flatten.map(_.path).toSeq
@@ -1428,7 +1480,8 @@ object DeletionVectors {
     * never triggered implicitly. Returns the replaced files.
     */
   def zorder(spark: SparkSession, root: String, zCols: Seq[String],
-      onBeforeCommit: () => Unit = () => ()): Seq[String] = {
+      onBeforeCommit: () => Unit = () => (),
+      scope: Option[String] = None): Seq[String] = {
     require(zCols.nonEmpty && zCols.size <= 2,
       s"ZORDER BY takes 1 or 2 columns; got ${zCols.mkString(", ")}")
     claimMaintenance(spark, root)
@@ -1442,7 +1495,9 @@ object DeletionVectors {
       var sigAttempts = 0
       var result: Seq[String] = null
       while (result == null) {
-        val live = liveEntries(spark, root).map(_.path)
+        val inScope = scope.map(scopedFiles(spark, root, partCols, _))
+        val live = liveEntries(spark, root)
+          .filter(e => inScope.forall(_.contains(e.path))).map(_.path)
         if (live.isEmpty) return Seq.empty
         val sig0 = live.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
 
@@ -1475,7 +1530,9 @@ object DeletionVectors {
         // probe re-runs under a different thread count). The floor of
         // 16 buckets keeps z-range SPLITTING — the whole point of the
         // op — even on tables small enough to fit one task.
-        val liveBytes = liveEntries(spark, root).map(_.bytes).sum
+        val liveBytes = liveEntries(spark, root)
+          .filter(e => inScope.forall(_.contains(e.path)))
+          .map(_.bytes).sum
         val targetBytes = math.max(1L,
           spark.sessionState.conf.filesMaxPartitionBytes)
         val shuffleN = math.max(16, math.min(

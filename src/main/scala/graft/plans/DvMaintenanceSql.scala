@@ -20,7 +20,9 @@ import graft.operators.{DeletionVectors => DV}
   *   VACUUM ev RETAIN 0 HOURS DRY RUN         -- report, delete nothing
   *   DESCRIBE DETAIL ev                       -- one-row table summary
   *   OPTIMIZE ev                              -- fold blobs + purge + pack
-  *   DESCRIBE HISTORY ev                      -- the manifest log
+  *   DESCRIBE HISTORY ev [LIMIT 20]           -- the manifest log
+  *   OPTIMIZE ev WHERE day = '2021-01-03'     -- bounded maintenance
+  *   OPTIMIZE ev WHERE day >= '2021-06' ZORDER BY (user_id)
   *   RESTORE TABLE ev TO VERSION AS OF 3      -- forward-only restore
   *   RESTORE TABLE ev TO TIMESTAMP AS OF '2026-08-15 12:00:00'
   *   OPTIMIZE ev ZORDER BY (user_id)          -- layout rewrite
@@ -53,7 +55,7 @@ object DvMaintenanceSql {
   private val DetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*;?\s*""".r
   private val AddConsRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConsRe =
@@ -61,7 +63,7 @@ object DvMaintenanceSql {
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val HistoryRe =
-    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTsRe =
@@ -73,17 +75,19 @@ object DvMaintenanceSql {
       Some(DvVacuumCommand(ident, Option(hours).map(_.toLong),
         Option(keepV).map(_.toInt), dryRun = dry != null))
     case DetailRe(ident) => Some(DvDetailCommand(ident))
-    case OptimizeRe(ident, zcols) => Some(DvOptimizeCommand(ident,
+    case OptimizeRe(ident, where, zcols) => Some(DvOptimizeCommand(ident,
       Option(zcols).map(_.split(',').toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
-        .filter(_.nonEmpty)).getOrElse(Nil)))
+        .filter(_.nonEmpty)).getOrElse(Nil),
+      Option(where).map(_.trim).filter(_.nonEmpty)))
     case AddConsRe(ident, name, check) =>
       Some(DvAddConstraintCommand(ident, name, check.trim))
     case DropConsRe(ident, name) =>
       Some(DvDropConstraintCommand(ident, name))
     case CloneRe(dst, src, v, loc) => Some(DvCloneCommand(dst, src,
       Option(v).map(_.toLong), loc))
-    case HistoryRe(ident) => Some(DvHistoryCommand(ident))
+    case HistoryRe(ident, lim) => Some(DvHistoryCommand(ident,
+      Option(lim).map(_.toInt)))
     case RestoreRe(ident, v) => Some(DvRestoreCommand(ident,
       Left(v.toLong)))
     case RestoreTsRe(ident, ts) => Some(DvRestoreCommand(ident,
@@ -188,7 +192,8 @@ case class DvDetailCommand(identText: String)
   * separate purge or bin-pack pass runs.
   */
 case class DvOptimizeCommand(identText: String,
-    zorderCols: Seq[String] = Nil) extends LeafRunnableCommand {
+    zorderCols: Seq[String] = Nil, where: Option[String] = None)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("blob_dirs_compacted", LongType, nullable = false)(),
@@ -199,17 +204,21 @@ case class DvOptimizeCommand(identText: String,
   override def run(session: SparkSession): Seq[Row] = {
     val root = DvMaintenanceSql.rootOf(session, identText)
     if (zorderCols.nonEmpty) {
-      val rewritten = DV.zorder(session, root, zorderCols).size.toLong
+      val rewritten = DV.zorder(session, root, zorderCols,
+        scope = where).size.toLong
       Seq(Row(0L, 0L, rewritten, 0L))
     } else {
+      // blob folding stays table-wide: it is already bounded by
+      // files-carrying-deletes and rewrites nothing
       val (dirs, inputs) = DV.compactBlobs(session, root)
       val partCols = DV.partitionColsOf(session, root)
       val rewritten =
         if (partCols.isEmpty) 0L
-        else DV.purge(session, root, partCols, 0.25, () => ()).size.toLong
+        else DV.purge(session, root, partCols, 0.25, () => (),
+          scope = where).size.toLong
       val packed =
         if (partCols.isEmpty) 0L
-        else DV.compactSmallFiles(session, root).size.toLong
+        else DV.compactSmallFiles(session, root, scope = where).size.toLong
       Seq(Row(dirs, inputs, rewritten, packed))
     }
   }
@@ -282,8 +291,8 @@ case class DvDropConstraintCommand(identText: String, name: String)
   * the previous retained version, CDC high-water mark
   * ([[DV.history]]). Metadata-scale: manifest rows, never data.
   */
-case class DvHistoryCommand(identText: String)
-    extends LeafRunnableCommand {
+case class DvHistoryCommand(identText: String,
+    limit: Option[Int] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -300,7 +309,7 @@ case class DvHistoryCommand(identText: String)
 
   override def run(session: SparkSession): Seq[Row] = {
     val root = DvMaintenanceSql.rootOf(session, identText)
-    DV.history(session, root).collect().toSeq
+    DV.history(session, root, limit).collect().toSeq
   }
 }
 
