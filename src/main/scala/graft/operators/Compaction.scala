@@ -66,9 +66,32 @@ object Compaction {
     * OPTIMIZE ZORDER applies (range-bound scaling) before
     * interleaving. Integer arithmetic only — no float rounding in the
     * layout key.
+    *
+    * Overflow discipline (layout-only, but a wrapped z-key silently
+    * scrambles the clustering the caller paid for): multiply-first is
+    * EXACT but `(c-min)*65535` wraps once the column range exceeds
+    * Long.MaxValue/65535 ≈ 1.4e14, so wider ranges divide first
+    * (step = ⌊range/65535⌋+1, result ≤ 65535 by construction — the
+    * stretch the multiply path buys is irrelevant there because the
+    * divided key already spans the full 16-bit domain). If the range
+    * ITSELF overflows a long (min ≪ 0 < max, spans > 2^63 — shows up
+    * as a negative range), fall back to double-space scaling: ~2^-52
+    * relative error on a 2^63 domain perturbs only the lowest
+    * interleave bits, harmless for file-level clustering.
     */
-  def normalize16(c: Column, minV: Column, maxV: Column): Column =
-    (c.cast("long") - minV) * 65535L / greatest(maxV - minV, lit(1L))
+  def normalize16(c: Column, minV: Column, maxV: Column): Column = {
+    val cl = c.cast("long")
+    // try_subtract: NULL instead of an ANSI overflow error when the
+    // range itself spans more than a long (min ≪ 0 < max)
+    val range = try_subtract(maxV.cast("long"), minV.cast("long"))
+    val exact = (cl - minV) * 65535L / greatest(range, lit(1L))
+    val wide = (cl - minV) / (range / 65535L + lit(1L))
+    val overflowed = ((cl.cast("double") - minV.cast("double")) /
+      (maxV.cast("double") - minV.cast("double")) * 65535d).cast("long")
+    when(range.isNotNull && range <= lit(Long.MaxValue / 65535L), exact)
+      .when(range.isNotNull, wide)
+      .otherwise(overflowed)
+  }
 
   /** Per-partition-directory stats from one FS listing. */
   final case class PartStats(value: String, files: Int, bytes: Long)

@@ -136,6 +136,7 @@ object DeletionVectors {
     stats.select(col("file"), col("rows"), col("bytes"),
         col("part_values"), col("smin"), col("smax"),
         lit(cdcBatch).as("cdc_batch"),
+        lit(null).cast("string").as("cdc_stream"),
         lit(null).cast("string").as("schema_json"),
         lit(null).cast("string").as("part_cols"),
         lit(null).cast("string").as("stats_cols"),
@@ -147,6 +148,7 @@ object DeletionVectors {
         lit(null).cast("map<string,string>").as("smin"),
         lit(null).cast("map<string,string>").as("smax"),
         lit(cdcBatch).as("cdc_batch"),
+        lit(null).cast("string").as("cdc_stream"),
         lit(dataSchema.json).as("schema_json"),
         lit(partColsJson(partCols)).as("part_cols"),
         lit(statsSchema.json).as("stats_cols"),
@@ -181,7 +183,8 @@ object DeletionVectors {
       "schema_json" -> "string", "part_cols" -> "string",
       "stats_cols" -> "string", "part_values" -> "array<string>",
       "smin" -> "map<string,string>", "smax" -> "map<string,string>",
-      "op" -> "string", "constraints" -> "map<string,string>")
+      "op" -> "string", "constraints" -> "map<string,string>",
+      "cdc_stream" -> "string")
     want.foldLeft(df) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(t))
@@ -392,6 +395,25 @@ object DeletionVectors {
   /** Highest CDC batch id whose effects are committed (-1 if none). */
   def lastCdcBatch(spark: SparkSession, root: String): Long =
     manifestFull(spark, root).agg(max("cdc_batch")).head().getLong(0)
+
+  /** CDC high-water mark WITH the stream lineage that owns it: the
+    * highest committed batch id and the streaming query id that set it
+    * (None for batch-applied CDC or pre-round-12 manifests). Dedup
+    * must compare BOTH — `batchId <= hw` alone silently swallows every
+    * batch of a fresh-checkpoint query (ids restart at 0) against a
+    * table an earlier stream wrote.
+    */
+  def cdcHighWater(spark: SparkSession,
+      root: String): (Long, Option[String]) = {
+    val m = manifestFull(spark, root)
+    if (!m.columns.contains("cdc_stream"))
+      (lastCdcBatch(spark, root), None)
+    else {
+      val r = m.agg(max("cdc_batch"),
+        max(when(col("file") === Sentinel, col("cdc_stream")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1)))
+    }
+  }
 
   /** Table history — one row per RETAINED committed manifest version
     * (the `DESCRIBE HISTORY` face): commit instant (the commit
@@ -1098,15 +1120,21 @@ object DeletionVectors {
     * CAS), if `v` was never committed, or if its manifest version was
     * itself vacuumed. Restoring to the current version is a no-op.
     *
-    * Concurrency contract — LAST WRITER WINS, by design: unlike
-    * purge/pack/zorder, whose CAS loops REBASE a racing append's files
-    * into the next manifest, a restore's next state IS version v's
-    * file set — an append committing inside the restore window has its
-    * files dropped from the live set (data intact on disk, vacuum
-    * fodder; re-append to recover). Any other outcome would mean a
-    * "restore" that doesn't restore. Maintenance (purge/pack/zorder/
-    * vacuum) is excluded by the claim; DvRaceSpec pins the append
-    * race.
+    * Concurrency contract — CONFLICT-DETECTING, one CAS attempt:
+    * unlike purge/pack/zorder, whose CAS loops REBASE a racing
+    * append's files into the next manifest, a restore's next state IS
+    * version v's file set — rebasing makes no sense, and silently
+    * retrying onto a newer base (the round-11 behavior) would DROP an
+    * append that was already acknowledged to its caller. Instead the
+    * restore reads the base version once and publishes exactly once:
+    * if ANY rival commit lands inside the restore window the CAS
+    * fails and restore throws `ConcurrentModificationException` —
+    * nothing committed, no acknowledged write lost; the caller
+    * re-runs the restore to make v's content the newest state
+    * (explicitly choosing to supersede the rival commit, whose files
+    * stay intact on disk as time-travel/vacuum inventory).
+    * Maintenance (purge/pack/zorder/vacuum) is excluded by the claim;
+    * DvRaceSpec pins the append race.
     *
     * @return the NEW manifest version serving `v`'s content (or `v`
     *         itself when already current)
@@ -1146,21 +1174,25 @@ object DeletionVectors {
       require(missing.isEmpty,
         s"cannot restore $root to version $v: ${missing.size} of its " +
           s"data files were vacuumed (e.g. ${missing.take(3).mkString(", ")})")
-      var out = -1L
-      var casAttempts = 0
-      while (out < 0) {
-        casAttempts = boundedCasRetry(root, casAttempts)
-        val base = Snapshots.latestVersion(spark, mt).get
-        if (base == v) return v
-        val hw = lastCdcBatch(spark, root)
-        val next = withSentinelOp(
-            ensureMetaCols(Snapshots.readVersion(spark, mt, v)), "restore")
-          .withColumn("cdc_batch", when(col("file") === Sentinel,
-            greatest(col("cdc_batch"), lit(hw))).otherwise(col("cdc_batch")))
-        onBeforeCas()
-        if (Snapshots.publishCas(spark, mt, base, next)) out = base + 1
-      }
-      out
+      // ONE CAS attempt against the entry-time base — a failed CAS
+      // means a rival commit was acknowledged inside the restore
+      // window, and silently retrying onto it would drop that commit
+      // from the live set. Fail loudly instead; the caller re-runs.
+      val base = Snapshots.latestVersion(spark, mt).get
+      if (base == v) return v
+      val hw = lastCdcBatch(spark, root)
+      val next = withSentinelOp(
+          ensureMetaCols(Snapshots.readVersion(spark, mt, v)), "restore")
+        .withColumn("cdc_batch", when(col("file") === Sentinel,
+          greatest(col("cdc_batch"), lit(hw))).otherwise(col("cdc_batch")))
+      onBeforeCas()
+      if (!Snapshots.publishCas(spark, mt, base, next))
+        throw new java.util.ConcurrentModificationException(
+          s"RESTORE of $root to version $v aborted: a concurrent " +
+            s"commit landed after version $base during the restore " +
+            "window — nothing was changed; re-run the restore to " +
+            "supersede it")
+      base + 1
     } finally releaseMaintenance(spark, root)
   }
 
@@ -1430,19 +1462,41 @@ object DeletionVectors {
     * the metadata-only flip).
     */
   def alterAddConstraint(spark: SparkSession, root: String,
-      name: String, check: String): Long = {
+      name: String, check: String,
+      onBeforeCommit: () => Unit = () => ()): Long = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name must be an identifier; got '$name'")
-    val violating = read(spark, root)
-      .filter(coalesce(expr(check), lit(true)) === false).limit(1).count()
-    require(violating == 0,
-      s"cannot add CHECK constraint $name on $root: existing rows " +
-        s"violate ($check)")
+    def assertHolds(df: DataFrame): Unit = {
+      val violating = df
+        .filter(coalesce(expr(check), lit(true)) === false).limit(1).count()
+      require(violating == 0,
+        s"cannot add CHECK constraint $name on $root: existing rows " +
+          s"violate ($check)")
+    }
+    // full validation pass against the version visible NOW; the CAS
+    // closure below re-validates any files a racing write added past
+    // this version (file content is immutable and tombstones only
+    // REMOVE rows, so added files are the only way the check can turn
+    // false — the delta validation is sound and O(raced files))
+    val mt = manifestTable(root)
+    var validatedV = Snapshots.latestVersion(spark, mt).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    assertHolds(readVersion(spark, root, validatedV))
+    onBeforeCommit() // test hook: the validated-but-unflipped window
     sentinelFlip(spark, root, "alter") { (base, latest) =>
-      val cons = metaAt(spark, root, base).map(_.constraints)
-        .getOrElse(Map.empty)
+      val baseMeta = metaAt(spark, root, base)
+      val cons = baseMeta.map(_.constraints).getOrElse(Map.empty)
       require(!cons.contains(name),
         s"constraint $name already exists on the graft-dv table at $root")
+      if (base != validatedV) {
+        val seen = entriesAt(spark, root, validatedV).map(_.path).toSet
+        val added = entriesAt(spark, root, base)
+          .filterNot(e => seen.contains(e.path))
+        if (added.nonEmpty)
+          assertHolds(scanWithPos(spark, root, added, baseMeta)
+            .drop("__file", "__pos"))
+        validatedV = base
+      }
       latest.withColumn("constraints", when(col("file") === Sentinel,
           map_concat(coalesce(col("constraints"),
             map().cast("map<string,string>")),
@@ -1672,13 +1726,37 @@ object DeletionVectors {
       keyCol: String, batch: DataFrame, batchId: Long,
       latestBy: Option[String] = None,
       autoCompactBlobsAt: Int = DefaultAutoCompactBlobs): Boolean = {
-    if (batchId <= lastCdcBatch(spark, root)) false
+    if (isStreamReplay(spark, root, batchId)) false
     else {
       applyChanges(spark, root, Seq(partCol), keyCol, batch, latestBy,
         Some(batchId)): Unit
       if (autoCompactBlobsAt > 0)
         autoCompactBlobs(spark, root, autoCompactBlobsAt): Unit
       true
+    }
+  }
+
+  /** Replay decision for a streaming batch: a batch is a REPLAY (skip
+    * it) only when it is at-or-below the high-water AND belongs to the
+    * same stream lineage that set it. A different query id is a new
+    * lineage — its batch ids restart at 0, and treating them as
+    * replays would silently discard all its data (the round-11 sink
+    * bug); it applies and takes ownership of the high-water via
+    * [[appendCommitted]]'s takeover reset. Callers outside a streaming
+    * thread (no query id — batch tests, manual applies) keep the plain
+    * high-water rule.
+    */
+  private[graft] def isStreamReplay(spark: SparkSession, root: String,
+      batchId: Long): Boolean = {
+    val (hw, hwStream) = cdcHighWater(spark, root)
+    if (batchId > hw) false
+    else {
+      val qid = Option(
+        spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      (qid, hwStream) match {
+        case (Some(q), Some(h)) => q == h  // replay only within one lineage
+        case _ => true                     // legacy/batch: plain high-water
+      }
     }
   }
 
@@ -1770,7 +1848,19 @@ object DeletionVectors {
   private[graft] def enforceConstraints(spark: SparkSession,
       root: String, rows: DataFrame): Unit = {
     val meta = currentMeta(spark, root)
-    val constraints = meta.map(_.constraints).getOrElse(Map.empty)
+    enforceConstraintsWith(spark, root, rows,
+      meta.map(_.constraints).getOrElse(Map.empty), meta)
+  }
+
+  /** Enforcement core against an EXPLICIT constraint set + metadata —
+    * the CAS rebase re-check passes the subset of constraints that
+    * appeared AFTER staging-time enforcement, so a write racing an
+    * `ALTER ADD CONSTRAINT` re-validates before its commit lands
+    * (closing the read-once TOCTOU).
+    */
+  private def enforceConstraintsWith(spark: SparkSession,
+      root: String, rows: DataFrame, constraints: Map[String, String],
+      meta: Option[TableMeta]): Unit = {
     if (constraints.isEmpty) return
     val tableCols = meta.map(m =>
       m.dataSchema.fields ++ m.partCols.map(c =>
@@ -1796,7 +1886,7 @@ object DeletionVectors {
     */
   private[graft] def appendCommitted(spark: SparkSession, root: String,
       partCols: Seq[String], rows: DataFrame, cdcBatch: Option[Long],
-      prefix: String): Seq[String] = {
+      prefix: String, onBeforeCommit: () => Unit = () => ()): Seq[String] = {
     // SCHEMA EVOLUTION happens here — the one write-side gate every
     // mutating path (append, upsert, CDC, DML update/merge) funnels
     // through: merge the table's committed schema with the batch's
@@ -1832,8 +1922,12 @@ object DeletionVectors {
     // so a rejected APPEND mutates nothing. Paths that tombstone old
     // images BEFORE appending (upsert/UPDATE/MERGE) additionally
     // pre-check via [[enforceConstraints]] before their first
-    // tombstone lands, so a rejected batch never half-applies.
-    enforceConstraints(spark, root, rows)
+    // tombstone lands, so a rejected batch never half-applies. The
+    // constraint set seen NOW is remembered so the CAS loop can detect
+    // a constraint that committed while this write was in flight and
+    // re-enforce before publishing (TOCTOU closure; see below).
+    val stagedCons = curMeta.map(_.constraints).getOrElse(Map.empty)
+    enforceConstraintsWith(spark, root, rows, stagedCons, curMeta)
 
     val f = hfs(spark, root)
     val stage = s"$root/_${prefix}_stage"
@@ -1849,12 +1943,46 @@ object DeletionVectors {
           Some(TableMeta(mergedSchema, partCols, statsSchema))),
         statsSchema)
 
+    // the streaming query id (set by StreamExecution on the micro-batch
+    // thread) scopes the CDC high-water to ONE stream lineage — the
+    // Delta (appId, batchId) txn-version shape: a FRESH query whose
+    // batch ids restart at 0 takes OWNERSHIP of the high-water instead
+    // of having every batch silently swallowed by a previous stream's
+    // (higher) batch ids
+    val qid =
+      if (cdcBatch.isDefined)
+        Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      else None
+    onBeforeCommit() // test hook: the staged-but-uncommitted window
     var committed = false
     var casAttempts = 0
     while (!committed) {
       casAttempts = boundedCasRetry(root, casAttempts)
       val base = Snapshots.latestVersion(spark, manifestTable(root)).get
       val latest = Snapshots.readVersion(spark, manifestTable(root), base)
+      val prevStream =
+        if (latest.columns.contains("cdc_stream"))
+          latest.filter(col("file") === Sentinel).select("cdc_stream")
+            .collect().headOption.flatMap(r => Option(r.getString(0)))
+        else None
+      // a different stream id = new lineage: the high-water RESETS to
+      // this batch (greatest() would pin it at the dead stream's max
+      // and swallow the new stream's replays undetectably)
+      val takeover = qid.isDefined && prevStream.isDefined && qid != prevStream
+      // a CHECK constraint that committed AFTER staging-time
+      // enforcement (racing ALTER ADD CONSTRAINT) must gate THIS
+      // write too: re-enforce any constraint the rebased base carries
+      // that staging never saw, against the staged files themselves
+      // (already on disk — no input recompute). Zero cost on the
+      // no-race path: a map diff, no job.
+      val baseMeta = metaAt(spark, root, base)
+      val unseenCons = baseMeta.map(_.constraints).getOrElse(Map.empty)
+        .filter { case (n, e) => !stagedCons.get(n).contains(e) }
+      if (unseenCons.nonEmpty && newFiles.nonEmpty)
+        enforceConstraintsWith(spark, root,
+          relationOver(spark, root, entriesOf(spark, newFiles),
+            Some(TableMeta(mergedSchema, partCols, statsSchema))),
+          unseenCons, baseMeta)
       val cdc = cdcBatch.getOrElse(-1L)
       // re-merge against the REBASED base's sentinel: a rival append
       // may have widened the schema with columns ours never saw — a
@@ -1864,7 +1992,11 @@ object DeletionVectors {
       val next = withSentinelOp(
         ensureMetaCols(latest).unionByName(ensureMetaCols(
           movedStats.withColumn("cdc_batch", lit(cdc))))
-        .withColumn("cdc_batch", greatest(col("cdc_batch"), lit(cdc)))
+        .withColumn("cdc_batch",
+          if (takeover) lit(cdc) else greatest(col("cdc_batch"), lit(cdc)))
+        .withColumn("cdc_stream", when(col("file") === Sentinel,
+          coalesce(lit(qid.orNull).cast("string"), col("cdc_stream")))
+          .otherwise(col("cdc_stream")))
         .withColumn("schema_json", when(col("file") === Sentinel,
           lit(commitSchema.json)).otherwise(col("schema_json")))
         .withColumn("part_cols", when(col("file") === Sentinel,

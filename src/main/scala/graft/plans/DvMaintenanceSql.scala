@@ -75,11 +75,14 @@ object DvMaintenanceSql {
       Some(DvVacuumCommand(ident, Option(hours).map(_.toLong),
         Option(keepV).map(_.toInt), dryRun = dry != null))
     case DetailRe(ident) => Some(DvDetailCommand(ident))
-    case OptimizeRe(ident, where, zcols) => Some(DvOptimizeCommand(ident,
-      Option(zcols).map(_.split(',').toSeq
-        .map(_.trim.stripPrefix("`").stripSuffix("`"))
-        .filter(_.nonEmpty)).getOrElse(Nil),
-      Option(where).map(_.trim).filter(_.nonEmpty)))
+    case OptimizeRe(ident, where, zcols) =>
+      val zs = Option(zcols).map(splitZorderCols)
+      // `ZORDER BY ()` must ERROR, not silently degrade to plain
+      // OPTIMIZE — the user asked for clustering and would get none.
+      zs.foreach(s => require(s.nonEmpty,
+        "OPTIMIZE … ZORDER BY (…) requires at least one column"))
+      Some(DvOptimizeCommand(ident, zs.getOrElse(Nil),
+        Option(where).map(_.trim).filter(_.nonEmpty)))
     case AddConsRe(ident, name, check) =>
       Some(DvAddConstraintCommand(ident, name, check.trim))
     case DropConsRe(ident, name) =>
@@ -93,6 +96,38 @@ object DvMaintenanceSql {
     case RestoreTsRe(ident, ts) => Some(DvRestoreCommand(ident,
       Right(ts)))
     case _ => None
+  }
+
+  /** Split a ZORDER column list on commas OUTSIDE backtick quotes, so
+    * `` `weird,name` `` stays one identifier (and an embedded doubled
+    * backtick un-escapes), matching Spark's quoted-identifier rules
+    * instead of a naive split-and-strip.
+    */
+  private[plans] def splitZorderCols(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '`') {
+        if (inQ && i + 1 < s.length && s.charAt(i + 1) == '`') {
+          cur.append('`'); i += 1           // escaped backtick inside quotes
+        } else inQ = !inQ                   // quote delimiter — dropped
+      } else if (ch == ',' && !inQ) {
+        out += cur.result().trim; cur.clear()
+      } else cur.append(ch)
+      i += 1
+    }
+    out += cur.result().trim
+    require(!inQ, s"unterminated backtick quote in ZORDER BY column list: $s")
+    val segs = out.result()
+    if (segs.forall(_.isEmpty)) Nil    // bare `()` — caller rejects with its own message
+    else {
+      require(segs.forall(_.nonEmpty),
+        s"empty column name in ZORDER BY list: $s")
+      segs
+    }
   }
 
   private[plans] def rootOf(session: SparkSession,

@@ -167,12 +167,14 @@ class DvSource extends RelationProvider with SchemaRelationProvider
   /** Streaming face: `df.writeStream.format("graft-dv")` — the
     * keyless APPEND sink (event-log shape; keyed change application
     * is [[graft.streaming.DvCdc]]). Exactly-once rides the manifest's
-    * batch high-water column exactly like the CDC apply: every commit
-    * records the highest applied micro-batch id, so an at-least-once
-    * redelivery (foreachBatch restart, fresh checkpoint over an old
-    * drop dir) no-ops BEFORE touching anything. One streaming writer
-    * per table — the same single-upserter contract the CDC stream
-    * carries.
+    * (stream id, batch high-water) pair — the Delta (appId, version)
+    * txn shape: every commit records the highest applied micro-batch
+    * id AND the streaming query id that owns it, so an at-least-once
+    * redelivery within one lineage no-ops BEFORE touching anything,
+    * while a FRESH query (new checkpoint, batch ids restarting at 0)
+    * is recognized as a new lineage and appends instead of being
+    * silently swallowed. One streaming writer per table — the same
+    * single-upserter contract the CDC stream carries.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -198,8 +200,12 @@ class DvStreamSink(spark: SparkSession, root: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val present = DeletionVectors.exists(spark, root)
-    if (present &&
-        batchId <= DeletionVectors.lastCdcBatch(spark, root)) return
+    // replay detection is STREAM-SCOPED (batch id AND owning query
+    // id): a fresh-checkpoint query restarts batch ids at 0, and a
+    // bare `batchId <= hw` check would silently swallow every batch
+    // it produces against a table an earlier stream wrote
+    if (present && DeletionVectors.isStreamReplay(spark, root, batchId))
+      return
     val batch = GraftPlanApi.asBatch(spark, data)
     val partCols = {
       val requested = parameters.get("partitionCol")

@@ -181,4 +181,48 @@ class DvAlterSpec extends SparkSpec {
     intercept[Exception](graft.GraftSql.sql(spark,
       s"OPTIMIZE $name ZORDER BY (no_such_col)").collect())
   }
+
+  test("ZORDER BY column-list parsing: empty list errors instead of " +
+      "silently degrading; backtick quotes protect commas and dots") {
+    import graft.plans.{DvMaintenanceSql, DvOptimizeCommand}
+    // `ZORDER BY ()` must NOT fall through to plain OPTIMIZE
+    val e = intercept[IllegalArgumentException](
+      DvMaintenanceSql.parse("OPTIMIZE t ZORDER BY ()"))
+    assert(e.getMessage.contains("at least one column"))
+    intercept[IllegalArgumentException](
+      DvMaintenanceSql.parse("OPTIMIZE t ZORDER BY (  ,  )"))
+    // quoted identifiers keep embedded commas/dots as ONE column
+    assert(DvMaintenanceSql.parse(
+      "OPTIMIZE t ZORDER BY (`a,b`, plain, `c.d`)").get
+      .asInstanceOf[DvOptimizeCommand].zorderCols ==
+      Seq("a,b", "plain", "c.d"))
+    // a doubled backtick inside quotes un-escapes
+    assert(DvMaintenanceSql.parse(
+      "OPTIMIZE t ZORDER BY (`we``ird`)").get
+      .asInstanceOf[DvOptimizeCommand].zorderCols == Seq("we`ird"))
+  }
+
+  test("normalize16 is overflow-safe: wide and full-long column " +
+      "ranges still yield monotone in-domain z-keys") {
+    import graft.operators.Compaction.normalize16
+    def n(vals: Seq[Long], lo: Long, hi: Long): Seq[Long] = {
+      import spark.implicits._
+      vals.toDF("c").select(normalize16(col("c"), lit(lo), lit(hi))
+        .cast("long").as("z")).collect().map(_.getLong(0)).toSeq
+    }
+    // exact path: small range STRETCHES onto the full 16-bit domain
+    assert(n(Seq(0L, 500L, 1000L), 0L, 1000L) == Seq(0L, 32767L, 65535L))
+    // wide range (> Long.MaxValue/65535, the round-11 wrap zone):
+    // in-domain and monotone — the old multiply-first wrapped negative
+    val wideHi = 1L << 60
+    val wide = n(Seq(0L, wideHi / 4, wideHi / 2, wideHi), 0L, wideHi)
+    assert(wide.forall(z => z >= 0L && z <= 65535L), s"wrapped: $wide")
+    assert(wide == wide.sorted && wide.distinct.size == wide.size)
+    assert(wide.last > 65000L, s"must span the domain: $wide")
+    // full-long range (min/max span > 2^63): double-space fallback
+    val full = n(Seq(Long.MinValue, 0L, Long.MaxValue),
+      Long.MinValue, Long.MaxValue)
+    assert(full.forall(z => z >= 0L && z <= 65535L), s"wrapped: $full")
+    assert(full == full.sorted && full.distinct.size == full.size)
+  }
 }

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.operators.{DeletionVectors => DV}
 
 /** Concurrency contracts of the round-11-late verbs: pack and zorder
-  * REBASE a racing append (its files stay live), restore is LAST
-  * WRITER WINS by design (its next state IS the target version's file
-  * set). Races are injected deterministically through the same
-  * failpoint hooks purge uses.
+  * REBASE a racing append (its files stay live), restore CONFLICT-
+  * DETECTS (one CAS attempt — a rival commit inside the window makes
+  * it fail loudly, never silently drop an acknowledged append), and
+  * the CHECK-constraint TOCTOU pair (write racing ALTER ADD
+  * CONSTRAINT, and the mirror) both re-validate at commit. Races are
+  * injected deterministically through the same failpoint hooks purge
+  * uses.
   */
 class DvRaceSpec extends SparkSpec {
 
@@ -88,19 +91,27 @@ class DvRaceSpec extends SparkSpec {
       ev.agg(sum("event_id")).head().getLong(0))
   }
 
-  test("an append landing mid-RESTORE is dropped from the live set — " +
-      "last writer wins, files orphaned for vacuum, recoverable by " +
-      "re-append") {
+  test("an append landing mid-RESTORE makes the restore FAIL loudly — " +
+      "no acknowledged commit is silently dropped; an explicit re-run " +
+      "supersedes it") {
     val (root, ev) = fresh(1)
     DV.append(spark, root, Seq("day"), racer(ev, 9000000L)) // v2
     var done = false
-    val nv = DV.restore(spark, root, 1L, onBeforeCas = () => {
-      if (!done) { done = true
-        DV.append(spark, root, Seq("day"), racer(ev, 9500000L)): Unit }
-    })
+    // the racer commits inside the restore window → the restore's CAS
+    // fails and it throws, committing NOTHING: the racer's append
+    // stays acknowledged AND live
+    intercept[java.util.ConcurrentModificationException](
+      DV.restore(spark, root, 1L, onBeforeCas = () => {
+        if (!done) { done = true
+          DV.append(spark, root, Seq("day"), racer(ev, 9500000L)): Unit }
+      }))
     assert(done)
-    // the racer committed BEFORE the restore's CAS won, so the restore
-    // landed above it — and its content is exactly v1's
+    assert(DV.read(spark, root)
+      .filter(col("event_id") >= 9500000L).count() > 0,
+      "the racing append must survive the failed restore")
+    // re-running is the caller's EXPLICIT choice to supersede the
+    // racer: content is exactly v1's, racer files orphaned for vacuum
+    val nv = DV.restore(spark, root, 1L)
     assert(nv == 4L)
     assert(DV.read(spark, root).count() == 240)
     assert(DV.read(spark, root)
@@ -112,5 +123,61 @@ class DvRaceSpec extends SparkSpec {
     // and the log tells the story
     assert(DV.history(spark, root).orderBy(desc("version"))
       .select("operation").head().getString(0) == "restore")
+  }
+
+  test("a CHECK constraint committing mid-APPEND gates that append: " +
+      "the CAS rebase re-enforces constraints staging never saw") {
+    val (root, ev) = fresh(1)
+    // the racer's constraint forbids the in-flight append's rows
+    var done = false
+    val e = intercept[IllegalArgumentException](
+      DV.appendCommitted(spark, root, Seq("day"),
+        racer(ev, 9000000L), None, "append", onBeforeCommit = () => {
+          if (!done) { done = true
+            DV.alterAddConstraint(spark, root, "cap",
+              "event_id < 9000000"): Unit }
+        }))
+    assert(done)
+    assert(e.getMessage.contains("cap"))
+    assert(DV.read(spark, root).count() == 240,
+      "the violating append must not publish")
+    assert(DV.read(spark, root)
+      .filter(col("event_id") >= 9000000L).count() == 0)
+    // a SATISFYING append through the same race window commits fine
+    done = false
+    DV.appendCommitted(spark, root, Seq("day"),
+      racer(ev, 1000L), None, "append", onBeforeCommit = () => {
+        if (!done) { done = true
+          DV.alterAddConstraint(spark, root, "cap2",
+            "event_id < 8000000"): Unit }
+      }): Unit
+    assert(DV.read(spark, root).count() == 265)
+  }
+
+  test("an append landing mid-ALTER ADD CONSTRAINT is re-validated: " +
+      "a violating racer fails the alter; a satisfying racer passes") {
+    val (root, ev) = fresh(1)
+    var done = false
+    val e = intercept[IllegalArgumentException](
+      DV.alterAddConstraint(spark, root, "cap", "event_id < 9000000",
+        onBeforeCommit = () => {
+          if (!done) { done = true
+            DV.append(spark, root, Seq("day"), racer(ev, 9500000L)): Unit }
+        }))
+    assert(done)
+    assert(e.getMessage.contains("violate"))
+    assert(DV.constraintsOf(spark, root).isEmpty,
+      "a constraint the live rows violate must not commit")
+    assert(DV.read(spark, root).count() == 265,
+      "the racing append survives — it committed first")
+    // satisfying racer: the delta validation passes and both commit
+    done = false
+    DV.alterAddConstraint(spark, root, "cap", "event_id < 99000000",
+      onBeforeCommit = () => {
+        if (!done) { done = true
+          DV.append(spark, root, Seq("day"), racer(ev, 2000L)): Unit }
+      }): Unit
+    assert(DV.constraintsOf(spark, root).keySet == Set("cap"))
+    assert(DV.read(spark, root).count() == 290)
   }
 }

@@ -25,49 +25,59 @@ class DvStreamSinkSpec extends SparkSpec {
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .localCheckpoint()
 
-    def runOnce(): Unit = {
+    def runOnce(ckptDir: String): String = {
       val stream = spark.readStream.schema(ev.schema)
         .option("recursiveFileLookup", "true").format("parquet").load(drop)
       val q = stream.writeStream.format("graft-dv")
         .option("path", root).option("partitionCol", "day")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckptDir)
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination(120000): Unit finally q.stop()
+      q.id.toString
     }
 
     ev.limit(100).write.parquet(s"$drop/b0")
-    runOnce()
+    val qid1 = runOnce(ckpt)
     assert(DV.read(spark, root).count() == 100)
-    // the batch id rides the manifest's high-water column
-    assert(DV.lastCdcBatch(spark, root) == 0L)
+    // the (stream id, batch id) pair rides the manifest sentinel —
+    // the Delta (appId, version) txn shape
+    assert(DV.cdcHighWater(spark, root) == ((0L, Some(qid1))))
 
     ev.orderBy(desc("event_id")).limit(120).write.parquet(s"$drop/b1")
-    runOnce()
+    assert(runOnce(ckpt) == qid1,
+      "the query id is the checkpoint's — stable across restarts")
     assert(DV.read(spark, root).count() == 220)
 
-    // fresh-checkpoint restart REPLAYS both drops as batch 0: the
-    // sink's replay guard must refuse (0 <= high-water 1), appending
-    // nothing — at-least-once delivery, exactly-once table effects
-    val ckpt2 = Files.createTempDirectory("graft_dvsink_ckpt2").toString
+    // SAME-lineage restart with nothing new: the source replays no
+    // files and the sink's high-water holds — exactly-once effects
     val before = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
-    val stream2 = spark.readStream.schema(ev.schema)
-      .option("recursiveFileLookup", "true").format("parquet").load(drop)
-    val q2 = stream2.writeStream.format("graft-dv")
-      .option("path", root).option("partitionCol", "day")
-      .option("checkpointLocation", ckpt2)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q2.awaitTermination(120000): Unit finally q2.stop()
-    assert(DV.read(spark, root).count() == 220,
-      "a replayed batch id must append nothing")
+    runOnce(ckpt): Unit
+    assert(DV.read(spark, root).count() == 220)
     assert(Snapshots.latestVersion(spark, DV.manifestTable(root)).get
       == before)
+
+    // FRESH-checkpoint restart re-reads both drops as ITS batch 0 —
+    // a NEW lineage, not a replay: the round-11 guard (bare
+    // batchId <= high-water) silently swallowed every such batch;
+    // now the new query takes ownership of the high-water and its
+    // data lands (duplicates are the user's explicit choice when
+    // re-pointing a fresh checkpoint at consumed input)
+    val ckpt2 = Files.createTempDirectory("graft_dvsink_ckpt2").toString
+    val qid2 = runOnce(ckpt2)
+    assert(qid2 != qid1)
+    assert(DV.read(spark, root).count() == 440,
+      "a fresh query lineage must append, not vanish")
+    assert(DV.cdcHighWater(spark, root) == ((0L, Some(qid2))),
+      "the new lineage owns the high-water, reset to its own batch id")
+    // and the new lineage's own replays dedup: rerun with no new files
+    runOnce(ckpt2): Unit
+    assert(DV.read(spark, root).count() == 440)
 
     // the log: empty init + one append per applied micro-batch
     assert(DV.history(spark, root).select("operation")
       .collect().map(_.getString(0)).toSeq ==
-      Seq("init", "append", "append"))
+      Seq("init", "append", "append", "append"))
   }
 
   test("reader options versionAsOf / timestampAsOf time-travel the " +
