@@ -46,6 +46,33 @@ case class DvScanRule(session: SparkSession) extends Rule[LogicalPlan] {
         val byName = newPlan.output.map(a => a.name -> a).toMap
         Project(l.output.map(o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)), newPlan)
+
+      // the DSv2 catalog face: by the time user optimizer rules run,
+      // V2ScanRelationPushDown has compiled the relation into a scan
+      // over the V1 bridge ([[graft.sources.DvV1ScanImpl]] under a
+      // V1ScanWrapper) with pruning + pushdown recorded on the scan.
+      // Swap the WHOLE bridge for the scan's real plan (pushed
+      // filters re-applied inside it), so catalog reads — and the
+      // row-level DML scans — end at the identical physical plan as
+      // the direct API, no row-RDD conversion boundary.
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if wrapped(s.scan).isDefined =>
+        val impl = wrapped(s.scan).get
+        val newPlan = GraftPlanApi.analyzed(impl.inner(session))
+        val byName = newPlan.output.map(a => a.name -> a).toMap
+        Project(s.output.map(o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId)), newPlan)
     }
+  }
+
+  private def wrapped(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[graft.sources.DvV1ScanImpl] = scan match {
+    case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+      w.v1Scan match {
+        case d: graft.sources.DvV1ScanImpl => Some(d)
+        case _ => None
+      }
+    case d: graft.sources.DvV1ScanImpl => Some(d)
+    case _ => None
   }
 }

@@ -271,7 +271,11 @@ case class DvRelation(spark: SparkSession, root: String,
       s"cannot INSERT into graft-dv table at $root: its partition " +
         "layout is unrecoverable (legacy manifest with an empty live " +
         "set) — re-create via the writer face with partitionCol")
-    if (overwrite) DeletionVectors.init(spark, data, root, partCols): Unit
+    if (overwrite)
+      // materialize first: INSERT OVERWRITE t ... FROM t reads the
+      // table init is about to delete
+      DeletionVectors.init(spark, data.localCheckpoint(), root,
+        partCols): Unit
     else DeletionVectors.append(spark, root, partCols, data): Unit
   }
 
