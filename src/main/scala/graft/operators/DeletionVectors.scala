@@ -743,6 +743,8 @@ object DeletionVectors {
       s"readChanges endpoints must be committed versions of $root " +
         s"(have ${committed.mkString(",")}, asked $fromV -> $toV)")
     require(fromV <= toV, s"readChanges: $fromV > $toV")
+    val instants = Snapshots.commitInstants(spark, manifestTable(root))
+    val f = hfs(spark, root)
     val vs = fromV +: committed.filter(v => v > fromV && v <= toV)
     val steps = vs.sliding(2).filter(_.size == 2).flatMap { pair =>
       val (a, b) = (pair.head, pair.last)
@@ -759,20 +761,94 @@ object DeletionVectors {
       def tag(df: DataFrame, t: String): DataFrame =
         df.withColumn("_change_type", lit(t))
           .withColumn("_commit_version", lit(b))
+          .withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(instants.getOrElse(b, 0L))))
+      def sidecar(kind: String): Option[DataFrame] = {
+        val p = new Path(s"${cdfVersionDir(root, b)}/$kind")
+        if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      }
       (rd(filesB -- filesA), rd(filesA -- filesB)) match {
         case (None, None) => None
-        case (Some(add), None) => Some(tag(add, "insert"))
+        case (Some(add0), remOpt) =>
+          val add = remOpt.map(add0.exceptAll).getOrElse(add0)
+          val remRows = remOpt.map(_.exceptAll(add0))
+            .map(tag(_, "delete"))
+          // a commit that recorded change data (update/merge/upsert
+          // with the CDF feature on) splits its added rows into
+          // update POST-images (the sidecar's rows, masked through
+          // the live read so later deletes stay retroactive) and
+          // plain inserts, and surfaces the tombstoned OLD images as
+          // update PRE-images — the Delta CDF shape keyed consumers
+          // (IVM, replication) fold by key
+          val withCdf = sidecar("post") match {
+            case Some(post) =>
+              val postVis = add.intersectAll(
+                post.select(add.columns.map(col).toSeq: _*))
+              val ins = tag(add.exceptAll(postVis), "insert")
+                .unionByName(tag(postVis, "update_postimage"))
+              sidecar("pre").map(p =>
+                  ins.unionByName(tag(p, "update_preimage"),
+                    allowMissingColumns = true))
+                .getOrElse(ins)
+            case None => tag(add, "insert")
+          }
+          Some(remRows.map(withCdf.unionByName(_,
+            allowMissingColumns = true)).getOrElse(withCdf))
         case (None, Some(rem)) => Some(tag(rem, "delete"))
-        case (Some(add), Some(rem)) =>
-          Some(tag(add.exceptAll(rem), "insert")
-            .unionByName(tag(rem.exceptAll(add), "delete")))
       }
     }.toSeq
     steps.reduceOption(
         _.unionByName(_, allowMissingColumns = true))
       .getOrElse(emptyTable(spark, root)
         .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L)))
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp",
+          lit(null).cast("timestamp")))
+  }
+
+  // ---- change-data sidecar (update pre/post images) -------------------
+
+  private[graft] def cdfDir(root: String): String = s"$root/_cdf"
+  private def cdfVersionDir(root: String, v: Long): String =
+    s"${cdfDir(root)}/v=$v"
+
+  /** Is per-commit change-data recording on? Off by default — the
+    * sidecar costs O(changed rows) extra bytes per mutating commit
+    * (exactly Delta's `delta.enableChangeDataFeed` trade, gated the
+    * same way).
+    */
+  private[graft] def cdfEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dv.cdf").contains("true")
+
+  /** Staged change-data recording for one mutating commit: the
+    * caller writes the PRE images (tombstoned old rows, snapshotted
+    * BEFORE any tombstone lands) and POST images (the update's new
+    * rows), then hands [[onCommitted]] to the manifest flip — the
+    * rename keys the sidecar to the exact committed version.
+    * [[cleanup]] discards an un-renamed stage (failed or empty
+    * commit), so a crashed write leaves no half-keyed change data.
+    */
+  private[graft] final class CdfStage(spark: SparkSession, root: String) {
+    private val stage = s"$root/_cdf_stage_" +
+      java.util.UUID.randomUUID().toString.take(12)
+    @volatile private var renamed = false
+
+    def writePre(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$stage/pre")
+    def writePost(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$stage/post")
+
+    def onCommitted(v: Long): Unit = {
+      val f = hfs(spark, root)
+      f.mkdirs(new Path(cdfDir(root)))
+      if (f.rename(new Path(stage), new Path(cdfVersionDir(root, v))))
+        renamed = true
+    }
+
+    def cleanup(): Unit = if (!renamed) {
+      val f = hfs(spark, root)
+      f.delete(new Path(stage), true): Unit
+    }
   }
 
   /** Masked read restricted to an explicit file subset — the hook
@@ -1830,10 +1906,31 @@ object DeletionVectors {
     // constraints check BEFORE the old images are tombstoned: a
     // rejected batch must leave the table untouched, not half-applied
     enforceConstraints(spark, root, staged)
-    val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
-    val newFiles = appendCommitted(spark, root, partCols, staged,
-      cdcBatch, "upsert")
-    (masked, newFiles)
+    // change data (opt-in): PRE = current images of the batch's keys
+    // (snapshotted before the tombstones), POST = the batch rows of
+    // keys that HAD images — the remainder surfaces as plain inserts
+    val cdf = if (cdfEnabled(spark)) Some(new CdfStage(spark, root))
+      else None
+    try {
+      cdf.foreach { c =>
+        val keys = staged.select(col(keyCol)).distinct()
+        val pre = read(spark, root)
+          .join(broadcast(keys), Seq(keyCol), "left_semi")
+          .localCheckpoint()
+        if (!pre.isEmpty) {
+          val preKeys = pre.select(col(keyCol)).distinct()
+          c.writePre(pre)
+          c.writePost(staged
+            .join(broadcast(preKeys), Seq(keyCol), "left_semi")
+            .select(staged.columns.map(col).toSeq: _*))
+        }
+      }
+      val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
+      val newFiles = appendCommitted(spark, root, partCols, staged,
+        cdcBatch, "upsert",
+        onCommitted = v => cdf.foreach(_.onCommitted(v)))
+      (masked, newFiles)
+    } finally cdf.foreach(_.cleanup())
   }
 
   /** Validate a write batch against the table's CHECK constraints
@@ -1886,7 +1983,8 @@ object DeletionVectors {
     */
   private[graft] def appendCommitted(spark: SparkSession, root: String,
       partCols: Seq[String], rows: DataFrame, cdcBatch: Option[Long],
-      prefix: String, onBeforeCommit: () => Unit = () => ()): Seq[String] = {
+      prefix: String, onBeforeCommit: () => Unit = () => (),
+      onCommitted: Long => Unit = _ => ()): Seq[String] = {
     // SCHEMA EVOLUTION happens here — the one write-side gate every
     // mutating path (append, upsert, CDC, DML update/merge) funnels
     // through: merge the table's committed schema with the batch's
@@ -1934,6 +2032,25 @@ object DeletionVectors {
     f.delete(new Path(stage), true)
     rows.write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
     val newFiles = moveStaged(spark, root, stage, prefix)
+    commitMovedFiles(spark, root, partCols, newFiles, mergedSchema,
+      statsSchema, stagedCons, cdcBatch, prefix, onBeforeCommit,
+      onCommitted)
+  }
+
+  /** Commit ALREADY-MOVED (staged-invisible) files behind the CAS
+    * manifest flip — the tail [[appendCommitted]] and the DSv2 delta
+    * write ([[graft.sources.DvDeltaBatchWrite]]) share. `stagedCons`
+    * is the constraint set already enforced against these rows; any
+    * constraint the rebased base carries beyond it re-validates
+    * against the staged files inside the loop.
+    */
+  private[graft] def commitMovedFiles(spark: SparkSession, root: String,
+      partCols: Seq[String], newFiles: Seq[String],
+      mergedSchema: org.apache.spark.sql.types.StructType,
+      statsSchema: org.apache.spark.sql.types.StructType,
+      stagedCons: Map[String, String], cdcBatch: Option[Long],
+      prefix: String, onBeforeCommit: () => Unit,
+      onCommitted: Long => Unit = _ => ()): Seq[String] = {
     val movedStats =
       if (newFiles.isEmpty) emptyStatsFrame(spark)
       else perFileStats(
@@ -2004,9 +2121,56 @@ object DeletionVectors {
         .withColumn("stats_cols", when(col("file") === Sentinel,
           lit(statsSchema.json)).otherwise(col("stats_cols"))), prefix)
       committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
+      if (committed) onCommitted(base + 1)
     }
     newFiles
   }
+
+  /** Commit a DSv2 delta write's staged output: move the stage dir's
+    * hive-laid files into the data dirs (invisible until the flip)
+    * and publish one CAS manifest version. `stagedCons` is EMPTY on
+    * purpose — the executors wrote these files with no constraint
+    * pass, so the commit loop re-enforces EVERY constraint the base
+    * carries against the staged files before publishing (tombstones
+    * are already live at that point, so a violating batch fails
+    * LOUDLY post-delete rather than publishing violating rows — the
+    * same fail-don't-publish rule the CAS rebase re-check follows).
+    */
+  private[graft] def commitStagedDml(spark: SparkSession, root: String,
+      stage: String, rowSchema: org.apache.spark.sql.types.StructType,
+      op: String): Seq[String] = {
+    val partCols = partitionColsOf(spark, root)
+    val incoming = org.apache.spark.sql.types.StructType(
+      rowSchema.filterNot(fd => partCols.contains(fd.name)))
+    val curMeta = currentMeta(spark, root)
+    val statsSchema = curMeta.map(_.statsSchema)
+      .getOrElse(new org.apache.spark.sql.types.StructType())
+    val mergedSchema = curMeta.map(m => mergeSchemas(m.dataSchema, incoming))
+      .getOrElse(incoming)
+    val newFiles = moveStaged(spark, root, stage, op)
+    commitMovedFiles(spark, root, partCols, newFiles, mergedSchema,
+      statsSchema, Map.empty, None, op, () => ())
+  }
+
+  /** Bounded wait-then-claim of the maintenance marker — the DSv2
+    * row-level write holds it across its whole task phase so a purge
+    * cannot replace files whose tombstones the executors are writing
+    * (the claim plays the role [[markWhere]]'s fence plays on the V1
+    * DML path; appends still interleave freely — they only add).
+    */
+  private[graft] def acquireMaintenanceClaim(spark: SparkSession,
+      root: String, timeoutMs: Long = 15L * 60 * 1000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!Snapshots.tryExclusiveCreate(spark, maintMarker(root))) {
+      require(System.currentTimeMillis() < deadline,
+        s"maintenance claim $root/_maint still held after ${timeoutMs}ms " +
+          "(crashed writer? remove the marker to recover)")
+      Thread.sleep(50L)
+    }
+  }
+
+  private[graft] def releaseMaintenanceClaim(spark: SparkSession,
+      root: String): Unit = releaseMaintenance(spark, root)
 
   /** Shared bound on the manifest CAS rebase loops (purge commit,
     * appendCommitted). Snapshots claims are deliberately never

@@ -216,16 +216,29 @@ case class DvUpdateCommand(root: String, targetOutput: Seq[Attribute],
     // CHECK constraints validate the NEW images BEFORE any tombstone
     // lands — a rejected UPDATE must leave the table untouched
     DV.enforceConstraints(session, root, images)
-    val marked = DV.markWhere(session, root, { scan =>
-      val (proj, f, p) = DvDml.rebound(scan, targetOutput)
-      GraftPlanApi.ofRows(session, Filter(condE, proj))
-        .select(GraftPlanApi.column(f).as("__file"),
-          GraftPlanApi.column(p).as("__pos"))
-    })
-    if (!images.isEmpty)
-      DV.appendCommitted(session, root, partCols, images, None,
-        "update"): Unit
-    Seq(Row(marked))
+    // change data (opt-in): snapshot the matched OLD rows before the
+    // first tombstone, stage the new images — the commit keys them
+    val cdf = if (DV.cdfEnabled(session))
+      Some(new DV.CdfStage(session, root)) else None
+    try {
+      cdf.foreach { c =>
+        c.writePre(GraftPlanApi.ofRows(session, Filter(condE, proj0))
+          .select(targetOutput.map(o =>
+            GraftPlanApi.column(o).as(o.name)): _*))
+        c.writePost(images)
+      }
+      val marked = DV.markWhere(session, root, { scan =>
+        val (proj, f, p) = DvDml.rebound(scan, targetOutput)
+        GraftPlanApi.ofRows(session, Filter(condE, proj))
+          .select(GraftPlanApi.column(f).as("__file"),
+            GraftPlanApi.column(p).as("__pos"))
+      })
+      if (!images.isEmpty)
+        DV.appendCommitted(session, root, partCols, images, None,
+          "update",
+          onCommitted = v => cdf.foreach(_.onCommitted(v))): Unit
+      Seq(Row(marked))
+    } finally cdf.foreach(_.cleanup())
   }
 }
 
@@ -328,47 +341,77 @@ case class DvMergeCommand(root: String, targetOutput: Seq[Attribute],
           "matches at most once (the Delta MERGE multiple-matches rule)")
     }
 
-    // new images from the PRE-merge state, frozen before tombstoning
+    // new images from the PRE-merge state, frozen before tombstoning;
+    // update-action frames tagged apart from insert-action ones so
+    // the change-data sidecar can record POST-images (updates only —
+    // inserts surface as plain 'insert' feed rows)
     def imagesOf(actions: Seq[MergeAction], pred: Column,
-        idx: Column): Seq[DataFrame] =
+        idx: Column): Seq[(Boolean, DataFrame)] =
       actions.zipWithIndex.collect {
         case (u: UpdateAction, i) =>
-          joined0.filter(pred && idx === i + 1)
+          (true, joined0.filter(pred && idx === i + 1)
             .select(DvDml.imageCols(targetOutput,
-              DvDml.assignMap(u.assignments)): _*)
+              DvDml.assignMap(u.assignments)): _*))
         case (ins: InsertAction, i) =>
-          joined0.filter(pred && idx === i + 1)
+          (false, joined0.filter(pred && idx === i + 1)
             .select(DvDml.imageCols(targetOutput,
-              DvDml.assignMap(ins.assignments)): _*)
+              DvDml.assignMap(ins.assignments)): _*))
       }
     val imageFrames =
       imagesOf(matchedActions, matchedP, mIdx) ++
         imagesOf(notMatchedActions, notMatchedP, nIdx) ++
         imagesOf(notMatchedBySourceActions, bySourceP, bIdx)
-    val images = imageFrames.reduceOption(_ unionByName _)
+    val images = imageFrames.map(_._2).reduceOption(_ unionByName _)
       .map(_.localCheckpoint())
     // CHECK constraints validate the NEW images BEFORE any tombstone
     // lands — a rejected MERGE must leave the table untouched
     images.foreach(df => DV.enforceConstraints(session, root, df))
 
-    // tombstone every matched / by-source row an UPDATE or DELETE
-    // action claimed (first-match, same classification as the
-    // images) — re-runnable against a fresh scan for the purge fence
-    val marked = DV.markWhere(session, root, { scan =>
-      val (j, f, p) = joinedOf(scan)
-      val mP = p.isNotNull && srcPresent.isNotNull
-      val bP = p.isNotNull && srcPresent.isNull
-      j.filter((mP && firstIdx(matchedActions) > 0) ||
-          (bP && firstIdx(notMatchedBySourceActions) > 0))
-        .select(f.as("__file"), p.as("__pos"))
-    })
+    // change data (opt-in): PRE = rows an UPDATE action claims (their
+    // old images, snapshotted before the first tombstone); POST = the
+    // update-action image frames; DELETE-action rows emit nothing
+    // (row deletion is the retroactive mask — the pinned semantics)
+    val cdf = if (DV.cdfEnabled(session))
+      Some(new DV.CdfStage(session, root)) else None
+    try {
+      cdf.foreach { c =>
+        def updIdx(actions: Seq[MergeAction]): Seq[Int] =
+          actions.zipWithIndex.collect {
+            case (_: UpdateAction, i) => i + 1 }
+        val preM = updIdx(matchedActions)
+        val preB = updIdx(notMatchedBySourceActions)
+        val pre = joined0.filter(
+            (matchedP && mIdx.isin(preM: _*)) ||
+              (bySourceP && bIdx.isin(preB: _*)))
+          .select(targetOutput.map(o => C(o).as(o.name)): _*)
+        val post = imageFrames.collect { case (true, df) => df }
+          .reduceOption(_ unionByName _)
+        if (post.isDefined) {
+          c.writePre(pre)
+          c.writePost(post.get)
+        }
+      }
 
-    val appended = images match {
-      case Some(df) if !df.isEmpty =>
-        DV.appendCommitted(session, root, partCols, df, None, "merge")
-        df.count()
-      case _ => 0L
-    }
-    Seq(Row(marked, appended))
+      // tombstone every matched / by-source row an UPDATE or DELETE
+      // action claimed (first-match, same classification as the
+      // images) — re-runnable against a fresh scan for the purge fence
+      val marked = DV.markWhere(session, root, { scan =>
+        val (j, f, p) = joinedOf(scan)
+        val mP = p.isNotNull && srcPresent.isNotNull
+        val bP = p.isNotNull && srcPresent.isNull
+        j.filter((mP && firstIdx(matchedActions) > 0) ||
+            (bP && firstIdx(notMatchedBySourceActions) > 0))
+          .select(f.as("__file"), p.as("__pos"))
+      })
+
+      val appended = images match {
+        case Some(df) if !df.isEmpty =>
+          DV.appendCommitted(session, root, partCols, df, None, "merge",
+            onCommitted = v => cdf.foreach(_.onCommitted(v)))
+          df.count()
+        case _ => 0L
+      }
+      Seq(Row(marked, appended))
+    } finally cdf.foreach(_.cleanup())
   }
 }

@@ -1181,6 +1181,23 @@ object ScaleQueries {
     * is per-session-catalog; the name embeds the session + sf so
     * parallel suites never cross roots).
     */
+  /** DSv2 catalog identifier for a DV root: registers
+    * [[graft.sources.GraftDvCatalog]] on the session (a RUNTIME conf,
+    * so the driver-owned Verify/Bench sessions get it too) and
+    * installs the scan swap so catalog reads compile to the direct
+    * masked plan. The dv_sql_* DML queries run through THIS face —
+    * DELETE/UPDATE/MERGE resolve via Spark's own row-level rewrite
+    * rules (SupportsDelta), with no injected analyzer machinery and
+    * no GraftSql wrapper; the V1 command path remains only for
+    * session-catalog `USING graft-dv` names (the demoted tier).
+    */
+  private def dvV2Ident(spark: SparkSession, root: String): String = {
+    spark.conf.set("spark.sql.catalog.graftdv",
+      "graft.sources.GraftDvCatalog")
+    graft.plans.GraftPlans.ensureDvScan(spark)
+    s"graftdv.`$root`"
+  }
+
   private def dvCatalogTable(spark: SparkSession, sfDir: String,
       root: String, tag: String): String = {
     val tbl = s"dv_sql_${tag}_${System.identityHashCode(spark)}_" +
@@ -1249,6 +1266,68 @@ object ScaleQueries {
        |  UNION ALL
        |  SELECT 'insert' AS _change_type, event_type, value + 500 AS value
        |  FROM events WHERE $selB AND NOT ($dead))
+       |SELECT _change_type, event_type, count(*) AS n_rows,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM chg GROUP BY _change_type, event_type
+       |ORDER BY _change_type, event_type""".stripMargin
+  }
+
+  /** CHANGE DATA FEED with UPDATE PRE/POST IMAGES (round 12): the
+    * table records per-commit change data (the Delta
+    * `enableChangeDataFeed` shape, conf `spark.graft.dv.cdf` —
+    * opt-in because the sidecar costs O(changed rows) bytes per
+    * mutating commit), an UPDATE statement mutates it, and the feed
+    * surfaces that commit as PAIRED `update_preimage` /
+    * `update_postimage` rows carrying `_commit_version` /
+    * `_commit_timestamp` — the shape keyed incremental consumers
+    * (IVM, replication, SCD2 maintenance) fold by key without
+    * delete/insert races. The appended batch stays a plain 'insert'
+    * step. Oracle: both image sets are computable from the immutable
+    * events fact in pure SQL. DvCdfSpec pins the fold law across a
+    * mixed-verb history and a keyed consumer converging a mirror.
+    */
+  def dvChangesUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "cdfupd") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "cdfupd")
+      spark.conf.set("spark.graft.dv.cdf", "true")
+      try graft.GraftSql.sql(spark,
+        s"UPDATE $tbl SET value = value + 250 WHERE " +
+          TextOps.h60SparkSql(
+            "concat('dvcpu_', CAST(event_id AS STRING))") + " % 6 = 0")
+        .collect(): Unit
+      finally spark.conf.unset("spark.graft.dv.cdf")
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val extra = ev.filter(TextOps.h60(concat(lit("dvcpi_"),
+          col("event_id").cast("string"))) % 35 === 0)
+        .withColumn("event_id", col("event_id") + lit(5000000000L))
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val committed = Snapshots.committedVersions(
+      spark, DV.manifestTable(root))
+    DV.readChanges(spark, root, committed.head, committed.last)
+      .groupBy(col("_change_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("_change_type"), col("event_type"))
+  }
+
+  private val dvChangesUpdateOracle = {
+    import graft.operators.TextOps
+    val upd = s"${TextOps.h60Sql("('dvcpu_' || CAST(event_id AS VARCHAR))")} % 6 = 0"
+    val ins = s"${TextOps.h60Sql("('dvcpi_' || CAST(event_id AS VARCHAR))")} % 35 = 0"
+    s"""WITH chg AS (
+       |  SELECT 'insert' AS _change_type, event_type, value
+       |  FROM events WHERE $ins
+       |  UNION ALL
+       |  SELECT 'update_preimage' AS _change_type, event_type, value
+       |  FROM events WHERE $upd
+       |  UNION ALL
+       |  SELECT 'update_postimage' AS _change_type, event_type,
+       |    value + 250 AS value
+       |  FROM events WHERE $upd)
        |SELECT _change_type, event_type, count(*) AS n_rows,
        |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
        |    AS value_sum
@@ -1623,10 +1702,12 @@ object ScaleQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
-  /** SQL DML face #1 — `DELETE FROM` on the graft-dv CATALOG table
-    * ([[graft.plans.DvDml]] routing through [[graft.GraftSql]]): the
+  /** SQL DML face #1 — `DELETE FROM` on the DSv2 catalog table
+    * (plain `spark.sql`; Spark's own RewriteDeleteFromTable drives
+    * [[graft.sources.DvRowLevelOperation]], SupportsDelta): the
     * statement's predicate is tombstoned merge-on-read (O(deleted
-    * rows) sidecar bytes, no data file touched, purge-fenced), and the
+    * rows) sidecar bytes written from the executors, no data file
+    * touched, maintenance-claimed against racing rewrites), and the
     * read-back goes through `spark.table` — catalog in, catalog out.
     * Replay-safe: already-masked rows are invisible to the marking
     * scan, so re-execution deletes 0 rows and the state is a fixed
@@ -1635,10 +1716,10 @@ object ScaleQueries {
   def dvSqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextOps
     val root = dvTable(spark, sfDir, "sqldel")()
-    val tbl = dvCatalogTable(spark, sfDir, root, "del")
+    val tbl = dvV2Ident(spark, root)
     val vic = TextOps.h60SparkSql(
       "concat('dvsdl_', CAST(user_id AS STRING))") + " % 4 = 0"
-    graft.GraftSql.sql(spark, s"DELETE FROM $tbl WHERE $vic").collect()
+    spark.sql(s"DELETE FROM $tbl WHERE $vic").collect()
     dvAggregate(spark.table(tbl))
   }
 
@@ -1654,9 +1735,10 @@ object ScaleQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
-  /** SQL DML face #2 — `UPDATE ... SET ... WHERE`: new images from
-    * the pre-update masked state, old images tombstoned, one CAS
-    * append ([[graft.plans.DvUpdateCommand]]). The SET expression
+  /** SQL DML face #2 — `UPDATE ... SET ... WHERE` through the DSv2
+    * catalog (RewriteUpdateTable → delete+insert delta): old images
+    * tombstoned, new images staged by the executors and flipped by
+    * one CAS commit. The SET expression
     * depends only on a column the statement does NOT update, so
     * re-execution rewrites the same images — a state fixed point
     * under bench reps (file churn, identical content).
@@ -1664,10 +1746,10 @@ object ScaleQueries {
   def dvSqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextOps
     val root = dvTable(spark, sfDir, "squpd")()
-    val tbl = dvCatalogTable(spark, sfDir, root, "upd")
+    val tbl = dvV2Ident(spark, root)
     val vic = TextOps.h60SparkSql(
       "concat('dvsud_', CAST(user_id AS STRING))") + " % 5 = 0"
-    graft.GraftSql.sql(spark,
+    spark.sql(
       s"UPDATE $tbl SET value = CAST(user_id % 100 AS DOUBLE) / 10.0 " +
         s"WHERE $vic").collect()
     dvAggregate(spark.table(tbl))
@@ -1686,10 +1768,10 @@ object ScaleQueries {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
-  /** SQL DML face #3 — `MERGE INTO`: one outer join of the positional
-    * scan against the source, first-match clause classification,
-    * multi-match failing loudly (spec-pinned), tombstone + one CAS
-    * append ([[graft.plans.DvMergeCommand]]). Source images derive
+  /** SQL DML face #3 — `MERGE INTO` through the DSv2 catalog
+    * (RewriteMergeIntoTable → delta plan): Spark joins and classifies
+    * the clauses, the delta writer tombstones matched-update/delete
+    * rows and stages inserts + update images, one CAS commit flips. Source images derive
     * from the IMMUTABLE events fact, so a re-run's matched updates
     * rewrite identical images and its former inserts become matched
     * updates of themselves — the state is a fixed point under bench
@@ -1699,7 +1781,7 @@ object ScaleQueries {
   def dvSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextOps
     val root = dvTable(spark, sfDir, "sqmrg")()
-    val tbl = dvCatalogTable(spark, sfDir, root, "mrg")
+    val tbl = dvV2Ident(spark, root)
     val ev = Tables.events(spark, sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     val upd = ev.filter(TextOps.h60(
@@ -1710,7 +1792,7 @@ object ScaleQueries {
       .withColumn("event_id", col("event_id") + lit(2000000000L))
       .withColumn("user_id", col("user_id") + lit(20000000L))
     upd.unionByName(ins).createOrReplaceTempView("dv_sql_merge_src")
-    graft.GraftSql.sql(spark,
+    spark.sql(
       s"""MERGE INTO $tbl t USING dv_sql_merge_src s
          |ON t.event_id = s.event_id
          |WHEN MATCHED THEN UPDATE SET *
@@ -2018,6 +2100,7 @@ object ScaleQueries {
     Q("dv_schema_evolution", Some(dvSchemaEvolutionOracle),
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
+    Q("dv_changes_update", Some(dvChangesUpdateOracle), dvChangesUpdate),
     Q("dv_stats_lookup", Some(dvStatsLookupOracle), dvStatsLookup),
     Q("dv_sql_timetravel", Some(dvSqlTimetravelOracle), dvSqlTimetravel),
     Q("dv_sql_maintenance", Some(dvSqlMaintenanceOracle), dvSqlMaintenance),

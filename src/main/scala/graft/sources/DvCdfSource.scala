@@ -108,6 +108,8 @@ object DvCdfSource {
     val base = DeletionVectors.read(sqlContext.sparkSession, root).schema
     StructType(base.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
-      StructField("_commit_version", LongType, nullable = false)))
+      StructField("_commit_version", LongType, nullable = false),
+      StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType, nullable = true)))
   }
 }

@@ -61,7 +61,7 @@ class DvCdfSpec extends SparkSpec {
 
     // the fold: start at v1 (current mask — retroactive), apply steps
     val cols = feed.columns.filterNot(
-      Set("_change_type", "_commit_version"))
+      Set("_change_type", "_commit_version", "_commit_timestamp"))
     var acc = DV.readVersion(spark, root, v1).select(cols.map(col): _*)
     Snapshots.committedVersions(spark, mt)
       .filter(v => v > v1 && v <= vN).foreach { v =>
@@ -81,6 +81,108 @@ class DvCdfSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DV.readChanges(spark, root, v1 - 1, vN)
     }
+  }
+
+  test("update pre/post images: with change data ON, update-verb " +
+      "commits emit paired update_preimage/update_postimage rows " +
+      "keyed by _commit_version; the fold law holds across the " +
+      "mixed-verb history; a KEYED consumer converges a mirror " +
+      "from postimages alone") {
+    val (root, ev) = mkTable()
+    val mt = DV.manifestTable(root)
+    val v1 = Snapshots.latestVersion(spark, mt).get
+    val tbl = s"dvcdfu_${math.abs(root.hashCode)}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-dv` OPTIONS (path '$root')")
+    spark.conf.set("spark.graft.dv.cdf", "true")
+    try {
+      // v2: key-free append — plain inserts even with the feature on
+      DV.append(spark, root, Seq("day"), ev.limit(50)
+        .withColumn("event_id", col("event_id") + 7000000L))
+      // v3: upsert mixing updates (keys that exist) and fresh inserts
+      val upd = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") + 50)
+      val ins = ev.limit(15)
+        .withColumn("event_id", col("event_id") + 8000000L)
+      DV.upsert(spark, root, "day", "event_id",
+        upd.unionByName(ins), None)
+      // v4: SQL UPDATE over everything (original + appended + upserted)
+      graft.GraftSql.sql(spark,
+        s"UPDATE $tbl SET value = value + 7 WHERE event_id % 11 = 0")
+        .collect()
+    } finally spark.conf.unset("spark.graft.dv.cdf")
+    val vN = Snapshots.latestVersion(spark, mt).get
+
+    val feed = DV.readChanges(spark, root, v1, vN).localCheckpoint()
+    assert(feed.filter(col("_commit_timestamp").isNull).count() == 0,
+      "every feed row carries its commit instant")
+    // pairing: each update-verb commit carries BOTH image sides.
+    // POST-images read through the retroactive mask (the pinned
+    // time-travel rule — that is what keeps the fold law exact), so
+    // a LATER update's tombstones may thin an earlier commit's
+    // postimages: pre >= post everywhere, equality on the last
+    // commit (nothing after it to thin)
+    val sides = feed
+      .filter(col("_change_type").startsWith("update_"))
+      .groupBy("_commit_version")
+      .agg(
+        sum(when(col("_change_type") === "update_preimage", 1L)
+          .otherwise(0L)).as("pre"),
+        sum(when(col("_change_type") === "update_postimage", 1L)
+          .otherwise(0L)).as("post"))
+      .orderBy(col("_commit_version"))
+      .collect()
+    assert(sides.length == 2, "upsert and UPDATE both recorded images")
+    sides.foreach(r => assert(r.getLong(1) >= r.getLong(2) &&
+      r.getLong(2) > 0, s"pre/post sides must both surface: $r"))
+    assert(sides.last.getLong(1) == sides.last.getLong(2),
+      s"the final update commit pairs exactly: ${sides.last}")
+    // the upsert's fresh inserts stay PLAIN inserts in its step
+    // (minus any the LATER update tombstoned — retroactive mask)
+    val v3 = Snapshots.committedVersions(spark, mt)
+      .filter(_ > v1).apply(1)
+    val insStillVisible = ev.limit(15)
+      .filter((col("event_id") + 8000000L) % 11 =!= 0).count()
+    assert(feed.filter(col("_commit_version") === v3 &&
+      col("_change_type") === "insert" &&
+      col("event_id") >= 8000000L).count() == insStillVisible)
+
+    // fold law with image types: postimage folds as insert, preimage
+    // as delete (a no-op against the retroactively-masked base —
+    // pinned), plain insert/delete as before
+    val cols = feed.columns.filterNot(
+      Set("_change_type", "_commit_version", "_commit_timestamp"))
+    var acc = DV.readVersion(spark, root, v1).select(cols.map(col): _*)
+    Snapshots.committedVersions(spark, mt)
+      .filter(v => v > v1 && v <= vN).foreach { v =>
+        val step = feed.filter(col("_commit_version") === v)
+        def of(ts: String*) = step
+          .filter(col("_change_type").isin(ts: _*))
+          .select(cols.map(col): _*)
+        acc = acc.unionByName(of("insert", "update_postimage"))
+          .exceptAll(of("delete", "update_preimage"))
+      }
+    val end = DV.read(spark, root).select(cols.map(col): _*)
+    assert(multisetEqual(acc, end),
+      "folding the image-typed feed must reproduce the endpoint")
+
+    // keyed consumer (the maintainScd2 shape): upsert-by-key from
+    // insert+postimage rows alone converges a mirror — no
+    // delete/insert pairing races, preimages never needed for state
+    var mirror = DV.readVersion(spark, root, v1).select(cols.map(col): _*)
+    Snapshots.committedVersions(spark, mt)
+      .filter(v => v > v1 && v <= vN).foreach { v =>
+        val images = feed.filter(col("_commit_version") === v &&
+            col("_change_type").isin("insert", "update_postimage"))
+          .select(cols.map(col): _*)
+        mirror = mirror.join(images.select("event_id").distinct(),
+            Seq("event_id"), "left_anti")
+          .unionByName(images)
+          .localCheckpoint()
+      }
+    assert(multisetEqual(
+        mirror.select(cols.sorted.map(col): _*),
+        end.select(cols.sorted.map(col): _*)),
+      "a keyed consumer folding postimages must converge to the source")
   }
 
   test("feed across schema evolution carries the widest column set, " +
@@ -179,7 +281,7 @@ class DvCdfSpec extends SparkSpec {
     val feed = DV.readChanges(spark, rootA, forkV, toV)
     assert(feed.filter(col("_change_type") === "delete").count() == 0)
     val cols = feed.columns
-      .filterNot(Set("_change_type", "_commit_version"))
+      .filterNot(Set("_change_type", "_commit_version", "_commit_timestamp"))
     import org.apache.spark.sql.expressions.Window
     val latest = feed
       .withColumn("__rk", row_number().over(Window
