@@ -68,16 +68,13 @@ object Snapshots {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def markers(spark: SparkSession, table: String,
-      kind: String): Seq[Long] = {
-    val f = fs(spark, table)
-    val dir = new Path(s"$table/$kind")
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
+      kind: String): Seq[Long] =
+    LogStore.forPath(table)
+      .listMarkers(fs(spark, table), new Path(s"$table/$kind"))
+      .map(_._1)
       .filter(s => s.nonEmpty && s.forall(_.isDigit))
       .map(_.toLong)
       .sorted
-  }
 
   def committedVersions(spark: SparkSession, table: String): Seq[Long] =
     markers(spark, table, "_commits")
@@ -94,16 +91,12 @@ object Snapshots {
     * visibility step). One `_commits` listing; metadata scale.
     */
   def commitInstants(spark: SparkSession,
-      table: String): Map[Long, Long] = {
-    val f = fs(spark, table)
-    val dir = new Path(s"$table/_commits")
-    if (!f.exists(dir)) Map.empty
-    else f.listStatus(dir).toSeq
-      .filter(s => s.getPath.getName.nonEmpty &&
-        s.getPath.getName.forall(_.isDigit))
-      .map(s => s.getPath.getName.toLong -> s.getModificationTime)
+      table: String): Map[Long, Long] =
+    LogStore.forPath(table)
+      .listMarkers(fs(spark, table), new Path(s"$table/_commits"))
+      .filter(e => e._1.nonEmpty && e._1.forall(_.isDigit))
+      .map(e => e._1.toLong -> e._2)
       .toMap
-  }
 
   /** Highest version committed AT OR BEFORE `tsMillis` — the
     * `TIMESTAMP AS OF` resolution rule. The commit INSTANT is the
@@ -113,28 +106,18 @@ object Snapshots {
     * itself). None if nothing was committed yet at that instant.
     */
   def versionAsOf(spark: SparkSession, table: String,
-      tsMillis: Long): Option[Long] = {
-    val f = fs(spark, table)
-    val dir = new Path(s"$table/_commits")
-    if (!f.exists(dir)) None
-    else f.listStatus(dir).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        n.nonEmpty && n.forall(_.isDigit) &&
-          s.getModificationTime <= tsMillis
-      }
-      .map(_.getPath.getName.toLong).sorted.lastOption
-  }
+      tsMillis: Long): Option[Long] =
+    LogStore.forPath(table)
+      .listMarkers(fs(spark, table), new Path(s"$table/_commits"))
+      .filter { case (n, mtime) =>
+        n.nonEmpty && n.forall(_.isDigit) && mtime <= tsMillis }
+      .map(_._1.toLong).sorted.lastOption
 
-  /** Atomic exclusive create of an empty marker. The primitive must be
-    * a real compare-and-create: on HDFS `create(overwrite=false)` is
-    * atomic (namenode-arbitrated) and on S3 it maps to conditional put,
-    * but on the LOCAL filesystem Hadoop's implementation is
-    * check-then-act (`exists()` then `FileOutputStream`) — two threads
-    * can both pass the check and both believe they won, which breaks
-    * every guarantee built on the claim (the 4-thread SnapshotSpec race
-    * caught exactly this). For `file:` URIs use POSIX `O_CREAT|O_EXCL`
-    * via NIO instead.
+  /** Atomic exclusive create of an empty marker, through the
+    * table-scoped [[LogStore]] (POSIX `O_CREAT|O_EXCL` / HDFS
+    * namenode-arbitrated create by default; conditional-PUT stores
+    * plug in via [[LogStore.install]] — SnapshotSpec drives the full
+    * fuzzer through a simulated one with lagged listings).
     */
   private def tryCreateMarker(spark: SparkSession, table: String,
       kind: String, v: Long): Boolean = {
@@ -146,31 +129,17 @@ object Snapshots {
     * (e.g. [[DeletionVectors]]' maintenance claim): exclusive create
     * of an empty file at `path`, true iff this caller created it.
     */
-  def tryExclusiveCreate(spark: SparkSession, path: String): Boolean = {
-    val f = fs(spark, path)
-    val marker = new Path(path)
-    if (f.getUri.getScheme == "file") {
-      try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(marker.toUri.getPath))
-        true
-      } catch { case _: java.io.IOException => false }
-    } else {
-      try {
-        f.create(marker, false).close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
-  }
+  def tryExclusiveCreate(spark: SparkSession, path: String): Boolean =
+    LogStore.forPath(path)
+      .tryExclusiveCreate(fs(spark, path), new Path(path))
 
   /** Remove a marker created by [[tryExclusiveCreate]]. */
-  def removeMarker(spark: SparkSession, path: String): Unit = {
-    fs(spark, path).delete(new Path(path), false): Unit
-  }
+  def removeMarker(spark: SparkSession, path: String): Unit =
+    LogStore.forPath(path).removeMarker(fs(spark, path), new Path(path))
 
   /** Does a marker exist at `path`? */
   def markerExists(spark: SparkSession, path: String): Boolean =
-    fs(spark, path).exists(new Path(path))
+    LogStore.forPath(path).markerExists(fs(spark, path), new Path(path))
 
   /** Exclusive claim of a version NUMBER (and with it, sole
     * writership of `v=$v`). False ⇒ someone else holds or held it.
@@ -179,9 +148,8 @@ object Snapshots {
     tryCreateMarker(spark, table, "_claims", v)
 
   private def releaseClaim(spark: SparkSession, table: String,
-      v: Long): Unit = {
-    fs(spark, table).delete(new Path(s"$table/_claims/$v"), false): Unit
-  }
+      v: Long): Unit =
+    removeMarker(spark, s"$table/_claims/$v")
 
   /** The atomic visibility step, exposed for crash-simulation tests:
     * commit version `v` via exclusive marker create. False ⇒ lost the
@@ -332,7 +300,7 @@ object Snapshots {
          if v <= max && !keepSet.contains(v)
          && !(claimed.contains(v) && !committed.contains(v))) {
       f.delete(new Path(s"$table/v=$v"), true)
-      f.delete(new Path(s"$table/_commits/$v"), false)
+      removeMarker(spark, s"$table/_commits/$v")
     }
   }
 }
