@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, GraftPlanApi, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DeleteFromTable, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AnalyzeColumn, DeleteFromTable, MergeIntoTable, UpdateTable}
 
 import graft.plans.DvDmlRule
 
@@ -53,6 +53,10 @@ object GraftSql {
           .getOrElse(spark.sql(text))
       case at: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>
         graft.plans.DvAnalyze.route(spark, at)
+          .map(cmd => GraftPlanApi.ofRows(spark, cmd))
+          .getOrElse(spark.sql(text))
+      case ac: AnalyzeColumn =>
+        graft.plans.DvAnalyzeColumns.route(spark, ac)
           .map(cmd => GraftPlanApi.ofRows(spark, cmd))
           .getOrElse(spark.sql(text))
       case _ =>

@@ -141,7 +141,8 @@ object DeletionVectors {
         lit(null).cast("string").as("part_cols"),
         lit(null).cast("string").as("stats_cols"),
         lit(null).cast("string").as("op"),
-        lit(null).cast("map<string,string>").as("constraints"))
+        lit(null).cast("map<string,string>").as("constraints"),
+        lit(null).cast("string").as("old_layouts"))
       .unionByName(spark.range(1).select(lit(Sentinel).as("file"),
         lit(0L).as("rows"), lit(0L).as("bytes"),
         lit(null).cast("array<string>").as("part_values"),
@@ -153,7 +154,8 @@ object DeletionVectors {
         lit(partColsJson(partCols)).as("part_cols"),
         lit(statsSchema.json).as("stats_cols"),
         lit(op).as("op"),
-        lit(null).cast("map<string,string>").as("constraints")))
+        lit(null).cast("map<string,string>").as("constraints"),
+        lit(null).cast("string").as("old_layouts")))
   }
 
   /** Stamp `op` onto the sentinel row of a next-manifest frame (and
@@ -184,7 +186,7 @@ object DeletionVectors {
       "stats_cols" -> "string", "part_values" -> "array<string>",
       "smin" -> "map<string,string>", "smax" -> "map<string,string>",
       "op" -> "string", "constraints" -> "map<string,string>",
-      "cdc_stream" -> "string")
+      "cdc_stream" -> "string", "old_layouts" -> "string")
     want.foldLeft(df) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(t))
@@ -210,7 +212,17 @@ object DeletionVectors {
       dataSchema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
       statsSchema: org.apache.spark.sql.types.StructType,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      oldLayouts: Seq[Seq[String]] = Nil) {
+    /** The table's full logical schema: data columns + the CURRENT
+      * partition columns (string-typed, the file-index rule). Columns
+      * that left the partition layout live in dataSchema as strings.
+      */
+    def fullSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(dataSchema.fields ++
+        partCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+  }
 
   /** Metadata recorded in version v's sentinel — None for
     * pre-evolution manifests (readers fall back to the legacy
@@ -230,7 +242,8 @@ object DeletionVectors {
       if (!m.columns.contains("schema_json")) None
       else {
         val cols = Seq("schema_json", "part_cols") ++
-          Seq("stats_cols", "constraints").filter(m.columns.contains)
+          Seq("stats_cols", "constraints", "old_layouts")
+            .filter(m.columns.contains)
         m.filter(col("file") === Sentinel)
           .select(cols.map(col): _*).collect().headOption
           .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
@@ -246,10 +259,13 @@ object DeletionVectors {
               .getOrElse(new org.apache.spark.sql.types.StructType())
             val cons = at("constraints")(i =>
               r.getMap[String, String](i).toMap).getOrElse(Map.empty)
+            val olds = at("old_layouts")(i => r.getString(i))
+              .map(_.split('\n').toSeq.filter(_.nonEmpty)
+                .map(partColsOfJson)).getOrElse(Nil)
             TableMeta(org.apache.spark.sql.types.DataType
               .fromJson(r.getString(0))
               .asInstanceOf[org.apache.spark.sql.types.StructType],
-              partColsOfJson(r.getString(1)), stats, cons)
+              partColsOfJson(r.getString(1)), stats, cons, olds)
           }
       }
     })
@@ -601,11 +617,58 @@ object DeletionVectors {
   /** Scan of `entries` with physical position columns, tombstone mask
     * applied. A never-deleted-from table gets NO mask filter at all
     * (plan-time check), so the fast path is a bare parquet scan.
+    *
+    * PARTITION EVOLUTION: entries may span LAYOUT GENERATIONS (a
+    * file's layout is its hive path chain — the per-file record
+    * Iceberg keeps as a spec id, ours rides in the path). Mixed sets
+    * split into one manifest-fed relation PER LAYOUT — each with its
+    * own partition schema, so partition pruning works on every
+    * generation — and union by name under the table's full schema
+    * (an ex-partition column is a path value in old files and a data
+    * column in new ones; both surface identically). Single-layout
+    * sets (the common case, and every fully-migrated table) take the
+    * exact pre-evolution path.
     */
   private def scanWithPos(spark: SparkSession, root: String,
       entries: Seq[GraftDvApi.LiveFile],
-      meta: Option[TableMeta]): DataFrame =
-    withPosAndMask(spark, root, relationOver(spark, root, entries, meta))
+      meta: Option[TableMeta]): DataFrame = {
+    val layouts = entries
+      .map(e => GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
+    // a SINGLE-layout subset may still be an OLD generation (a
+    // migrate/CDF/constraint scan over pre-evolution files): reading
+    // it under the CURRENT meta would bind the path values to the
+    // wrong column (day=X served as event_type=X) and null the real
+    // path column — the dv_partition_evolution oracle caught exactly
+    // this. Trust the PARSED layout whenever it disagrees with meta.
+    val oldGeneration = meta.exists(m =>
+      layouts.size == 1 && layouts.head != m.partCols)
+    if (layouts.size <= 1 && !oldGeneration)
+      withPosAndMask(spark, root, relationOver(spark, root, entries, meta))
+    else {
+      val m = meta.getOrElse(throw new IllegalStateException(
+        s"mixed partition layouts under $root need a schema-in-log " +
+          "manifest (legacy manifests cannot evolve partitioning)"))
+      val full = m.fullSchema
+      val outCols = (full.fieldNames.toSeq :+ "__file" :+ "__pos")
+        .map(col)
+      val parts = entries
+        .groupBy(e => GraftDvApi.parsePartitions(e.path).map(_._1))
+        .toSeq.sortBy(_._1.mkString("\u0000"))
+        .map { case (layout, es) =>
+          val ds = org.apache.spark.sql.types.StructType(
+            full.filterNot(fd => layout.contains(fd.name)))
+          GraftDvApi.relation(spark, dataDir(root), layout, es, ds)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .select(outCols: _*)
+        }
+      val data = parts.reduce(_ unionByName _)
+      if (DvBlobs.hasAny(root))
+        data.filter(graft.functions.GraftFunctions.dvAlive(spark,
+          col("__file"), col("__pos"), root))
+      else data
+    }
+  }
 
   private def withPosAndMask(spark: SparkSession, root: String,
       data0: DataFrame): DataFrame = {
@@ -670,6 +733,11 @@ object DeletionVectors {
   private def readPos0(spark: SparkSession, root: String): DataFrame = {
     val vOpt = Snapshots.latestVersion(spark, manifestTable(root))
     vOpt.flatMap(v => metaAt(spark, root, v).map(m => (v, m))) match {
+      // a mid-evolution table (old-layout files still live) reads
+      // through the eager per-layout union; migration (or natural
+      // purge churn) clears the flag and restores the lazy path
+      case Some((v, m)) if m.oldLayouts.nonEmpty =>
+        scanWithPos(spark, root, entriesAt(spark, root, v), Some(m))
       case Some((v, m)) => scanLazyWithPos(spark, root, v, m)
       case None =>
         val entries = liveEntries(spark, root)
@@ -687,12 +755,10 @@ object DeletionVectors {
     */
   private def emptyTable(spark: SparkSession, root: String): DataFrame =
     currentMeta(spark, root) match {
-      case Some(TableMeta(ds, pcs, _, _)) =>
-        val full = org.apache.spark.sql.types.StructType(
-          ds.fields ++ pcs.map(c => org.apache.spark.sql.types.StructField(
-            c, org.apache.spark.sql.types.StringType)))
+      case Some(m) =>
         spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), full)
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          m.fullSchema)
       case None => spark.read.parquet(dataDir(root)).limit(0)
     }
 
@@ -1085,8 +1151,13 @@ object DeletionVectors {
       while (result == null) {
         val inScope = scope.map(scopedFiles(spark, root, partCols, _))
         val hot = {
+          // old-layout files (mid-evolution) belong to migrateLayout,
+          // whose rewrite re-partitions them; purge touches only the
+          // current generation so its staged write stays layout-true
           val live = manifest(spark, root).select("file", "rows")
             .as[(String, Long)].collect().toSeq
+            .filter(fr => GraftDvApi.parsePartitions(fr._1)
+              .map(_._1) == partCols)
             .filter(fr => inScope.forall(_.contains(fr._1)))
           val counts = spark.createDataset(live.map(_._1))
             .map(f => (f, DvBlobs.tombstoneCount(root, f)))
@@ -1283,7 +1354,10 @@ object DeletionVectors {
     */
   private def scopedFiles(spark: SparkSession, root: String,
       partCols: Seq[String], where: String): Set[String] = {
-    val entries = liveEntries(spark, root)
+    // only CURRENT-layout files: an evolved table's old-generation
+    // files carry different value vectors (migrateLayout owns them)
+    val entries = liveEntries(spark, root).filter(e =>
+      GraftDvApi.parsePartitions(e.path).map(_._1) == partCols)
     if (entries.isEmpty) return Set.empty
     val pv = entries.map(_.partValues).distinct
     val schema = org.apache.spark.sql.types.StructType(partCols.map(c =>
@@ -1321,8 +1395,14 @@ object DeletionVectors {
   def compactSmallFiles(spark: SparkSession, root: String,
       minBytes: Long = 64L * 1024 * 1024,
       onBeforeCommit: () => Unit = () => (),
-      scope: Option[String] = None): Seq[String] = {
-    claimMaintenance(spark, root)
+      scope: Option[String] = None,
+      opportunistic: Boolean = false): Seq[String] = {
+    // opportunistic callers (the streaming auto-pack slot) skip when
+    // maintenance is busy instead of failing — ingest never blocks
+    if (opportunistic) {
+      if (!Snapshots.tryExclusiveCreate(spark, maintMarker(root)))
+        return Seq.empty
+    } else claimMaintenance(spark, root)
     try {
       val partCols = partitionColsOf(spark, root)
       require(partCols.nonEmpty,
@@ -1332,6 +1412,8 @@ object DeletionVectors {
       while (result == null) {
         val inScope = scope.map(scopedFiles(spark, root, partCols, _))
         val victims = liveEntries(spark, root)
+          .filter(e => GraftDvApi.parsePartitions(e.path)
+            .map(_._1) == partCols) // migrateLayout owns old layouts
           .filter(e => inScope.forall(_.contains(e.path)))
           .filter(_.bytes < minBytes)
           .groupBy(_.partValues).filter(_._2.size >= 2)
@@ -1530,6 +1612,179 @@ object DeletionVectors {
       root: String): Map[String, String] =
     currentMeta(spark, root).map(_.constraints).getOrElse(Map.empty)
 
+  private def oldLayoutsJson(layouts: Seq[Seq[String]]): String =
+    layouts.map(partColsJson).mkString("\n")
+
+  /** PARTITION EVOLUTION (`ALTER TABLE t SET PARTITIONING (...)`) —
+    * the Iceberg hallmark: change the partition columns of a LIVE
+    * table in one metadata-only manifest flip. Existing files stay
+    * queryable under THEIR layout (a file's layout is its hive path
+    * chain — the per-file spec record); new writes land under the
+    * new one; the read path unions one manifest-fed relation per
+    * layout generation so partition pruning works on each
+    * ([[scanWithPos]]). A column leaving the layout joins the data
+    * schema as STRING (its values only ever existed as path
+    * strings); a column entering it must already be a STRING column
+    * of the full schema. [[migrateLayout]] (SQL: `OPTIMIZE ...
+    * MIGRATE`) rewrites old-generation files into the current layout
+    * and, once none remain, clears the evolution flag — restoring
+    * the single-layout lazy-manifest read path.
+    */
+  def setPartitioning(spark: SparkSession, root: String,
+      newCols: Seq[String]): Long = {
+    require(newCols.nonEmpty,
+      "SET PARTITIONING takes at least one column (the layer's layout " +
+        "unit is the hive partition directory)")
+    sentinelFlip(spark, root, "alter") { (base, latest) =>
+      val meta = metaAt(spark, root, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-dv table at $root has a legacy manifest without " +
+            "schema metadata — partition evolution needs schema-in-log"))
+      require(newCols != meta.partCols,
+        s"table is already partitioned by ${newCols.mkString(",")}")
+      val full = meta.fullSchema
+      newCols.foreach { c =>
+        val fd = full.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $c is not a column of the table " +
+              s"(have ${full.fieldNames.mkString(", ")})"))
+        require(fd.dataType ==
+            org.apache.spark.sql.types.StringType,
+          s"partition columns are STRING by the file-index rule; " +
+            s"$c is ${fd.dataType.sql} — add a derived string column " +
+            "and partition by that")
+      }
+      val newData = org.apache.spark.sql.types.StructType(
+        full.filterNot(fd => newCols.contains(fd.name)))
+      val olds = (meta.oldLayouts :+ meta.partCols)
+        .distinct.filterNot(_ == newCols)
+      latest
+        .withColumn("schema_json", when(col("file") === Sentinel,
+          lit(newData.json)).otherwise(col("schema_json")))
+        .withColumn("part_cols", when(col("file") === Sentinel,
+          lit(partColsJson(newCols))).otherwise(col("part_cols")))
+        .withColumn("old_layouts", when(col("file") === Sentinel,
+          lit(oldLayoutsJson(olds))).otherwise(col("old_layouts")))
+    }
+  }
+
+  /** Rewrite old-generation live files into the CURRENT layout — the
+    * bounded migration sweep that pairs with [[setPartitioning]]
+    * (Iceberg leaves old specs forever; we let the operator converge
+    * the table and get the lazy single-layout read path back).
+    * `scope`: a predicate over each old file's OWN partition columns
+    * (evaluated per layout generation against the parsed path
+    * values), so migration is O(scoped files). Runs behind the full
+    * pack discipline: maintenance claim, per-file delta-signature
+    * restage on racing deletes, masks folding into the replacements,
+    * one CAS flip — which also CLEARS the evolution flag when no
+    * old-generation file remains live.
+    *
+    * @return the migrated (replaced) file paths
+    */
+  def migrateLayout(spark: SparkSession, root: String,
+      scope: Option[String] = None,
+      onBeforeCommit: () => Unit = () => ()): Seq[String] = {
+    claimMaintenance(spark, root)
+    try {
+      val partCols = partitionColsOf(spark, root)
+      val meta = currentMeta(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-dv table at $root has a legacy manifest — " +
+            "migration needs schema-in-log"))
+      var sigAttempts = 0
+      var result: Seq[String] = null
+      while (result == null) {
+        val old = liveEntries(spark, root).filter(e =>
+          GraftDvApi.parsePartitions(e.path).map(_._1) != partCols)
+        val victims = scope match {
+          case None => old.map(_.path)
+          case Some(where) =>
+            // evaluate per OLD layout generation over its own columns
+            old.groupBy(e =>
+                GraftDvApi.parsePartitions(e.path).map(_._1))
+              .toSeq.flatMap { case (layout, es) =>
+                val schema = org.apache.spark.sql.types.StructType(
+                  layout.map(c => org.apache.spark.sql.types.StructField(
+                    c, org.apache.spark.sql.types.StringType)))
+                val pv = es.map(_.partValues).distinct
+                val keep = spark.createDataFrame(
+                    new java.util.ArrayList(pv.map(v =>
+                      org.apache.spark.sql.Row.fromSeq(v)).asJava), schema)
+                  .filter(expr(where)).collect()
+                  .map(_.toSeq.map(String.valueOf)).toSet
+                es.filter(e => keep.contains(
+                  e.partValues.map(String.valueOf))).map(_.path)
+              }
+        }
+        if (victims.isEmpty) {
+          // nothing (left) to migrate: clear the evolution flag when
+          // the WHOLE table is current-layout again
+          if (old.isEmpty && meta.oldLayouts.nonEmpty)
+            sentinelFlip(spark, root, "migrate") { (_, latest) =>
+              latest.withColumn("old_layouts",
+                when(col("file") === Sentinel,
+                  lit(null).cast("string"))
+                .otherwise(col("old_layouts")))
+            }: Unit
+          return Seq.empty
+        }
+        val sig0 = victims.map(f0 =>
+          f0 -> DvBlobs.signature(root, f0)).toMap
+
+        val f = hfs(spark, root)
+        val stage = s"$root/_migrate_stage"
+        f.delete(new Path(stage), true)
+        scanWithPos(spark, root, entriesOf(spark, victims), Some(meta))
+          .drop("__file", "__pos")
+          .write.mode("overwrite").partitionBy(partCols: _*)
+          .parquet(stage)
+        val moved = moveStaged(spark, root, stage, "migrated")
+
+        val sigNow = victims.map(f0 =>
+          f0 -> DvBlobs.signature(root, f0)).toMap
+        if (sigNow != sig0) {
+          require(sigAttempts < 3,
+            s"layout migration restaged 3 times on $root — rerun when " +
+              "the delete storm subsides (staged files are vacuum fodder)")
+          sigAttempts += 1
+        } else {
+          val movedStats =
+            if (moved.isEmpty) emptyStatsFrame(spark)
+            else perFileStats(relationOver(spark, root,
+              entriesOf(spark, moved), Some(meta)), meta.statsSchema)
+          onBeforeCommit()
+          val clearsFlag = scope.isEmpty ||
+            old.map(_.path).forall(victims.contains)
+          var committed = false
+          var casAttempts = 0
+          while (!committed) {
+            casAttempts = boundedCasRetry(root, casAttempts)
+            val base = Snapshots.latestVersion(
+              spark, manifestTable(root)).get
+            val latest = Snapshots.readVersion(
+              spark, manifestTable(root), base)
+            val vicDf = spark.createDataset(victims)(
+              org.apache.spark.sql.Encoders.STRING).toDF("file")
+            var next = withSentinelOp(ensureMetaCols(
+                latest.join(vicDf, Seq("file"), "left_anti"))
+              .unionByName(ensureMetaCols(
+                movedStats.withColumn("cdc_batch",
+                  lit(lastCdcBatch(spark, root))))), "migrate")
+            if (clearsFlag)
+              next = next.withColumn("old_layouts",
+                when(col("file") === Sentinel, lit(null).cast("string"))
+                .otherwise(col("old_layouts")))
+            committed = Snapshots.publishCas(
+              spark, manifestTable(root), base, next)
+          }
+          result = victims
+        }
+      }
+      result
+    } finally releaseMaintenance(spark, root)
+  }
+
   /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`: record a
     * CHECK constraint in the sentinel (enforced on every mutating
     * write through [[appendCommitted]] — only FALSE violates, NULL
@@ -1627,6 +1882,8 @@ object DeletionVectors {
       while (result == null) {
         val inScope = scope.map(scopedFiles(spark, root, partCols, _))
         val live = liveEntries(spark, root)
+          .filter(e => GraftDvApi.parsePartitions(e.path)
+            .map(_._1) == partCols) // migrateLayout owns old layouts
           .filter(e => inScope.forall(_.contains(e.path))).map(_.path)
         if (live.isEmpty) return Seq.empty
         val sig0 = live.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
@@ -1801,13 +2058,16 @@ object DeletionVectors {
   def applyCdcBatch(spark: SparkSession, root: String, partCol: String,
       keyCol: String, batch: DataFrame, batchId: Long,
       latestBy: Option[String] = None,
-      autoCompactBlobsAt: Int = DefaultAutoCompactBlobs): Boolean = {
+      autoCompactBlobsAt: Int = DefaultAutoCompactBlobs,
+      autoPackFilesAt: Int = DefaultAutoPackFiles): Boolean = {
     if (isStreamReplay(spark, root, batchId)) false
     else {
       applyChanges(spark, root, Seq(partCol), keyCol, batch, latestBy,
         Some(batchId)): Unit
       if (autoCompactBlobsAt > 0)
         autoCompactBlobs(spark, root, autoCompactBlobsAt): Unit
+      if (autoPackFilesAt > 0)
+        autoPackFiles(spark, root, autoPackFilesAt): Unit
       true
     }
   }
@@ -1874,6 +2134,34 @@ object DeletionVectors {
         else (stats.getLong(0), stats.getLong(1))
       }
     } finally releaseMaintenance(spark, root)
+  }
+
+  /** Default per-directory small-file bound for [[autoPackFiles]]:
+    * a long-running appender fragments each partition into per-batch
+    * slivers; past this many sub-64MB files in one directory the
+    * opportunistic pack folds them (the file-count twin of
+    * [[autoCompactBlobs]]'s blob bound).
+    */
+  val DefaultAutoPackFiles: Int = 16
+
+  /** THRESHOLD-TRIGGERED small-file pack — the maintenance policy a
+    * long-running append/CDC stream needs so its own batch cadence
+    * cannot grow any partition directory's file count without bound
+    * (round-11 bounded BLOB dirs; data-file slivers still accreted
+    * until a manual OPTIMIZE). The trigger check is METADATA only
+    * (the cached per-version live-entry list, no filesystem calls);
+    * the pack itself is [[compactSmallFiles]] run OPPORTUNISTICALLY —
+    * if purge/vacuum holds the claim this returns immediately and
+    * the next batch retries, so ingest never blocks on maintenance.
+    * DvStreamSinkSpec pins the bound across a many-batch run.
+    */
+  def autoPackFiles(spark: SparkSession, root: String,
+      maxFilesPerDir: Int = DefaultAutoPackFiles,
+      minBytes: Long = 64L * 1024 * 1024): Seq[String] = {
+    val hot = liveEntries(spark, root).groupBy(_.partValues)
+      .exists(_._2.count(_.bytes < minBytes) > maxFilesPerDir)
+    if (!hot) Seq.empty
+    else compactSmallFiles(spark, root, minBytes, opportunistic = true)
   }
 
   private def applyChanges(spark: SparkSession, root: String,
@@ -1999,7 +2287,7 @@ object DeletionVectors {
     val statsSchema = curMeta.map(_.statsSchema)
       .getOrElse(new org.apache.spark.sql.types.StructType())
     val mergedSchema = curMeta match {
-      case Some(TableMeta(cur, pcs, _, _)) =>
+      case Some(m0 @ TableMeta(cur, pcs, _, _, _)) =>
         require(pcs == partCols,
           s"graft-dv table at $root is partitioned by " +
             s"${pcs.mkString(",")}; append requested ${partCols.mkString(",")}")

@@ -68,6 +68,10 @@ object DvMaintenanceSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val SetPartRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITIONING\s*\(([^)]*)\)\s*;?\s*""".r
+  private val MigrateRe =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s+MIGRATE(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   /** The maintenance/lifecycle shapes, or None for anything else. */
   def parse(text: String): Option[LogicalPlan] = text match {
@@ -75,6 +79,13 @@ object DvMaintenanceSql {
       Some(DvVacuumCommand(ident, Option(hours).map(_.toLong),
         Option(keepV).map(_.toInt), dryRun = dry != null))
     case DetailRe(ident) => Some(DvDetailCommand(ident))
+    case SetPartRe(ident, cols) =>
+      val cs = splitZorderCols(cols) // same quoted-identifier rules
+      require(cs.nonEmpty,
+        "SET PARTITIONING (…) requires at least one column")
+      Some(DvSetPartitioningCommand(ident, cs))
+    case MigrateRe(ident, where) => Some(DvMigrateCommand(ident,
+      Option(where).map(_.trim).filter(_.nonEmpty)))
     case OptimizeRe(ident, where, zcols) =>
       val zs = Option(zcols).map(splitZorderCols)
       // `ZORDER BY ()` must ERROR, not silently degrade to plain
@@ -256,6 +267,41 @@ case class DvOptimizeCommand(identText: String,
         else DV.compactSmallFiles(session, root, scope = where).size.toLong
       Seq(Row(dirs, inputs, rewritten, packed))
     }
+  }
+}
+
+/** `ALTER TABLE t SET PARTITIONING (c1[, c2])` — partition evolution
+  * ([[DV.setPartitioning]]): one metadata-only flip; old files stay
+  * queryable under their layout, new writes land under the new one.
+  */
+case class DvSetPartitioningCommand(identText: String,
+    newCols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partitioned_by",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = DvMaintenanceSql.rootOf(session, identText)
+    val v = DV.setPartitioning(session, root, newCols)
+    Seq(Row(newCols.mkString(","), v))
+  }
+}
+
+/** `OPTIMIZE t MIGRATE [WHERE ...]` — rewrite old-generation files
+  * into the current layout ([[DV.migrateLayout]]); the WHERE scope
+  * evaluates over each old file's OWN partition columns.
+  */
+case class DvMigrateCommand(identText: String,
+    where: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_migrated", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = DvMaintenanceSql.rootOf(session, identText)
+    Seq(Row(DV.migrateLayout(session, root, where).size.toLong))
   }
 }
 
@@ -474,7 +520,7 @@ object DvAnalyze {
 
   import org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable
 
-  private def identOf(p: LogicalPlan): Option[Seq[String]] = p match {
+  private[plans] def identOf(p: LogicalPlan): Option[Seq[String]] = p match {
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
       Some(u.multipartIdentifier)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
@@ -524,20 +570,143 @@ case class DvAnalyzeCommand(ident: Seq[String], root: String)
   }
 }
 
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS ...` on
+  * graft-dv: column-level statistics (NDV / null count / min-max /
+  * length) computed DISTRIBUTEDLY over the masked read — one
+  * aggregate job, visible rows only — and landed in the session
+  * catalog so cost-based join reordering works on DV-backed facts
+  * (CboSpec pins the order flip). The round-11 gap: row counts alone
+  * cannot estimate filter selectivity, so `c_acctbal > 9000`-class
+  * predicates left CBO blind on DV tables.
+  */
+object DvAnalyzeColumns {
+
+  import org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn
+
+  def route(session: SparkSession,
+      ac: AnalyzeColumn): Option[LogicalPlan] =
+    DvAnalyze.identOf(ac.child).flatMap(id =>
+      DvDml.dvCatalogRoot(session, id).map(root =>
+        DvAnalyzeColumnsCommand(id, root, ac.columnNames,
+          ac.allColumns)))
+}
+
+case class DvAnalyzeColumnsCommand(ident: Seq[String], root: String,
+    columnNames: Option[Seq[String]], allColumns: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column_name",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("distinct_count", LongType, nullable = false)(),
+    AttributeReference("null_count", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, avg, count, length, lit, max => smax, min => smin, when, col => c}
+    import org.apache.spark.sql.types._
+    val df = DV.read(session, root)
+    val fields = df.schema.fields
+    val wanted =
+      if (allColumns) fields.toSeq
+      else columnNames.getOrElse(Nil).map(n =>
+        fields.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column $n on the graft-dv table at $root (have " +
+              s"${fields.map(_.name).mkString(", ")})")))
+    def rangeStats(dt: DataType): Boolean = dt match {
+      case _: NumericType | DateType | BooleanType => true
+      case _ => false
+    }
+    def lenStats(dt: DataType): Boolean = dt match {
+      case StringType | BinaryType => true
+      case _ => false
+    }
+    val cols = wanted.filter(f =>
+      rangeStats(f.dataType) || lenStats(f.dataType) ||
+        f.dataType == StringType || f.dataType == TimestampType)
+    // ONE distributed aggregate over the masked read: NDV (HLL++),
+    // null count, and — where the type supports it — min/max (as the
+    // catalog's external strings) and avg/max length
+    val exprs = Seq(count(lit(1)).as("__rc")) ++ cols.flatMap { f =>
+      val base = Seq(
+        approx_count_distinct(c(f.name)),
+        count(when(c(f.name).isNull, 1)))
+      val range =
+        if (rangeStats(f.dataType))
+          Seq(smin(c(f.name)).cast("string"),
+            smax(c(f.name)).cast("string"))
+        else Seq(lit(null).cast("string"), lit(null).cast("string"))
+      val len =
+        if (lenStats(f.dataType))
+          Seq(avg(length(c(f.name))).cast("long"),
+            smax(length(c(f.name))).cast("long"))
+        else Seq(lit(null).cast("long"), lit(null).cast("long"))
+      base ++ range ++ len
+    }
+    val r = df.agg(exprs.head, exprs.tail: _*).head()
+    val rowCount = r.getLong(0)
+    val colStats = cols.zipWithIndex.map { case (f, i) =>
+      val o = 1 + i * 6
+      val ndv = r.getLong(o)
+      val nulls = r.getLong(o + 1)
+      val mn = if (r.isNullAt(o + 2)) None else Some(r.getString(o + 2))
+      val mx = if (r.isNullAt(o + 3)) None else Some(r.getString(o + 3))
+      val avgL =
+        if (!r.isNullAt(o + 4)) Some(r.getLong(o + 4))
+        else Some(f.dataType.defaultSize.toLong)
+      val maxL =
+        if (!r.isNullAt(o + 5)) Some(r.getLong(o + 5))
+        else Some(f.dataType.defaultSize.toLong)
+      // version = 1: its external min/max forms are the plain cast
+      // strings this aggregate produces (version 2 stores dates and
+      // timestamps as epoch ints, which "2024-01-02" would crash)
+      f.name -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+        distinctCount = Some(BigInt(ndv)),
+        min = if (rangeStats(f.dataType)) mn else None,
+        max = if (rangeStats(f.dataType)) mx else None,
+        nullCount = Some(BigInt(nulls)),
+        avgLen = avgL, maxLen = maxL, version = 1)
+    }.toMap
+    val (_, n) = DV.detail(session, root)
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val tid = ident match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    tid.foreach { id =>
+      session.sessionState.catalog.alterTableStats(id, Some(
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          sizeInBytes = BigInt(n("live_bytes")),
+          rowCount = Some(BigInt(rowCount)),
+          colStats = colStats)))
+      session.sessionState.catalog.refreshTable(id)
+    }
+    cols.zipWithIndex.map { case (f, i) =>
+      val o = 1 + i * 6
+      Row(f.name, r.getLong(o), r.getLong(o + 1))
+    }
+  }
+}
+
 /** Hints-window statement swap for extension-built sessions (and
-  * [[graft.GraftSql]]): AddColumns / AnalyzeTable on a graft-dv
-  * catalog table become their manifest-native commands before Spark's
-  * v1 fallback rejects (or row-scans) the provider. Non-dv targets
-  * pass through untouched.
+  * [[graft.GraftSql]]): AddColumns / AnalyzeTable / AnalyzeColumn on
+  * a graft-dv catalog table become their manifest-native commands
+  * before Spark's v1 fallback rejects (or row-scans) the provider.
+  * Non-dv targets pass through untouched.
   */
 case class DvAlterRule(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AnalyzeTable}
+  import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AnalyzeColumn, AnalyzeTable}
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case ac: AddColumns =>
       DvAlterColumns.route(session, ac).getOrElse(plan)
     case at: AnalyzeTable =>
       DvAnalyze.route(session, at).getOrElse(plan)
+    case ac: AnalyzeColumn =>
+      DvAnalyzeColumns.route(session, ac).getOrElse(plan)
     case _ => plan
   }
 }

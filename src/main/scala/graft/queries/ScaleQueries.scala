@@ -1335,6 +1335,65 @@ object ScaleQueries {
        |ORDER BY _change_type, event_type""".stripMargin
   }
 
+  /** PARTITION EVOLUTION (round 12, the Iceberg hallmark): the table
+    * starts day-partitioned, `ALTER TABLE ... SET PARTITIONING
+    * (event_type)` flips the layout in ONE metadata-only manifest
+    * commit, new rows land under the new layout while the old files
+    * stay queryable under theirs (per-file layout = its hive path
+    * chain; the read unions one manifest-fed relation per generation,
+    * each with its own partition pruning), a scattered delete's mask
+    * composes across BOTH generations, and a SCOPED `OPTIMIZE ...
+    * MIGRATE WHERE day >= mid` rewrites only the matching
+    * old-generation files into the new layout (masks folding into the
+    * replacements). The oracle sees none of the layout mechanics —
+    * content must be exactly the union minus the deletes, which is
+    * the point: evolution is a LAYOUT operation. DvEvolveSpec pins
+    * the per-layout pruning plans, the flag lifecycle, and the
+    * lazy-path restoration after full migration.
+    */
+  def dvPartitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "evolve") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "evo")
+      graft.GraftSql.sql(spark,
+        s"ALTER TABLE $tbl SET PARTITIONING (event_type)").collect()
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val extra = ev.filter(TextOps.h60(concat(lit("dvevo_"),
+          col("event_id").cast("string"))) % 20 === 0)
+        .withColumn("event_id", col("event_id") + lit(6000000000L))
+      DV.append(spark, r, Seq("event_type"), extra): Unit
+      DV.delete(spark, r, "user_id",
+        ev.select(col("user_id")).distinct()
+          .filter(TextOps.h60(concat(lit("dvevd_"),
+            col("user_id").cast("string"))) % 7 === 0)): Unit
+      val mid = ev.select(col("day")).distinct().orderBy(col("day"))
+        .collect().map(_.getString(0)) match {
+          case ds => ds(ds.length / 2)
+        }
+      graft.GraftSql.sql(spark,
+        s"OPTIMIZE $tbl MIGRATE WHERE day >= '$mid'").collect()
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "evo")
+    dvAggregate(spark.table(tbl))
+  }
+
+  private val dvPartitionEvolutionOracle = {
+    import graft.operators.TextOps
+    val sel = s"${TextOps.h60Sql("('dvevo_' || CAST(event_id AS VARCHAR))")} % 20 = 0"
+    val dead = s"${TextOps.h60Sql("('dvevd_' || CAST(user_id AS VARCHAR))")} % 7 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, user_id, value FROM events
+       |  UNION ALL
+       |  SELECT event_type, user_id, value FROM events WHERE $sel)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final WHERE NOT ($dead)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** MANIFEST-STATS file skipping, oracle-gated: the table declares
     * `event_id` a stats column at init (its per-file min/max ride the
     * manifest rows — the Delta/Iceberg stats-in-log shape) and is
@@ -2101,6 +2160,8 @@ object ScaleQueries {
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
     Q("dv_changes_update", Some(dvChangesUpdateOracle), dvChangesUpdate),
+    Q("dv_partition_evolution", Some(dvPartitionEvolutionOracle),
+      dvPartitionEvolution),
     Q("dv_stats_lookup", Some(dvStatsLookupOracle), dvStatsLookup),
     Q("dv_sql_timetravel", Some(dvSqlTimetravelOracle), dvSqlTimetravel),
     Q("dv_sql_maintenance", Some(dvSqlMaintenanceOracle), dvSqlMaintenance),

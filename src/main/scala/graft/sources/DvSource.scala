@@ -231,6 +231,14 @@ class DvStreamSink(spark: SparkSession, root: String,
       DeletionVectors.initEmpty(spark, root, batch.schema, partCols): Unit
     DeletionVectors.appendCommitted(spark, root, partCols, batch,
       Some(batchId), "append"): Unit
+    // opportunistic auto-pack: a long-running append stream must not
+    // accrete per-batch slivers until a manual OPTIMIZE — fold when a
+    // directory crosses the bound, skip silently while maintenance is
+    // busy (option("autoPackFiles", "0") disables)
+    val packAt = parameters.getOrElse("autoPackFiles",
+      DeletionVectors.DefaultAutoPackFiles.toString).toInt
+    if (packAt > 0)
+      DeletionVectors.autoPackFiles(spark, root, packAt): Unit
   }
 }
 

@@ -50,4 +50,80 @@ class CboSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  /** Round-12: the same reorder on DV-BACKED tables, driven by
+    * `ANALYZE ... FOR ALL COLUMNS` ([[graft.plans
+    * .DvAnalyzeColumnsCommand]]) — column NDV/null/min-max computed
+    * over the masked read and landed in the catalog, so
+    * FilterEstimation can price `c_acctbal > 9000` and JoinReorderDP
+    * joins the filtered dim first on a mutable table too.
+    */
+  private def dvCboQuery(stats: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DeletionVectors => DV}
+    import graft.sources.Tables
+    val s = spark.newSession()
+    if (stats) {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    }
+    val sfx = if (stats) "s" else "n"
+    val tmp = System.getProperty("java.io.tmpdir")
+    def mk(name: String, src: DataFrame, key: String): String = {
+      val root = s"$tmp/graft_dvcbo_${name}_$sfx"
+      val full = s"graft_cbo_${name}_dv_$sfx"
+      new java.io.File(root) match {
+        case f if f.exists() =>
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) x.listFiles().foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
+        case _ => ()
+      }
+      DV.init(s, src.withColumn("pb",
+        pmod(col(key), lit(2)).cast("string")), root, "pb")
+      s.sql(s"DROP TABLE IF EXISTS $full")
+      s.sql(s"CREATE TABLE $full USING `graft-dv` OPTIONS (path '$root')")
+      if (stats) graft.GraftSql.sql(s,
+        s"ANALYZE TABLE $full COMPUTE STATISTICS FOR ALL COLUMNS")
+        .collect(): Unit
+      full
+    }
+    val li = mk("li", Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_extendedprice"), "l_orderkey")
+    val ord = mk("ord", Tables.orders(s, sf)
+      .select("o_orderkey", "o_custkey"), "o_orderkey")
+    val cust = mk("cust", Tables.customer(s, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal"), "c_custkey")
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_items
+         |FROM $li l
+         |JOIN $ord o ON l.l_orderkey = o.o_orderkey
+         |JOIN $cust c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_acctbal > 9000
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private def dvInnermost(df: DataFrame): Set[String] = {
+    val joins = df.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+    val inner = joins.filter(j =>
+      j.children.forall(c => c.collect { case x: Join => x }.isEmpty))
+    assert(inner.size == 1)
+    inner.head.collectLeaves().map(_.toString).flatMap { leaf =>
+      Seq("dvcbo_li", "dvcbo_ord", "dvcbo_cust").filter(leaf.contains)
+    }.toSet
+  }
+
+  test("DV tables: ANALYZE FOR ALL COLUMNS lands column stats and " +
+      "flips the join order; without stats the written order survives") {
+    assert(dvInnermost(dvCboQuery(stats = true)) ==
+      Set("dvcbo_ord", "dvcbo_cust"))
+    assert(dvInnermost(dvCboQuery(stats = false)) ==
+      Set("dvcbo_li", "dvcbo_ord"))
+    // and the two answers agree
+    assert(dvCboQuery(stats = true).collect().map(_.toString).toSeq ==
+      dvCboQuery(stats = false).collect().map(_.toString).toSeq)
+  }
 }

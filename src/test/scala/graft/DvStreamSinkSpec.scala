@@ -80,6 +80,43 @@ class DvStreamSinkSpec extends SparkSpec {
       Seq("init", "append", "append", "append"))
   }
 
+  test("a 50-batch append stream holds the per-directory file-count " +
+      "bound via the opportunistic auto-pack; content stays exact") {
+    val root = Files.createTempDirectory("graft_dvsink_pack").toString
+    val drop = Files.createTempDirectory("graft_dvsink_pdrop").toString
+    val ckpt = Files.createTempDirectory("graft_dvsink_pckpt").toString
+    // one constant partition so every batch slivers the SAME dir —
+    // the adversarial shape for file-count growth
+    val ev = graft.sources.Tables.events(spark, sf)
+      .orderBy("event_id").limit(100)
+      .withColumn("day", lit("2026-01-01"))
+      .localCheckpoint()
+    ev.repartition(50).write.mode("overwrite").parquet(drop) // 50 files
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1") // -> one micro-batch per file
+      .parquet(drop)
+      .writeStream.format("graft-dv")
+      .option("path", root).option("partitionCol", "day")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(300000): Unit finally q.stop()
+
+    // content exact across ~50 appends + interleaved packs
+    assert(DV.read(spark, root).count() == 100)
+    assert(DV.read(spark, root).agg(sum("event_id")).head().getLong(0)
+      == ev.agg(sum("event_id")).head().getLong(0))
+    // the bound: threshold (16) + the batches since the last fold —
+    // never the ~50 files an unpacked run would hold
+    val liveFiles = DV.manifest(spark, root).count()
+    assert(liveFiles <= DV.DefaultAutoPackFiles + 4,
+      s"auto-pack must bound the dir: $liveFiles live files")
+    // and the log shows the folds happened through the same commit
+    // discipline (compact versions interleaved with the appends)
+    assert(DV.history(spark, root).filter(col("operation") === "compact")
+      .count() >= 1)
+  }
+
   test("reader options versionAsOf / timestampAsOf time-travel the " +
       "DataFrame face; bad versions fail loudly") {
     val root = Files.createTempDirectory("graft_dvropt").toString
