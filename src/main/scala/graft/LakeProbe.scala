@@ -444,6 +444,94 @@ object LakeProbe {
       probeZ(s"${scale}x", spark.read.parquet(evScaled))
     }
 
+    // ---- probe H: SQL MERGE writes O(batch), never O(table) ---------
+    // The merge-on-read claim for the DSv2 row-level path: a
+    // FIXED-size MERGE against a growing table writes a fixed byte
+    // volume — tombstone blobs + appended image files track the
+    // BATCH; only the classification scan grows with the table (scan
+    // throughput, not rewrite amplification — a copy-on-write merge
+    // would rewrite every touched partition). Deterministic metric:
+    // data-dir byte GROWTH and blob bytes; wall as supporting
+    // evidence.
+    {
+      import graft.operators.{DeletionVectors => DV}
+      spark.conf.set("spark.sql.catalog.graftdv",
+        "graft.sources.GraftDvCatalog")
+      graft.plans.GraftPlans.ensureDvScan(spark)
+      def probeMerge(tag: String, events: DataFrame): (Long, Double) = {
+        val root = s"$tmp/graft_lakeprobe_merge_$tag"
+        val withDay = events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        DV.init(spark, withDay, root, "day")
+        val before = dirBytes(s"$root/data")
+        // fixed batch regardless of table scale: 2000 updates + 500
+        // inserts, driven through Spark's own MERGE rewrite
+        withDay.orderBy("event_id").limit(2000)
+          .withColumn("value", col("value") + 1)
+          .unionByName(withDay.orderBy(desc("event_id")).limit(500)
+            .withColumn("event_id", col("event_id") + 900000000L))
+          .localCheckpoint()
+          .createOrReplaceTempView("lakeprobe_merge_src")
+        val t0 = System.nanoTime()
+        spark.sql(
+          s"""MERGE INTO graftdv.`$root` t USING lakeprobe_merge_src s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        val tM = (System.nanoTime() - t0) / 1e9
+        val written = dirBytes(s"$root/data") - before +
+          dirBytes(s"$root/_dv")
+        val total = dirBytes(s"$root/data")
+        println(f"[lakeprobe] merge/$tag: table=${mb(total)} " +
+          f"wrote ${mb(written)} (images+blobs) in $tM%.2fs")
+        (written, tM)
+      }
+      val (w1, t1) = probeMerge("1x", Tables.events(spark, sfDir))
+      val (wx, tx) = probeMerge(s"${scale}x", spark.read.parquet(evScaled))
+      require(wx <= w1 * 3,
+        s"merge write volume grew with the TABLE: $w1 -> $wx bytes")
+      println(f"[lakeprobe] merge: fixed 2500-row batch; bytes written " +
+        f"$w1 -> $wx (${wx.toDouble / math.max(w1, 1)}%.2fx) under a " +
+        f"${scale}x table; wall $t1%.2fs -> $tx%.2fs (scan-bound, " +
+        "zero rewrite amplification)")
+
+      // the other direction: 10x/100x BATCHES against a FIXED table —
+      // cost (bytes written, wall) must track the batch
+      def probeBatch(n: Int): (Long, Double) = {
+        val root = s"$tmp/graft_lakeprobe_mbatch_$n"
+        val withDay = Tables.events(spark, sfDir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        DV.init(spark, withDay, root, "day")
+        val before = dirBytes(s"$root/data")
+        withDay.orderBy("event_id").limit(n)
+          .withColumn("value", col("value") + 1)
+          .localCheckpoint()
+          .createOrReplaceTempView("lakeprobe_merge_bsrc")
+        val t0 = System.nanoTime()
+        spark.sql(
+          s"""MERGE INTO graftdv.`$root` t USING lakeprobe_merge_bsrc s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        val tM = (System.nanoTime() - t0) / 1e9
+        val written = dirBytes(s"$root/data") - before +
+          dirBytes(s"$root/_dv")
+        println(f"[lakeprobe] merge/batch=$n%d: wrote ${mb(written)} " +
+          f"in $tM%.2fs")
+        (written, tM)
+      }
+      val (b1, _) = probeBatch(500)
+      val (b10, _) = probeBatch(5000)
+      val (b100, t100) = probeBatch(50000)
+      require(b100 <= b1 * 300,
+        s"100x batch wrote ${b100.toDouble / b1}x the bytes — super-" +
+          "linear in the batch")
+      println(f"[lakeprobe] merge batches 500/5k/50k: bytes " +
+        f"${mb(b1)}/${mb(b10)}/${mb(b100)} " +
+        f"(${b10.toDouble / b1}%.1fx, ${b100.toDouble / b1}%.1fx vs " +
+        f"10x/100x rows), 50k wall $t100%.2fs — O(batch), not O(table)")
+    }
+
     spark.stop()
   }
 }
