@@ -532,6 +532,50 @@ object LakeProbe {
         f"10x/100x rows), 50k wall $t100%.2fs — O(batch), not O(table)")
     }
 
+    // ---- probe I: partition evolution — migration tracks the SCOPE --
+    // The evolution claim: SET PARTITIONING moves zero bytes at any
+    // table size, the mixed-generation read serves both layouts, and
+    // a SCOPED migration rewrites exactly the in-scope old-generation
+    // files — O(scoped partition), never O(table).
+    {
+      import graft.operators.{DeletionVectors => DV}
+      def probeEvo(tag: String, events: DataFrame): Unit = {
+        val root = s"$tmp/graft_lakeprobe_evo_$tag"
+        val withDay = events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        DV.init(spark, withDay, root, "day")
+        val bytesBefore = dirBytes(s"$root/data")
+        val t0 = System.nanoTime()
+        DV.setPartitioning(spark, root, Seq("event_type"))
+        val tEvo = (System.nanoTime() - t0) / 1e9
+        require(dirBytes(s"$root/data") == bytesBefore,
+          "evolution must move zero data bytes")
+        DV.append(spark, root, Seq("event_type"),
+          withDay.orderBy("event_id").limit(2000)
+            .withColumn("event_id", col("event_id") + 950000000L))
+        val n = DV.read(spark, root).count() // mixed-generation read
+        val oldFiles = DV.manifest(spark, root).collect()
+          .map(_.getString(0)).filter(_.contains("/day="))
+        val days = oldFiles.map(_.split("/day=")(1).take(10))
+          .distinct.sorted
+        val d = days(days.length / 2)
+        val expected = oldFiles.count(_.contains(s"/day=$d"))
+        val t1 = System.nanoTime()
+        val moved = DV.migrateLayout(spark, root, Some(s"day = '$d'"))
+        val tMig = (System.nanoTime() - t1) / 1e9
+        require(moved.size == expected,
+          s"scoped migrate moved ${moved.size}, expected $expected")
+        require(moved.size <= oldFiles.length / 5,
+          "scope must bound the rewrite well under the table")
+        println(f"[lakeprobe] evo/$tag: evolve $tEvo%.2fs (0 bytes); " +
+          f"mixed read $n%d rows; scoped migrate day=$d moved " +
+          f"${moved.size}/${oldFiles.length} old files in $tMig%.2fs " +
+          "(O(scoped partition))")
+      }
+      probeEvo("1x", Tables.events(spark, sfDir))
+      probeEvo(s"${scale}x", spark.read.parquet(evScaled))
+    }
+
     spark.stop()
   }
 }

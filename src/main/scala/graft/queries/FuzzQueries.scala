@@ -430,7 +430,9 @@ object FuzzQueries {
     * deterministic interleaving of delete → upsert → purge →
     * compactBlobs → delete → vacuum → upsert → zorder → small-file
     * pack → restore → shallow-clone (+ a clone-side delete proving
-    * divergence both ways) runs against a FRESH
+    * divergence both ways) → partition evolution → cross-generation
+    * upsert → scoped migration → DSv2 MERGE → full migration (19
+    * legs) runs against a FRESH
     * deletion-vector table (rebuilt per invocation — the legs observe
     * intermediate states, so memoization would corrupt leg 0 on
     * re-execution), and after EVERY op a leg snapshot of the masked
@@ -524,6 +526,38 @@ object FuzzQueries {
           .filter(h("fz6_", col("user_id")) % 6 === 0))
       legOf("L12", cloneRoot)
       leg("L13")
+      // ---- round-12 verbs, composed onto the same lifecycle ----
+      // L14: partition evolution — ONE metadata flip, content
+      // invariant; the table now serves MIXED generations
+      DV.setPartitioning(spark, root, Seq("event_type"))
+      leg("L14")
+      // L15: keyed upsert ACROSS generations (old-layout files live)
+      DV.upsert(spark, root, Seq("event_type"), "event_id",
+        ev0.filter(h("fz7_", col("event_id")) % 9 === 0)
+          .withColumn("value", col("value") + 25), None)
+      leg("L15")
+      // L16: SCOPED migration — only matching old-generation files
+      // rewrite into the new layout; masks fold in; content invariant
+      val daysAll = ev0.select(col("day")).distinct()
+        .orderBy(col("day")).collect().map(_.getString(0))
+      DV.migrateLayout(spark, root,
+        Some(s"day >= '${daysAll(daysAll.length / 2)}'")): Unit
+      leg("L16")
+      // L17: DSv2 MERGE (Spark's own row-level rewrite driving the
+      // delta writer) onto the mid-evolution table
+      spark.conf.set("spark.sql.catalog.graftdv",
+        "graft.sources.GraftDvCatalog")
+      ev0.filter(h("fz8_", col("event_id")) % 12 === 0)
+        .select(col("event_id")).localCheckpoint()
+        .createOrReplaceTempView("fuzz_dv_merge_src")
+      spark.sql(s"MERGE INTO graftdv.`$root` t " +
+        "USING fuzz_dv_merge_src s ON t.event_id = s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET value = t.value + 10").collect()
+      leg("L17")
+      // L18: FULL migration converges the table (flag clears, lazy
+      // path restored) — invariant over the merged state
+      DV.migrateLayout(spark, root, None): Unit
+      leg("L18")
       out.result()
     }
 
@@ -599,10 +633,49 @@ object FuzzQueries {
          |  WHERE $u2 AND NOT ($d3)
          |UNION ALL SELECT event_type, user_id + 30000000, value
          |  FROM events WHERE $i1 AND NOT ($d2s) AND NOT ($d3s)""".stripMargin
+    // round-12 legs: evolution (L14), scoped migrate (L16) and full
+    // migrate (L18) are content-invariant; the cross-generation
+    // upsert (L15) applies value+25 unconditionally to its keys (the
+    // re-insert rule); the DSv2 MERGE (L17) adds +10 to every LIVE
+    // original-id row whose key matched (shifted inserts untouched —
+    // the source carries original ids only)
+    val u3 = s"${h("fz7_", "event_id")} % 9 = 0"
+    val u4 = s"${h("fz8_", "event_id")} % 12 = 0"
+    val s15 =
+      s"""SELECT event_type, user_id, value FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($u3)
+         |    AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id, value + 100 FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($u3) AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id, value - 50 FROM events
+         |  WHERE $u2 AND NOT ($u3)
+         |UNION ALL SELECT event_type, user_id, value + 25 FROM events
+         |  WHERE $u3
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    def plus10(expr: String) =
+      s"$expr + (CASE WHEN $u4 THEN 10 ELSE 0 END)"
+    val s17 =
+      s"""SELECT event_type, user_id, ${plus10("value")} AS value
+         |  FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($u3)
+         |    AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value + 100")} AS value FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($u3) AND NOT ($d2)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value - 50")} AS value FROM events
+         |  WHERE $u2 AND NOT ($u3)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value + 25")} AS value FROM events WHERE $u3
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
     val legStates = Seq(
       "L0" -> s0, "L1" -> s1, "L2" -> s2, "L3" -> s2, "L4" -> s2,
       "L5" -> s5, "L6" -> s5, "L7" -> s7, "L8" -> s7, "L9" -> s7,
-      "L10" -> s7, "L11" -> s7, "L12" -> s12, "L13" -> s7)
+      "L10" -> s7, "L11" -> s7, "L12" -> s12, "L13" -> s7,
+      "L14" -> s7, "L15" -> s15, "L16" -> s15, "L17" -> s17,
+      "L18" -> s17)
     val legs = legStates.map { case (id, st) =>
       s"SELECT '$id' AS leg_id, event_type, user_id, value FROM ($st)"
     }.mkString("\nUNION ALL ")
