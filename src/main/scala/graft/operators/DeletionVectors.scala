@@ -2426,7 +2426,7 @@ object DeletionVectors {
     */
   private[graft] def commitStagedDml(spark: SparkSession, root: String,
       stage: String, rowSchema: org.apache.spark.sql.types.StructType,
-      op: String): Seq[String] = {
+      op: String, onCommitted: Long => Unit = _ => ()): Seq[String] = {
     val partCols = partitionColsOf(spark, root)
     val incoming = org.apache.spark.sql.types.StructType(
       rowSchema.filterNot(fd => partCols.contains(fd.name)))
@@ -2437,7 +2437,33 @@ object DeletionVectors {
       .getOrElse(incoming)
     val newFiles = moveStaged(spark, root, stage, op)
     commitMovedFiles(spark, root, partCols, newFiles, mergedSchema,
-      statsSchema, Map.empty, None, op, () => ())
+      statsSchema, Map.empty, None, op, () => (), onCommitted)
+  }
+
+  /** UNMASKED rows at explicit (file, pos) coordinates — the
+    * change-data PRE-image reconstruction for the DSv2 delta write
+    * (the coordinates were tombstoned by the very commit being
+    * recorded, so the masked read can no longer serve them; the
+    * files themselves are immutable and present until vacuum). Cost:
+    * a scan of the COORDINATES' files semi-joined on position —
+    * O(touched files), never the table.
+    */
+  private[graft] def rowsAtCoordinates(spark: SparkSession,
+      root: String, coords: DataFrame): DataFrame = {
+    val files = coords.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) return emptyTable(spark, root)
+    val scan = relationOver(spark, root, entriesOf(spark, files),
+      currentMeta(spark, root))
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    // no broadcast hint: coordinates are O(updated rows) — AQE keeps
+    // the broadcast while small and shuffles past the threshold
+    scan.join(coords
+        .withColumnRenamed("file", "__file")
+        .withColumnRenamed("pos", "__pos"),
+      Seq("__file", "__pos"), "left_semi")
+      .drop("__file", "__pos")
   }
 
   /** Bounded wait-then-claim of the maintenance marker — the DSv2

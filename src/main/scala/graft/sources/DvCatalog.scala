@@ -308,9 +308,33 @@ private[sources] class DvScanBuilder(table: DvV2Table)
   * replaces the whole bridge with [[inner]]'s plan, pushdown intact).
   */
 case class DvV1ScanImpl(table: DvV2Table, required: StructType,
-    pushed: Array[sources.Filter]) extends V1Scan {
+    pushed: Array[sources.Filter])
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-backed size estimate (one metadata aggregate): without
+    * it a V1-bridged scan reports `defaultSizeInBytes` (huge) and a
+    * join against a small DV table never broadcasts in sessions
+    * without the optimizer swap. Live physical bytes/rows are the
+    * honest upper bound (tombstones only shrink them).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val agg = DV.manifest(spark, table.root)
+      .agg(org.apache.spark.sql.functions.sum("bytes"),
+        org.apache.spark.sql.functions.sum("rows")).head()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (agg.isNullAt(0)) java.util.OptionalLong.of(0L)
+        else java.util.OptionalLong.of(agg.getLong(0))
+      override def numRows(): java.util.OptionalLong =
+        if (agg.isNullAt(1)) java.util.OptionalLong.of(0L)
+        else java.util.OptionalLong.of(agg.getLong(1))
+    }
+  }
 
   /** The real plan this scan stands for. */
   private[graft] def inner(spark: SparkSession): DataFrame = {

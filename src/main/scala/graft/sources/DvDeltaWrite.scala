@@ -109,6 +109,17 @@ private[sources] class DvDeltaWrite(table: DvV2Table,
     new DvDeltaBatchWrite(table.root, cmd, info.schema())
 }
 
+private[sources] object DvDeltaWrite {
+  /** Schema of the change-data coordinate journal (the tombstoned
+    * (file, pos) pairs a CDF-enabled UPDATE's writers record).
+    */
+  val CoordSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
 /** Java-serializable Hadoop conf (the parquet write settings
   * `prepareWrite` lands on the job conf must reach the executors).
   */
@@ -139,6 +150,16 @@ private[sources] class DvDeltaBatchWrite(root: String,
     s"$root/_dml_stage_${java.util.UUID.randomUUID().toString.take(12)}"
   @volatile private var claimed = false
 
+  /** Change-data recording rides the DSv2 UPDATE too (opt-in conf):
+    * the writers journal their tombstoned coordinates under the
+    * stage, and commit reconstructs the pre-images from the (still
+    * present) old files — see [[DV.rowsAtCoordinates]]. MERGE skips
+    * it (its inserts and update-images are indistinguishable at the
+    * writer; the V1 command path records images for MERGE).
+    */
+  private def cdfOn =
+    cmd == RowLevelOperation.Command.UPDATE && DV.cdfEnabled(spark)
+
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
     // hold the maintenance claim across the whole task phase: no
@@ -148,21 +169,25 @@ private[sources] class DvDeltaBatchWrite(root: String,
     val partCols = DV.partitionColsOf(spark, root)
     val dataSchema = StructType(
       rowSchema.filterNot(f => partCols.contains(f.name)))
+    def prepared(schema: StructType): (OutputWriterFactory, SerConf) = {
+      val job = Job.getInstance(spark.sessionState.newHadoopConf())
+      val f = new ParquetFileFormat().prepareWrite(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        job, Map.empty, schema)
+      (f, new SerConf(job.getConfiguration))
+    }
     val (factory, conf) =
       if (dataSchema.isEmpty) (null: OutputWriterFactory, null: SerConf)
-      else {
-        val job = Job.getInstance(
-          spark.sessionState.newHadoopConf())
-        val f = new ParquetFileFormat().prepareWrite(
-          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          job, Map.empty, dataSchema)
-        (f, new SerConf(job.getConfiguration))
-      }
+      else prepared(dataSchema)
+    val (coordFactory, coordConf) =
+      if (cdfOn) prepared(DvDeltaWrite.CoordSchema)
+      else (null: OutputWriterFactory, null: SerConf)
     new DvDeltaWriterFactory(root, stage, rowSchema, partCols,
-      dataSchema, factory, conf)
+      dataSchema, factory, conf, coordFactory, coordConf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    var packAfter = false
     try {
       val msgs = messages.toSeq.collect {
         case m: DvDeltaCommitMessage => m }
@@ -182,9 +207,32 @@ private[sources] class DvDeltaBatchWrite(root: String,
             "committed; re-run the statement")
       }
       val anyInserts = msgs.exists(_.inserted > 0)
-      if (anyInserts)
-        DV.commitStagedDml(spark, root, stage, rowSchema, opName): Unit
+      // change data (UPDATE + conf on): pre-images from the journaled
+      // coordinates, post-images = the staged rows, keyed to the
+      // commit by the same rename-on-CAS discipline the V1 path uses
+      val coordDir = new Path(s"$stage/_cdfpre")
+      val fs = coordDir.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val cdf =
+        if (cdfOn && anyInserts && fs.exists(coordDir)) {
+          val c = new DV.CdfStage(spark, root)
+          c.writePre(DV.rowsAtCoordinates(spark, root,
+            spark.read.parquet(coordDir.toString)))
+          c.writePost(spark.read.option("basePath", stage)
+            .parquet(stage))
+          Some(c)
+        } else None
+      try {
+        if (anyInserts) {
+          DV.commitStagedDml(spark, root, stage, rowSchema, opName,
+            onCommitted = v => cdf.foreach(_.onCommitted(v))): Unit
+          packAfter = true
+        }
+      } finally cdf.foreach(_.cleanup())
     } finally cleanup()
+    // opportunistic auto-pack AFTER the claim releases: a merge-heavy
+    // stream of statements must not accrete per-commit slivers
+    if (packAfter) DV.autoPackFiles(spark, root): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -209,13 +257,14 @@ private[sources] class DvDeltaBatchWrite(root: String,
 
 private[sources] class DvDeltaWriterFactory(root: String, stage: String,
     rowSchema: StructType, partCols: Seq[String], dataSchema: StructType,
-    factory: OutputWriterFactory,
-    conf: SerConf) extends DeltaWriterFactory {
+    factory: OutputWriterFactory, conf: SerConf,
+    coordFactory: OutputWriterFactory,
+    coordConf: SerConf) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new DvDeltaTaskWriter(root, stage, rowSchema, partCols, dataSchema,
-      factory, conf, partitionId, taskId)
+      factory, conf, coordFactory, coordConf, partitionId, taskId)
 }
 
 /** Executor-side delta writer. Deletes buffer per target file and
@@ -229,8 +278,9 @@ private[sources] class DvDeltaWriterFactory(root: String, stage: String,
   */
 private[sources] class DvDeltaTaskWriter(root: String, stage: String,
     rowSchema: StructType, partCols: Seq[String], dataSchema: StructType,
-    factory: OutputWriterFactory, conf: SerConf, partitionId: Int,
-    taskId: Long) extends DeltaWriter[InternalRow] {
+    factory: OutputWriterFactory, conf: SerConf,
+    coordFactory: OutputWriterFactory, coordConf: SerConf,
+    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
 
   // ---- delete side ---------------------------------------------------
   private var curFile: String = null
@@ -239,6 +289,28 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
   private val touched = mutable.LinkedHashSet.empty[String]
   private var deleted = 0L
   private val FlushAt = 1 << 22 // 32 MB of positions per file chunk
+
+  // change-data coordinate journal (CDF-enabled UPDATE only)
+  private var coordWriter:
+    org.apache.spark.sql.execution.datasources.OutputWriter = null
+
+  private def journalCoord(file: String, pos: Long): Unit = {
+    if (coordWriter == null) {
+      val dir = s"$stage/_cdfpre"
+      val p = new Path(dir)
+      p.getFileSystem(coordConf.value).mkdirs(p)
+      val ctx = new TaskAttemptContextImpl(coordConf.value,
+        new TaskAttemptID(new TaskID(new JobID("graft-cdf", 0),
+          TaskType.MAP, partitionId), taskId.toInt))
+      coordWriter = coordFactory.newInstance(
+        f"$dir/part-$partitionId%05d-$taskId" +
+          coordFactory.getFileExtension(ctx),
+        DvDeltaWrite.CoordSchema, ctx)
+    }
+    coordWriter.write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(file), pos)))
+  }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
@@ -250,6 +322,7 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
     positions += pos
     posCount += 1
     deleted += 1
+    if (coordFactory != null) journalCoord(file, pos)
     if (posCount >= FlushAt) flushDeletes(keepFile = true)
   }
 
@@ -317,6 +390,7 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
     flushDeletes()
     writers.values.foreach(_.close())
     writers.clear()
+    if (coordWriter != null) { coordWriter.close(); coordWriter = null }
     DvDeltaCommitMessage(stagedFiles.toSeq, touched.toSeq, deleted,
       inserted)
   }
@@ -326,6 +400,10 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
       case _: IOException => ()
     }
     writers.clear()
+    try { if (coordWriter != null) coordWriter.close() } catch {
+      case _: IOException => ()
+    }
+    coordWriter = null
     // staged parquet is swept with the stage dir by the driver;
     // already-flushed blobs duplicate at worst (read-side dedupe)
   }

@@ -180,6 +180,81 @@ class DvCatalogSpec extends SparkSpec {
       .select("operation").head().getString(0) == "merge")
   }
 
+  test("the DSv2 scan reports manifest-backed statistics (relation " +
+      "tier); the optimizer swap carries exact sizing into joins") {
+    val (_, t, _) = fresh()
+    // pre-pushdown: DataSourceV2Relation builds a scan and consults
+    // SupportsReportStatistics — manifest bytes, not default-huge.
+    // (Post-pushdown Spark wraps V1 scans in a stats-less
+    // V1ScanWrapper — a known bridge limitation — which is one more
+    // reason the swap rule replaces the whole bridge with the direct
+    // manifest-fed plan, whose HadoopFsRelation sizes joins exactly.)
+    val sz = spark.sql(s"SELECT * FROM $t")
+      .queryExecution.analyzed.stats.sizeInBytes
+    assert(sz > BigInt(0) && sz < BigInt(100L * 1024 * 1024),
+      s"expected manifest-scale size, got $sz")
+    // with the swap installed, the optimized plan sizes from the
+    // real relation too
+    graft.plans.GraftPlans.ensureDvScan(spark)
+    val szOpt = spark.sql(s"SELECT * FROM $t")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(szOpt > BigInt(0) && szOpt < BigInt(100L * 1024 * 1024),
+      s"swap-rule plan must size from the manifest, got $szOpt")
+  }
+
+  test("DSv2 UPDATE with change data ON journals coordinates on the " +
+      "executors and emits paired pre/post images") {
+    val (root, t, ev) = fresh()
+    val v1 = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+    spark.conf.set("spark.graft.dv.cdf", "true")
+    try spark.sql(
+      s"UPDATE $t SET value = value + 111 WHERE user_id % 3 = 0")
+      .collect(): Unit
+    finally spark.conf.unset("spark.graft.dv.cdf")
+    val vN = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+    val feed = DV.readChanges(spark, root, v1, vN).localCheckpoint()
+    val n = ev.filter(col("user_id") % 3 === 0).count()
+    assert(n > 0)
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .count() == n)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .count() == n)
+    assert(feed.filter(col("_change_type") === "insert").count() == 0,
+      "a pure UPDATE emits no plain inserts")
+    // pre and post pair on the key set, and post = pre + 111 per key
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("event_id")
+      .exceptAll(feed.filter(col("_change_type") === "update_preimage")
+        .select("event_id")).isEmpty)
+    val delta = feed
+      .groupBy("event_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        when(col("_change_type") === "update_postimage", col("value"))
+          .otherwise(-col("value"))).as("d"))
+      .filter(org.apache.spark.sql.functions
+        .abs(col("d") - 111.0) > 1e-6)
+    assert(delta.isEmpty, "each pair must differ by exactly the SET")
+  }
+
+  test("a DSv2 row-level write WAITS OUT a held maintenance claim " +
+      "(never interleaves with purge) and then applies") {
+    val (root, t, ev) = fresh()
+    DV.acquireMaintenanceClaim(spark, root) // a purge holds the table
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      spark.sql(s"DELETE FROM $t WHERE user_id % 6 = 0").collect()
+    }
+    Thread.sleep(1500)
+    assert(!fut.isCompleted,
+      "the write must block while maintenance holds the claim")
+    DV.releaseMaintenanceClaim(spark, root)
+    Await.result(fut, 180.seconds)
+    assert(spark.sql(s"SELECT * FROM $t").count() ==
+      ev.filter(col("user_id") % 6 =!= 0).count())
+  }
+
   test("CHECK constraints gate the DSv2 write paths: a violating " +
       "INSERT fails loudly and publishes nothing") {
     val (root, t, _) = fresh()
