@@ -2678,6 +2678,11 @@ object DeletionVectors {
       "constraints" ->
         meta.map(_.constraints.toSeq.sortBy(_._1)
           .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "))
+          .getOrElse(""),
+      // mid-evolution state: the generations whose files may still be
+      // live besides the current layout ("" once migration converges)
+      "old_layouts" ->
+        meta.map(_.oldLayouts.map(_.mkString("+")).mkString("; "))
           .getOrElse(""))
     val numbers = Map(
       "current_version" -> versions.last,
@@ -2798,7 +2803,26 @@ object DeletionVectors {
           dataDeleted = delAcc.value
         }
       }
-      if (!dryRun) Snapshots.vacuum(spark, mt, keepVersions)
+      if (!dryRun) {
+        Snapshots.vacuum(spark, mt, keepVersions)
+        // change-data sidecars of vacuumed versions go with them
+        // (they are keyed BY version; a feed spanning a vacuumed
+        // endpoint already fails loudly at the manifest check, and a
+        // surviving step without its sidecar degrades gracefully to
+        // the insert/delete shape) — without this sweep a CDF-enabled
+        // table leaks O(changed rows) bytes per retired commit
+        val cdfRoot = new Path(cdfDir(root))
+        if (f.exists(cdfRoot)) {
+          val kept = Snapshots.committedVersions(spark, mt).toSet
+          f.listStatus(cdfRoot).foreach { d =>
+            val name = d.getPath.getName
+            val v = name.stripPrefix("v=")
+            if (name.startsWith("v=") && v.nonEmpty &&
+                v.forall(_.isDigit) && !kept.contains(v.toLong))
+              f.delete(d.getPath, true): Unit
+          }
+        }
+      }
       // tombstone dirs of dead files: whole-dir GC, resolved
       // DISTRIBUTEDLY (one header read per dir decides) and matched
       // against the referenced set by ANTI-JOIN, not a broadcast of

@@ -208,6 +208,7 @@ case class DvDetailCommand(identText: String)
     AttributeReference("partition_columns", S, nullable = false)(),
     AttributeReference("stats_columns", S, nullable = false)(),
     AttributeReference("constraints", S, nullable = false)(),
+    AttributeReference("old_layouts", S, nullable = false)(),
     AttributeReference("current_version", LongType, nullable = false)(),
     AttributeReference("num_retained_versions", LongType,
       nullable = false)(),
@@ -222,6 +223,7 @@ case class DvDetailCommand(identText: String)
     val (s, n) = DV.detail(session, root)
     Seq(Row(s("format"), s("location"), s("table_id"),
       s("partition_columns"), s("stats_columns"), s("constraints"),
+      s("old_layouts"),
       n("current_version"), n("num_retained_versions"), n("cdc_batch"),
       n("num_live_files"), n("live_rows"), n("live_bytes"),
       n("tombstoned_rows")))

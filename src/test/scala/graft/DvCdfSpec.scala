@@ -183,6 +183,19 @@ class DvCdfSpec extends SparkSpec {
         mirror.select(cols.sorted.map(col): _*),
         end.select(cols.sorted.map(col): _*)),
       "a keyed consumer folding postimages must converge to the source")
+
+    // vacuum reclaims the change-data sidecars WITH their versions:
+    // retired commits must not leak O(changed rows) bytes forever
+    val cdfRoot = new org.apache.hadoop.fs.Path(DV.cdfDir(root))
+    val fs = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(cdfRoot) && fs.listStatus(cdfRoot).nonEmpty)
+    DV.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+    val keptV = Snapshots.committedVersions(spark, mt).toSet
+    val leftover = fs.listStatus(cdfRoot).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).toSet
+    assert(leftover.subsetOf(keptV),
+      s"vacuum must sweep retired sidecars; left $leftover, kept $keptV")
   }
 
   test("feed across schema evolution carries the widest column set, " +

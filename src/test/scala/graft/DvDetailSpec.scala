@@ -33,10 +33,11 @@ class DvDetailSpec extends SparkSpec {
     assert(d.getString(3) == "day")
     assert(d.getString(4) == "event_id")
     assert(d.getString(5) == "pos CHECK (event_id >= 0)")
-    assert(d.getLong(6) == 2L) // init + the ALTER's metadata flip
-    assert(d.getLong(10) == 300L,
+    assert(d.getString(6) == "", "no evolution yet -> empty old_layouts")
+    assert(d.getLong(7) == 2L) // init + the ALTER's metadata flip
+    assert(d.getLong(11) == 300L,
       "live_rows counts PHYSICAL rows — masked rows stay in files")
-    assert(d.getLong(12) == vic)
+    assert(d.getLong(13) == vic)
     // non-dv target fails loudly
     intercept[Exception](graft.GraftSql.sql(spark,
       "DESCRIBE DETAIL nothere").collect())
