@@ -717,6 +717,55 @@ object DeletionVectors {
       // could serve a newer live set than the index's manifest)
       Some(() => entriesAt(spark, root, v))))
 
+  /** Anchored hive-chain pattern matching exactly the files of one
+    * partition-layout generation — pushed into the manifest scan so
+    * a per-generation lazy index holds only ITS files. The full
+    * anchor matters: `[day]`'s unanchored `/day=` would also match a
+    * `[region, day]` generation's files.
+    */
+  private def layoutRegex(spark: SparkSession, root: String,
+      layout: Seq[String]): String = {
+    val dd = new Path(dataDir(root))
+    val prefix = GraftDvApi.urlOf(hfs(spark, root).makeQualified(dd))
+    "^" + java.util.regex.Pattern.quote(prefix) + "/" +
+      layout.map(c =>
+        java.util.regex.Pattern.quote(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(c)) + "=[^/]*").mkString("/") +
+      "/[^/]*$"
+  }
+
+  /** Mid-evolution LAZY read: one manifest-fed lazy index PER layout
+    * generation (each scoped by its anchored path pattern, each with
+    * its own partition pruning), unioned under the full schema — the
+    * driver still materializes only filter-surviving entries, so the
+    * round-11 lazy-manifest ceiling removal SURVIVES the evolution
+    * window instead of waiting for migration to converge.
+    */
+  private def scanLazyMixedWithPos(spark: SparkSession, root: String,
+      v: Long, meta: TableMeta): DataFrame = {
+    val full = meta.fullSchema
+    val outCols = (full.fieldNames.toSeq :+ "__file" :+ "__pos").map(col)
+    val bytes = liveBytesAt(spark, root, v)
+    val gens = (meta.partCols +: meta.oldLayouts).distinct
+    val parts = gens.map { layout =>
+      val ds = org.apache.spark.sql.types.StructType(
+        full.filterNot(fd => layout.contains(fd.name)))
+      GraftDvApi.lazyRelation(spark, dataDir(root),
+          s"${manifestTable(root)}/v=$v", layout, meta.statsSchema,
+          ds, bytes, Some(() => entriesAt(spark, root, v)),
+          Some(layoutRegex(spark, root, layout)))
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .select(outCols: _*)
+    }
+    val data = parts.reduce(_ unionByName _)
+    if (DvBlobs.hasAny(root))
+      data.filter(GraftFunctions.dvAlive(spark,
+        col("__file"), col("__pos"), root))
+    else data
+  }
+
   /** The table as readers see it: committed files minus tombstones.
     * A table whose purge removed EVERY file from the manifest (all
     * rows deleted) is still readable — schema comes from the data
@@ -733,11 +782,12 @@ object DeletionVectors {
   private def readPos0(spark: SparkSession, root: String): DataFrame = {
     val vOpt = Snapshots.latestVersion(spark, manifestTable(root))
     vOpt.flatMap(v => metaAt(spark, root, v).map(m => (v, m))) match {
-      // a mid-evolution table (old-layout files still live) reads
-      // through the eager per-layout union; migration (or natural
-      // purge churn) clears the flag and restores the lazy path
+      // a mid-evolution table (old-layout files possibly live) reads
+      // through one LAZY index per layout generation — pruning and
+      // driver holdings stay per-generation even before migration
+      // converges (which clears the flag and collapses to one index)
       case Some((v, m)) if m.oldLayouts.nonEmpty =>
-        scanWithPos(spark, root, entriesAt(spark, root, v), Some(m))
+        scanLazyMixedWithPos(spark, root, v, m)
       case Some((v, m)) => scanLazyWithPos(spark, root, v, m)
       case None =>
         val entries = liveEntries(spark, root)

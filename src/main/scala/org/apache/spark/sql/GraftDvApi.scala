@@ -197,7 +197,8 @@ object GraftDvApi {
       partCols: Seq[String],
       statsSchema: StructType,
       totalBytes: Long,
-      cachedFull: Option[() => Seq[LiveFile]] = None) extends FileIndex {
+      cachedFull: Option[() => Seq[LiveFile]] = None,
+      fileRegex: Option[String] = None) extends FileIndex {
 
     import org.apache.spark.sql.functions.{col, element_at}
 
@@ -207,8 +208,17 @@ object GraftDvApi {
       StructType(partCols.map(c =>
         StructField(c, StringType, nullable = true)))
 
-    private def manifestRows: DataFrame =
-      spark.read.parquet(manifestVersionDir).filter(col("file") =!= "")
+    // `fileRegex` scopes this index to ONE partition-layout
+    // GENERATION of an evolved table (the full anchored hive-chain
+    // pattern, pushed into the manifest scan itself) — a mid-
+    // evolution read unions one lazy index per generation instead of
+    // falling back to an eager full-manifest materialization
+    private def manifestRows: DataFrame = {
+      val base = spark.read.parquet(manifestVersionDir)
+        .filter(col("file") =!= "")
+      fileRegex.map(r => base.filter(col("file").rlike(r)))
+        .getOrElse(base)
+    }
 
     private def translatable(e: Expression): Boolean =
       e.references.forall(a => partCols.contains(a.name)) &&
@@ -276,10 +286,14 @@ object GraftDvApi {
       // nothing to push -> serve the caller's cached per-version
       // listing instead of re-running a manifest job per execution
       // (the unfiltered-read fast path; pruned reads pay the one
-      // small manifest scan that saves them the materialization)
+      // small manifest scan that saves them the materialization).
+      // A generation-scoped index filters the cached (full) listing
+      // by its own path pattern first.
       if (pushable.isEmpty && statsPreds.isEmpty && cachedFull.isDefined)
         return {
+          val pat = fileRegex.map(_.r.pattern)
           val rows = cachedFull.get.apply()
+            .filter(f => pat.forall(_.matcher(f.path).matches()))
           if (residual.isEmpty) rows
           else new ManifestFileIndex(root, partCols, rows)
             .listFiles(residual, Nil)
@@ -322,10 +336,12 @@ object GraftDvApi {
       manifestVersionDir: String, partCols: Seq[String],
       statsSchema: StructType, dataSchema: StructType,
       totalBytes: Long,
-      cachedFull: Option[() => Seq[LiveFile]] = None): DataFrame = {
+      cachedFull: Option[() => Seq[LiveFile]] = None,
+      fileRegex: Option[String] = None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val fi = new LazyManifestFileIndex(spark, new Path(root),
-      manifestVersionDir, partCols, statsSchema, totalBytes, cachedFull)
+      manifestVersionDir, partCols, statsSchema, totalBytes, cachedFull,
+      fileRegex)
     val rel = HadoopFsRelation(fi, fi.partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel))

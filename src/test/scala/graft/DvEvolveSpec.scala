@@ -119,6 +119,33 @@ class DvEvolveSpec extends SparkSpec {
         _.contains(s"/event_type=$t")),
       "the new generation's scan must PRUNE on its partition column")
     assert(typeScan.count(_.contains("/event_type=")) < newGen.size)
+
+    // the mid-evolution read stays LAZY — one manifest-fed lazy
+    // index PER generation, each scoped by its path pattern, so the
+    // driver materializes per-generation survivors, never the table
+    val idxs = org.apache.spark.sql.GraftPlanApi
+      .analyzed(DV.read(spark, root)).collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location
+      }
+    assert(idxs.size == 2 && idxs.forall(_.isInstanceOf[
+        org.apache.spark.sql.GraftDvApi.LazyManifestFileIndex]),
+      s"evolution must not forfeit the lazy path: ${idxs.map(_.getClass)}")
+    val dayIdx = idxs.map(_.asInstanceOf[
+        org.apache.spark.sql.GraftDvApi.LazyManifestFileIndex])
+      .find(_.partitionSchema.fieldNames.sameElements(Array("day"))).get
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val aDay = AttributeReference("day",
+      org.apache.spark.sql.types.StringType)()
+    val allOld = dayIdx.survivors(Nil, Nil)
+    val pruned = dayIdx.survivors(Seq(EqualTo(aDay, Literal(d))), Nil)
+    assert(allOld.map(_.path).toSet == oldGen.toSet,
+      "the day-generation index holds exactly the old files")
+    assert(pruned.nonEmpty && pruned.size < allOld.size &&
+      pruned.forall(_.path.contains(s"/day=$d")),
+      s"generation-scoped survivors must prune: ${pruned.size}/${allOld.size}")
   }
 
   test("OPTIMIZE MIGRATE: scoped migration rewrites only matching " +
