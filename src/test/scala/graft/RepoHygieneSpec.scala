@@ -31,4 +31,23 @@ class RepoHygieneSpec extends AnyFunSuite {
         " — spell them as escapes so the file stays text to " +
         "git/grep/scanners")
   }
+
+  /** The round-12 regression class: an unquoted shell command turned
+    * Scala/DESCRIBE output fragments ("string,", "versions.last,", …)
+    * into zero-byte files at the repo root, and the end-of-round
+    * snapshot commit swept them into history. Strays at the root are
+    * never intentional here — the root holds only build/driver files.
+    */
+  test("repo root carries no zero-byte or comma-suffixed stray files") {
+    val root = new java.io.File(".").getCanonicalFile
+    val strays = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isFile)
+      .filter(f => f.length == 0 || f.getName.endsWith(","))
+      // derby.log is runtime debris the JDBC sink spec may leave while
+      // the suite is mid-flight; it is gitignored, not committed.
+      .filterNot(_.getName == "derby.log")
+      .map(_.getName)
+    assert(strays.isEmpty,
+      s"stray root files (shell-quoting debris?): ${strays.mkString(", ")}")
+  }
 }
