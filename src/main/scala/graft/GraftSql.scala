@@ -43,12 +43,23 @@ object GraftSql {
     val pre = graft.plans.DvTimeTravelRule(spark)(parsed)
     parsed match {
       case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable =>
+        // MERGE schema evolution (opt-in): widen the target BEFORE
+        // analysis so star actions cover the source's new columns
+        graft.plans.DvSchemaEvolve.maybeWiden(spark, parsed)
         val analyzed = spark.sessionState.analyzer.execute(pre)
         val routed = DvDmlRule(analyzed)
         if ((routed eq analyzed) && (pre eq parsed)) spark.sql(text)
         else GraftPlanApi.ofRows(spark, routed)
       case ac: AddColumns =>
         graft.plans.DvAlterColumns.route(spark, ac)
+          .map(cmd => GraftPlanApi.ofRows(spark, cmd))
+          .getOrElse(spark.sql(text))
+      case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        graft.plans.DvAlterColumns.routeRename(spark, rc)
+          .map(cmd => GraftPlanApi.ofRows(spark, cmd))
+          .getOrElse(spark.sql(text))
+      case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        graft.plans.DvAlterColumns.routeDrop(spark, dc)
           .map(cmd => GraftPlanApi.ofRows(spark, cmd))
           .getOrElse(spark.sql(text))
       case at: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>

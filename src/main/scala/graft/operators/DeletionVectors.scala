@@ -142,7 +142,10 @@ object DeletionVectors {
         lit(null).cast("string").as("stats_cols"),
         lit(null).cast("string").as("op"),
         lit(null).cast("map<string,string>").as("constraints"),
-        lit(null).cast("string").as("old_layouts"))
+        lit(null).cast("string").as("old_layouts"),
+        lit(null).cast("map<string,string>").as("col_map"),
+        lit(null).cast("string").as("dropped_cols"),
+        lit(null).cast("string").as("features"))
       .unionByName(spark.range(1).select(lit(Sentinel).as("file"),
         lit(0L).as("rows"), lit(0L).as("bytes"),
         lit(null).cast("array<string>").as("part_values"),
@@ -155,7 +158,10 @@ object DeletionVectors {
         lit(statsSchema.json).as("stats_cols"),
         lit(op).as("op"),
         lit(null).cast("map<string,string>").as("constraints"),
-        lit(null).cast("string").as("old_layouts")))
+        lit(null).cast("string").as("old_layouts"),
+        lit(null).cast("map<string,string>").as("col_map"),
+        lit(null).cast("string").as("dropped_cols"),
+        lit(null).cast("string").as("features")))
   }
 
   /** Stamp `op` onto the sentinel row of a next-manifest frame (and
@@ -186,7 +192,9 @@ object DeletionVectors {
       "stats_cols" -> "string", "part_values" -> "array<string>",
       "smin" -> "map<string,string>", "smax" -> "map<string,string>",
       "op" -> "string", "constraints" -> "map<string,string>",
-      "cdc_stream" -> "string", "old_layouts" -> "string")
+      "cdc_stream" -> "string", "old_layouts" -> "string",
+      "col_map" -> "map<string,string>", "dropped_cols" -> "string",
+      "features" -> "string")
     want.foldLeft(df) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(t))
@@ -213,7 +221,10 @@ object DeletionVectors {
       partCols: Seq[String],
       statsSchema: org.apache.spark.sql.types.StructType,
       constraints: Map[String, String] = Map.empty,
-      oldLayouts: Seq[Seq[String]] = Nil) {
+      oldLayouts: Seq[Seq[String]] = Nil,
+      colMap: Map[String, String] = Map.empty,
+      droppedPhys: Seq[String] = Nil,
+      features: Set[String] = Set.empty) {
     /** The table's full logical schema: data columns + the CURRENT
       * partition columns (string-typed, the file-index rule). Columns
       * that left the partition layout live in dataSchema as strings.
@@ -222,7 +233,65 @@ object DeletionVectors {
       org.apache.spark.sql.types.StructType(dataSchema.fields ++
         partCols.map(c => org.apache.spark.sql.types.StructField(c,
           org.apache.spark.sql.types.StringType)))
+
+    /** COLUMN MAPPING (the Delta name-mapping shape): `colMap` is
+      * LOGICAL column name → PHYSICAL parquet field name, identity
+      * entries omitted (empty = no column was ever renamed). Physical
+      * names are FROZEN at a column's first write — RENAME COLUMN
+      * flips only the logical name, so every file ever written stays
+      * readable with zero rewrites and new writes keep the one
+      * physical layout. `droppedPhys` records physical names retired
+      * by DROP COLUMN so a later ADD COLUMNS of the same name cannot
+      * resurrect the dropped bytes (it gets a generated physical
+      * name instead).
+      */
+    def physicalName(logical: String): String =
+      colMap.getOrElse(logical, logical)
+
+    /** `schema` with field names mapped logical→physical (types and
+      * metadata untouched) — what the parquet scan/writer must use.
+      */
+    def physicalSchema(schema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType =
+      if (colMap.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))))
+
+    /** Every physical name in use or ever used — the collision set a
+      * newly added column's physical name must avoid.
+      */
+    def usedPhysicalNames: Set[String] =
+      colMap.values.toSet ++ droppedPhys
   }
+
+  /** Rename a frame's columns PHYSICAL→LOGICAL per `meta.colMap`, as
+    * ONE projection (chained withColumnRenamed could transiently
+    * collide when a physical name equals another column's logical
+    * name — e.g. after rename chains a→c, b→a). Unmapped columns
+    * (including `__file`/`__pos`) pass through. No-op without a map.
+    */
+  private def toLogicalCols(df: DataFrame,
+      meta: Option[TableMeta]): DataFrame =
+    meta.map(_.colMap).filter(_.nonEmpty) match {
+      case None => df
+      case Some(cm) =>
+        val inv = cm.map(_.swap) // physical -> logical
+        df.select(df.columns.toSeq.map(c =>
+          inv.get(c).map(l => col(c).as(l)).getOrElse(col(c))): _*)
+    }
+
+  /** Rename a frame's columns LOGICAL→PHYSICAL per `meta.colMap` —
+    * the write-side inverse of [[toLogicalCols]], applied just before
+    * staging parquet so files always carry the frozen physical names.
+    */
+  private def toPhysicalCols(df: DataFrame,
+      meta: Option[TableMeta]): DataFrame =
+    meta.map(_.colMap).filter(_.nonEmpty) match {
+      case None => df
+      case Some(cm) =>
+        df.select(df.columns.toSeq.map(c =>
+          cm.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
+    }
 
   /** Metadata recorded in version v's sentinel — None for
     * pre-evolution manifests (readers fall back to the legacy
@@ -232,7 +301,39 @@ object DeletionVectors {
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[TableMeta]]()
 
+  /** Reader features this build implements — the table-features half
+    * of protocol gating (the Delta `minReaderVersion` shape, feature-
+    * granular): a manifest written under a capability an older reader
+    * lacks must FAIL LOUDLY there, never misread. The conf exists so
+    * compatibility tests (and operators pinning a reader surface) can
+    * simulate a gate-stripped build.
+    */
+  val ReaderFeatures: Set[String] =
+    Set("column-mapping", "partition-evolution", "cdf-updates")
+
+  private def supportedReaderFeatures(spark: SparkSession): Set[String] =
+    spark.conf.getOption("spark.graft.dv.readerFeatures")
+      .map(_.split(',').toSet.filter(_.nonEmpty).map(_.trim))
+      .getOrElse(ReaderFeatures)
+
+  /** [[metaAt0]] + the protocol gate: enforcement sits OUTSIDE the
+    * meta cache so a reader-capability change is honored immediately.
+    */
   private def metaAt(spark: SparkSession, root: String,
+      v: Long): Option[TableMeta] = {
+    val meta = metaAt0(spark, root, v)
+    meta.foreach { m =>
+      val missing = m.features -- supportedReaderFeatures(spark)
+      require(missing.isEmpty,
+        s"graft-dv table at $root (manifest v$v) requires reader " +
+          s"feature(s) ${missing.toSeq.sorted.mkString(", ")} this " +
+          "reader does not support — upgrade the reader; refusing to " +
+          "misread the table")
+    }
+    meta
+  }
+
+  private def metaAt0(spark: SparkSession, root: String,
       v: Long): Option[TableMeta] = {
     val key = s"${spark.sparkContext.applicationId}|$root|" +
       s"${tableId(spark, root)}|$v|meta"
@@ -242,7 +343,8 @@ object DeletionVectors {
       if (!m.columns.contains("schema_json")) None
       else {
         val cols = Seq("schema_json", "part_cols") ++
-          Seq("stats_cols", "constraints", "old_layouts")
+          Seq("stats_cols", "constraints", "old_layouts",
+            "col_map", "dropped_cols", "features")
             .filter(m.columns.contains)
         m.filter(col("file") === Sentinel)
           .select(cols.map(col): _*).collect().headOption
@@ -262,10 +364,18 @@ object DeletionVectors {
             val olds = at("old_layouts")(i => r.getString(i))
               .map(_.split('\n').toSeq.filter(_.nonEmpty)
                 .map(partColsOfJson)).getOrElse(Nil)
+            val cmap = at("col_map")(i =>
+              r.getMap[String, String](i).toMap).getOrElse(Map.empty)
+            val dropped = at("dropped_cols")(i => r.getString(i))
+              .map(_.split('\n').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            val feats = at("features")(i => r.getString(i))
+              .map(_.split('\n').toSet.filter(_.nonEmpty))
+              .getOrElse(Set.empty[String])
             TableMeta(org.apache.spark.sql.types.DataType
               .fromJson(r.getString(0))
               .asInstanceOf[org.apache.spark.sql.types.StructType],
-              partColsOfJson(r.getString(1)), stats, cons, olds)
+              partColsOfJson(r.getString(1)), stats, cons, olds,
+              cmap, dropped, feats)
           }
       }
     })
@@ -601,11 +711,15 @@ object DeletionVectors {
       vectors.head
     }
     // schema from the manifest sentinel (versioned with the live set —
-    // the schema-evolution carrier); legacy manifests fall back to one
+    // the schema-evolution carrier), mapped to the PHYSICAL field
+    // names the parquet files carry (renamed columns resolve by their
+    // frozen written name; [[toLogicalCols]] restores the logical
+    // names above the scan). Legacy manifests fall back to one
     // entry's parquet FOOTER — never string-path DataSource resolution
     // (re-encodes escaped partition segments, PATH_NOT_FOUND) and
     // never a directory probe (stale pre-vacuum siblings)
-    val dataSchema = meta.map(_.dataSchema).getOrElse {
+    val dataSchema = meta.map(m => m.physicalSchema(m.dataSchema))
+      .getOrElse {
       val head = GraftDvApi.pathOf(entries.head.path)
       GraftDvApi.fileSchema(spark,
         hfs(spark, entries.head.path).getFileStatus(head))
@@ -632,6 +746,24 @@ object DeletionVectors {
   private def scanWithPos(spark: SparkSession, root: String,
       entries: Seq[GraftDvApi.LiveFile],
       meta: Option[TableMeta]): DataFrame = {
+    val data = posScanUnmasked(spark, root, entries, meta)
+    if (DvBlobs.hasAny(root))
+      data.filter(GraftFunctions.dvAlive(spark,
+        col("__file"), col("__pos"), root))
+    else data
+  }
+
+  /** [[scanWithPos]] WITHOUT the tombstone mask — the shared
+    * generation-aware positional scan (one relation per partition
+    * layout, unioned under the full schema). The unmasked form exists
+    * for exactly one consumer class: coordinate-addressed reads of
+    * rows the current commit itself tombstoned
+    * ([[rowsAtCoordinates]]'s CDF pre-images), which the masked read
+    * can no longer serve.
+    */
+  private def posScanUnmasked(spark: SparkSession, root: String,
+      entries: Seq[GraftDvApi.LiveFile],
+      meta: Option[TableMeta]): DataFrame = {
     val layouts = entries
       .map(e => GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
     // a SINGLE-layout subset may still be an OLD generation (a
@@ -643,7 +775,9 @@ object DeletionVectors {
     val oldGeneration = meta.exists(m =>
       layouts.size == 1 && layouts.head != m.partCols)
     if (layouts.size <= 1 && !oldGeneration)
-      withPosAndMask(spark, root, relationOver(spark, root, entries, meta))
+      toLogicalCols(relationOver(spark, root, entries, meta)
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index")), meta)
     else {
       val m = meta.getOrElse(throw new IllegalStateException(
         s"mixed partition layouts under $root need a schema-in-log " +
@@ -655,18 +789,15 @@ object DeletionVectors {
         .groupBy(e => GraftDvApi.parsePartitions(e.path).map(_._1))
         .toSeq.sortBy(_._1.mkString("\u0000"))
         .map { case (layout, es) =>
-          val ds = org.apache.spark.sql.types.StructType(
-            full.filterNot(fd => layout.contains(fd.name)))
-          GraftDvApi.relation(spark, dataDir(root), layout, es, ds)
-            .withColumn("__file", col("_metadata.file_path"))
-            .withColumn("__pos", col("_metadata.row_index"))
+          val ds = m.physicalSchema(org.apache.spark.sql.types.StructType(
+            full.filterNot(fd => layout.contains(fd.name))))
+          toLogicalCols(
+            GraftDvApi.relation(spark, dataDir(root), layout, es, ds)
+              .withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__pos", col("_metadata.row_index")), meta)
             .select(outCols: _*)
         }
-      val data = parts.reduce(_ unionByName _)
-      if (DvBlobs.hasAny(root))
-        data.filter(graft.functions.GraftFunctions.dvAlive(spark,
-          col("__file"), col("__pos"), root))
-      else data
+      parts.reduce(_ unionByName _)
     }
   }
 
@@ -708,14 +839,17 @@ object DeletionVectors {
     */
   private def scanLazyWithPos(spark: SparkSession, root: String,
       v: Long, meta: TableMeta): DataFrame =
-    withPosAndMask(spark, root, GraftDvApi.lazyRelation(spark,
+    toLogicalCols(withPosAndMask(spark, root, GraftDvApi.lazyRelation(
+      spark,
       dataDir(root), s"${manifestTable(root)}/v=$v", meta.partCols,
-      meta.statsSchema, meta.dataSchema, liveBytesAt(spark, root, v),
+      meta.statsSchema, meta.physicalSchema(meta.dataSchema),
+      liveBytesAt(spark, root, v),
       // unfiltered executions serve from the per-version entries
       // cache instead of re-running a manifest job each time —
       // pinned to THIS index's version (re-resolving latest here
       // could serve a newer live set than the index's manifest)
-      Some(() => entriesAt(spark, root, v))))
+      Some(() => entriesAt(spark, root, v)), None,
+      Some(skippingHook(spark, root)))), Some(meta))
 
   /** Anchored hive-chain pattern matching exactly the files of one
     * partition-layout generation — pushed into the manifest scan so
@@ -749,14 +883,15 @@ object DeletionVectors {
     val bytes = liveBytesAt(spark, root, v)
     val gens = (meta.partCols +: meta.oldLayouts).distinct
     val parts = gens.map { layout =>
-      val ds = org.apache.spark.sql.types.StructType(
-        full.filterNot(fd => layout.contains(fd.name)))
-      GraftDvApi.lazyRelation(spark, dataDir(root),
+      val ds = meta.physicalSchema(org.apache.spark.sql.types.StructType(
+        full.filterNot(fd => layout.contains(fd.name))))
+      toLogicalCols(GraftDvApi.lazyRelation(spark, dataDir(root),
           s"${manifestTable(root)}/v=$v", layout, meta.statsSchema,
           ds, bytes, Some(() => entriesAt(spark, root, v)),
-          Some(layoutRegex(spark, root, layout)))
+          Some(layoutRegex(spark, root, layout)),
+          Some(skippingHook(spark, root)))
         .withColumn("__file", col("_metadata.file_path"))
-        .withColumn("__pos", col("_metadata.row_index"))
+        .withColumn("__pos", col("_metadata.row_index")), Some(meta))
         .select(outCols: _*)
     }
     val data = parts.reduce(_ unionByName _)
@@ -948,9 +1083,16 @@ object DeletionVectors {
     private val stage = s"$root/_cdf_stage_" +
       java.util.UUID.randomUUID().toString.take(12)
     @volatile private var renamed = false
+    // whether this stage actually holds images — what tells the
+    // commit to mark the table as requiring cdf-updates readers (a
+    // feed consumer without update-image support would silently fold
+    // the wrong rows), ON the same manifest flip as the images
+    @volatile private[graft] var recorded = false
 
-    def writePre(df: DataFrame): Unit =
+    def writePre(df: DataFrame): Unit = {
+      recorded = true
       df.write.mode("overwrite").parquet(s"$stage/pre")
+    }
     def writePost(df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$stage/post")
 
@@ -1229,9 +1371,9 @@ object DeletionVectors {
         f.delete(new Path(stage), true)
         // staged under the CURRENT schema: a purge after evolution
         // materializes the null-filled columns into the replacements
-        scanWithPos(spark, root, entriesOf(spark, hot),
+        toPhysicalCols(scanWithPos(spark, root, entriesOf(spark, hot),
             currentMeta(spark, root))
-          .drop("__file", "__pos")
+          .drop("__file", "__pos"), currentMeta(spark, root))
           .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
         val moved = moveStaged(spark, root, stage, "purged")
 
@@ -1499,12 +1641,12 @@ object DeletionVectors {
           meta).drop("__file", "__pos")
         val dataCols = scan.columns.filterNot(partCols.contains).toSeq
         val totalBins = binsOf.values.sum
-        scan.join(broadcast(planDf), partCols)
+        toPhysicalCols(scan.join(broadcast(planDf), partCols)
           .withColumn("__bin",
             pmod(hash(dataCols.map(col): _*), col("__bins")))
           .repartition(math.max(1, totalBins),
             (partCols.map(col) :+ col("__bin")): _*)
-          .drop("__bin", "__bins")
+          .drop("__bin", "__bins"), currentMeta(spark, root))
           .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
         val moved = moveStaged(spark, root, stage, "packed")
 
@@ -1649,12 +1791,202 @@ object DeletionVectors {
         require(!meta.dataSchema.fieldNames.contains(fd.name) &&
             !meta.partCols.contains(fd.name),
           s"column ${fd.name} already exists on the graft-dv table at $root")
+        // DEFAULT validation through Spark's own resolver: foldable,
+        // type-coercible to the column — fails loudly here, never at
+        // read time
+        if (fd.metadata.contains(org.apache.spark.sql.catalyst.util
+            .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .analyze(fd, "ALTER TABLE ADD COLUMNS"): Unit
+      }
+      // a new column whose name some dropped/renamed column still
+      // occupies PHYSICALLY gets a generated physical name — reusing
+      // the bytes-on-disk name would resurrect the old column's data
+      // in existing files (the Delta column-mapping rule)
+      val newMappings = add.fields.toSeq.flatMap { fd =>
+        if (!meta.usedPhysicalNames.contains(fd.name)) None
+        else {
+          val taken = meta.usedPhysicalNames ++
+            meta.dataSchema.fieldNames.map(meta.physicalName) ++
+            meta.partCols
+          val phys = Iterator.from(base.toInt + 1)
+            .map(v => s"${fd.name}_p$v").find(!taken.contains(_)).get
+          Some(fd.name -> phys)
+        }
       }
       val merged = org.apache.spark.sql.types.StructType(
         meta.dataSchema.fields ++ add.fields.map(_.copy(nullable = true)))
-      latest.withColumn("schema_json", when(col("file") === Sentinel,
-        lit(merged.json)).otherwise(col("schema_json")))
+      val feats =
+        if (newMappings.isEmpty) meta.features
+        else meta.features + "column-mapping"
+      withColMap(withFeatures(latest, feats),
+          meta.colMap ++ newMappings, meta.droppedPhys)
+        .withColumn("schema_json", when(col("file") === Sentinel,
+          lit(merged.json)).otherwise(col("schema_json")))
     }
+  }
+
+  /** Stamp the column-mapping state onto a next-manifest frame's
+    * sentinel (file rows keep null — mapping is table-level).
+    */
+  private def withColMap(next: DataFrame, colMap: Map[String, String],
+      droppedPhys: Seq[String]): DataFrame = {
+    val cm =
+      if (colMap.isEmpty) lit(null).cast("map<string,string>")
+      else map(colMap.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dc =
+      if (droppedPhys.isEmpty) lit(null).cast("string")
+      else lit(droppedPhys.mkString("\n"))
+    next
+      .withColumn("col_map",
+        when(col("file") === Sentinel, cm)
+          .otherwise(lit(null).cast("map<string,string>")))
+      .withColumn("dropped_cols",
+        when(col("file") === Sentinel, dc)
+          .otherwise(lit(null).cast("string")))
+  }
+
+  /** Stamp a feature set onto a next-manifest frame's sentinel. */
+  private def withFeatures(next: DataFrame,
+      feats: Set[String]): DataFrame = {
+    val v =
+      if (feats.isEmpty) lit(null).cast("string")
+      else lit(feats.toSeq.sorted.mkString("\n"))
+    next.withColumn("features",
+      when(col("file") === Sentinel, v)
+        .otherwise(lit(null).cast("string")))
+  }
+
+  /** Column names a CHECK constraint expression references (parsed,
+    * not substring-matched — `a_b > 0` must not pin column `a`).
+    */
+  private def constraintRefs(spark: SparkSession, e: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(e).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.toSet
+
+  /** Shared validation for RENAME/DROP COLUMN: only PLAIN DATA
+    * columns are eligible. Partition columns (current layout or any
+    * live old generation — their names are baked into file paths),
+    * declared stats columns (their names key every manifest row's
+    * min/max maps), and constraint-referenced columns (their names
+    * are baked into stored SQL expressions) refuse loudly with the
+    * unblocking verb named.
+    */
+  private def requirePlainDataColumn(spark: SparkSession, root: String,
+      meta: TableMeta, name: String, verb: String): Unit = {
+    require(meta.dataSchema.fieldNames.contains(name) ||
+        meta.partCols.contains(name),
+      s"$verb: column $name does not exist on the graft-dv table at " +
+        s"$root (have ${meta.fullSchema.fieldNames.mkString(", ")})")
+    require(!meta.partCols.contains(name),
+      s"$verb: $name is a partition column — its name is the hive " +
+        "path layout; SET PARTITIONING to a different layout (and " +
+        "OPTIMIZE ... MIGRATE) first")
+    require(!meta.oldLayouts.exists(_.contains(name)),
+      s"$verb: $name is a partition column of a live old layout " +
+        "generation — run OPTIMIZE ... MIGRATE to convergence first")
+    require(!meta.statsSchema.fieldNames.contains(name),
+      s"$verb: $name is a declared stats column (its name keys the " +
+        "manifest's per-file min/max) — not supported")
+    val pinned = meta.constraints.filter { case (_, e) =>
+      constraintRefs(spark, e).contains(name) }
+    require(pinned.isEmpty,
+      s"$verb: $name is referenced by CHECK constraint(s) " +
+        s"${pinned.keys.mkString(", ")} — DROP CONSTRAINT first")
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` — COLUMN MAPPING, the
+    * Delta/Iceberg hallmark: one metadata-only manifest flip renames
+    * the LOGICAL column; the PHYSICAL parquet field name stays frozen
+    * at whatever the column was first written as, so every existing
+    * file remains readable with zero rewrites, new writes keep the
+    * one physical layout, and time travel to pre-rename versions
+    * reads under the old name. Plain data columns only (see
+    * [[requirePlainDataColumn]]).
+    */
+  def alterRenameColumn(spark: SparkSession, root: String,
+      from: String, to: String): Long = {
+    require(from != to, s"RENAME COLUMN $from TO $to is a no-op")
+    sentinelFlip(spark, root, "alter") { (base, latest) =>
+      val meta = metaAt(spark, root, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-dv table at $root has a legacy manifest without " +
+            "schema metadata — ALTER needs a schema-in-log table"))
+      requirePlainDataColumn(spark, root, meta, from, "RENAME COLUMN")
+      require(!meta.dataSchema.fieldNames.contains(to) &&
+          !meta.partCols.contains(to),
+        s"RENAME COLUMN: $to already exists on the graft-dv table " +
+          s"at $root")
+      val phys = meta.physicalName(from)
+      val newMap0 = (meta.colMap - from) ++
+        (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+      val renamed = org.apache.spark.sql.types.StructType(
+        meta.dataSchema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      withColMap(withFeatures(latest, meta.features + "column-mapping"),
+          newMap0, meta.droppedPhys)
+        .withColumn("schema_json", when(col("file") === Sentinel,
+          lit(renamed.json)).otherwise(col("schema_json")))
+    }
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN name` — metadata-only: the logical
+    * column disappears from the schema in one manifest flip; the
+    * physical bytes stay in existing files (dead weight until natural
+    * rewrites — purge/pack/zorder — shed them, exactly Delta's DROP
+    * semantics). The retired physical name is remembered so a later
+    * ADD COLUMNS of the same name cannot resurrect the old data.
+    * Plain data columns only; time travel to pre-drop versions still
+    * reads the column.
+    */
+  def alterDropColumn(spark: SparkSession, root: String,
+      name: String): Long =
+    sentinelFlip(spark, root, "alter") { (base, latest) =>
+      val meta = metaAt(spark, root, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-dv table at $root has a legacy manifest without " +
+            "schema metadata — ALTER needs a schema-in-log table"))
+      requirePlainDataColumn(spark, root, meta, name, "DROP COLUMN")
+      require(meta.dataSchema.length > 1,
+        s"DROP COLUMN: $name is the table's last data column")
+      val phys = meta.physicalName(name)
+      val remaining = org.apache.spark.sql.types.StructType(
+        meta.dataSchema.fields.filterNot(_.name == name))
+      withColMap(withFeatures(latest, meta.features + "column-mapping"),
+          meta.colMap - name, (meta.droppedPhys :+ phys).distinct)
+        .withColumn("schema_json", when(col("file") === Sentinel,
+          lit(remaining.json)).otherwise(col("schema_json")))
+    }
+
+  /** The live column mapping (logical → physical) — the write-side
+    * hook [[graft.sources.DvDeltaWrite]] uses to lay staged parquet
+    * out under the frozen physical names.
+    */
+  private[graft] def columnMappingOf(spark: SparkSession,
+      root: String): Map[String, String] =
+    currentMeta(spark, root).map(_.colMap).getOrElse(Map.empty)
+
+  /** Physical→logical rename of an arbitrary frame under the table's
+    * LIVE mapping — for consumers of raw staged/physical parquet
+    * outside the manifest-fed scan (the DSv2 CDF post-image read).
+    */
+  private[graft] def toLogicalDf(spark: SparkSession, root: String,
+      df: DataFrame): DataFrame =
+    toLogicalCols(df, currentMeta(spark, root))
+
+  /** Map a write schema's field names logical→physical for the DSv2
+    * executor writers (identity when no column was ever renamed).
+    */
+  private[graft] def physicalWriteSchema(spark: SparkSession,
+      root: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val cm = columnMappingOf(spark, root)
+    if (cm.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
   }
 
   /** The table's CHECK constraints (name → boolean SQL expression). */
@@ -1708,7 +2040,7 @@ object DeletionVectors {
         full.filterNot(fd => newCols.contains(fd.name)))
       val olds = (meta.oldLayouts :+ meta.partCols)
         .distinct.filterNot(_ == newCols)
-      latest
+      withFeatures(latest, meta.features + "partition-evolution")
         .withColumn("schema_json", when(col("file") === Sentinel,
           lit(newData.json)).otherwise(col("schema_json")))
         .withColumn("part_cols", when(col("file") === Sentinel,
@@ -1785,8 +2117,9 @@ object DeletionVectors {
         val f = hfs(spark, root)
         val stage = s"$root/_migrate_stage"
         f.delete(new Path(stage), true)
-        scanWithPos(spark, root, entriesOf(spark, victims), Some(meta))
-          .drop("__file", "__pos")
+        toPhysicalCols(
+          scanWithPos(spark, root, entriesOf(spark, victims), Some(meta))
+            .drop("__file", "__pos"), Some(meta))
           .write.mode("overwrite").partitionBy(partCols: _*)
           .parquet(stage)
         val moved = moveStaged(spark, root, stage, "migrated")
@@ -1974,12 +2307,12 @@ object DeletionVectors {
           spark.sessionState.conf.filesMaxPartitionBytes)
         val shuffleN = math.max(16, math.min(
           (liveBytes / targetBytes).toInt + 1, 1 << 20))
-        scan.withColumn("__z", z)
+        toPhysicalCols(scan.withColumn("__z", z)
           .repartitionByRange(shuffleN,
             (partCols.map(col) :+ col("__z")): _*)
           .sortWithinPartitions(
             (partCols.map(col) :+ col("__z")): _*)
-          .drop("__z")
+          .drop("__z"), currentMeta(spark, root))
           .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
         val moved = moveStaged(spark, root, stage, "zordered")
 
@@ -2128,9 +2461,13 @@ object DeletionVectors {
     * lineage — its batch ids restart at 0, and treating them as
     * replays would silently discard all its data (the round-11 sink
     * bug); it applies and takes ownership of the high-water via
-    * [[appendCommitted]]'s takeover reset. Callers outside a streaming
-    * thread (no query id — batch tests, manual applies) keep the plain
-    * high-water rule.
+    * [[commitMovedFiles]]'s takeover reset. The same rule covers a
+    * high-water with NO recorded owner (batch [[applyCdcBatch]] calls,
+    * pre-round-12 manifests): a streaming query arriving over it is
+    * still a new lineage, not a replay — the batch→stream handoff must
+    * hand ownership over, never swallow the stream's restarted ids.
+    * Only callers with no query id at all (batch tests, manual
+    * applies) keep the plain high-water rule.
     */
   private[graft] def isStreamReplay(spark: SparkSession, root: String,
       batchId: Long): Boolean = {
@@ -2141,7 +2478,8 @@ object DeletionVectors {
         spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
       (qid, hwStream) match {
         case (Some(q), Some(h)) => q == h  // replay only within one lineage
-        case _ => true                     // legacy/batch: plain high-water
+        case (Some(_), None) => false      // stream over unowned hw: new lineage
+        case (None, _) => true             // no query id: plain high-water
       }
     }
   }
@@ -2266,7 +2604,9 @@ object DeletionVectors {
       val masked = delete(spark, root, keyCol, staged.select(col(keyCol)))
       val newFiles = appendCommitted(spark, root, partCols, staged,
         cdcBatch, "upsert",
-        onCommitted = v => cdf.foreach(_.onCommitted(v)))
+        onCommitted = v => cdf.foreach(_.onCommitted(v)),
+        extraFeatures =
+          if (cdf.exists(_.recorded)) Set("cdf-updates") else Set.empty)
       (masked, newFiles)
     } finally cdf.foreach(_.cleanup())
   }
@@ -2303,7 +2643,11 @@ object DeletionVectors {
           org.apache.spark.sql.types.StringType))).getOrElse(Array.empty)
     val withAll = tableCols.filterNot(fd => rows.columns.contains(fd.name))
       .foldLeft(rows)((d, fd) =>
-        d.withColumn(fd.name, lit(null).cast(fd.dataType)))
+        // a column the batch doesn't carry evaluates as what READERS
+        // will see: its exists-DEFAULT when declared, else NULL
+        d.withColumn(fd.name, org.apache.spark.sql.GraftPlanApi.column(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .getDefaultValueExprOrNullLit(fd)).cast(fd.dataType)))
     val flags = constraints.toSeq.sortBy(_._1).map { case (n, e) =>
       max(when(coalesce(expr(e), lit(true)) === false, lit(n))).as(n) }
     val bad = withAll.agg(flags.head, flags.tail: _*).head()
@@ -2322,7 +2666,8 @@ object DeletionVectors {
   private[graft] def appendCommitted(spark: SparkSession, root: String,
       partCols: Seq[String], rows: DataFrame, cdcBatch: Option[Long],
       prefix: String, onBeforeCommit: () => Unit = () => (),
-      onCommitted: Long => Unit = _ => ()): Seq[String] = {
+      onCommitted: Long => Unit = _ => (),
+      extraFeatures: Set[String] = Set.empty): Seq[String] = {
     // SCHEMA EVOLUTION happens here — the one write-side gate every
     // mutating path (append, upsert, CDC, DML update/merge) funnels
     // through: merge the table's committed schema with the batch's
@@ -2337,11 +2682,12 @@ object DeletionVectors {
     val statsSchema = curMeta.map(_.statsSchema)
       .getOrElse(new org.apache.spark.sql.types.StructType())
     val mergedSchema = curMeta match {
-      case Some(m0 @ TableMeta(cur, pcs, _, _, _)) =>
-        require(pcs == partCols,
+      case Some(m0) =>
+        require(m0.partCols == partCols,
           s"graft-dv table at $root is partitioned by " +
-            s"${pcs.mkString(",")}; append requested ${partCols.mkString(",")}")
-        mergeSchemas(cur, incoming)
+            s"${m0.partCols.mkString(",")}; append requested " +
+            partCols.mkString(","))
+        mergeSchemas(m0.dataSchema, incoming)
       case None =>
         // legacy manifest: derive the current schema from a live
         // footer if any files exist, else adopt the batch's
@@ -2368,11 +2714,15 @@ object DeletionVectors {
     val f = hfs(spark, root)
     val stage = s"$root/_${prefix}_stage"
     f.delete(new Path(stage), true)
-    rows.write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
+    // the staged parquet carries the frozen PHYSICAL field names —
+    // renamed columns write under their original written name, so one
+    // physical layout serves every file generation
+    toPhysicalCols(rows, curMeta)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
     val newFiles = moveStaged(spark, root, stage, prefix)
     commitMovedFiles(spark, root, partCols, newFiles, mergedSchema,
       statsSchema, stagedCons, cdcBatch, prefix, onBeforeCommit,
-      onCommitted)
+      onCommitted, extraFeatures)
   }
 
   /** Commit ALREADY-MOVED (staged-invisible) files behind the CAS
@@ -2388,14 +2738,23 @@ object DeletionVectors {
       statsSchema: org.apache.spark.sql.types.StructType,
       stagedCons: Map[String, String], cdcBatch: Option[Long],
       prefix: String, onBeforeCommit: () => Unit,
-      onCommitted: Long => Unit = _ => ()): Seq[String] = {
+      onCommitted: Long => Unit = _ => (),
+      extraFeatures: Set[String] = Set.empty): Seq[String] = {
+    // the staged files carry PHYSICAL field names — thread the live
+    // column mapping into the synthesized meta so the stats scan (and
+    // the constraint re-check below) binds renamed columns correctly
+    val curMap = currentMeta(spark, root)
+      .map(m => (m.colMap, m.droppedPhys))
+      .getOrElse((Map.empty[String, String], Seq.empty[String]))
+    def stageMeta = TableMeta(mergedSchema, partCols, statsSchema,
+      colMap = curMap._1, droppedPhys = curMap._2)
     val movedStats =
       if (newFiles.isEmpty) emptyStatsFrame(spark)
       else perFileStats(
         // manifest-fed relation, not parquet(strings): explicit path
         // strings re-encode escaped partition segments
         relationOver(spark, root, entriesOf(spark, newFiles),
-          Some(TableMeta(mergedSchema, partCols, statsSchema))),
+          Some(stageMeta)),
         statsSchema)
 
     // the streaming query id (set by StreamExecution on the micro-batch
@@ -2420,10 +2779,12 @@ object DeletionVectors {
           latest.filter(col("file") === Sentinel).select("cdc_stream")
             .collect().headOption.flatMap(r => Option(r.getString(0)))
         else None
-      // a different stream id = new lineage: the high-water RESETS to
-      // this batch (greatest() would pin it at the dead stream's max
-      // and swallow the new stream's replays undetectably)
-      val takeover = qid.isDefined && prevStream.isDefined && qid != prevStream
+      // a different stream id — OR an unowned high-water set by batch
+      // applies / a pre-round-12 manifest — means this stream is a new
+      // lineage: the high-water RESETS to this batch (greatest() would
+      // pin it at the previous writer's max and swallow the new
+      // stream's replays undetectably)
+      val takeover = qid.isDefined && !prevStream.exists(qid.contains)
       // a CHECK constraint that committed AFTER staging-time
       // enforcement (racing ALTER ADD CONSTRAINT) must gate THIS
       // write too: re-enforce any constraint the rebased base carries
@@ -2435,8 +2796,9 @@ object DeletionVectors {
         .filter { case (n, e) => !stagedCons.get(n).contains(e) }
       if (unseenCons.nonEmpty && newFiles.nonEmpty)
         enforceConstraintsWith(spark, root,
-          relationOver(spark, root, entriesOf(spark, newFiles),
-            Some(TableMeta(mergedSchema, partCols, statsSchema))),
+          toLogicalCols(relationOver(spark, root,
+            entriesOf(spark, newFiles), Some(stageMeta)),
+            Some(stageMeta)),
           unseenCons, baseMeta)
       val cdc = cdcBatch.getOrElse(-1L)
       // re-merge against the REBASED base's sentinel: a rival append
@@ -2444,8 +2806,30 @@ object DeletionVectors {
       // plain overwrite would silently drop them from the log
       val commitSchema = metaAt(spark, root, base).map(_.dataSchema)
         .map(s => mergeSchemas(s, mergedSchema)).getOrElse(mergedSchema)
+      // append-side widening writes the new column's parquet field
+      // under its own name — a name some DROPPED or RENAMED column
+      // already used physically would make old files' stale bytes
+      // resurface as the new column. Fail loudly; ALTER TABLE ADD
+      // COLUMNS assigns a fresh physical name and is the right verb.
+      baseMeta.foreach { bm =>
+        val newCols = commitSchema.fieldNames
+          .filterNot(bm.dataSchema.fieldNames.contains)
+        val clash = newCols.filter(bm.usedPhysicalNames.contains)
+        require(clash.isEmpty,
+          s"append to $root would add column(s) ${clash.mkString(", ")} " +
+            "whose name a dropped/renamed column still occupies " +
+            "physically — use ALTER TABLE ADD COLUMNS (which assigns " +
+            "a fresh physical name) instead of append-side widening")
+      }
+      // reader-feature stamp rides the SAME flip as the rows that
+      // need it (e.g. a CDF-update commit marks cdf-updates) — no
+      // separate protocol version, nothing visible before the gate
+      val withFeats: DataFrame => DataFrame = df =>
+        if (extraFeatures.isEmpty) df
+        else withFeatures(df, baseMeta.map(_.features)
+          .getOrElse(Set.empty) ++ extraFeatures)
       val next = withSentinelOp(
-        ensureMetaCols(latest).unionByName(ensureMetaCols(
+        withFeats(ensureMetaCols(latest)).unionByName(ensureMetaCols(
           movedStats.withColumn("cdc_batch", lit(cdc))))
         .withColumn("cdc_batch",
           if (takeover) lit(cdc) else greatest(col("cdc_batch"), lit(cdc)))
@@ -2469,14 +2853,15 @@ object DeletionVectors {
     * and publish one CAS manifest version. `stagedCons` is EMPTY on
     * purpose — the executors wrote these files with no constraint
     * pass, so the commit loop re-enforces EVERY constraint the base
-    * carries against the staged files before publishing (tombstones
-    * are already live at that point, so a violating batch fails
-    * LOUDLY post-delete rather than publishing violating rows — the
-    * same fail-don't-publish rule the CAS rebase re-check follows).
+    * carries against the staged files before publishing (the write's
+    * tombstones are still stage-pending at that point, so a violating
+    * batch fails with the live table COMPLETELY untouched — the same
+    * fail-don't-publish rule the CAS rebase re-check follows).
     */
   private[graft] def commitStagedDml(spark: SparkSession, root: String,
       stage: String, rowSchema: org.apache.spark.sql.types.StructType,
-      op: String, onCommitted: Long => Unit = _ => ()): Seq[String] = {
+      op: String, onCommitted: Long => Unit = _ => (),
+      extraFeatures: Set[String] = Set.empty): Seq[String] = {
     val partCols = partitionColsOf(spark, root)
     val incoming = org.apache.spark.sql.types.StructType(
       rowSchema.filterNot(fd => partCols.contains(fd.name)))
@@ -2487,7 +2872,8 @@ object DeletionVectors {
       .getOrElse(incoming)
     val newFiles = moveStaged(spark, root, stage, op)
     commitMovedFiles(spark, root, partCols, newFiles, mergedSchema,
-      statsSchema, Map.empty, None, op, () => (), onCommitted)
+      statsSchema, Map.empty, None, op, () => (), onCommitted,
+      extraFeatures)
   }
 
   /** UNMASKED rows at explicit (file, pos) coordinates — the
@@ -2496,17 +2882,20 @@ object DeletionVectors {
     * recorded, so the masked read can no longer serve them; the
     * files themselves are immutable and present until vacuum). Cost:
     * a scan of the COORDINATES' files semi-joined on position —
-    * O(touched files), never the table.
+    * O(touched files), never the table. The scan is the
+    * generation-aware [[posScanUnmasked]]: on a mid-evolution table
+    * the coordinate set may span partition-layout generations (or be
+    * entirely old-generation), and binding old files under the
+    * CURRENT layout would serve path values as the wrong column —
+    * the same mis-binding [[scanWithPos]] splits per layout to avoid.
     */
   private[graft] def rowsAtCoordinates(spark: SparkSession,
       root: String, coords: DataFrame): DataFrame = {
     val files = coords.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (files.isEmpty) return emptyTable(spark, root)
-    val scan = relationOver(spark, root, entriesOf(spark, files),
+    val scan = posScanUnmasked(spark, root, entriesOf(spark, files),
       currentMeta(spark, root))
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
     // no broadcast hint: coordinates are O(updated rows) — AQE keeps
     // the broadcast while small and shuffles past the threshold
     scan.join(coords
@@ -2657,7 +3046,79 @@ object DeletionVectors {
     val keptN = next2.join(prevLive, Seq("file"), "left_semi")
       .count()
     val v = Snapshots.publish(spark, it, next2)
+    // the indexed KEY COLUMN rides a marker file so READS can resolve
+    // eligible predicates to this sidecar without being told — the
+    // SQL-transparent tier ([[skippingHook]])
+    val kf = hfs(spark, root).create(new Path(s"$it/_keycol"), true)
+    try kf.write(keyCol.getBytes("UTF-8")) finally kf.close()
     (v, keptN, newFiles.size.toLong)
+  }
+
+  /** The indexed key column, if the table carries a skipping sidecar. */
+  private def indexKeyCol(spark: SparkSession,
+      root: String): Option[String] = {
+    val p = new Path(s"${indexTable(root)}/_keycol")
+    val f = hfs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        if (n <= 0) None
+        else Some(new String(bytes, 0, n, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** SQL-TRANSPARENT SKIPPING INDEX: the per-read hook handed to the
+    * lazy manifest index — given the scan's pushed data filters, if
+    * the table carries a bloom/min-max sidecar over key column K and
+    * the filters include a conjunct `K = lit` / `K IN (lits)` (≤ 64
+    * int64 keys), return a (file, idx_hit) annotation frame: sidecar
+    * rows probed with the range test + the codegen'd bloom; the index
+    * then drops DEFINITE misses and keeps everything it never saw
+    * (staleness-safe, the [[indexLookup]] rule). A plain
+    * `SELECT ... WHERE key = k` on a graft-dv table reads only the
+    * candidate files — no API call, no hint.
+    */
+  private def skippingHook(spark: SparkSession, root: String)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        Option[DataFrame] = { dataFilters =>
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, In, Literal}
+    import org.apache.spark.sql.types.LongType
+    if (dataFilters.isEmpty) None
+    else indexKeyCol(spark, root).flatMap { keyCol =>
+      // scan-level attributes carry PHYSICAL names (column mapping)
+      val physKey = currentMeta(spark, root)
+        .map(_.physicalName(keyCol)).getOrElse(keyCol)
+      def keysOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[Long] = e match {
+        case EqualTo(a: Attribute, Literal(v: Long, LongType))
+            if a.name == physKey => Seq(v)
+        case EqualTo(Literal(v: Long, LongType), a: Attribute)
+            if a.name == physKey => Seq(v)
+        case In(a: Attribute, ls) if a.name == physKey &&
+            ls.nonEmpty && ls.forall {
+              case Literal(_: Long, LongType) => true
+              case _ => false
+            } =>
+          ls.map(_.asInstanceOf[Literal].value.asInstanceOf[Long])
+        case _ => Nil
+      }
+      val keys = dataFilters.flatMap(keysOf).distinct
+      if (keys.isEmpty || keys.size > 64) None
+      else Snapshots.latestVersion(spark, indexTable(root)).map { v =>
+        val idx = spark.read.parquet(s"${indexTable(root)}/v=$v")
+        val keyLit = array(keys.map(lit(_)): _*)
+        val inRange = keys.map(k =>
+          lit(k).between(col("min_key"), col("max_key"))).reduce(_ || _)
+        val hit = inRange && graft.functions.GraftFunctions
+          .bloomHitsAny(spark, col("bloom"), keyLit)
+        idx.select(col("file"),
+          coalesce(hit, lit(false)).as("idx_hit"))
+      }
+    }
   }
 
   /** Staleness-SAFE index probe: candidate files for `keys` =
@@ -2733,7 +3194,14 @@ object DeletionVectors {
       // live besides the current layout ("" once migration converges)
       "old_layouts" ->
         meta.map(_.oldLayouts.map(_.mkString("+")).mkString("; "))
-          .getOrElse(""))
+          .getOrElse(""),
+      // column mapping (logical=physical pairs; "" = identity)
+      "column_mapping" ->
+        meta.map(_.colMap.toSeq.sorted
+          .map { case (l, p) => s"$l=$p" }.mkString(",")).getOrElse(""),
+      // protocol: reader features this manifest REQUIRES
+      "features" ->
+        meta.map(_.features.toSeq.sorted.mkString(",")).getOrElse(""))
     val numbers = Map(
       "current_version" -> versions.last,
       "num_retained_versions" -> versions.size.toLong,

@@ -115,6 +115,32 @@ object DvBlobs {
     dest.toString
   }
 
+  /** Publish a PENDING delta blob — one written under a STAGING root
+    * via [[writeDelta]] (so readers of the live table never saw it) —
+    * into `tableRoot`'s live blob store: one mkdirs + rename into the
+    * same `f=<md5>` directory (the md5 is of the data-file path, which
+    * is identical under either root). The blob NAME (count + uuid) is
+    * preserved, so a retried publish is idempotent: rename failing
+    * with the destination already present means a previous attempt
+    * won. Returns the live path.
+    *
+    * This is the failure-atomicity half of the DSv2 row-level write:
+    * tombstones stay stage-confined through the whole task phase and
+    * become visible only by this commit-time rename — an aborted job
+    * sweeps them with the stage dir instead of leaving acknowledged
+    * deletes applied with their replacement images discarded.
+    */
+  def publish(pendingBlob: String, tableRoot: String): String = {
+    val src = new Path(pendingBlob)
+    val dir = new Path(s"${dvRoot(tableRoot)}/${src.getParent.getName}")
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val dest = new Path(dir, src.getName)
+    if (!f.rename(src, dest) && !f.exists(dest))
+      throw new IOException(s"pending blob publish to $dest failed")
+    dest.toString
+  }
+
   /** (embedded data-file path, sorted positions) of one blob. */
   def readDelta(blobPath: String): (String, Array[Long]) = {
     val p = new Path(blobPath)

@@ -236,7 +236,9 @@ case class DvUpdateCommand(root: String, targetOutput: Seq[Attribute],
       if (!images.isEmpty)
         DV.appendCommitted(session, root, partCols, images, None,
           "update",
-          onCommitted = v => cdf.foreach(_.onCommitted(v))): Unit
+          onCommitted = v => cdf.foreach(_.onCommitted(v)),
+          extraFeatures = if (cdf.exists(_.recorded))
+            Set("cdf-updates") else Set.empty): Unit
       Seq(Row(marked))
     } finally cdf.foreach(_.cleanup())
   }
@@ -407,7 +409,9 @@ case class DvMergeCommand(root: String, targetOutput: Seq[Attribute],
       val appended = images match {
         case Some(df) if !df.isEmpty =>
           DV.appendCommitted(session, root, partCols, df, None, "merge",
-            onCommitted = v => cdf.foreach(_.onCommitted(v)))
+            onCommitted = v => cdf.foreach(_.onCommitted(v)),
+            extraFeatures = if (cdf.exists(_.recorded))
+              Set("cdf-updates") else Set.empty)
           df.count()
         case _ => 0L
       }

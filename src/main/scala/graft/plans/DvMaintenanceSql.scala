@@ -209,6 +209,8 @@ case class DvDetailCommand(identText: String)
     AttributeReference("stats_columns", S, nullable = false)(),
     AttributeReference("constraints", S, nullable = false)(),
     AttributeReference("old_layouts", S, nullable = false)(),
+    AttributeReference("column_mapping", S, nullable = false)(),
+    AttributeReference("features", S, nullable = false)(),
     AttributeReference("current_version", LongType, nullable = false)(),
     AttributeReference("num_retained_versions", LongType,
       nullable = false)(),
@@ -223,7 +225,7 @@ case class DvDetailCommand(identText: String)
     val (s, n) = DV.detail(session, root)
     Seq(Row(s("format"), s("location"), s("table_id"),
       s("partition_columns"), s("stats_columns"), s("constraints"),
-      s("old_layouts"),
+      s("old_layouts"), s("column_mapping"), s("features"),
       n("current_version"), n("num_retained_versions"), n("cdc_batch"),
       n("num_live_files"), n("live_rows"), n("live_bytes"),
       n("tombstoned_rows")))
@@ -454,23 +456,140 @@ object DvAlterColumns {
           require(q.position.isEmpty,
             "graft-dv adds columns at the END of the schema — " +
               "FIRST/AFTER positioning is not supported")
-          require(q.default.isEmpty,
-            "graft-dv added columns carry no DEFAULT (old files " +
-              "null-fill; bake defaults into the writing query)")
           require(q.nullable,
             s"added column ${q.colName} must be nullable: existing " +
               "files null-fill it (the parquet missing-column rule)")
-          val meta = q.comment.map(c =>
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putString("comment", c).build())
-            .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          q.comment.foreach(c => mb.putString("comment", c))
+          // DEFAULT rides Spark's OWN column-default metadata: the
+          // parquet reader fills EXISTS_DEFAULT for files missing the
+          // column (all pre-add files), and INSERT statements omitting
+          // it resolve CURRENT_DEFAULT — native machinery, no custom
+          // read/write path. Defaults are FIXED at add time (no SET
+          // DEFAULT), so the two keys always agree.
+          q.default.foreach { d =>
+            import org.apache.spark.sql.catalyst.util.{ResolveDefaultColumns => RDC}
+            mb.putString(RDC.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              d.originalSQL)
+            mb.putString(RDC.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+              d.originalSQL)
+          }
           org.apache.spark.sql.types.StructField(
-            q.colName, q.dataType, nullable = true, meta)
+            q.colName, q.dataType, nullable = true, mb.build())
         }
         DvAddColumnsCommand(u.multipartIdentifier, root,
           org.apache.spark.sql.types.StructType(fields))
       }
     case _ => None
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` on a graft-dv catalog table
+    * → the column-mapping flip ([[DV.alterRenameColumn]]).
+    */
+  def routeRename(session: SparkSession,
+      rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn)
+      : Option[LogicalPlan] = rc.table match {
+    case u: UnresolvedTable =>
+      DvDml.dvCatalogRoot(session, u.multipartIdentifier).map { root =>
+        val from = fieldNameOf(rc.column, "RENAME COLUMN")
+        DvRenameColumnCommand(u.multipartIdentifier, root, from,
+          rc.newName)
+      }
+    case _ => None
+  }
+
+  /** `ALTER TABLE t DROP COLUMN c` (single or multi) on a graft-dv
+    * catalog table → metadata-only drops ([[DV.alterDropColumn]]).
+    */
+  def routeDrop(session: SparkSession,
+      dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns)
+      : Option[LogicalPlan] = dc.table match {
+    case u: UnresolvedTable =>
+      DvDml.dvCatalogRoot(session, u.multipartIdentifier).map { root =>
+        require(!dc.ifExists,
+          "graft-dv DROP COLUMN IF EXISTS is not supported — the " +
+            "manifest flip validates existence loudly")
+        val names = dc.columnsToDrop
+          .map(fieldNameOf(_, "DROP COLUMN"))
+        DvDropColumnsCommand(u.multipartIdentifier, root, names)
+      }
+    case _ => None
+  }
+
+  /** Bring a session-catalog entry's stored schema in step after a
+    * manifest-level schema change and drop cached relations — shared
+    * by the ADD/RENAME/DROP COLUMN commands.
+    */
+  def refreshCatalogSchema(session: SparkSession, ident: Seq[String],
+      root: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val tid = ident match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    tid.foreach { id =>
+      val cat = session.sessionState.catalog
+      if (cat.tableExists(id)) {
+        // full-metadata alter, not alterTableDataSchema: the latter
+        // refuses to NARROW a stored schema, and RENAME/DROP COLUMN
+        // legitimately remove names from it
+        val old = cat.getTableMetadata(id)
+        cat.alterTable(old.copy(schema = DV.read(session, root).schema))
+        cat.refreshTable(id)
+      }
+    }
+  }
+
+  private def fieldNameOf(
+      f: org.apache.spark.sql.catalyst.analysis.FieldName,
+      verb: String): String = f match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+      require(u.name.length == 1,
+        s"graft-dv $verb works on TOP-LEVEL columns only; got " +
+          u.name.mkString("."))
+      u.name.head
+    case other => throw new IllegalArgumentException(
+      s"unexpected $verb field reference: $other")
+  }
+}
+
+/** The executed half of `ALTER TABLE ... RENAME COLUMN`: one
+  * metadata-only manifest flip (column mapping — the physical parquet
+  * name stays frozen; see [[DV.alterRenameColumn]]), then the catalog
+  * entry's stored schema refreshes so the next `spark.table` serves
+  * the new name.
+  */
+case class DvRenameColumnCommand(ident: Seq[String], root: String,
+    from: String, to: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = DV.alterRenameColumn(session, root, from, to)
+    DvAlterColumns.refreshCatalogSchema(session, ident, root)
+    Seq(Row(v))
+  }
+}
+
+/** The executed half of `ALTER TABLE ... DROP COLUMN(S)`: one
+  * metadata-only manifest flip per column (the physical bytes stay in
+  * existing files until natural rewrites shed them), then the catalog
+  * schema refreshes.
+  */
+case class DvDropColumnsCommand(ident: Seq[String], root: String,
+    names: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = names.map(n => DV.alterDropColumn(session, root, n)).last
+    DvAlterColumns.refreshCatalogSchema(session, ident, root)
+    Seq(Row(v))
   }
 }
 
@@ -489,19 +608,7 @@ case class DvAddColumnsCommand(ident: Seq[String], root: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val v = DV.alterAddColumns(session, root, add)
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    val tid = ident match {
-      case Seq(t) => Some(TableIdentifier(t))
-      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
-      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
-        Some(TableIdentifier(t, Some(db)))
-      case _ => None
-    }
-    tid.foreach { id =>
-      val cat = session.sessionState.catalog
-      cat.alterTableDataSchema(id, DV.read(session, root).schema)
-      cat.refreshTable(id)
-    }
+    DvAlterColumns.refreshCatalogSchema(session, ident, root)
     Seq(Row(v))
   }
 }
@@ -647,6 +754,53 @@ case class DvAnalyzeColumnsCommand(ident: Seq[String], root: String,
     }
     val r = df.agg(exprs.head, exprs.tail: _*).head()
     val rowCount = r.getLong(0)
+
+    // EQUI-HEIGHT HISTOGRAMS (Spark's own conf gates them, exactly as
+    // on parquet tables): numeric columns get numBins quantile
+    // endpoints (one approxQuantile pass over the masked read) and a
+    // per-bin NDV aggregate (ApproxCountDistinctForIntervals — the
+    // same machinery Spark's AnalyzeColumnCommand uses), landing as
+    // ColumnStat histograms so FilterEstimation prices SKEWED keys by
+    // the bin the literal falls in, not 1/ndv — the estimate that
+    // flips join strategies on skew (CboSpec pins the flip)
+    val histOn = session.conf.get(
+      "spark.sql.statistics.histogram.enabled", "false") == "true"
+    val numBins = session.conf.get(
+      "spark.sql.statistics.histogram.numBins", "254").toInt
+    val histCols = if (!histOn) Nil
+      else cols.filter(f => f.dataType.isInstanceOf[NumericType])
+    val histograms: Map[String,
+        org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+      if (histCols.isEmpty) Map.empty
+      else {
+        val probs = (0 to numBins).map(_.toDouble / numBins).toArray
+        val ends = df.stat.approxQuantile(
+          histCols.map(_.name).toArray, probs, 1e-3)
+        val ndvAggs: Seq[org.apache.spark.sql.Column] =
+          histCols.zip(ends).map { case (f, e) =>
+            import org.apache.spark.sql.catalyst.expressions._
+            val endpoints = CreateArray(e.map(v =>
+              Literal(v, DoubleType)).toSeq)
+            org.apache.spark.sql.GraftPlanApi.column(
+              new org.apache.spark.sql.catalyst.expressions.aggregate
+                .ApproxCountDistinctForIntervals(
+                  org.apache.spark.sql.GraftPlanApi.expression(
+                    c(f.name).cast("double")), endpoints)
+                .toAggregateExpression())
+          }
+        val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+        histCols.zipWithIndex.map { case (f, i) =>
+          val e = ends(i)
+          val binNdvs = ndvRow.getSeq[Long](i)
+          val bins = (0 until numBins).map(b =>
+            org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+              e(b), e(b + 1), binNdvs(b))).toArray
+          val nonNull = rowCount - r.getLong(1 + cols.indexOf(f) * 6 + 1)
+          f.name -> org.apache.spark.sql.catalyst.plans.logical
+            .Histogram(nonNull.toDouble / numBins, bins)
+        }.toMap
+      }
+
     val colStats = cols.zipWithIndex.map { case (f, i) =>
       val o = 1 + i * 6
       val ndv = r.getLong(o)
@@ -667,7 +821,8 @@ case class DvAnalyzeColumnsCommand(ident: Seq[String], root: String,
         min = if (rangeStats(f.dataType)) mn else None,
         max = if (rangeStats(f.dataType)) mx else None,
         nullCount = Some(BigInt(nulls)),
-        avgLen = avgL, maxLen = maxL, version = 1)
+        avgLen = avgL, maxLen = maxL,
+        histogram = histograms.get(f.name), version = 1)
     }.toMap
     val (_, n) = DV.detail(session, root)
     import org.apache.spark.sql.catalyst.TableIdentifier
@@ -701,10 +856,14 @@ case class DvAnalyzeColumnsCommand(ident: Seq[String], root: String,
   */
 case class DvAlterRule(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AnalyzeColumn, AnalyzeTable}
+  import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AnalyzeColumn, AnalyzeTable, DropColumns, RenameColumn}
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case ac: AddColumns =>
       DvAlterColumns.route(session, ac).getOrElse(plan)
+    case rc: RenameColumn =>
+      DvAlterColumns.routeRename(session, rc).getOrElse(plan)
+    case dc: DropColumns =>
+      DvAlterColumns.routeDrop(session, dc).getOrElse(plan)
     case at: AnalyzeTable =>
       DvAnalyze.route(session, at).getOrElse(plan)
     case ac: AnalyzeColumn =>
@@ -721,12 +880,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    DvMaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    DvMaintenanceSql.parse(sqlText).getOrElse {
+      val p = delegate.parsePlan(sqlText)
+      // MERGE schema evolution (opt-in) for extension-built sessions:
+      // the target must widen BEFORE the analyzer expands star actions
+      DvSchemaEvolve.maybeWiden(session, p)
+      p
+    }
 
   override def parsePlanWithParameters(sqlText: String,
       parameters: ParameterContext): LogicalPlan =
     DvMaintenanceSql.parse(sqlText)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, parameters))
+      .getOrElse {
+        val p = delegate.parsePlanWithParameters(sqlText, parameters)
+        DvSchemaEvolve.maybeWiden(session, p)
+        p
+      }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -58,7 +58,12 @@ case class DvScanRule(session: SparkSession) extends Rule[LogicalPlan] {
       case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
           if wrapped(s.scan).isDefined =>
         val impl = wrapped(s.scan).get
-        val newPlan = GraftPlanApi.analyzed(impl.inner(session))
+        // OPTIMIZED, not analyzed: this rule runs in the late
+        // extraOptimizations window, so the main optimizer batches
+        // never see the injected subtree — a plan carrying operators
+        // the optimizer must rewrite before planning (the CDF feed's
+        // ExceptAll) would reach the planner raw and fail
+        val newPlan = GraftPlanApi.optimized(impl.inner(session))
         val byName = newPlan.output.map(a => a.name -> a).toMap
         Project(s.output.map(o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)), newPlan)
@@ -66,13 +71,13 @@ case class DvScanRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def wrapped(scan: org.apache.spark.sql.connector.read.Scan)
-      : Option[graft.sources.DvV1ScanImpl] = scan match {
+      : Option[graft.sources.DvBridgedScan] = scan match {
     case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
       w.v1Scan match {
-        case d: graft.sources.DvV1ScanImpl => Some(d)
+        case d: graft.sources.DvBridgedScan => Some(d)
         case _ => None
       }
-    case d: graft.sources.DvV1ScanImpl => Some(d)
+    case d: graft.sources.DvBridgedScan => Some(d)
     case _ => None
   }
 }

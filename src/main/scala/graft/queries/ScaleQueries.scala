@@ -1154,6 +1154,54 @@ object ScaleQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The SQL-TRANSPARENT face of the same lookup: a PLAIN
+    * `SELECT ... WHERE event_id IN (...)` through the DSv2 catalog —
+    * no `DV.indexLookup` call, no hint. The bloom/min-max sidecar is
+    * consulted INSIDE scan planning (the lazy manifest index's
+    * skipping hook): eligible point/IN conjuncts on the indexed key
+    * probe the sidecar and indexed definite-miss files never enter
+    * the scan. The candidate-file count is asserted ON the executed
+    * plan every run — fewer files scanned than live, same rows as
+    * the API face (same oracle).
+    */
+  def dvIndexLookupSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val ev = Tables.events(spark, sfDir)
+    // identical memoized setup as dv_index_lookup (same tag — the
+    // first of the two queries to run builds it)
+    val root = dvTable(spark, sfDir, "ipl") { r =>
+      val victims = ev.select(col("user_id")).distinct()
+        .filter(TextOps.h60(
+          concat(lit("dvipl_"), col("user_id").cast("string"))) % 4 === 0)
+      DV.delete(spark, r, "user_id", victims)
+      DV.refreshIndex(spark, r, "event_id"): Unit
+    }
+    val keys = ev.select(col("event_id")).distinct()
+      .filter(TextOps.h60(
+        concat(lit("dviplk_"), col("event_id").cast("string"))) % 17 === 0)
+      .orderBy(col("event_id")).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val t = dvV2Ident(spark, root)
+    val base = spark.sql(
+      s"""SELECT event_id, user_id, event_type,
+         |  round(CAST(CAST(value AS DECIMAL(28,4)) AS DOUBLE), 4)
+         |    AS value
+         |FROM $t WHERE event_id IN (${keys.mkString(", ")})"""
+        .stripMargin)
+    // plan assertion: the scan's file set is sidecar-pruned
+    val total = DV.manifest(spark, root).count()
+    val scanned = base.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.listFiles(
+            s.partitionFilters.filter(_.references.nonEmpty),
+            s.dataFilters)
+          .map(_.files.length.toLong).sum
+    }
+    require(scanned.nonEmpty && scanned.sum < total,
+      s"transparent skipping pruned nothing (${scanned.sum}/$total files)")
+    base.orderBy(col("event_id"))
+  }
+
   private val dvIndexLookupOracle = {
     import graft.operators.TextOps
     val victim = s"${TextOps.h60Sql("('dvipl_' || CAST(user_id AS VARCHAR))")} % 4 = 0"
@@ -1245,7 +1293,15 @@ object ScaleQueries {
     }
     val committed = Snapshots.committedVersions(
       spark, DV.manifestTable(root))
-    DV.readChanges(spark, root, committed.head, committed.last)
+    // the feed reads through the CATALOG face (graftdv.changes.*, the
+    // round-13 unification) — one machinery behind readChanges, the
+    // batch face bounded by the version-window read options and
+    // readStream.table riding the same namespace (DvCdfSpec)
+    dvV2Ident(spark, root): Unit // registers the catalog + scan swap
+    spark.read
+      .option("startingVersion", committed.head)
+      .option("endingVersion", committed.last)
+      .table(s"graftdv.changes.`$root`")
       .groupBy(col("_change_type"), col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         round(Enrich.exactSum(col("value")), 4).as("value_sum"))
@@ -1307,7 +1363,15 @@ object ScaleQueries {
     }
     val committed = Snapshots.committedVersions(
       spark, DV.manifestTable(root))
-    DV.readChanges(spark, root, committed.head, committed.last)
+    // the feed reads through the CATALOG face (graftdv.changes.*, the
+    // round-13 unification) — one machinery behind readChanges, the
+    // batch face bounded by the version-window read options and
+    // readStream.table riding the same namespace (DvCdfSpec)
+    dvV2Ident(spark, root): Unit // registers the catalog + scan swap
+    spark.read
+      .option("startingVersion", committed.head)
+      .option("endingVersion", committed.last)
+      .table(s"graftdv.changes.`$root`")
       .groupBy(col("_change_type"), col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         round(Enrich.exactSum(col("value")), 4).as("value_sum"))
@@ -2147,8 +2211,249 @@ object ScaleQueries {
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** `ALTER TABLE ... RENAME COLUMN` via COLUMN MAPPING
+    * ([[graft.operators.DeletionVectors.alterRenameColumn]]): one
+    * metadata-only manifest flip renames the LOGICAL column; the
+    * PHYSICAL parquet field name stays frozen, so every pre-rename
+    * file reads under the new name with zero rewrites (the Delta
+    * name-mapping shape). The setup renames `value`→`amount` through
+    * the SQL route and then APPENDS a post-rename batch through the
+    * new name — staged files still carry the frozen physical name,
+    * proving one physical layout serves both generations. The query
+    * aggregates over the renamed column across old + new files;
+    * DvColumnMapSpec pins time travel, restore, maintenance-rewrite
+    * and frozen-footer behavior.
+    */
+  def dvSqlRenameColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqlren") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "ren")
+      graft.GraftSql.sql(spark,
+        s"ALTER TABLE $tbl RENAME COLUMN value TO amount").collect()
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvren_"), col("event_id").cast("string"))) % 19 === 0)
+        .withColumn("event_id", col("event_id") + lit(7000000000L))
+        .withColumnRenamed("value", "amount")
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "ren")
+    spark.table(tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Enrich.exactSum(col("amount")), 4).as("amount_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvSqlRenameColumnOracle = {
+    import graft.operators.TextOps
+    val sel = s"${TextOps.h60Sql("('dvren_' || CAST(event_id AS VARCHAR))")} % 19 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, user_id, value AS amount FROM events
+       |  UNION ALL
+       |  SELECT event_type, user_id, value AS amount
+       |  FROM events WHERE $sel)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(CAST(amount AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS amount_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` + re-ADD of the SAME name — the
+    * resurrection trap every column-mapping design must close: after
+    * `DROP COLUMN props` the physical bytes remain in existing files,
+    * and a later `ADD COLUMNS (props STRING)` must NOT surface them —
+    * the re-added column gets a GENERATED physical name (recorded
+    * `dropped_cols` in the manifest sentinel), so old rows read NULL
+    * and only the post-add append carries values. The oracle encodes
+    * exactly that: NULL props for every original row, real values for
+    * the appended batch. Note the re-added column even changes TYPE
+    * (map → string) — safe precisely because the physical names
+    * differ.
+    */
+  def dvSqlDropColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqldrop") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "drop")
+      graft.GraftSql.sql(spark,
+        s"ALTER TABLE $tbl DROP COLUMN props").collect()
+      graft.GraftSql.sql(spark,
+        s"ALTER TABLE $tbl ADD COLUMNS (props STRING)").collect()
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvdrp_"), col("event_id").cast("string"))) % 23 === 0)
+        .withColumn("event_id", col("event_id") + lit(6000000000L))
+        .withColumn("props",
+          concat(lit("p"), (col("user_id") % 5).cast("string")))
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "drop")
+    spark.table(tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("props")).as("n_props"),
+        countDistinct(col("props")).as("n_prop_values"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvSqlDropColumnOracle = {
+    import graft.operators.TextOps
+    val sel = s"${TextOps.h60Sql("('dvdrp_' || CAST(event_id AS VARCHAR))")} % 23 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, value, CAST(NULL AS VARCHAR) AS props
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, value,
+       |    'p' || CAST(user_id % 5 AS VARCHAR) AS props
+       |  FROM events WHERE $sel)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(props) AS n_props,
+       |  count(DISTINCT props) AS n_prop_values,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** MERGE SCHEMA EVOLUTION (the Delta autoMerge shape, opt-in conf
+    * `spark.graft.dv.schema.autoMerge`): a `MERGE INTO` whose source
+    * carries a NEW column (`score`) widens the target in one
+    * metadata-only ADD COLUMNS flip and then resolves normally —
+    * `WHEN MATCHED UPDATE SET *` / `WHEN NOT MATCHED INSERT *` cover
+    * the new column, pre-merge rows read it as NULL (the parquet
+    * missing-column rule), and the statement runs through Spark's OWN
+    * DSv2 merge rewrite (SupportsDelta). DvDmlSpec pins V1/DSv2 path
+    * agreement and the off-by-default rejection.
+    */
+  def dvMergeEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "mrgevo") { r =>
+      val t = dvV2Ident(spark, r)
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val upd = ev.filter(TextOps.h60(concat(lit("dvmev_"),
+          col("event_id").cast("string"))) % 12 === 0)
+        .withColumn("value", col("value") + 300)
+      val ins = ev.filter(TextOps.h60(concat(lit("dvmei_"),
+          col("event_id").cast("string"))) % 31 === 0)
+        .withColumn("event_id", col("event_id") + lit(4000000000L))
+      upd.unionByName(ins)
+        .withColumn("score", (col("user_id") % 9).cast("int"))
+        .createOrReplaceTempView("dv_merge_evolve_src")
+      spark.conf.set("spark.graft.dv.schema.autoMerge", "true")
+      try graft.GraftSql.sql(spark,
+        s"""MERGE INTO $t t USING dv_merge_evolve_src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect(): Unit
+      finally spark.conf.unset("spark.graft.dv.schema.autoMerge")
+    }
+    val t = dvV2Ident(spark, root)
+    spark.table(t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("score")).as("n_scored"),
+        sum(coalesce(col("score"), lit(0))).cast("long").as("score_sum"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dvMergeEvolveOracle = {
+    import graft.operators.TextOps
+    val upd = s"${TextOps.h60Sql("('dvmev_' || CAST(event_id AS VARCHAR))")} % 12 = 0"
+    val ins = s"${TextOps.h60Sql("('dvmei_' || CAST(event_id AS VARCHAR))")} % 31 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type,
+       |    CASE WHEN $upd THEN value + 300 ELSE value END AS value,
+       |    CASE WHEN $upd THEN CAST(user_id % 9 AS INTEGER)
+       |         ELSE CAST(NULL AS INTEGER) END AS score
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, value, CAST(user_id % 9 AS INTEGER) AS score
+       |  FROM events WHERE $ins)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(score) AS n_scored,
+       |  CAST(sum(coalesce(score, 0)) AS BIGINT) AS score_sum,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** COLUMN DEFAULTS (`ALTER TABLE ... ADD COLUMNS (c T DEFAULT v)`):
+    * rides Spark's OWN default-column machinery — the default lands
+    * as `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata in the
+    * manifest-versioned schema, so the parquet reader fills it for
+    * every file missing the column (all pre-add files) and INSERT
+    * statements omitting the column resolve it natively. No custom
+    * read or write path at all. The query mixes three generations:
+    * pre-add rows (exists-default), an INSERT without the column
+    * (current-default), and an append with explicit values.
+    */
+  def dvSqlDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqldef") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "def")
+      graft.GraftSql.sql(spark, s"ALTER TABLE $tbl ADD COLUMNS " +
+        "(tier STRING DEFAULT 'standard')").collect(): Unit
+      // INSERT WITHOUT the defaulted column: the column list omits
+      // tier; Spark's default resolution fills 'standard'
+      graft.GraftSql.sql(spark,
+        s"""INSERT INTO $tbl
+           |  (event_id, ts, user_id, event_type, value, props, day)
+           |SELECT event_id + 2000000000, ts, user_id, event_type,
+           |  value, props, day
+           |FROM $tbl
+           |WHERE ${TextOps.h60SparkSql(
+                "concat('dvdef_', CAST(event_id AS STRING))")} % 41 = 0
+           |  AND event_id < 2000000000""".stripMargin).collect(): Unit
+      // an append carrying EXPLICIT values
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(concat(lit("dvdefg_"),
+          col("event_id").cast("string"))) % 37 === 0)
+        .withColumn("event_id", col("event_id") + lit(3000000000L))
+        .withColumn("tier", lit("gold"))
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    val tbl = dvCatalogTable(spark, sfDir, root, "def")
+    spark.table(tbl)
+      .groupBy(col("event_type"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+      .orderBy(col("event_type"), col("tier"))
+  }
+
+  private val dvSqlDefaultOracle = {
+    import graft.operators.TextOps
+    val ins = s"${TextOps.h60Sql("('dvdef_' || CAST(event_id AS VARCHAR))")} % 41 = 0"
+    val gold = s"${TextOps.h60Sql("('dvdefg_' || CAST(event_id AS VARCHAR))")} % 37 = 0"
+    s"""WITH final AS (
+       |  SELECT event_type, value, 'standard' AS tier FROM events
+       |  UNION ALL
+       |  SELECT event_type, value, 'standard' AS tier
+       |  FROM events WHERE $ins
+       |  UNION ALL
+       |  SELECT event_type, value, 'gold' AS tier
+       |  FROM events WHERE $gold)
+       |SELECT event_type, tier, count(*) AS n_events,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum
+       |FROM final GROUP BY event_type, tier
+       |ORDER BY event_type, tier""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
+    Q("dv_sql_default", Some(dvSqlDefaultOracle), dvSqlDefault),
+    Q("dv_sql_rename_column", Some(dvSqlRenameColumnOracle),
+      dvSqlRenameColumn),
+    Q("dv_sql_drop_column", Some(dvSqlDropColumnOracle),
+      dvSqlDropColumn),
+    Q("dv_merge_evolve", Some(dvMergeEvolveOracle), dvMergeEvolve),
     Q("dv_sql_restore", Some(dvSqlRestoreOracle), dvSqlRestore),
     Q("dv_sql_history", Some(dvSqlHistoryOracle), dvSqlHistory),
     Q("dv_sql_alter", Some(dvSqlAlterOracle), dvSqlAlter),
@@ -2173,6 +2478,7 @@ object ScaleQueries {
     Q("dv_compact", Some(dvCompactOracle), dvCompact),
     Q("dv_upsert", Some(dvUpsertOracle), dvUpsert),
     Q("dv_index_lookup", Some(dvIndexLookupOracle), dvIndexLookup),
+    Q("dv_index_lookup_sql", Some(dvIndexLookupOracle), dvIndexLookupSql),
     Q("index_point_lookup", Some(iplOracle), indexPointLookup),
     Q("snapshot_timetravel", Some(snapshotOracle), snapshotTimetravel),
     Q("mv_rewrite_q1", Some(SqlSurface.q1Oracle), mvRewriteQ1),

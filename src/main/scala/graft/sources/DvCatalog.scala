@@ -97,7 +97,23 @@ class GraftDvCatalog extends TableCatalog {
           .map(d => Identifier.of(namespace, d.getPath.getName))
     }
 
+  /** The CHANGES namespace — `graftdv.changes.`/path`` — serves a
+    * table's CHANGE DATA FEED through the same catalog: batch reads
+    * (options `startingVersion`/`endingVersion` bound the committed
+    * version window) and `spark.readStream.table` (micro-batches per
+    * committed version via the V1 streaming fallback). One machinery,
+    * two faces: both delegate to [[DV.readChanges]].
+    */
+  private def isChanges(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && ident.namespace.head == "changes"
+
   override def loadTable(ident: Identifier): Table = {
+    if (isChanges(ident)) {
+      val inner = Identifier.of(Array.empty, ident.name)
+      val root = rootOf(inner)
+      if (!DV.exists(spark, root)) throw new NoSuchTableException(ident)
+      return new DvChangesV2Table(root)
+    }
     val root = rootOf(ident)
     if (!DV.exists(spark, root)) throw new NoSuchTableException(ident)
     new DvV2Table(root, None)
@@ -156,15 +172,18 @@ class GraftDvCatalog extends TableCatalog {
     new DvV2Table(root, None)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS` — the one schema change the layer
-    * supports (add-only evolution, nullable, no repositioning), as a
-    * metadata-only manifest flip.
+  /** `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN` —
+    * each a metadata-only manifest flip. ADD is add-only evolution
+    * (nullable, no repositioning); RENAME/DROP resolve through COLUMN
+    * MAPPING (the physical parquet names stay frozen — zero file
+    * rewrites; see [[DV.alterRenameColumn]] / [[DV.alterDropColumn]]).
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!DV.exists(spark, root)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft-dv ALTER adds top-level columns only; got " +
@@ -175,12 +194,26 @@ class GraftDvCatalog extends TableCatalog {
         require(a.position == null,
           "graft-dv ALTER does not support column positioning " +
             "(FIRST/AFTER) — columns append")
-        org.apache.spark.sql.types.StructField(
+        adds += org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft-dv RENAME COLUMN works on top-level columns only; " +
+            s"got ${r.fieldNames.mkString(".")}")
+        DV.alterRenameColumn(spark, root, r.fieldNames.head,
+          r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft-dv DROP COLUMN works on top-level columns only; " +
+            s"got ${d.fieldNames.mkString(".")}")
+        DV.alterDropColumn(spark, root, d.fieldNames.head): Unit
       case other => throw new UnsupportedOperationException(
-        s"graft-dv supports ALTER TABLE ADD COLUMNS only; got $other")
+        "graft-dv supports ALTER TABLE ADD COLUMNS / RENAME COLUMN / " +
+          s"DROP COLUMN only; got $other")
     }
-    DV.alterAddColumns(spark, root, StructType(adds)): Unit
+    val toAdd = adds.result()
+    if (toAdd.nonEmpty)
+      DV.alterAddColumns(spark, root, StructType(toAdd)): Unit
     loadTable(ident)
   }
 
@@ -309,7 +342,7 @@ private[sources] class DvScanBuilder(table: DvV2Table)
   */
 case class DvV1ScanImpl(table: DvV2Table, required: StructType,
     pushed: Array[sources.Filter])
-    extends V1Scan
+    extends V1Scan with DvBridgedScan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -357,6 +390,102 @@ case class DvV1ScanImpl(table: DvV2Table, required: StructType,
         self.inner(context.sparkSession).rdd
     }.asInstanceOf[T]
   }
+}
+
+/** CHANGE-DATA-FEED table — what `graftdv.changes.`/root`` loads.
+  * Batch reads serve [[DV.readChanges]] over the committed-version
+  * window the read options select (`startingVersion` exclusive-from,
+  * default the earliest retained version; `endingVersion` inclusive-to,
+  * default latest). Streaming (`spark.readStream.table`) rides the
+  * [[V2TableWithV1Fallback]] hook onto the proven `graft-dv-cdf`
+  * source — offsets are manifest versions, exactly-once by replaying
+  * immutable committed manifests.
+  */
+class DvChangesV2Table(val root: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.GraftV1FallbackTable {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = s"graft-dv-changes.`$root`"
+
+  override lazy val schema: StructType =
+    DvCdfSource.changeSchema(spark.sqlContext, root)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val from = Option(options.get("startingVersion")).map(_.toLong)
+    val to = Option(options.get("endingVersion")).map(_.toLong)
+    () => DvChangesScanImpl(root, schema, from, to)
+  }
+
+  /** The streaming fallback: `readStream.table` resolves this
+    * CatalogTable's provider (`graft-dv-cdf`) through the V1
+    * StreamSourceProvider path — the same source the format-string
+    * face uses, now reachable through the catalog name.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        root, Some("graftdv_changes")),
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat
+        .empty.copy(properties = Map("path" -> root)),
+      schema = schema,
+      provider = Some("graft-dv-cdf"))
+}
+
+/** Bridged CDF scan: the batch half of the changes table. Shares the
+  * [[DvBridgedScan]] swap hook with the main table's scan, so catalog
+  * CDF reads end at the direct [[DV.readChanges]] plan where the
+  * optimizer swap is installed.
+  */
+case class DvChangesScanImpl(root: String, changeSchema: StructType,
+    fromV: Option[Long], toV: Option[Long])
+    extends V1Scan with DvBridgedScan {
+
+  override def readSchema(): StructType = changeSchema
+
+  private[graft] def inner(spark: SparkSession): DataFrame = {
+    val mt = DV.manifestTable(root)
+    val versions = Snapshots.committedVersions(spark, mt)
+    val from = fromV.getOrElse(versions.min)
+    val to = toV.getOrElse(versions.max)
+    val changes =
+      if (to <= from)
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](), changeSchema)
+      else DV.readChanges(spark, root, from, to)
+    // align to the declared change schema (null-fill columns a
+    // narrower feed window never materialized, fix the order)
+    val filled = changeSchema.fieldNames.foldLeft(changes) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(changeSchema(c).dataType))
+    }
+    filled.select(changeSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val self = this
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = changeSchema
+      override def buildScan(): RDD[Row] =
+        self.inner(context.sparkSession).rdd
+    }.asInstanceOf[T]
+  }
+}
+
+/** Common face of the catalog's V1-bridged scans — what
+  * [[graft.plans.DvScanRule]] swaps for the real plan.
+  */
+trait DvBridgedScan {
+  private[graft] def inner(spark: SparkSession): DataFrame
 }
 
 /** V1-bridged batch write: INSERT INTO → append (new files behind one

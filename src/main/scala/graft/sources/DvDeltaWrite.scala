@@ -37,9 +37,14 @@ import graft.operators.{DeletionVectors => DV, DvBlobs}
   *    exactly the tombstone-old-image + append-new-image shape of
   *    [[DV.upsert]] and the V1 DML commands;
   *  - deletes land as per-file delta blobs written FROM THE EXECUTORS
-  *    ([[DvBlobs.writeDelta]] — the driver never holds positions);
+  *    ([[DvBlobs.writeDelta]] — the driver never holds positions),
+  *    PENDING under the stage dir until the commit publishes them;
   *    inserts land as staged-invisible parquet in the hive layout,
-  *    flipped live by ONE CAS manifest publish at commit.
+  *    flipped live by ONE CAS manifest publish at commit. Failure
+  *    atomicity: nothing — neither tombstone nor insert — is visible
+  *    to readers before commit(), and the tombstone publish runs
+  *    AFTER the insert CAS, so no failure mode deletes acknowledged
+  *    rows while discarding their replacement images.
   *
   * Scale shape: Spark clusters the delta rows by target file (and by
   * partition for insert-carrying commands) via
@@ -137,7 +142,7 @@ private[sources] class SerConf(@transient var value: Configuration)
 }
 
 private[sources] case class DvDeltaCommitMessage(files: Seq[String],
-    touchedFiles: Seq[String], deleted: Long,
+    touchedFiles: Seq[String], blobs: Seq[String], deleted: Long,
     inserted: Long) extends WriterCommitMessage
 
 private[sources] class DvDeltaBatchWrite(root: String,
@@ -167,8 +172,11 @@ private[sources] class DvDeltaBatchWrite(root: String,
     DV.acquireMaintenanceClaim(spark, root)
     claimed = true
     val partCols = DV.partitionColsOf(spark, root)
-    val dataSchema = StructType(
-      rowSchema.filterNot(f => partCols.contains(f.name)))
+    // staged parquet carries the frozen PHYSICAL field names (column
+    // mapping): renamed columns write under their original written
+    // name, so every file generation shares one physical layout
+    val dataSchema = DV.physicalWriteSchema(spark, root, StructType(
+      rowSchema.filterNot(f => partCols.contains(f.name))))
     def prepared(schema: StructType): (OutputWriterFactory, SerConf) = {
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
       val f = new ParquetFileFormat().prepareWrite(
@@ -194,7 +202,8 @@ private[sources] class DvDeltaBatchWrite(root: String,
       // a purge that slipped between PLAN time (manifest resolution)
       // and the claim could have replaced a file whose tombstones the
       // executors then wrote against the DEAD copy — detect and fail
-      // loudly, committing nothing (the dead-file blobs are inert)
+      // loudly, committing nothing (the pending blobs never publish;
+      // they die with the stage dir)
       val touched = msgs.flatMap(_.touchedFiles).toSet
       if (touched.nonEmpty) {
         val live = DV.manifest(spark, root).select("file")
@@ -218,16 +227,25 @@ private[sources] class DvDeltaBatchWrite(root: String,
           val c = new DV.CdfStage(spark, root)
           c.writePre(DV.rowsAtCoordinates(spark, root,
             spark.read.parquet(coordDir.toString)))
-          c.writePost(spark.read.option("basePath", stage)
-            .parquet(stage))
+          c.writePost(DV.toLogicalDf(spark, root,
+            spark.read.option("basePath", stage).parquet(stage)))
           Some(c)
         } else None
       try {
         if (anyInserts) {
           DV.commitStagedDml(spark, root, stage, rowSchema, opName,
-            onCommitted = v => cdf.foreach(_.onCommitted(v))): Unit
+            onCommitted = v => cdf.foreach(_.onCommitted(v)),
+            extraFeatures = if (cdf.exists(_.recorded))
+              Set("cdf-updates") else Set.empty): Unit
           packAfter = true
         }
+        // tombstones publish AFTER the insert CAS (and only once every
+        // pre-commit check passed): before this point the live table
+        // is untouched — an abort, a raced rewrite, or a constraint
+        // failure commits NOTHING; a crash between the CAS and here
+        // leaves recoverable duplicates (old rows un-tombstoned beside
+        // the new images), never acknowledged-data loss
+        publishBlobs(msgs.flatMap(_.blobs))
       } finally cdf.foreach(_.cleanup())
     } finally cleanup()
     // opportunistic auto-pack AFTER the claim releases: a merge-heavy
@@ -235,8 +253,25 @@ private[sources] class DvDeltaBatchWrite(root: String,
     if (packAfter) DV.autoPackFiles(spark, root): Unit
   }
 
+  /** Stage→live blob publish: rename-only, no data bytes. Small sets
+    * publish driver-side; past that the renames fan out to the
+    * executors (blob count tracks the touched-file set, which at
+    * 100 TB can be large while each rename stays O(1)).
+    */
+  private def publishBlobs(pending: Seq[String]): Unit = {
+    if (pending.isEmpty) ()
+    else if (pending.size <= 64)
+      pending.foreach(p => DvBlobs.publish(p, root): Unit)
+    else {
+      val r = root
+      spark.sparkContext
+        .parallelize(pending, math.max(1, pending.size / 256))
+        .foreach(p => DvBlobs.publish(p, r): Unit)
+    }
+  }
+
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    cleanup()
+    cleanup() // pending blobs live under the stage dir — swept with it
 
   private def opName: String = cmd match {
     case RowLevelOperation.Command.DELETE => "delete"
@@ -248,6 +283,10 @@ private[sources] class DvDeltaBatchWrite(root: String,
     val p = new Path(stage)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true): Unit
+    // the pending-blob sibling (unpublished tombstones on abort;
+    // empty f= husks after a successful publish)
+    val pend = new Path(s"${stage}_dvpending")
+    if (fs.exists(pend)) fs.delete(pend, true): Unit
     if (claimed) {
       claimed = false
       DV.releaseMaintenanceClaim(spark, root)
@@ -268,13 +307,17 @@ private[sources] class DvDeltaWriterFactory(root: String, stage: String,
 }
 
 /** Executor-side delta writer. Deletes buffer per target file and
-  * flush as immutable delta blobs (rows arrive `__file`-sorted, so a
-  * file's positions flush when the stream moves past it — memory
-  * tracks ONE file's tombstones, not the task's); inserts route to
-  * one parquet writer per partition directory under the staging
-  * root. Task retries are safe: re-written blobs duplicate positions
-  * (the read-side merge dedupes), and abandoned staged parquet is
-  * swept with the stage dir.
+  * flush as immutable PENDING delta blobs under the stage dir (rows
+  * arrive `__file`-sorted, so a file's positions flush when the
+  * stream moves past it — memory tracks ONE file's tombstones, not
+  * the task's); the blobs become visible only via the driver's
+  * commit-time [[graft.operators.DvBlobs.publish]] rename, so a
+  * failed job deletes nothing. Inserts route to one parquet writer
+  * per partition directory under the same staging root. Task retries
+  * are safe: a lost attempt's pending blobs are simply never carried
+  * in a commit message (and are swept with the stage dir), and
+  * re-written blobs at worst duplicate positions across attempts,
+  * which the read-side merge dedupes.
   */
 private[sources] class DvDeltaTaskWriter(root: String, stage: String,
     rowSchema: StructType, partCols: Seq[String], dataSchema: StructType,
@@ -287,8 +330,15 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
   private var positions = new mutable.ArrayBuilder.ofLong
   private var posCount = 0
   private val touched = mutable.LinkedHashSet.empty[String]
+  private val blobs = mutable.ArrayBuffer.empty[String]
   private var deleted = 0L
   private val FlushAt = 1 << 22 // 32 MB of positions per file chunk
+  // pending tombstones stay stage-confined until the driver's
+  // commit-time publish — writeDelta under this root lays out the
+  // same f=<md5>/delta-*.dv shape the live store uses. A SIBLING of
+  // the stage dir (not inside it): the insert CAS's moveStaged sweeps
+  // the stage itself, and the blobs must outlive it to publish after.
+  private val pendingRoot = s"${stage}_dvpending"
 
   // change-data coordinate journal (CDF-enabled UPDATE only)
   private var coordWriter:
@@ -328,7 +378,7 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
 
   private def flushDeletes(keepFile: Boolean = false): Unit = {
     if (curFile != null && posCount > 0) {
-      DvBlobs.writeDelta(root, curFile, positions.result()): Unit
+      blobs += DvBlobs.writeDelta(pendingRoot, curFile, positions.result())
       touched += curFile
     }
     positions.clear()
@@ -391,8 +441,8 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
     writers.values.foreach(_.close())
     writers.clear()
     if (coordWriter != null) { coordWriter.close(); coordWriter = null }
-    DvDeltaCommitMessage(stagedFiles.toSeq, touched.toSeq, deleted,
-      inserted)
+    DvDeltaCommitMessage(stagedFiles.toSeq, touched.toSeq, blobs.toSeq,
+      deleted, inserted)
   }
 
   override def abort(): Unit = {
@@ -404,8 +454,8 @@ private[sources] class DvDeltaTaskWriter(root: String, stage: String,
       case _: IOException => ()
     }
     coordWriter = null
-    // staged parquet is swept with the stage dir by the driver;
-    // already-flushed blobs duplicate at worst (read-side dedupe)
+    // staged parquet AND pending blobs are swept with the stage dir
+    // by the driver — an aborted task publishes nothing
   }
 
   override def close(): Unit = ()

@@ -198,9 +198,11 @@ object GraftDvApi {
       statsSchema: StructType,
       totalBytes: Long,
       cachedFull: Option[() => Seq[LiveFile]] = None,
-      fileRegex: Option[String] = None) extends FileIndex {
+      fileRegex: Option[String] = None,
+      skipping: Option[Seq[Expression] => Option[DataFrame]] = None)
+      extends FileIndex {
 
-    import org.apache.spark.sql.functions.{col, element_at}
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit}
 
     override val rootPaths: Seq[Path] = Seq(root)
 
@@ -283,13 +285,21 @@ object GraftDvApi {
       val (pushable, residual) =
         partitionFilters.partition(translatable)
       val statsPreds = dataFilters.flatMap(statsCol)
+      // SQL-transparent SKIPPING-INDEX tier: the hook (installed by
+      // DeletionVectors when the table carries a bloom/min-max
+      // sidecar) turns eligible data filters (point/IN predicates on
+      // the indexed key) into a per-file hit annotation; indexed
+      // files whose sidecar row definitely misses are pruned here —
+      // files the index never saw always survive (staleness-safe).
+      val idxAnnot = skipping.flatMap(_(dataFilters))
       // nothing to push -> serve the caller's cached per-version
       // listing instead of re-running a manifest job per execution
       // (the unfiltered-read fast path; pruned reads pay the one
       // small manifest scan that saves them the materialization).
       // A generation-scoped index filters the cached (full) listing
       // by its own path pattern first.
-      if (pushable.isEmpty && statsPreds.isEmpty && cachedFull.isDefined)
+      if (pushable.isEmpty && statsPreds.isEmpty && idxAnnot.isEmpty &&
+          cachedFull.isDefined)
         return {
           val pat = fileRegex.map(_.r.pattern)
           val rows = cachedFull.get.apply()
@@ -304,6 +314,15 @@ object GraftDvApi {
       if (pushable.nonEmpty && partCols.nonEmpty)
         df = df.filter(partCol(pushable.reduce(And)))
       statsPreds.foreach(p => df = df.filter(p))
+      // sidecar pruning: LEFT join the hit annotation — a file the
+      // index never saw joins null and SURVIVES (coalesce true); an
+      // indexed definite miss is dropped. One metadata-scale join,
+      // nothing collected.
+      idxAnnot.foreach { ann =>
+        df = df.join(ann, Seq("file"), "left_outer")
+          .filter(coalesce(col("idx_hit"), lit(true)))
+          .drop("idx_hit")
+      }
       val rows = df.collect().toSeq.map { r =>
         LiveFile(r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) parsePartitions(r.getString(0)).map(_._2)
@@ -337,13 +356,25 @@ object GraftDvApi {
       statsSchema: StructType, dataSchema: StructType,
       totalBytes: Long,
       cachedFull: Option[() => Seq[LiveFile]] = None,
-      fileRegex: Option[String] = None): DataFrame = {
+      fileRegex: Option[String] = None,
+      skipping: Option[Seq[Expression] => Option[DataFrame]] = None)
+      : DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val fi = new LazyManifestFileIndex(spark, new Path(root),
       manifestVersionDir, partCols, statsSchema, totalBytes, cachedFull,
-      fileRegex)
+      fileRegex, skipping)
     val rel = HadoopFsRelation(fi, fi.partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel))
   }
 }
+
+/** Public bridge to Spark's `private[sql]`
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]] —
+  * the hook `spark.readStream.table` uses to stream a DSv2 catalog
+  * table through a V1 `StreamSourceProvider` (the Delta CDF pattern).
+  * Lives in this namespace for the same access-boundary reason the
+  * two Api objects do.
+  */
+trait GraftV1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

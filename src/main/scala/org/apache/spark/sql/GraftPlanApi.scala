@@ -18,6 +18,16 @@ object GraftPlanApi {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** FULLY OPTIMIZED logical plan of a DataFrame — for plans injected
+    * by a late (extraOptimizations-window) rule: the main optimizer
+    * batches never re-run on the injected subtree, so operators the
+    * optimizer must rewrite before planning (ExceptAll, Intersect)
+    * would reach the planner raw and fail. Running the session's own
+    * optimizer on the subtree first makes late injection safe.
+    */
+  def optimized(df: DataFrame): LogicalPlan =
+    df.queryExecution.optimizedPlan
+
   /** Wrap a catalyst Expression as a Column (`ExpressionUtils.column`
     * is `private[sql]`). The SQL-DML layer uses this to carry the
     * analyzer's RESOLVED condition/assignment expressions — exprIds
@@ -27,6 +37,13 @@ object GraftPlanApi {
   def column(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** The inverse: a Column's catalyst Expression (`expr` is
+    * `private[sql]` in the classic split).
+    */
+  def expression(
+      c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 
   /** Re-tag a batch DataFrame as a STREAMING frame (isStreaming=true)
     * — what a DSv1 [[org.apache.spark.sql.execution.streaming.Source]]

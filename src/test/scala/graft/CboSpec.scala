@@ -116,6 +116,90 @@ class CboSpec extends SparkSpec {
     }.toSet
   }
 
+  /** Equi-height HISTOGRAMS on a SKEWED key: an equality filter on
+    * the FREQUENT value estimates rows/ndv without them (the
+    * skew-blind guess — a few dozen rows) but ~95% of the table with
+    * them (the bin holding the literal), and JoinReorderDP flips the
+    * join ORDER on that cardinality: skew-blind, the "tiny" filtered
+    * fact joins first; histogram-informed, the genuinely small dim
+    * pair goes innermost. Asserted on the optimized plan — the
+    * reorder runs where the catalog stats live (pre-swap), exactly
+    * like the NDV-driven flip above.
+    */
+  private def dvHistJoin(hist: Boolean)
+      : (Set[String], Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DeletionVectors => DV}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s.conf.set("spark.sql.statistics.histogram.enabled", hist.toString)
+    val sfx = if (hist) "h" else "n"
+    val tmp = System.getProperty("java.io.tmpdir")
+    def mk(name: String, src: org.apache.spark.sql.DataFrame): String = {
+      val root = s"$tmp/graft_dvhist_${name}_$sfx"
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      DV.init(s, src, root, "pb")
+      val full = s"graft_hist_${name}_$sfx"
+      s.sql(s"DROP TABLE IF EXISTS $full")
+      s.sql(s"CREATE TABLE $full USING `graft-dv` OPTIONS (path '$root')")
+      graft.GraftSql.sql(s,
+        s"ANALYZE TABLE $full COMPUTE STATISTICS FOR ALL COLUMNS")
+        .collect(): Unit
+      full
+    }
+    val ev = graft.sources.Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("pb", pmod(col("event_id"), lit(2)).cast("string"))
+    // ~95% of fact rows carry k = 1; the rest scatter over many
+    // values — ndv(k) is high, so rows/ndv wildly underestimates
+    // the `k = 1` filter that the reorder costs the fact side with
+    val fact = mk("fact", ev.withColumn("k",
+      when(col("event_id") % 20 =!= 0, lit(1L))
+        .otherwise(pmod(col("event_id"), lit(1000)) + 2)))
+    val mid = mk("mid", ev.select("event_id", "user_id", "pb"))
+    val sml = mk("sml", ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("value"), col("pb")))
+    val q = s.sql(
+      s"""SELECT count(*) AS n, sum(m.user_id) AS us
+         |FROM $fact f
+         |JOIN $mid m ON f.event_id = m.event_id
+         |JOIN $sml c ON m.event_id = c.event_id
+         |WHERE f.k = 1""".stripMargin)
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    val inner = joins.filter(j => j.children.forall(ch =>
+      ch.collect { case x:
+        org.apache.spark.sql.catalyst.plans.logical.Join => x }.isEmpty))
+    assert(inner.size == 1)
+    val names = inner.head.collectLeaves().map(_.toString).flatMap {
+      leaf => Seq("fact", "mid", "sml")
+        .filter(n => leaf.contains(s"graft_hist_${n}_$sfx") ||
+          leaf.contains(s"graft_dvhist_${n}_$sfx"))
+    }.toSet
+    (names, q.collect().map(_.toString).toSeq)
+  }
+
+  test("DV histograms (ANALYZE under histogram.enabled): the " +
+      "frequent-value cardinality flips the JOIN ORDER — skew-blind " +
+      "stats join the 'tiny' filtered fact first, the histogram puts " +
+      "the genuinely small pair innermost; answers agree") {
+    val (noHist, rowsN) = dvHistJoin(hist = false)
+    val (withHist, rowsH) = dvHistJoin(hist = true)
+    assert(noHist.contains("fact"),
+      s"rows/ndv underestimates the frequent key — the filtered fact " +
+        s"must look cheapest to join first (got $noHist)")
+    assert(!withHist.contains("fact") && withHist == Set("mid", "sml"),
+      s"the histogram prices k=1 at ~95% of the fact — the small " +
+        s"pair must go innermost (got $withHist)")
+    assert(rowsN == rowsH,
+      "the flip is a plan change, never an answer change")
+  }
+
   test("DV tables: ANALYZE FOR ALL COLUMNS lands column stats and " +
       "flips the join order; without stats the written order survives") {
     assert(dvInnermost(dvCboQuery(stats = true)) ==

@@ -107,6 +107,44 @@ class DvAlterSpec extends SparkSpec {
       s"ALTER TABLE $name DROP CONSTRAINT ghost").collect())
   }
 
+  test("column DEFAULTs: old files read the exists-default, omitted " +
+      "INSERT columns resolve the current-default, explicit values " +
+      "and explicit NULL win; CHECK constraints see the DEFAULT for " +
+      "batches that omit the column") {
+    val (root, name, ev) = freshTable()
+    graft.GraftSql.sql(spark, s"ALTER TABLE $name ADD COLUMNS " +
+      "(tier STRING DEFAULT 'standard')").collect()
+    // exists-default: every pre-add row reads 'standard', not null
+    assert(DV.read(spark, root)
+      .filter(col("tier") === "standard").count() == 300)
+    // constraint interaction — the pin that tells DEFAULT-fill from
+    // NULL-fill at the write gate: `tier IS NOT NULL` is satisfied by
+    // the default but VIOLATED by null, so under the old "missing
+    // column evaluates as NULL" rule an omitting batch would reject
+    DV.alterAddConstraint(spark, root, "tier_present",
+      "tier IS NOT NULL")
+    DV.append(spark, root, Seq("day"), ev.limit(10)
+      .withColumn("event_id", col("event_id") + 4500000L)): Unit
+    assert(DV.read(spark, root).count() == 310,
+      "a batch omitting the column evaluates its DEFAULT in the " +
+        "check — it must pass tier IS NOT NULL")
+    // a batch carrying an EXPLICIT NULL is a real violation — the
+    // default never papers over written values
+    val bad = ev.limit(5)
+      .withColumn("event_id", col("event_id") + 4800000L)
+      .withColumn("tier", lit(null).cast("string"))
+    val e = intercept[Exception](
+      DV.append(spark, root, Seq("day"), bad))
+    assert(e.getMessage.contains("tier_present"))
+    // explicit values win over the default
+    val extra = ev.limit(30)
+      .withColumn("event_id", col("event_id") + 4000000L)
+      .withColumn("tier", lit("gold"))
+    DV.append(spark, root, Seq("day"), extra): Unit
+    assert(DV.read(spark, root)
+      .filter(col("tier") === "gold").count() == 30)
+  }
+
   test("OPTIMIZE ZORDER BY rewrites the live set clustered: content " +
       "invariant, masks fold in, manifest stats prune, history " +
       "records the verb") {

@@ -255,6 +255,61 @@ class DvCatalogSpec extends SparkSpec {
       ev.filter(col("user_id") % 6 =!= 0).count())
   }
 
+  test("a DSv2 UPDATE whose commit FAILS (constraint violation caught " +
+      "at commit) leaves the table completely untouched — tombstones " +
+      "stay stage-pending and never publish, no acknowledged-data loss") {
+    val (root, t, _) = fresh()
+    DV.alterAddConstraint(spark, root, "ev_cap", "event_id < 8000000")
+    val before = spark.sql(s"SELECT * FROM $t")
+      .orderBy("event_id").collect().toSeq
+    val dvBefore = DV.dv(spark, root).count()
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $t SET event_id = event_id + 9000000 WHERE user_id % 5 = 0"))
+    assert(e.getMessage.contains("ev_cap") ||
+      Option(e.getCause).exists(_.getMessage.contains("ev_cap")))
+    // failure atomicity: the failed statement must NOT have deleted
+    // the old images while discarding their replacements (the
+    // round-12 hole: task-phase blobs landed live, abort left them)
+    assert(spark.sql(s"SELECT * FROM $t")
+      .orderBy("event_id").collect().toSeq == before)
+    assert(DV.dv(spark, root).count() == dvBefore,
+      "no tombstone of the aborted write may be visible")
+    // and no stage / pending-blob debris remains under the root
+    val strays = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_dml_"))
+    assert(strays.isEmpty, strays.map(_.getName).mkString(","))
+  }
+
+  test("DSv2 CDF UPDATE on a MID-EVOLUTION table reconstructs " +
+      "pre-images under each file's own generation — old-generation " +
+      "path values bind to their real column, never the current layout") {
+    val (root, t, ev) = fresh()
+    val v1 = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+    // flip the layout: day (old generation's path column) becomes a
+    // data column; event_type becomes the partition column. All live
+    // files are still OLD generation — the evolution is metadata-only.
+    DV.setPartitioning(spark, root, Seq("event_type"))
+    spark.conf.set("spark.graft.dv.cdf", "true")
+    try spark.sql(
+      s"UPDATE $t SET value = value + 7 WHERE user_id % 4 = 0")
+      .collect(): Unit
+    finally spark.conf.unset("spark.graft.dv.cdf")
+    val vN = Snapshots.latestVersion(spark, DV.manifestTable(root)).get
+    val feed = DV.readChanges(spark, root, v1, vN).localCheckpoint()
+    val touched = ev.filter(col("user_id") % 4 === 0)
+      .select("event_id", "day", "event_type")
+    val n = touched.count()
+    assert(n > 0)
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+      .select("event_id", "day", "event_type")
+    assert(pre.count() == n)
+    // the round-12 mis-binding served day=X as event_type=X and
+    // nulled day; exact column values must round-trip instead
+    assert(pre.exceptAll(touched).isEmpty &&
+      touched.exceptAll(pre).isEmpty,
+      "pre-images must carry each generation's true column values")
+  }
+
   test("CHECK constraints gate the DSv2 write paths: a violating " +
       "INSERT fails loudly and publishes nothing") {
     val (root, t, _) = fresh()

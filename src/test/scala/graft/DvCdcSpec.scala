@@ -180,4 +180,45 @@ class DvCdcSpec extends SparkSpec {
     assert(got.groupBy("event_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("batch→stream handoff: a fresh streaming query over a table " +
+      "whose CDC high-water was set by BATCH applies is a NEW lineage " +
+      "— its restarted batch ids apply and take ownership, not vanish") {
+    val root = Files.createTempDirectory("graft_dvcdc_hand").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .orderBy("event_id").limit(200)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .localCheckpoint()
+    DV.init(spark, ev, root, "day")
+    // three BATCH applies (no streaming query id) raise the unowned
+    // high-water to 2
+    (0L to 2L).foreach { b =>
+      val ins = ev.limit(10)
+        .withColumn("event_id", col("event_id") + lit((b + 1) * 10000000L))
+      assert(DV.applyCdcBatch(spark, root, "day", "event_id", ins, b))
+    }
+    assert(DV.cdcHighWater(spark, root) == ((2L, None)))
+    val countBefore = DV.read(spark, root).count()
+
+    // a streaming query (id on the local property, as StreamExecution
+    // sets it) starts from ITS batch 0 — below the unowned high-water.
+    // Pre-fix this was swallowed as a replay: acknowledged-data loss.
+    val qid = "handoff-test-qid"
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", qid)
+    try {
+      assert(!DV.isStreamReplay(spark, root, 0L),
+        "a fresh stream over a batch-set high-water is a new lineage")
+      val ins0 = ev.limit(15)
+        .withColumn("event_id", col("event_id") + lit(90000000L))
+      assert(DV.applyCdcBatch(spark, root, "day", "event_id", ins0, 0L),
+        "the stream's batch 0 must apply, not vanish")
+      assert(DV.read(spark, root).count() == countBefore + 15)
+      // ownership handed over, high-water reset to the stream's id
+      assert(DV.cdcHighWater(spark, root) == ((0L, Some(qid))))
+      // and the new lineage's own replays still dedup
+      assert(!DV.applyCdcBatch(spark, root, "day", "event_id", ins0, 0L))
+      assert(DV.read(spark, root).count() == countBefore + 15)
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
 }

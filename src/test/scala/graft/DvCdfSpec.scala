@@ -258,6 +258,63 @@ class DvCdfSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == want.count() + 5)
   }
 
+  test("catalog face: graftdv.changes.`root` serves the feed for " +
+      "BATCH (version-window read options) and readStream.table — " +
+      "one machinery, no separate source name") {
+    val (root, ev) = mkTable()
+    val mt = DV.manifestTable(root)
+    val v1 = Snapshots.latestVersion(spark, mt).get
+    DV.append(spark, root, Seq("day"),
+      ev.limit(20).withColumn("event_id", col("event_id") + 6200000L))
+    DV.upsert(spark, root, "day", "event_id",
+      ev.filter(col("event_id") % 11 === 0)
+        .withColumn("value", col("value") * 3), None)
+    val vN = Snapshots.latestVersion(spark, mt).get
+    spark.conf.set("spark.sql.catalog.graftdv",
+      "graft.sources.GraftDvCatalog")
+    val t = s"graftdv.changes.`$root`"
+
+    // batch: the default window is the full retained feed; options
+    // bound it exactly like the API's (fromV, toV]
+    val want = DV.readChanges(spark, root, v1, vN)
+    val got = spark.read
+      .option("startingVersion", v1).option("endingVersion", vN).table(t)
+    assert(got.count() == want.count())
+    assert(multisetEqual(got.select(want.columns.map(col).toSeq: _*),
+      want))
+    // SQL face over the same namespace
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) ==
+      DV.readChanges(spark, root,
+        Snapshots.committedVersions(spark, mt).min, vN).count())
+    // with the scan swap installed, the batch read compiles to the
+    // direct plan (no row-RDD bridge)
+    graft.plans.GraftPlans.ensureDvScan(spark)
+    val plan = spark.read.option("startingVersion", v1).table(t)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RowDataSourceScan"), plan.take(500))
+
+    // streaming: readStream.table on the SAME name (V1 fallback to
+    // the proven source; offsets = manifest versions)
+    val ckpt = Files.createTempDirectory("graft_dvcdfcat_ck").toString
+    val out = Files.createTempDirectory("graft_dvcdfcat_out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .option("startingVersion", v1).table(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    runOnce()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() == want.count())
+    assert(multisetEqual(
+      streamed.select(want.columns.map(col).toSeq: _*), want))
+    // exactly-once across restart
+    runOnce()
+    assert(spark.read.parquet(out).count() == want.count())
+  }
+
   test("CDF-driven replication: a KEYED mirror forked from a snapshot " +
       "and folding the feed (upsert-by-key, latest version wins) " +
       "converges to the source across append / upsert / purge") {

@@ -34,10 +34,12 @@ class DvDetailSpec extends SparkSpec {
     assert(d.getString(4) == "event_id")
     assert(d.getString(5) == "pos CHECK (event_id >= 0)")
     assert(d.getString(6) == "", "no evolution yet -> empty old_layouts")
-    assert(d.getLong(7) == 2L) // init + the ALTER's metadata flip
-    assert(d.getLong(11) == 300L,
+    assert(d.getString(7) == "", "no column mapping -> identity")
+    assert(d.getString(8) == "", "no required reader features yet")
+    assert(d.getLong(9) == 2L) // init + the ALTER's metadata flip
+    assert(d.getLong(13) == 300L,
       "live_rows counts PHYSICAL rows — masked rows stay in files")
-    assert(d.getLong(13) == vic)
+    assert(d.getLong(15) == vic)
     // non-dv target fails loudly
     intercept[Exception](graft.GraftSql.sql(spark,
       "DESCRIBE DETAIL nothere").collect())

@@ -268,6 +268,56 @@ class DvDmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE schema evolution (autoMerge, opt-in): a source with a " +
+      "NEW column widens the target once and the star actions cover " +
+      "it; OFF never grows the schema; V1 and DSv2 paths agree " +
+      "row-for-row") {
+    val (root1, name1, ev) = freshTable()
+    val (root2, _, _) = freshTable()
+    spark.conf.set("spark.sql.catalog.graftdv",
+      "graft.sources.GraftDvCatalog")
+    val t2 = s"graftdv.`$root2`"
+    val src = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + 11)
+      .unionByName(ev.limit(20)
+        .withColumn("event_id", col("event_id") + 3000000L))
+      .withColumn("score", (col("user_id") % 5).cast("int"))
+      .localCheckpoint()
+    src.createOrReplaceTempView("dvdml_evo_src")
+    def mergeSql(t: String) =
+      s"""MERGE INTO $t t USING dvdml_evo_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+
+    // OFF by default: Spark's own star expansion binds the TARGET
+    // columns only, so the statement runs but the schema must NOT
+    // grow silently (a typo'd source column is the threat autoMerge's
+    // opt-in exists for)
+    GraftSql.sql(spark, mergeSql(name1)).collect()
+    assert(!DV.read(spark, root1).columns.contains("score"),
+      "without autoMerge the extra source column must be ignored, " +
+        "never silently added")
+
+    spark.conf.set("spark.graft.dv.schema.autoMerge", "true")
+    try {
+      GraftSql.sql(spark, mergeSql(name1)).collect()
+      GraftSql.sql(spark, mergeSql(t2)).collect()
+    } finally spark.conf.unset("spark.graft.dv.schema.autoMerge")
+
+    val r1 = DV.read(spark, root1)
+    val r2 = DV.read(spark, root2)
+    assert(r1.columns.contains("score") && r2.columns.contains("score"))
+    // pre-merge rows read the evolved column as NULL; matched +
+    // inserted rows carry it
+    assert(r1.filter(col("score").isNotNull).count() == src.count())
+    // the V1 command path and Spark's own DSv2 rewrite agree exactly
+    val cols = r1.columns.sorted.map(col).toSeq
+    assert(r1.select(cols: _*).exceptAll(r2.select(cols: _*)).isEmpty &&
+      r2.select(cols: _*).exceptAll(r1.select(cols: _*)).isEmpty,
+      "V1 and DSv2 merge paths must produce identical tables")
+  }
+
   test("UPDATE that moves rows across partitions keeps the layout " +
       "consistent (images land in their new partition dirs)") {
     val (root, name, ev) = freshTable()
