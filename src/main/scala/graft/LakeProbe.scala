@@ -576,6 +576,57 @@ object LakeProbe {
       probeEvo(s"${scale}x", spark.read.parquet(evScaled))
     }
 
+    // ---- probe J: column mapping is O(1); transparent skipping ------
+    // The round-13 claims: RENAME COLUMN moves zero data bytes at any
+    // table size (one sentinel flip — the frozen-physical-name
+    // design), the mapped read serves exact content, and a PLAIN SQL
+    // point predicate on the indexed key scans only the sidecar's
+    // candidate files — the skipped fraction holding as the table
+    // scales (per-file blooms: candidates track the PROBE, never the
+    // table).
+    {
+      import graft.operators.{DeletionVectors => DV}
+      def probeMap(tag: String, events: DataFrame): Unit = {
+        val root = s"$tmp/graft_lakeprobe_map_$tag"
+        val withDay = events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        DV.init(spark, withDay, root, "day")
+        val want = withDay.count()
+        val bytesBefore = dirBytes(s"$root/data")
+        val t0 = System.nanoTime()
+        DV.alterRenameColumn(spark, root, "value", "amount"): Unit
+        val tRen = (System.nanoTime() - t0) / 1e9
+        require(dirBytes(s"$root/data") == bytesBefore,
+          "rename must move zero data bytes")
+        require(DV.read(spark, root)
+            .filter(col("amount").isNotNull).count() == want,
+          "the mapped read must serve every row under the new name")
+        DV.refreshIndex(spark, root, "event_id"): Unit
+        spark.conf.set("spark.sql.catalog.graftdv",
+          "graft.sources.GraftDvCatalog")
+        val key = withDay.orderBy("event_id")
+          .select("event_id").head().getLong(0)
+        val q = spark.sql(
+          s"SELECT amount FROM graftdv.`$root` WHERE event_id = $key")
+        val total = DV.manifest(spark, root).count()
+        val scanned = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.listFiles(
+                s.partitionFilters.filter(_.references.nonEmpty),
+                s.dataFilters)
+              .map(_.files.length.toLong).sum
+        }.sum
+        require(scanned > 0 && scanned <= math.max(2L, total / 5),
+          s"transparent skipping must bound the scan ($scanned/$total)")
+        require(q.count() >= 1, "the needle must come back")
+        println(f"[lakeprobe] map/$tag: rename $tRen%.2fs (0 bytes, " +
+          f"$total%d files untouched); plain SQL point lookup scans " +
+          f"$scanned%d/$total%d files (transparent sidecar pruning)")
+      }
+      probeMap("1x", Tables.events(spark, sfDir))
+      probeMap(s"${scale}x", spark.read.parquet(evScaled))
+    }
+
     spark.stop()
   }
 }

@@ -431,8 +431,10 @@ object FuzzQueries {
     * compactBlobs → delete → vacuum → upsert → zorder → small-file
     * pack → restore → shallow-clone (+ a clone-side delete proving
     * divergence both ways) → partition evolution → cross-generation
-    * upsert → scoped migration → DSv2 MERGE → full migration (19
-    * legs) runs against a FRESH
+    * upsert → scoped migration → DSv2 MERGE → full migration →
+    * RENAME COLUMN → upsert THROUGH the mapping → DROP COLUMN →
+    * autoMerge-widening MERGE → restore ACROSS the rename (24 legs)
+    * runs against a FRESH
     * deletion-vector table (rebuilt per invocation — the legs observe
     * intermediate states, so memoization would corrupt leg 0 on
     * re-execution), and after EVERY op a leg snapshot of the masked
@@ -462,12 +464,12 @@ object FuzzQueries {
         s"graft_fuzzdv_${tag}_${sid}_${math.abs(sfDir.hashCode)}"
       DV.init(spark, ev0, root, partCols)
       val out = Seq.newBuilder[org.apache.spark.sql.Row]
-      def legOf(id: String, r: String): Unit =
+      def legOf(id: String, r: String, valueCol: String = "value"): Unit =
         out ++= DV.read(spark, r)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("user_id")).as("n_users"),
-            round(Enrich.exactSum(col("value")), 4).as("value_sum"))
+            round(Enrich.exactSum(col(valueCol)), 4).as("value_sum"))
           .select(lit(tag).as("layout"), lit(id).as("leg_id"),
             col("event_type"), col("n_rows"), col("n_users"),
             col("value_sum"))
@@ -558,6 +560,41 @@ object FuzzQueries {
       // path restored) — invariant over the merged state
       DV.migrateLayout(spark, root, None): Unit
       leg("L18")
+      // ---- round-13 verbs, composed onto the same lifecycle ----
+      // L19: RENAME COLUMN value->amount — one metadata flip, frozen
+      // physical names, content invariant (read through the mapping)
+      val v18 = graft.operators.Snapshots.latestVersion(
+        spark, DV.manifestTable(root)).get
+      DV.alterRenameColumn(spark, root, "value", "amount"): Unit
+      legOf("L19", root, "amount")
+      // L20: keyed upsert THROUGH the mapping — images arrive under
+      // the NEW name, staged files keep the frozen physical layout
+      DV.upsert(spark, root, Seq("event_type"), "event_id",
+        ev0.filter(h("fz9_", col("event_id")) % 11 === 0)
+          .withColumn("value", col("value") + 5)
+          .withColumnRenamed("value", "amount"), None)
+      legOf("L20", root, "amount")
+      // L21: DROP COLUMN props — metadata-only, invariant for these
+      // measures (props never aggregated), physical bytes stay
+      DV.alterDropColumn(spark, root, "props"): Unit
+      legOf("L21", root, "amount")
+      // L22: autoMerge-widening DSv2 MERGE — the source carries a NEW
+      // column (note), the target widens in one flip, the matched
+      // UPDATE lands +7 through the renamed column
+      ev0.filter(h("fza_", col("event_id")) % 13 === 0)
+        .select(col("event_id"), lit("n").as("note")).localCheckpoint()
+        .createOrReplaceTempView("fuzz_dv_evo_src")
+      spark.conf.set("spark.graft.dv.schema.autoMerge", "true")
+      try graft.GraftSql.sql(spark, s"MERGE INTO graftdv.`$root` t " +
+        "USING fuzz_dv_evo_src s ON t.event_id = s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET amount = t.amount + 7").collect()
+      finally spark.conf.unset("spark.graft.dv.schema.autoMerge")
+      legOf("L22", root, "amount")
+      // L23: RESTORE ACROSS the rename — schema reverts to `value`,
+      // the retroactive-tombstone rule holds: the L20 upsert's
+      // tombstones mask its keys' pre-upsert images even at v18
+      DV.restore(spark, root, v18): Unit
+      legOf("L23", root, "value")
       out.result()
     }
 
@@ -670,12 +707,83 @@ object FuzzQueries {
          |  ${plus10("value + 25")} AS value FROM events WHERE $u3
          |UNION ALL SELECT event_type, user_id + 30000000, value
          |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    // round-13 legs: rename (L19) and drop (L21) are content-
+    // invariant; the through-the-mapping upsert (L20) applies
+    // value+5 unconditionally to its keys (the re-insert rule — and
+    // the fresh image RESETS L17's +10 for those keys); the
+    // autoMerge MERGE (L22) adds +7 to every LIVE original-id
+    // matched row; restore-to-v18 (L23) reverts content to s17 MINUS
+    // the rows the L20 upsert AND the L22 merge tombstoned
+    // (retroactive tombstones: both verbs are delete+insert, and
+    // their keys' pre-write images stay masked at every version;
+    // u5-then-u6 keys' L22 tombstones land on L20-appended files
+    // invisible at v18, so only u6-not-u5 thins the v18 set further)
+    val u5 = s"${h("fz9_", "event_id")} % 11 = 0"
+    val u6 = s"${h("fza_", "event_id")} % 13 = 0"
+    val s20 =
+      s"""SELECT event_type, user_id, ${plus10("value")} AS value
+         |  FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($u3)
+         |    AND NOT ($d2) AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value + 100")} AS value FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($u3) AND NOT ($d2)
+         |    AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value - 50")} AS value FROM events
+         |  WHERE $u2 AND NOT ($u3) AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value + 25")} AS value FROM events
+         |  WHERE $u3 AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id, value + 5 AS value
+         |  FROM events WHERE $u5
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    def plus7(expr: String) =
+      s"($expr) + (CASE WHEN $u6 THEN 7 ELSE 0 END)"
+    val s22 =
+      s"""SELECT event_type, user_id, ${plus7(plus10("value"))} AS value
+         |  FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($u3)
+         |    AND NOT ($d2) AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus7(plus10("value + 100"))} AS value FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($u3) AND NOT ($d2)
+         |    AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus7(plus10("value - 50"))} AS value FROM events
+         |  WHERE $u2 AND NOT ($u3) AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus7(plus10("value + 25"))} AS value FROM events
+         |  WHERE $u3 AND NOT ($u5)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus7("value + 5")} AS value FROM events WHERE $u5
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    val s23 =
+      s"""SELECT event_type, user_id, ${plus10("value")} AS value
+         |  FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($u3)
+         |    AND NOT ($d2) AND NOT ($u5) AND NOT ($u6)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value + 100")} AS value FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($u3) AND NOT ($d2)
+         |    AND NOT ($u5) AND NOT ($u6)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value - 50")} AS value FROM events
+         |  WHERE $u2 AND NOT ($u3) AND NOT ($u5) AND NOT ($u6)
+         |UNION ALL SELECT event_type, user_id,
+         |  ${plus10("value + 25")} AS value FROM events
+         |  WHERE $u3 AND NOT ($u5) AND NOT ($u6)
+         |UNION ALL SELECT event_type, user_id + 30000000, value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
     val legStates = Seq(
       "L0" -> s0, "L1" -> s1, "L2" -> s2, "L3" -> s2, "L4" -> s2,
       "L5" -> s5, "L6" -> s5, "L7" -> s7, "L8" -> s7, "L9" -> s7,
       "L10" -> s7, "L11" -> s7, "L12" -> s12, "L13" -> s7,
       "L14" -> s7, "L15" -> s15, "L16" -> s15, "L17" -> s17,
-      "L18" -> s17)
+      "L18" -> s17, "L19" -> s17, "L20" -> s20, "L21" -> s20,
+      "L22" -> s22, "L23" -> s23)
     val legs = legStates.map { case (id, st) =>
       s"SELECT '$id' AS leg_id, event_type, user_id, value FROM ($st)"
     }.mkString("\nUNION ALL ")
