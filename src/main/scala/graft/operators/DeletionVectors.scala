@@ -3321,8 +3321,27 @@ object DeletionVectors {
           dataDeleted = delAcc.value
         }
       }
+      // stale WRITE-STAGE debris at the root: a CRASHED writer leaves
+      // its staging dir behind — the DSv2 `_dml_stage_<uuid>` (and
+      // its `_dvpending` pending-blob sibling), a `_cdf_stage_<uuid>`,
+      // `_migrate_stage`, or an append path's `_<op>_stage`. All are
+      // invisible to every reader (staging IS the invisibility
+      // mechanism) but leak bytes forever without this sweep. The
+      // same age gate that shields moved-but-uncommitted data files
+      // shields a LIVE writer's stage; the maintenance claim this
+      // vacuum holds excludes any claim-holding writer outright.
+      val staleStages = f.listStatus(new Path(root)).toSeq.filter { st =>
+        val nm = st.getPath.getName
+        st.isDirectory && nm.startsWith("_") &&
+          (nm.contains("_stage") || nm.endsWith("_dvpending")) &&
+          st.getModificationTime <= now - minAgeMs
+      }
+      var stagesSwept = 0L
       if (!dryRun) {
         Snapshots.vacuum(spark, mt, keepVersions)
+        staleStages.foreach { st =>
+          if (f.delete(st.getPath, true)) stagesSwept += 1
+        }
         // change-data sidecars of vacuumed versions go with them
         // (they are keyed BY version; a feed spanning a vacuumed
         // endpoint already fails loudly at the manifest check, and a
@@ -3360,7 +3379,10 @@ object DeletionVectors {
           dvDeleted += 1
         }
       }
-      (dataDeleted, bytesDead, dvDeleted)
+      // the dirs metric counts BOTH dead tombstone dirs and swept
+      // (dry run: sweepable) stage debris
+      (dataDeleted, bytesDead,
+        dvDeleted + (if (dryRun) staleStages.size.toLong else stagesSwept))
     } finally releaseMaintenance(spark, root)
   }
 

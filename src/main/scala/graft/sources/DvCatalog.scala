@@ -252,9 +252,30 @@ private[sources] case class DvMetaColumn(name: String,
 class DvV2Table(val root: String, val pinned: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
+    with org.apache.spark.sql.GraftV1FallbackTable
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
+
+  /** Streaming READS of the table (`spark.readStream.table`) resolve
+    * through this V1 fallback onto the `graft-dv` streaming source —
+    * initial snapshot + per-commit insert tail, the Delta
+    * streaming-source shape (batch resolution stays pure DSv2).
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(pinned.isEmpty,
+      "cannot stream a time-traveled graft-dv read — stream the live " +
+        "table (optionally from option startingVersion)")
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        root, Some("graftdv")),
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat
+        .empty.copy(properties = Map("path" -> root)),
+      schema = schema,
+      provider = Some("graft-dv"))
+  }
 
   /** The frame this table serves (pinned version under its own
     * schema, else current committed state; `withPos` adds the

@@ -37,6 +37,7 @@ import graft.operators.{DeletionVectors, Snapshots}
   */
 class DvSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "graft-dv"
 
@@ -183,6 +184,116 @@ class DvSource extends RelationProvider with SchemaRelationProvider
       s"graft-dv streaming sink supports Append output mode; got $outputMode")
     new DvStreamSink(sqlContext.sparkSession, rootOf(parameters),
       parameters, partitionColumns)
+  }
+
+  // ---- streaming SOURCE: stream the table itself ---------------------
+  // `spark.readStream.format("graft-dv").load(root)` (and, through the
+  // catalog's V1 streaming fallback, `spark.readStream.table
+  // ("graftdv.`/root`")`) — the Delta streaming-source shape:
+  //  - the FIRST batch is the full masked snapshot at the stream's
+  //    starting version (override with option("startingVersion", v));
+  //  - every later batch is the INSERT rows of the committed versions
+  //    (prev, latest] — exactly the feed's insert side, so appends
+  //    stream through verbatim and content-invariant maintenance
+  //    (purge/pack/zorder/migrate) contributes NOTHING;
+  //  - a version whose verb REWRITES rows (upsert/update/merge/
+  //    restore) fails loudly by default — its "inserts" are re-images
+  //    and a downstream consumer would double-count; pass
+  //    option("ignoreChanges", "true") to stream the new images
+  //    anyway (the Delta ignoreChanges contract: re-processed keys
+  //    are the consumer's job to dedupe). Row DELETES never create
+  //    versions (blob-only) and stream nothing — the retroactive-mask
+  //    rule; use the graft-dv-cdf face (graftdv.changes.*) when the
+  //    consumer needs deletions or images.
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), DeletionVectors.read(
+      sqlContext.sparkSession, rootOf(parameters)).schema)
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = rootOf(parameters)
+    val spark = sqlContext.sparkSession
+    val ignoreChanges =
+      parameters.get("ignoreChanges").exists(_.toBoolean)
+    val starting = parameters.get("startingVersion").map(_.toLong)
+      .getOrElse(Snapshots.latestVersion(
+        spark, DeletionVectors.manifestTable(root)).getOrElse(
+        throw new IllegalStateException(
+          s"no committed graft-dv manifest at $root")))
+    val srcSchema = DeletionVectors.read(spark, root).schema
+    new org.apache.spark.sql.execution.streaming.Source {
+      import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
+      import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+      override val schema: StructType = srcSchema
+
+      private def vOf(o: OffsetV1): Long = o match {
+        case l: LongOffset => l.offset
+        case so: SerializedOffset => LongOffset(so).offset
+        case other => other.json.toLong
+      }
+
+      override def getOffset: Option[OffsetV1] =
+        // the starting version itself is the first offset — its
+        // batch is the initial snapshot
+        Snapshots.latestVersion(spark,
+            DeletionVectors.manifestTable(root))
+          .map(v => LongOffset(math.max(v, starting)))
+
+      override def getBatch(start: Option[OffsetV1],
+          end: OffsetV1): DataFrame = {
+        val endV = vOf(end)
+        val df = start match {
+          case None =>
+            // initial snapshot: the full masked read at the offset's
+            // version (endV == starting unless commits raced the
+            // first trigger — readChanges folds the difference in)
+            val base = DeletionVectors.readVersion(spark, root, starting)
+            if (endV <= starting) base
+            else base.unionByName(
+              insertsOf(starting, endV), allowMissingColumns = true)
+          case Some(s0) => insertsOf(vOf(s0), endV)
+        }
+        val aligned = srcSchema.fieldNames.foldLeft(df) { (d, c) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+            .cast(srcSchema(c).dataType))
+        }.select(srcSchema.fieldNames.map(col).toSeq: _*)
+        GraftPlanApi.asStreaming(spark, aligned)
+      }
+
+      /** Insert rows of (fromV, toV], guarded by the change rule. */
+      private def insertsOf(fromV: Long, toV: Long): DataFrame = {
+        if (!ignoreChanges) {
+          val mt = DeletionVectors.manifestTable(root)
+          val rewriting = Snapshots.committedVersions(spark, mt)
+            .filter(v => v > fromV && v <= toV)
+            .flatMap { v =>
+              val op = Snapshots.readVersion(spark, mt, v)
+                .filter(col("file") === "").select("op")
+                .collect().headOption.flatMap(r => Option(r.getString(0)))
+              op.filter(Set("upsert", "update", "merge", "restore"))
+                .map(o => s"v$v=$o")
+            }
+          require(rewriting.isEmpty,
+            s"streaming source on $root hit row-REWRITING commit(s) " +
+              s"${rewriting.mkString(", ")} — their inserts are " +
+              "re-images and would double-count downstream; pass " +
+              "option(ignoreChanges, true) to stream new " +
+              "images anyway, or consume graftdv.changes.* for a " +
+              "keyed feed")
+        }
+        DeletionVectors.readChanges(spark, root, fromV, toV)
+          .filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version", "_commit_timestamp")
+      }
+
+      override def stop(): Unit = ()
+    }
   }
 }
 

@@ -143,12 +143,31 @@ class DeletionVectorsSpec extends SparkSpec {
     // replaced (now referenced by NO retained manifest) is reclaimed
     // from its day=/region= depth — a one-level walk would silently
     // orphan all of them — and the live set is untouched
-    val (dataGone, _) = DV.vacuum(spark, root, keepVersions = 1,
+    // crashed-writer debris: a dead DSv2 stage + its pending-blob
+    // sibling (and a dead CDF stage) are swept by the same vacuum —
+    // invisible to readers, but leaked bytes without the sweep
+    val fsys = new java.io.File(root)
+    Seq("_dml_stage_deadbeef", "_dml_stage_deadbeef_dvpending",
+      "_cdf_stage_deadbeef").foreach { d =>
+      val dir = new java.io.File(fsys, d)
+      dir.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "junk.parquet").toPath, "x"): Unit
+    }
+    val (dataGone, dirsGone) = DV.vacuum(spark, root, keepVersions = 1,
       minAgeMs = 0L)
     assert(dataGone >= hot.size,
       s"vacuum reclaimed $dataGone files but the purge replaced " +
         s"${hot.size} at depth 2 — the walk missed the inner level")
     assert(rd.count() == kept.count(), "vacuum over-deleted live files")
+    assert(dirsGone >= 3 && !new java.io.File(fsys,
+        "_dml_stage_deadbeef").exists() &&
+      !new java.io.File(fsys, "_dml_stage_deadbeef_dvpending").exists() &&
+      !new java.io.File(fsys, "_cdf_stage_deadbeef").exists(),
+      "stale write-stage debris must be swept")
+    assert(new java.io.File(fsys, "_manifest").exists() &&
+      new java.io.File(fsys, "data").exists(),
+      "the sweep must never touch the log or the data dir")
 
     // writer face takes the comma list
     val root2 = Files.createTempDirectory("graft_dv_ml2").toString + "/t"
