@@ -70,6 +70,12 @@ object GraftSql {
         graft.plans.DvAnalyzeColumns.route(spark, ac)
           .map(cmd => GraftPlanApi.ofRows(spark, cmd))
           .getOrElse(spark.sql(text))
+      case i: org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement =>
+        // INSERT BY NAME schema evolution (opt-in, same autoMerge
+        // flag): widen the target before re-analysis
+        graft.plans.DvSchemaEvolve.maybeWiden(spark, i)
+        spark.sql(text)
       case _ =>
         if (pre eq parsed) spark.sql(text)
         else GraftPlanApi.ofRows(spark, pre)

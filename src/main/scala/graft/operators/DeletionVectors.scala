@@ -2451,6 +2451,7 @@ object DeletionVectors {
         autoCompactBlobs(spark, root, autoCompactBlobsAt): Unit
       if (autoPackFilesAt > 0)
         autoPackFiles(spark, root, autoPackFilesAt): Unit
+      autoRefreshIndex(spark, root): Unit
       true
     }
   }
@@ -3070,6 +3071,37 @@ object DeletionVectors {
       } finally in.close()
     }
   }
+
+  /** THRESHOLD-TRIGGERED index refresh — the maintenance policy a
+    * long-running stream needs so its own append cadence cannot decay
+    * the skipping sidecar's selectivity without bound: unindexed live
+    * files are ALWAYS scan candidates (the staleness-safe rule), so
+    * each appended sliver quietly widens every point lookup until a
+    * refresh. When the unindexed fraction of the live set crosses
+    * `maxStaleFraction`, the stream's maintenance slot runs the
+    * incremental [[refreshIndex]] (new files only — O(new), never a
+    * rebuild). No-op for tables that never declared an index; the
+    * trigger check costs one marker read + one index-version listing.
+    */
+  def autoRefreshIndex(spark: SparkSession, root: String,
+      maxStaleFraction: Double = 0.25): Boolean =
+    indexKeyCol(spark, root) match {
+      case None => false
+      case Some(keyCol) =>
+        val it = indexTable(root)
+        val live = liveEntries(spark, root).map(_.path)
+        val stale = Snapshots.latestVersion(spark, it) match {
+          case None => live.nonEmpty
+          case Some(v) =>
+            val indexed = Snapshots.readVersion(spark, it, v)
+              .select("file").collect().map(_.getString(0)).toSet
+            live.nonEmpty &&
+              live.count(f => !indexed.contains(f)).toDouble /
+                live.size > maxStaleFraction
+        }
+        if (stale) { refreshIndex(spark, root, keyCol): Unit; true }
+        else false
+    }
 
   /** SQL-TRANSPARENT SKIPPING INDEX: the per-read hook handed to the
     * lazy manifest index — given the scan's pushed data filters, if

@@ -32,33 +32,46 @@ object DvSchemaEvolve {
     spark.conf.getOption("spark.graft.dv.schema.autoMerge")
       .contains("true")
 
-  /** If `plan` is a MERGE into a graft-dv table, autoMerge is on, and
-    * the (independently analyzed) source carries new columns: widen
-    * the target. No-op otherwise. Never throws on non-dv targets.
+  /** If `plan` is a MERGE — or an `INSERT INTO ... BY NAME` — into a
+    * graft-dv table, autoMerge is on, and the (independently
+    * analyzed) source carries new columns: widen the target. No-op
+    * otherwise; never throws on non-dv targets. Positional INSERTs
+    * are deliberately excluded: widening changes the target's arity,
+    * so only the BY NAME form has unambiguous evolution semantics
+    * (the Delta rule).
     */
   def maybeWiden(spark: SparkSession, plan: LogicalPlan): Unit =
     plan match {
       case m: MergeIntoTable if autoMergeOn(spark) =>
-        targetRoot(spark, m.targetTable).foreach { root =>
-          val src =
-            try spark.sessionState.analyzer.execute(m.sourceTable).schema
-            catch { case _: Exception => return } // source won't resolve
-          val have = DV.read(spark, root).schema.fieldNames.toSet
-          val extra = src.fields.filterNot(f => have.contains(f.name))
-          if (extra.nonEmpty) {
-            DV.alterAddColumns(spark, root,
-              StructType(extra.map(_.copy(nullable = true)))): Unit
-            // bring a session-catalog entry (V1 name) in step so the
-            // statement's own resolution sees the widened schema
-            m.targetTable.collectFirst {
-              case u: UnresolvedRelation => u.multipartIdentifier
-            }.foreach { ident =>
-              if (DvDml.dvCatalogRoot(spark, ident).isDefined)
-                DvAlterColumns.refreshCatalogSchema(spark, ident, root)
-            }
-          }
-        }
+        widen(spark, m.targetTable, m.sourceTable)
+      case i: org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement
+          if autoMergeOn(spark) && i.byName && !i.overwrite &&
+            i.userSpecifiedCols.isEmpty =>
+        widen(spark, i.table, i.query)
       case _ => ()
+    }
+
+  private def widen(spark: SparkSession, target: LogicalPlan,
+      source: LogicalPlan): Unit =
+    targetRoot(spark, target).foreach { root =>
+      val src =
+        try spark.sessionState.analyzer.execute(source).schema
+        catch { case _: Exception => return } // source won't resolve
+      val have = DV.read(spark, root).schema.fieldNames.toSet
+      val extra = src.fields.filterNot(f => have.contains(f.name))
+      if (extra.nonEmpty) {
+        DV.alterAddColumns(spark, root,
+          StructType(extra.map(_.copy(nullable = true)))): Unit
+        // bring a session-catalog entry (V1 name) in step so the
+        // statement's own resolution sees the widened schema
+        target.collectFirst {
+          case u: UnresolvedRelation => u.multipartIdentifier
+        }.foreach { ident =>
+          if (DvDml.dvCatalogRoot(spark, ident).isDefined)
+            DvAlterColumns.refreshCatalogSchema(spark, ident, root)
+        }
+      }
     }
 
   /** The graft-dv root a MERGE target resolves to: a session-catalog

@@ -250,7 +250,12 @@ private[sources] class DvDeltaBatchWrite(root: String,
     } finally cleanup()
     // opportunistic auto-pack AFTER the claim releases: a merge-heavy
     // stream of statements must not accrete per-commit slivers
-    if (packAfter) DV.autoPackFiles(spark, root): Unit
+    if (packAfter) {
+      DV.autoPackFiles(spark, root): Unit
+      // keep the skipping sidecar's selectivity from decaying under a
+      // statement-heavy workload (unindexed files always scan)
+      DV.autoRefreshIndex(spark, root): Unit
+    }
   }
 
   /** Stage→live blob publish: rename-only, no data bytes. Small sets

@@ -350,6 +350,10 @@ class DvStreamSink(spark: SparkSession, root: String,
       DeletionVectors.DefaultAutoPackFiles.toString).toInt
     if (packAt > 0)
       DeletionVectors.autoPackFiles(spark, root, packAt): Unit
+    // keep the skipping sidecar fresh on streaming cadence: unindexed
+    // live files always scan, so a long appender otherwise decays
+    // every point lookup's selectivity until a manual refresh
+    DeletionVectors.autoRefreshIndex(spark, root): Unit
   }
 }
 

@@ -318,6 +318,38 @@ class DvDmlSpec extends SparkSpec {
       "V1 and DSv2 merge paths must produce identical tables")
   }
 
+  test("INSERT INTO ... BY NAME schema evolution (same autoMerge " +
+      "flag): a wider source widens the target; positional INSERTs " +
+      "never evolve — arity stays unambiguous") {
+    val (root, name, ev) = freshTable()
+    ev.limit(12)
+      .withColumn("event_id", col("event_id") + 6000000L)
+      .withColumn("origin", lit("imported"))
+      .createOrReplaceTempView("dvdml_ins_src")
+    // OFF: the wider BY NAME insert fails analysis, nothing grows
+    intercept[Exception](GraftSql.sql(spark,
+      s"INSERT INTO $name BY NAME SELECT * FROM dvdml_ins_src")
+      .collect())
+    assert(!DV.read(spark, root).columns.contains("origin"))
+    spark.conf.set("spark.graft.dv.schema.autoMerge", "true")
+    try {
+      // positional INSERT still refuses even with the flag on —
+      // widening would silently shift column positions
+      intercept[Exception](GraftSql.sql(spark,
+        s"INSERT INTO $name SELECT * FROM dvdml_ins_src").collect())
+      assert(!DV.read(spark, root).columns.contains("origin"))
+      GraftSql.sql(spark,
+        s"INSERT INTO $name BY NAME SELECT * FROM dvdml_ins_src")
+        .collect()
+    } finally spark.conf.unset("spark.graft.dv.schema.autoMerge")
+    val rd = DV.read(spark, root)
+    assert(rd.columns.contains("origin"))
+    assert(rd.count() == 212)
+    assert(rd.filter(col("origin") === "imported").count() == 12)
+    assert(rd.filter(col("origin").isNull).count() == 200,
+      "pre-insert rows null-fill the evolved column")
+  }
+
   test("UPDATE that moves rows across partitions keeps the layout " +
       "consistent (images land in their new partition dirs)") {
     val (root, name, ev) = freshTable()

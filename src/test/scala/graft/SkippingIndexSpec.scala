@@ -141,4 +141,42 @@ class SkippingIndexSpec extends SparkSpec {
     // and the interpreted JVM path agrees with codegen bit placement
     assert(members.forall(BloomMath.mightContain(bloom, _)))
   }
+
+  test("auto index refresh: a CDC stream's appended files cannot " +
+      "decay the sidecar past the stale bound — the maintenance slot " +
+      "refreshes incrementally and the transparent tier stays selective") {
+    import graft.operators.{DeletionVectors => DV, Snapshots}
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_idxauto").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .orderBy("event_id").limit(400)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .localCheckpoint()
+    DV.init(spark, ev, root, "day")
+    DV.refreshIndex(spark, root, "event_id"): Unit
+    val it = DV.indexTable(root)
+    val v0 = Snapshots.latestVersion(spark, it).get
+    // a fresh sidecar is not stale — the trigger must not churn
+    assert(!DV.autoRefreshIndex(spark, root))
+    assert(Snapshots.latestVersion(spark, it).get == v0)
+    // a CDC batch appending well past the stale bound (new files in
+    // every partition dir) rides the stream's maintenance slot
+    val ins = ev.withColumn("event_id", col("event_id") + 9000000L)
+    assert(DV.applyCdcBatch(spark, root, "day", "event_id", ins, 0L,
+      autoCompactBlobsAt = 0, autoPackFilesAt = 0))
+    val v1 = Snapshots.latestVersion(spark, it).get
+    assert(v1 > v0, "the stale sidecar must refresh on stream cadence")
+    // full coverage restored: every live file is indexed again, so a
+    // probe prunes instead of falling back to always-candidates
+    val live = DV.manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSet
+    val indexed = Snapshots.readVersion(spark, it, v1)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(live.subsetOf(indexed))
+    val key = ev.select("event_id").head().getLong(0)
+    val (cands, total) = DV.indexLookup(spark, root, Seq(key))
+    assert(cands.size < total / 2,
+      s"post-refresh lookup must stay selective (${cands.size}/$total)")
+  }
 }
