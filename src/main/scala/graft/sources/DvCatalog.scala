@@ -70,6 +70,17 @@ class GraftDvCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** `CREATE TABLE ... (c T DEFAULT v, ...)` — Spark validates the
+    * catalog advertises default-value support; the defaults arrive
+    * encoded as the standard CURRENT/EXISTS_DEFAULT field metadata in
+    * the createTable schema, which the manifest sentinel then carries
+    * (the same machinery ALTER ADD COLUMNS ... DEFAULT uses).
+    */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def rootOf(ident: Identifier): String =
     if (ident.name.contains("/")) {
       require(ident.namespace.isEmpty,

@@ -154,6 +154,43 @@ class DvColumnMapSpec extends SparkSpec {
       .filter(col("event_type").isNotNull).count() > 0)
   }
 
+  test("SHALLOW CLONE carries the column mapping: the clone serves " +
+      "the renamed names over the SOURCE's frozen physical files; " +
+      "CREATE TABLE through the catalog accepts column DEFAULTs") {
+    val (root, name, ev) = fresh()
+    graft.GraftSql.sql(spark,
+      s"ALTER TABLE $name RENAME COLUMN value TO amount").collect()
+    val cloneRoot = root + "_cmclone"
+    graft.GraftSql.sql(spark, s"CREATE TABLE ${name}_c SHALLOW CLONE " +
+      s"$name LOCATION '$cloneRoot'").collect()
+    val cl = DV.read(spark, cloneRoot)
+    assert(cl.columns.contains("amount") && !cl.columns.contains("value"))
+    assert(cl.agg(sum(col("amount").cast("decimal(28,4)"))).head()
+        .getDecimal(0) ==
+      ev.agg(sum(col("value").cast("decimal(28,4)"))).head().getDecimal(0))
+    // and a clone-side rename diverges without touching the source
+    DV.alterRenameColumn(spark, cloneRoot, "amount", "price"): Unit
+    assert(DV.read(spark, cloneRoot).columns.contains("price"))
+    assert(DV.read(spark, root).columns.contains("amount"))
+
+    // DSv2 CREATE TABLE with a DEFAULT column: the catalog advertises
+    // SUPPORT_COLUMN_DEFAULT_VALUE, the default rides the sentinel
+    // schema, and an INSERT omitting the column resolves it
+    spark.conf.set("spark.sql.catalog.graftdv",
+      "graft.sources.GraftDvCatalog")
+    val defRoot = java.nio.file.Files
+      .createTempDirectory("graft_dvcm_def").toString + "/t"
+    spark.sql(s"CREATE TABLE graftdv.`$defRoot` " +
+      "(id BIGINT, tier STRING DEFAULT 'standard', day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO graftdv.`$defRoot` (id, day) " +
+      "VALUES (1, 'd1'), (2, 'd1')")
+    val rows = spark.sql(
+      s"SELECT id, tier FROM graftdv.`$defRoot` ORDER BY id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("standard", "standard"),
+      "the created-with-DEFAULT column must resolve for omitting INSERTs")
+  }
+
   test("the DSv2 catalog resolves RENAME/DROP COLUMN through " +
       "TableChange; rejections are loud: partition columns, " +
       "constraint-referenced columns, duplicate targets, last column") {

@@ -68,6 +68,16 @@ class DvProtocolSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         DV.read(spark, root2).count())
       assert(e.getMessage.contains("partition-evolution"))
+      // the gate holds through the DSv2 catalog face too — a stripped
+      // reader cannot sneak a misread in through a different door
+      spark.conf.set("spark.sql.catalog.graftdv",
+        "graft.sources.GraftDvCatalog")
+      val e2 = intercept[Exception](
+        spark.sql(s"SELECT count(*) FROM graftdv.`$root2`").collect())
+      def chain(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("partition-evolution")) ||
+          chain(t.getCause))
+      assert(chain(e2))
     }
     assert(DV.read(spark, root2).count() == 200)
   }
