@@ -2446,9 +2446,56 @@ object ScaleQueries {
        |ORDER BY event_type, tier""".stripMargin
   }
 
+  /** The FILES metadata table (`graftdv.files.`/root`` — the
+    * Iceberg `t$files` shape): per-partition row totals computed from
+    * the MANIFEST ALONE — zero data bytes read — and verified against
+    * the oracle recomputing them from the raw facts. The table is the
+    * memoized dv_sql_alter state (original events + the h60-selected
+    * widened append), so physical rows are exactly the union. This is
+    * the operator's sizing query at 100 TB: which partitions hold how
+    * many rows, answered from metadata.
+    */
+  def dvSqlFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    val root = dvTable(spark, sfDir, "sqlalt") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "alt")
+      graft.GraftSql.sql(spark,
+        s"ALTER TABLE $tbl ADD COLUMNS (priority INT)").collect()
+      val extra = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(TextOps.h60(
+          concat(lit("dvalt_"), col("event_id").cast("string"))) % 21 === 0)
+        .withColumn("event_id", col("event_id") + lit(8000000000L))
+        .withColumn("priority", (col("user_id") % 7).cast("int"))
+      DV.append(spark, r, Seq("day"), extra): Unit
+    }
+    dvV2Ident(spark, root): Unit
+    spark.sql(
+      s"""SELECT regexp_extract(file, 'day=([0-9-]+)', 1) AS day,
+         |  count(*) AS n_files, sum(rows) AS n_rows
+         |FROM graftdv.files.`$root`
+         |GROUP BY regexp_extract(file, 'day=([0-9-]+)', 1)
+         |ORDER BY day""".stripMargin)
+      // file counts are layout-dependent; the oracle checks the
+      // row totals (the metadata-derived truth)
+      .select(col("day"), col("n_rows"))
+  }
+
+  private val dvSqlFilesOracle = {
+    import graft.operators.TextOps
+    val sel = s"${TextOps.h60Sql("('dvalt_' || CAST(event_id AS VARCHAR))")} % 21 = 0"
+    s"""WITH final AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day FROM events
+       |  UNION ALL
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day FROM events WHERE $sel)
+       |SELECT day, count(*) AS n_rows
+       |FROM final GROUP BY day ORDER BY day""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("join_fuzzy_dict", Some(joinFuzzyOracle), joinFuzzyDict),
     Q("dv_sql_default", Some(dvSqlDefaultOracle), dvSqlDefault),
+    Q("dv_sql_files", Some(dvSqlFilesOracle), dvSqlFiles),
     Q("dv_sql_rename_column", Some(dvSqlRenameColumnOracle),
       dvSqlRenameColumn),
     Q("dv_sql_drop_column", Some(dvSqlDropColumnOracle),

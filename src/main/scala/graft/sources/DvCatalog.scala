@@ -108,22 +108,36 @@ class GraftDvCatalog extends TableCatalog {
           .map(d => Identifier.of(namespace, d.getPath.getName))
     }
 
-  /** The CHANGES namespace — `graftdv.changes.`/path`` — serves a
-    * table's CHANGE DATA FEED through the same catalog: batch reads
-    * (options `startingVersion`/`endingVersion` bound the committed
-    * version window) and `spark.readStream.table` (micro-batches per
-    * committed version via the V1 streaming fallback). One machinery,
-    * two faces: both delegate to [[DV.readChanges]].
+  /** METADATA NAMESPACES — the Iceberg `t$history`/Delta utility
+    * shape, addressed as catalog namespaces over the same roots:
+    *  - `graftdv.changes.`/path``  — the CHANGE DATA FEED: batch
+    *    reads (options `startingVersion`/`endingVersion` bound the
+    *    committed window) and `spark.readStream.table` (micro-batch
+    *    per committed version via the V1 streaming fallback); both
+    *    faces delegate to [[DV.readChanges]];
+    *  - `graftdv.history.`/path``  — the manifest log, one row per
+    *    retained committed version ([[DV.history]]);
+    *  - `graftdv.files.`/path``    — the LIVE file inventory with
+    *    manifest-recorded rows/bytes ([[DV.manifest]]).
+    * All plain SQL-queryable (joins, filters, aggregates) — an
+    * operator audits the log or sizes partitions without any bespoke
+    * command output.
     */
-  private def isChanges(ident: Identifier): Boolean =
-    ident.namespace.length == 1 && ident.namespace.head == "changes"
+  private def metaNamespace(ident: Identifier): Option[String] =
+    if (ident.namespace.length == 1 &&
+        Set("changes", "history", "files")(ident.namespace.head))
+      Some(ident.namespace.head)
+    else None
 
   override def loadTable(ident: Identifier): Table = {
-    if (isChanges(ident)) {
+    metaNamespace(ident).foreach { ns =>
       val inner = Identifier.of(Array.empty, ident.name)
       val root = rootOf(inner)
       if (!DV.exists(spark, root)) throw new NoSuchTableException(ident)
-      return new DvChangesV2Table(root)
+      return ns match {
+        case "changes" => new DvChangesV2Table(root)
+        case kind => new DvMetaV2Table(root, kind)
+      }
     }
     val root = rootOf(ident)
     if (!DV.exists(spark, root)) throw new NoSuchTableException(ident)
@@ -518,6 +532,54 @@ case class DvChangesScanImpl(root: String, changeSchema: StructType,
   */
 trait DvBridgedScan {
   private[graft] def inner(spark: SparkSession): DataFrame
+}
+
+/** Metadata table — `graftdv.history.`/root`` / `graftdv.files.`/root``:
+  * the manifest log (one row per retained version) and the live file
+  * inventory, SQL-queryable through the same V1Scan bridge + swap
+  * hook as every catalog read. Metadata-scale by construction — both
+  * frames derive from the manifest, never the data.
+  */
+class DvMetaV2Table(val root: String, val kind: String) extends Table
+    with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private[graft] def frame(s: SparkSession): DataFrame = kind match {
+    case "history" => DV.history(s, root)
+    case _ => DV.manifest(s, root)
+  }
+
+  override def name(): String = s"graft-dv-$kind.`$root`"
+
+  override lazy val schema: StructType = frame(spark).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => DvMetaScanImpl(this, schema)
+}
+
+private[graft] case class DvMetaScanImpl(table: DvMetaV2Table,
+    metaSchema: StructType) extends V1Scan with DvBridgedScan {
+
+  override def readSchema(): StructType = metaSchema
+
+  private[graft] def inner(spark: SparkSession): DataFrame =
+    table.frame(spark)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val self = this
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = metaSchema
+      override def buildScan(): RDD[Row] =
+        self.inner(context.sparkSession).rdd
+    }.asInstanceOf[T]
+  }
 }
 
 /** V1-bridged batch write: INSERT INTO → append (new files behind one

@@ -310,6 +310,38 @@ class DvCatalogSpec extends SparkSpec {
       "pre-images must carry each generation's true column values")
   }
 
+  test("metadata namespaces: graftdv.history / graftdv.files serve " +
+      "the manifest log and the live file inventory as plain SQL " +
+      "tables — joinable, filterable, metadata-scale") {
+    val (root, t, ev) = fresh()
+    spark.sql(s"INSERT INTO $t SELECT event_id + 9000000, ts, " +
+      s"user_id, event_type, value, props, day FROM $t LIMIT 20")
+    spark.sql(s"DELETE FROM graftdv.`$root` WHERE user_id % 9 = 0")
+      .collect(): Unit
+
+    val hist = spark.sql(
+      s"SELECT version, operation FROM graftdv.history.`$root` " +
+        "ORDER BY version")
+    val ops = hist.collect().map(_.getString(1)).toSeq
+    assert(ops.head == "init" && ops.contains("append"),
+      s"the history table must carry the log verbs: $ops")
+
+    // the files table's totals agree with the live byte/row truth
+    val agg = spark.sql(
+      s"SELECT count(*) AS files, sum(rows) AS rows " +
+        s"FROM graftdv.files.`$root`").head()
+    assert(agg.getLong(1) == ev.count() + 20,
+      "files.rows counts PHYSICAL rows (tombstones never touch the " +
+        "manifest)")
+    assert(agg.getLong(0) ==
+      DV.manifest(spark, root).count())
+    // and it JOINS like any table: per-partition file counts
+    val perDay = spark.sql(
+      s"SELECT count(*) AS n FROM graftdv.files.`$root` " +
+        "WHERE file LIKE '%day=%' GROUP BY substring(file, 1, 1)")
+    assert(perDay.head().getLong(0) > 0)
+  }
+
   test("CHECK constraints gate the DSv2 write paths: a violating " +
       "INSERT fails loudly and publishes nothing") {
     val (root, t, _) = fresh()
