@@ -974,11 +974,17 @@ object DeletionVectors {
     * time travel:
     *  - a purge emits NOTHING (its removed files' surviving rows
     *    reappear verbatim in the replacements and cancel);
-    *  - row DELETION surfaces as the retroactive mask (visible at
-    *    every version), never as feed rows — with today's operations
-    *    the 'delete' side is structurally empty, and it exists for
-    *    manifest-level row removal semantics (and consumers that
-    *    replay against unmasked snapshots).
+    *  - row DELETION surfaces in SNAPSHOTS as the retroactive mask
+    *    (visible at every version). Under the CDF conf, a DELETE
+    *    statement / MERGE delete action ALSO records its victims'
+    *    old images in a 'del' sidecar keyed to a (metadata-only)
+    *    manifest commit, and the feed emits them as 'delete' rows —
+    *    the retraction signal derived consumers (IVM, replication)
+    *    need, because THEIR stores are not retroactively masked. The
+    *    fold law is unaffected: snapshots never contain these rows,
+    *    and a fold's exceptAll of absent rows is a no-op. The
+    *    manifest-diff 'delete' side (file removal minus additions)
+    *    remains structurally empty with today's operations.
     *
     * Each step reads under ITS later version's recorded schema;
     * steps union with null-fill, so a feed spanning schema evolution
@@ -1018,8 +1024,15 @@ object DeletionVectors {
         val p = new Path(s"${cdfVersionDir(root, b)}/$kind")
         if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
       }
+      // a commit that recorded DELETED old images (DELETE statement /
+      // MERGE delete action under the CDF conf) surfaces them as
+      // 'delete' rows — the retraction signal derived consumers (IVM,
+      // replication) fold; masked snapshots never contain these rows
+      // (the retroactive mask), so fold consumers see a no-op
+      val delRows = sidecar("del")
+        .map(d => tag(d, "delete"))
       (rd(filesB -- filesA), rd(filesA -- filesB)) match {
-        case (None, None) => None
+        case (None, None) => delRows
         case (Some(add0), remOpt) =>
           val add = remOpt.map(add0.exceptAll).getOrElse(add0)
           val remRows = remOpt.map(_.exceptAll(add0))
@@ -1043,9 +1056,14 @@ object DeletionVectors {
                 .getOrElse(ins)
             case None => tag(add, "insert")
           }
-          Some(remRows.map(withCdf.unionByName(_,
-            allowMissingColumns = true)).getOrElse(withCdf))
-        case (None, Some(rem)) => Some(tag(rem, "delete"))
+          val withRem = remRows.map(withCdf.unionByName(_,
+            allowMissingColumns = true)).getOrElse(withCdf)
+          Some(delRows.map(withRem.unionByName(_,
+            allowMissingColumns = true)).getOrElse(withRem))
+        case (None, Some(rem)) =>
+          val r = tag(rem, "delete")
+          Some(delRows.map(r.unionByName(_,
+            allowMissingColumns = true)).getOrElse(r))
       }
     }.toSeq
     steps.reduceOption(
@@ -1096,6 +1114,20 @@ object DeletionVectors {
     def writePost(df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$stage/post")
 
+    /** DELETED old images (DELETE statements, MERGE delete actions) —
+      * surfaced by the feed as 'delete' rows. Snapshot semantics, not
+      * reconstruction: row deletion on this engine is the RETROACTIVE
+      * mask, so these rows are already absent from every masked read —
+      * the sidecar exists for DERIVED consumers (IVM, replication)
+      * whose own stores are not retroactively masked and need the
+      * retraction signal. A fold consumer is unaffected: exceptAll of
+      * already-absent rows is a no-op, so the fold law holds verbatim.
+      */
+    def writeDeleted(df: DataFrame): Unit = {
+      recorded = true
+      df.write.mode("overwrite").parquet(s"$stage/del")
+    }
+
     def onCommitted(v: Long): Unit = {
       val f = hfs(spark, root)
       f.mkdirs(new Path(cdfDir(root)))
@@ -1107,6 +1139,25 @@ object DeletionVectors {
       val f = hfs(spark, root)
       f.delete(new Path(stage), true): Unit
     }
+  }
+
+  /** Commit a change-data-ONLY manifest version — the DELETE shape:
+    * tombstones change no file set, so without this flip a delete
+    * would be invisible to the feed (no version, no step). One
+    * metadata-only sentinel flip (op 'delete', zero data bytes moved)
+    * keys the staged 'del' sidecar to a committed version and stamps
+    * the cdf-updates reader feature, exactly as update/merge commits
+    * do. Called only when the stage actually recorded images.
+    */
+  private[graft] def commitChangeDataOnly(spark: SparkSession,
+      root: String, stage: CdfStage): Long = {
+    val v = sentinelFlip(spark, root, "delete") { (base, latest) =>
+      val feats = metaAt(spark, root, base)
+        .map(_.features).getOrElse(Set.empty[String])
+      withFeatures(latest, feats + "cdf-updates")
+    }
+    stage.onCommitted(v)
+    v
   }
 
   /** Masked read restricted to an explicit file subset — the hook
@@ -1896,6 +1947,12 @@ object DeletionVectors {
     require(pinned.isEmpty,
       s"$verb: $name is referenced by CHECK constraint(s) " +
         s"${pinned.keys.mkString(", ")} — DROP CONSTRAINT first")
+    require(!indexKeyCol(spark, root).contains(name),
+      s"$verb: $name is the skipping-index key column (the _keycol " +
+        "marker binds the bloom/min-max sidecar to it by name; a " +
+        "rename would brick autoRefreshIndex and a same-name re-ADD " +
+        "would prune with the WRONG column's index) — DROP INDEX on " +
+        "the table first")
   }
 
   /** `ALTER TABLE ... RENAME COLUMN from TO to` — COLUMN MAPPING, the
@@ -3049,25 +3106,49 @@ object DeletionVectors {
     val v = Snapshots.publish(spark, it, next2)
     // the indexed KEY COLUMN rides a marker file so READS can resolve
     // eligible predicates to this sidecar without being told — the
-    // SQL-transparent tier ([[skippingHook]])
+    // SQL-transparent tier ([[skippingHook]]). Line 2 pins the
+    // PHYSICAL name the sidecar was built under (column mapping):
+    // the hook refuses to probe if the marker column ever resolves to
+    // a different physical field than the one indexed.
+    val physAtBuild = currentMeta(spark, root)
+      .map(_.physicalName(keyCol)).getOrElse(keyCol)
     val kf = hfs(spark, root).create(new Path(s"$it/_keycol"), true)
-    try kf.write(keyCol.getBytes("UTF-8")) finally kf.close()
+    try kf.write(s"$keyCol\n$physAtBuild".getBytes("UTF-8"))
+    finally kf.close()
     (v, keptN, newFiles.size.toLong)
   }
 
   /** The indexed key column, if the table carries a skipping sidecar. */
   private def indexKeyCol(spark: SparkSession,
-      root: String): Option[String] = {
+      root: String): Option[String] =
+    indexKeyInfo(spark, root).map(_._1)
+
+  /** (logical key column, physical name at index-build time) from the
+    * sidecar marker. The physical half is absent on markers written
+    * before it was recorded — consumers then skip the mapping check
+    * (legacy behavior).
+    */
+  private def indexKeyInfo(spark: SparkSession,
+      root: String): Option[(String, Option[String])] = {
     val p = new Path(s"${indexTable(root)}/_keycol")
     val f = hfs(spark, root)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
       try {
+        // read to EOF — a single read() may legally short-read on
+        // object-store streams, and a truncated key name that matched
+        // another column would probe the WRONG column's sidecar
+        val buf = new java.io.ByteArrayOutputStream(256)
         val bytes = new Array[Byte](256)
-        val n = in.read(bytes)
-        if (n <= 0) None
-        else Some(new String(bytes, 0, n, "UTF-8").trim)
+        var n = in.read(bytes)
+        while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        val s = new String(buf.toByteArray, "UTF-8").trim
+        if (s.isEmpty) None
+        else {
+          val lines = s.split("\n").map(_.trim).filter(_.nonEmpty)
+          Some((lines(0), lines.lift(1)))
+        }
       } finally in.close()
     }
   }
@@ -3087,6 +3168,13 @@ object DeletionVectors {
       maxStaleFraction: Double = 0.25): Boolean =
     indexKeyCol(spark, root) match {
       case None => false
+      case Some(keyCol)
+          if currentMeta(spark, root).exists(m =>
+            !m.dataSchema.fieldNames.contains(keyCol)) =>
+        // marker names a column no longer in the schema (legacy table
+        // mutated before the requirePlainDataColumn guard) — never
+        // throw from a write path; skipping is simply disabled
+        false
       case Some(keyCol) =>
         val it = indexTable(root)
         val live = liveEntries(spark, root).map(_.path)
@@ -3120,7 +3208,18 @@ object DeletionVectors {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, In, Literal}
     import org.apache.spark.sql.types.LongType
     if (dataFilters.isEmpty) None
-    else indexKeyCol(spark, root).flatMap { keyCol =>
+    else indexKeyInfo(spark, root).filter { case (keyCol, physBuilt) =>
+      // the sidecar binds to the marker column BY NAME: if the column
+      // left the schema, or now resolves to a DIFFERENT physical field
+      // than it was indexed under (DROP+re-ADD / rename machinery on a
+      // legacy table), probing would prune files with the WRONG
+      // column's bloom/min-max — refuse and fall back to the
+      // staleness-safe full candidate set
+      currentMeta(spark, root).forall { m =>
+        m.dataSchema.fieldNames.contains(keyCol) &&
+          physBuilt.forall(_ == m.physicalName(keyCol))
+      }
+    }.map(_._1).flatMap { keyCol =>
       // scan-level attributes carry PHYSICAL names (column mapping)
       val physKey = currentMeta(spark, root)
         .map(_.physicalName(keyCol)).getOrElse(keyCol)
@@ -3370,6 +3469,10 @@ object DeletionVectors {
       }
       var stagesSwept = 0L
       if (!dryRun) {
+        // finish any crashed delete publish BEFORE sweeping the
+        // pending-blob dirs its intent references (claim is held, so
+        // no live writer can be mid-publish here)
+        DvBlobs.replayIntents(root): Unit
         Snapshots.vacuum(spark, mt, keepVersions)
         staleStages.foreach { st =>
           if (f.delete(st.getPath, true)) stagesSwept += 1

@@ -141,6 +141,80 @@ object DvBlobs {
     dest.toString
   }
 
+  // ---- publish-intent journal (delete-only commit atomicity) -------
+
+  /** Record a publish INTENT — the list of pending blob paths a commit
+    * is about to rename live — as one rename-visible file under the
+    * table's blob root. For a delete-only DSv2 command there is no
+    * insert CAS, so the blob publish IS the commit; without a journal
+    * a crash mid-publish leaves the DELETE half-applied forever. With
+    * it, the next claim-holding writer or vacuum REPLAYS the intent to
+    * completion ([[replayIntents]]; publish is rename-idempotent), so
+    * a crashed delete converges to fully-applied instead of sticking
+    * half-way. Written AFTER the insert CAS for insert-carrying
+    * commands — a replay must never apply tombstones whose replacement
+    * images were discarded.
+    */
+  def writeIntent(tableRoot: String, pending: Seq[String]): String = {
+    val dir = new Path(dvRoot(tableRoot))
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(dir, s".itmp-$uuid")
+    val out = f.create(tmp, true)
+    try out.write(pending.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, s"intent-$uuid.pub")
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new IOException(s"publish-intent rename to $dest failed")
+    }
+    dest.toString
+  }
+
+  /** Remove a completed intent (the last step of a clean commit). */
+  def removeIntent(intentPath: String): Unit = {
+    val p = new Path(intentPath)
+    fs(p).delete(p, false): Unit
+  }
+
+  /** Replay any crashed publish intents: for each journaled pending
+    * blob still on disk, finish its rename-publish; then drop the
+    * intent. Callers MUST hold the table's maintenance claim (a live
+    * writer's in-flight intent must not be raced) — the DSv2 commit
+    * and vacuum both do. A pending path that is gone means either a
+    * prior attempt already published it (dest exists — fine) or the
+    * stage was swept underneath a pre-journal crash (nothing left to
+    * recover); both just drop the intent. Returns intents replayed.
+    */
+  def replayIntents(tableRoot: String): Int = {
+    val root = new Path(dvRoot(tableRoot))
+    val f = fs(root)
+    if (!f.exists(root)) 0
+    else {
+      val intents = f.listStatus(root).toSeq.filter(s =>
+        s.isFile && s.getPath.getName.startsWith("intent-") &&
+          s.getPath.getName.endsWith(".pub"))
+      intents.foreach { st =>
+        val in = f.open(st.getPath)
+        val body =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val bytes = new Array[Byte](4096)
+            var n = in.read(bytes)
+            while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+            new String(buf.toByteArray, "UTF-8")
+          } finally in.close()
+        body.split("\n").filter(_.nonEmpty).foreach { pending =>
+          if (f.exists(new Path(pending)))
+            publish(pending, tableRoot): Unit
+        }
+        f.delete(st.getPath, false): Unit
+      }
+      intents.size
+    }
+  }
+
   /** (embedded data-file path, sorted positions) of one blob. */
   def readDelta(blobPath: String): (String, Array[Long]) = {
     val p = new Path(blobPath)

@@ -180,13 +180,31 @@ case class DvDeleteCommand(root: String, targetOutput: Seq[Attribute],
     Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    val n = DV.markWhere(session, root, { scan =>
-      val (proj, f, p) = DvDml.rebound(scan, targetOutput)
-      GraftPlanApi.ofRows(session, Filter(cond, proj))
-        .select(GraftPlanApi.column(f).as("__file"),
-          GraftPlanApi.column(p).as("__pos"))
-    })
-    Seq(Row(n))
+    // change data (opt-in): snapshot the victims' OLD images before
+    // the first tombstone lands and key them to a metadata-only
+    // 'delete' commit — the retraction rows derived consumers (IVM,
+    // replication) fold; snapshots are unaffected (retroactive mask)
+    val cdf = if (DV.cdfEnabled(session))
+      Some(new DV.CdfStage(session, root)) else None
+    try {
+      cdf.foreach { c =>
+        val (proj0, _, _) = DvDml.rebound(DV.readWithPos(session, root),
+          targetOutput)
+        val victims = GraftPlanApi.ofRows(session, Filter(cond, proj0))
+          .select(targetOutput.map(o =>
+            GraftPlanApi.column(o).as(o.name)): _*)
+        if (!victims.isEmpty) c.writeDeleted(victims)
+      }
+      val n = DV.markWhere(session, root, { scan =>
+        val (proj, f, p) = DvDml.rebound(scan, targetOutput)
+        GraftPlanApi.ofRows(session, Filter(cond, proj))
+          .select(GraftPlanApi.column(f).as("__file"),
+            GraftPlanApi.column(p).as("__pos"))
+      })
+      if (n > 0 && cdf.exists(_.recorded))
+        DV.commitChangeDataOnly(session, root, cdf.get): Unit
+      Seq(Row(n))
+    } finally cdf.foreach(_.cleanup())
   }
 }
 
@@ -371,17 +389,21 @@ case class DvMergeCommand(root: String, targetOutput: Seq[Attribute],
 
     // change data (opt-in): PRE = rows an UPDATE action claims (their
     // old images, snapshotted before the first tombstone); POST = the
-    // update-action image frames; DELETE-action rows emit nothing
-    // (row deletion is the retroactive mask — the pinned semantics)
+    // update-action image frames; DELETE-action rows land in the
+    // 'del' sidecar (the feed's 'delete' retraction rows — snapshots
+    // stay governed by the retroactive mask)
     val cdf = if (DV.cdfEnabled(session))
       Some(new DV.CdfStage(session, root)) else None
     try {
       cdf.foreach { c =>
-        def updIdx(actions: Seq[MergeAction]): Seq[Int] =
+        def actIdx(actions: Seq[MergeAction],
+            p: MergeAction => Boolean): Seq[Int] =
           actions.zipWithIndex.collect {
-            case (_: UpdateAction, i) => i + 1 }
-        val preM = updIdx(matchedActions)
-        val preB = updIdx(notMatchedBySourceActions)
+            case (a, i) if p(a) => i + 1 }
+        val isUpd = (a: MergeAction) => a.isInstanceOf[UpdateAction]
+        val isDel = (a: MergeAction) => a.isInstanceOf[DeleteAction]
+        val preM = actIdx(matchedActions, isUpd)
+        val preB = actIdx(notMatchedBySourceActions, isUpd)
         val pre = joined0.filter(
             (matchedP && mIdx.isin(preM: _*)) ||
               (bySourceP && bIdx.isin(preB: _*)))
@@ -391,6 +413,15 @@ case class DvMergeCommand(root: String, targetOutput: Seq[Attribute],
         if (post.isDefined) {
           c.writePre(pre)
           c.writePost(post.get)
+        }
+        val delM = actIdx(matchedActions, isDel)
+        val delB = actIdx(notMatchedBySourceActions, isDel)
+        if (delM.nonEmpty || delB.nonEmpty) {
+          val del = joined0.filter(
+              (matchedP && mIdx.isin(delM: _*)) ||
+                (bySourceP && bIdx.isin(delB: _*)))
+            .select(targetOutput.map(o => C(o).as(o.name)): _*)
+          if (!del.isEmpty) c.writeDeleted(del)
         }
       }
 
@@ -413,7 +444,13 @@ case class DvMergeCommand(root: String, targetOutput: Seq[Attribute],
             extraFeatures = if (cdf.exists(_.recorded))
               Set("cdf-updates") else Set.empty)
           df.count()
-        case _ => 0L
+        case _ =>
+          // a delete-only MERGE appends nothing, so without its own
+          // (metadata-only) commit the recorded retraction rows would
+          // never key to a feed step
+          if (marked > 0 && cdf.exists(_.recorded))
+            DV.commitChangeDataOnly(session, root, cdf.get): Unit
+          0L
       }
       Seq(Row(marked, appended))
     } finally cdf.foreach(_.cleanup())

@@ -774,10 +774,21 @@ case class DvAnalyzeColumnsCommand(ident: Seq[String], root: String,
       if (histCols.isEmpty) Map.empty
       else {
         val probs = (0 to numBins).map(_.toDouble / numBins).toArray
-        val ends = df.stat.approxQuantile(
+        val ends0 = df.stat.approxQuantile(
           histCols.map(_.name).toArray, probs, 1e-3)
+        // an all-null column (or an empty table) yields an EMPTY
+        // endpoint array — no histogram is derivable and the interval
+        // NDV aggregate requires >=2 endpoints (Spark's own
+        // AnalyzeColumnCommand guards the same case)
+        val (histKept, endsKept) = histCols.zip(ends0)
+          .filter(_._2.nonEmpty).unzip
+        val histCols2 = histKept
+        val ends = endsKept
+        if (histCols2.isEmpty) Map.empty[String,
+          org.apache.spark.sql.catalyst.plans.logical.Histogram]
+        else {
         val ndvAggs: Seq[org.apache.spark.sql.Column] =
-          histCols.zip(ends).map { case (f, e) =>
+          histCols2.zip(ends).map { case (f, e) =>
             import org.apache.spark.sql.catalyst.expressions._
             val endpoints = CreateArray(e.map(v =>
               Literal(v, DoubleType)).toSeq)
@@ -789,7 +800,7 @@ case class DvAnalyzeColumnsCommand(ident: Seq[String], root: String,
                 .toAggregateExpression())
           }
         val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
-        histCols.zipWithIndex.map { case (f, i) =>
+        histCols2.zipWithIndex.map { case (f, i) =>
           val e = ends(i)
           val binNdvs = ndvRow.getSeq[Long](i)
           val bins = (0 until numBins).map(b =>
@@ -799,6 +810,7 @@ case class DvAnalyzeColumnsCommand(ident: Seq[String], root: String,
           f.name -> org.apache.spark.sql.catalyst.plans.logical
             .Histogram(nonNull.toDouble / numBins, bins)
         }.toMap
+        }
       }
 
     val colStats = cols.zipWithIndex.map { case (f, i) =>
@@ -883,15 +895,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     DvMaintenanceSql.parse(sqlText).getOrElse {
       val p = delegate.parsePlan(sqlText)
       // MERGE schema evolution (opt-in) for extension-built sessions:
-      // the target must widen BEFORE the analyzer expands star actions
-      DvSchemaEvolve.maybeWiden(session, p)
-      p
+      // the target must widen BEFORE the analyzer expands star
+      // actions, but parsing must be side-effect free (a statement
+      // parsed without execution must not flip the manifest) — so a
+      // widening-eligible statement wraps in an execution-time command
+      if (DvSchemaEvolve.wouldWiden(session, p))
+        DvWidenExecCommand(sqlText)
+      else p
     }
 
   override def parsePlanWithParameters(sqlText: String,
       parameters: ParameterContext): LogicalPlan =
     DvMaintenanceSql.parse(sqlText)
       .getOrElse {
+        // the parameterized form cannot defer through a stored-text
+        // command (the bound args would be lost on re-parse); Spark
+        // only calls this from sql(text, args) execution, so widening
+        // here is already at-execution
         val p = delegate.parsePlanWithParameters(sqlText, parameters)
         DvSchemaEvolve.maybeWiden(session, p)
         p

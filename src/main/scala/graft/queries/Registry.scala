@@ -228,6 +228,14 @@ object Registry {
     // Verify-only: their physical shapes are dvd's marking scan and
     // the upsert append, both already timed.
     "dv_sql_merge",
+    // round 14: the SQL-TRANSPARENT skipping lookup — the serve face
+    // users actually hit (plain WHERE key IN (...) through the DSv2
+    // catalog, sidecar consulted inside scan planning). A DISTINCT
+    // shape from ipl (the API face): scan-planning-time bloom probe +
+    // lazy manifest index pruning instead of an explicit candidate
+    // list, with the candidate-count assertion running in every rep.
+    // Build amortizes via the shared memoized `ipl` table.
+    "dv_index_lookup_sql",
     // round 11 (late): the lifecycle DDL statements stay Verify-only
     // by the subsumption rule — dv_sql_restore/dv_sql_history/
     // dv_sql_alter/dv_constraints are metadata-only manifest flips
@@ -308,5 +316,7 @@ object Registry {
     "dv_delete" -> "dvd", "dv_purge" -> "dvp",
     "index_point_lookup" -> "ipl",
     // round-11 additions (append-only; see the stability contract above)
-    "dv_sql_merge" -> "dvm")
+    "dv_sql_merge" -> "dvm",
+    // round-14 additions (append-only; see the stability contract above)
+    "dv_index_lookup_sql" -> "ils")
 }

@@ -1399,6 +1399,116 @@ object ScaleQueries {
        |ORDER BY _change_type, event_type""".stripMargin
   }
 
+  /** RETRACTION-CAPABLE MV MAINTENANCE (round 14): a summary over the
+    * DV table is maintained PURELY from the change data feed across a
+    * mixed append / UPDATE / DELETE / MERGE-with-delete history — the
+    * IVM capability [[graft.streaming.MvMaintain]] documents as its
+    * append-only boundary. Inserts/update-postimages fold as additive
+    * partials; every retraction (delete rows, update pre-images)
+    * dirties its grain and emits an ABSOLUTE per-grain reset derived
+    * from the batch-end version — ONE mechanism that keeps SUM/COUNT
+    * and MIN/MAX all maintainable (and is immune to the
+    * retroactive-mask trap that breaks arithmetic negation for
+    * lagging consumers; see [[graft.streaming.MvDmlMaintain]]).
+    * The oracle replays the same deterministic DML in pure SQL over
+    * the immutable events fact and aggregates the FINAL state —
+    * serve == base is the whole claim. MvDmlMaintainSpec pins the
+    * step-wise equality, the lagging consumer, replay idempotency,
+    * and the streaming face.
+    */
+  def mvMaintainDml(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{DeletionVectors => DV, TextOps}
+    import graft.plans.MvShape
+    import graft.streaming.MvDmlMaintain
+    val root = dvTable(spark, sfDir, "mvdml") { r =>
+      val tbl = dvCatalogTable(spark, sfDir, r, "mvdml")
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      spark.conf.set("spark.graft.dv.cdf", "true")
+      try {
+        val extra = ev.filter(TextOps.h60(concat(lit("mvdi_"),
+            col("event_id").cast("string"))) % 23 === 0)
+          .withColumn("event_id", col("event_id") + lit(8000000000L))
+        DV.append(spark, r, Seq("day"), extra): Unit
+        graft.GraftSql.sql(spark,
+          s"UPDATE $tbl SET value = value + 75 WHERE " +
+            TextOps.h60SparkSql(
+              "concat('mvdu_', CAST(event_id AS STRING))") +
+            " % 11 = 0").collect(): Unit
+        graft.GraftSql.sql(spark,
+          s"DELETE FROM $tbl WHERE " +
+            TextOps.h60SparkSql(
+              "concat('mvdd_', CAST(user_id AS STRING))") +
+            " % 6 = 0").collect(): Unit
+        Tables.events(spark, sfDir)
+          .filter(TextOps.h60(concat(lit("mvdm_"),
+            col("event_id").cast("string"))) % 9 === 0)
+          .select(col("event_id")).distinct()
+          .createOrReplaceTempView("mvdml_src")
+        graft.GraftSql.sql(spark,
+          s"""MERGE INTO $tbl t USING mvdml_src s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED AND ${TextOps.h60SparkSql(
+                "concat('mvdx_', CAST(t.event_id AS STRING))")} % 2 = 0
+             |  THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET value = t.value + 50
+             |""".stripMargin).collect(): Unit
+      } finally spark.conf.unset("spark.graft.dv.cdf")
+    }
+    val shapes = Seq(
+      MvShape("sum|v", "sum(cast(value as decimal(28,4)))", "s_v"),
+      MvShape("count|1", "count(1)", "n_rows"),
+      MvShape("min|v", "min(value)", "v_min"),
+      MvShape("max|v", "max(value)", "v_max"))
+    val grain = Seq("event_type")
+    val mvDir = s"${root}_mv"
+    val v0 = Snapshots.committedVersions(
+      spark, DV.manifestTable(root)).head
+    MvDmlMaintain.seed(spark, root, mvDir, grain, shapes, v0)
+    MvDmlMaintain.catchUp(spark, root, mvDir, grain, shapes, v0): Unit
+    // serve from the MAINTAINED store only — the base table is never
+    // re-aggregated here; equality with the oracle's final state IS
+    // the retraction-correctness claim
+    MvDmlMaintain.merged(spark, mvDir, grain, shapes)
+      .select(col("event_type"), col("n_rows"),
+        round(col("s_v").cast("double"), 4).as("value_sum"),
+        col("v_min").as("value_min"), col("v_max").as("value_max"))
+      .orderBy(col("event_type"))
+  }
+
+  private val mvMaintainDmlOracle = {
+    import graft.operators.TextOps
+    val ins = s"${TextOps.h60Sql("('mvdi_' || CAST(event_id AS VARCHAR))")} % 23 = 0"
+    val upd = s"${TextOps.h60Sql("('mvdu_' || CAST(event_id AS VARCHAR))")} % 11 = 0"
+    val del = s"${TextOps.h60Sql("('mvdd_' || CAST(user_id AS VARCHAR))")} % 6 = 0"
+    val mrg = s"${TextOps.h60Sql("('mvdm_' || CAST(event_id AS VARCHAR))")} % 9 = 0"
+    val mdx = s"${TextOps.h60Sql("('mvdx_' || CAST(c.event_id AS VARCHAR))")} % 2 = 0"
+    s"""WITH cur0 AS (
+       |  SELECT event_type, user_id, event_id, value FROM events
+       |  UNION ALL
+       |  SELECT event_type, user_id, event_id + 8000000000 AS event_id,
+       |    value
+       |  FROM events WHERE $ins),
+       |cur1 AS (
+       |  SELECT event_type, user_id, event_id,
+       |    CASE WHEN $upd THEN value + 75 ELSE value END AS value
+       |  FROM cur0),
+       |cur2 AS (SELECT * FROM cur1 WHERE NOT ($del)),
+       |stripe AS (
+       |  SELECT DISTINCT event_id FROM events WHERE $mrg),
+       |cur3 AS (
+       |  SELECT event_type, user_id, c.event_id,
+       |    CASE WHEN s.event_id IS NOT NULL THEN value + 50
+       |      ELSE value END AS value
+       |  FROM cur2 c LEFT JOIN stripe s ON c.event_id = s.event_id
+       |  WHERE NOT (s.event_id IS NOT NULL AND $mdx))
+       |SELECT event_type, count(*) AS n_rows,
+       |  round(CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+       |    AS value_sum,
+       |  min(value) AS value_min, max(value) AS value_max
+       |FROM cur3 GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** PARTITION EVOLUTION (round 12, the Iceberg hallmark): the table
     * starts day-partitioned, `ALTER TABLE ... SET PARTITIONING
     * (event_type)` flips the layout in ONE metadata-only manifest
@@ -2512,6 +2622,7 @@ object ScaleQueries {
       dvSchemaEvolution),
     Q("dv_changes", Some(dvChangesOracle), dvChanges),
     Q("dv_changes_update", Some(dvChangesUpdateOracle), dvChangesUpdate),
+    Q("mv_maintain_dml", Some(mvMaintainDmlOracle), mvMaintainDml),
     Q("dv_partition_evolution", Some(dvPartitionEvolutionOracle),
       dvPartitionEvolution),
     Q("dv_stats_lookup", Some(dvStatsLookupOracle), dvStatsLookup),

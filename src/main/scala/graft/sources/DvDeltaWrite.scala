@@ -44,7 +44,12 @@ import graft.operators.{DeletionVectors => DV, DvBlobs}
   *    atomicity: nothing — neither tombstone nor insert — is visible
   *    to readers before commit(), and the tombstone publish runs
   *    AFTER the insert CAS, so no failure mode deletes acknowledged
-  *    rows while discarding their replacement images.
+  *    rows while discarding their replacement images. The publish
+  *    itself is journaled ([[DvBlobs.writeIntent]]): a crash
+  *    mid-publish — the only residual window, and the WHOLE commit
+  *    for a delete-only command — is replayed to completion by the
+  *    next claim-holding writer or vacuum, so a DELETE converges to
+  *    fully-applied instead of sticking half-way.
   *
   * Scale shape: Spark clusters the delta rows by target file (and by
   * partition for insert-carrying commands) via
@@ -158,12 +163,15 @@ private[sources] class DvDeltaBatchWrite(root: String,
   /** Change-data recording rides the DSv2 UPDATE too (opt-in conf):
     * the writers journal their tombstoned coordinates under the
     * stage, and commit reconstructs the pre-images from the (still
-    * present) old files — see [[DV.rowsAtCoordinates]]. MERGE skips
+    * present) old files — see [[DV.rowsAtCoordinates]]. DELETE
+    * journals the same coordinates and surfaces them as 'delete'
+    * retraction rows keyed to a metadata-only commit. MERGE skips
     * it (its inserts and update-images are indistinguishable at the
     * writer; the V1 command path records images for MERGE).
     */
   private def cdfOn =
-    cmd == RowLevelOperation.Command.UPDATE && DV.cdfEnabled(spark)
+    (cmd == RowLevelOperation.Command.UPDATE ||
+      cmd == RowLevelOperation.Command.DELETE) && DV.cdfEnabled(spark)
 
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -230,6 +238,14 @@ private[sources] class DvDeltaBatchWrite(root: String,
           c.writePost(DV.toLogicalDf(spark, root,
             spark.read.option("basePath", stage).parquet(stage)))
           Some(c)
+        } else if (cdfOn && !anyInserts && fs.exists(coordDir)) {
+          // DSv2 DELETE: the journaled coordinates' old images become
+          // the feed's 'delete' retraction rows, keyed below to a
+          // metadata-only commit (a delete changes no file set)
+          val c = new DV.CdfStage(spark, root)
+          c.writeDeleted(DV.rowsAtCoordinates(spark, root,
+            spark.read.parquet(coordDir.toString)))
+          Some(c)
         } else None
       try {
         if (anyInserts) {
@@ -242,10 +258,27 @@ private[sources] class DvDeltaBatchWrite(root: String,
         // tombstones publish AFTER the insert CAS (and only once every
         // pre-commit check passed): before this point the live table
         // is untouched — an abort, a raced rewrite, or a constraint
-        // failure commits NOTHING; a crash between the CAS and here
-        // leaves recoverable duplicates (old rows un-tombstoned beside
-        // the new images), never acknowledged-data loss
-        publishBlobs(msgs.flatMap(_.blobs))
+        // failure commits NOTHING. A crash MID-publish is covered by
+        // the intent journal written just below: for a delete-only
+        // command the blob publish IS the commit (no insert CAS), so
+        // the journal is what keeps a crashed DELETE from sticking
+        // half-applied — the next claim-holding writer or vacuum
+        // replays it to completion (publish is rename-idempotent).
+        // Insert-carrying commands journal AFTER their CAS, so a
+        // replay can never apply tombstones whose replacement images
+        // were discarded.
+        DvBlobs.replayIntents(root): Unit
+        val pending = msgs.flatMap(_.blobs)
+        val intent =
+          if (pending.nonEmpty) Some(DvBlobs.writeIntent(root, pending))
+          else None
+        publishBlobs(pending)
+        intent.foreach(DvBlobs.removeIntent)
+        // delete-only + change data recorded: key the 'del' sidecar to
+        // its own metadata-only commit AFTER the tombstones are live
+        if (!anyInserts && pending.nonEmpty)
+          cdf.filter(_.recorded).foreach(c =>
+            DV.commitChangeDataOnly(spark, root, c): Unit)
       } finally cdf.foreach(_.cleanup())
     } finally cleanup()
     // opportunistic auto-pack AFTER the claim releases: a merge-heavy
