@@ -439,6 +439,41 @@ object LakeProbe {
         println(f"[lakeprobe] zorder/$tag: before $hitB/$totB files " +
           f"survive the 2%% range probe; rewrite $tZ%.2fs; after " +
           f"$hitA/$totA (${100.0 * (totA - hitA) / totA}%.0f%% skipped)")
+
+        // INCREMENTAL leg (round 14, the liquid shape): a scattered
+        // CDC sliver lands post-zorder, degrading the skip fraction
+        // (its files span the full key range); INCREMENTAL ZORDER
+        // re-clusters ONLY the sliver — previously-clustered files
+        // byte-identical, skip fraction back at the full-rewrite
+        // level, wall tracks the INCREMENT's bytes, not the table's.
+        val clustered = DV.manifest(spark, root).select("file")
+          .collect().map(_.getString(0)).toSet
+        DV.append(spark, root, Seq("event_type"),
+          events.sample(0.12, seed = 7)
+            .withColumn("event_id",
+              org.apache.spark.sql.functions.col("event_id") +
+                org.apache.spark.sql.functions.lit(7000000000L))
+            .repartition(8)): Unit
+        val (hitS, totS) = survivors()
+        val t1i = System.nanoTime()
+        val rewritten = DV.zorder(spark, root, Seq("user_id"),
+          incremental = true).size
+        val tI = (System.nanoTime() - t1i) / 1e9
+        val (hitI, totI) = survivors()
+        val liveNow = DV.manifest(spark, root).select("file")
+          .collect().map(_.getString(0)).toSet
+        require(clustered.subsetOf(liveNow),
+          "incremental zorder must not touch previously-clustered files")
+        val fracFull = 1.0 * (totA - hitA) / totA
+        val fracInc = 1.0 * (totI - hitI) / totI
+        require(fracInc >= fracFull - 0.10,
+          f"incremental pass must maintain the skip fraction " +
+            f"($fracInc%.2f vs full-rewrite $fracFull%.2f)")
+        println(f"[lakeprobe] zorder-incremental/$tag: sliver degraded " +
+          f"survivors to $hitS/$totS; incremental rewrote " +
+          f"$rewritten%d files in $tI%.2fs (full rewrite was $tZ%.2fs); " +
+          f"after $hitI/$totI (${100.0 * fracInc}%.0f%% skipped vs " +
+          f"${100.0 * fracFull}%.0f%% full); clustered files untouched")
       }
       probeZ("1x", Tables.events(spark, sfDir))
       probeZ(s"${scale}x", spark.read.parquet(evScaled))
@@ -625,6 +660,62 @@ object LakeProbe {
       }
       probeMap("1x", Tables.events(spark, sfDir))
       probeMap(s"${scale}x", spark.read.parquet(evScaled))
+    }
+
+    // ---- probe K: 100k-version log — checkpointed resolution --------
+    // The round-14 claim: a 1-version-per-batch CDC stream mints ~100k
+    // versions/year, and WITHOUT a checkpoint every latestVersion /
+    // versionAsOf / history resolution lists 100k marker names. The
+    // commit-log checkpoint folds the committed index into ONE file
+    // (two-phase cleanup), so resolution cost tracks versions SINCE
+    // the last fold, not versions ever. Deterministic metric: marker
+    // names listed per resolution; wall as supporting evidence.
+    {
+      import graft.operators.Snapshots
+      val t = s"$tmp/graft_lakeprobe_logckpt/t"
+      val f = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"$tmp/graft_lakeprobe_logckpt"), true)
+      val N = 100000L
+      val t0 = System.nanoTime()
+      (1L to N).foreach(v => Snapshots.tryCommit(spark, t, v))
+      val tMint = (System.nanoTime() - t0) / 1e9
+      def listedNames: Long =
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$t/_commits"))
+          .count(_.getPath.getName.forall(_.isDigit)).toLong
+      def timeResolve(reps: Int, tip: Long): Double = {
+        val s = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          require(Snapshots.latestVersion(spark, t).contains(tip))
+          i += 1
+        }
+        (System.nanoTime() - s) / 1e9 / reps
+      }
+      val namesBefore = listedNames
+      val tBefore = timeResolve(5, N)
+      val tF1 = System.nanoTime()
+      require(Snapshots.checkpointLog(spark, t), "fold 1 must run")
+      // the two-phase rule: fold 1 deletes nothing; mint past it and
+      // fold again so the first fold's coverage becomes reclaimable
+      ((N + 1) to (N + 70)).foreach(v => Snapshots.tryCommit(spark, t, v))
+      require(Snapshots.checkpointLog(spark, t), "fold 2 must run")
+      val tFold = (System.nanoTime() - tF1) / 1e9
+      val namesAfter = listedNames
+      val tAfter = timeResolve(5, N + 70)
+      require(Snapshots.latestVersion(spark, t).contains(N + 70))
+      require(Snapshots.committedVersions(spark, t).size == N + 70,
+        "every version must still resolve after the folds")
+      require(Snapshots.versionAsOf(spark, t,
+        System.currentTimeMillis()).contains(N + 70))
+      require(namesAfter < 100,
+        s"listing must shrink to O(since-last-fold): $namesAfter names")
+      println(f"[lakeprobe] logckpt: $N%d-version log minted in " +
+        f"$tMint%.1fs; resolution listed $namesBefore%d names in " +
+        f"$tBefore%.3fs/op before, $namesAfter%d names in " +
+        f"$tAfter%.3fs/op after two folds ($tFold%.1fs, one-time); " +
+        "history/time-travel answers unchanged")
     }
 
     spark.stop()

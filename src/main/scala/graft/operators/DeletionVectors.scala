@@ -194,7 +194,10 @@ object DeletionVectors {
       "op" -> "string", "constraints" -> "map<string,string>",
       "cdc_stream" -> "string", "old_layouts" -> "string",
       "col_map" -> "map<string,string>", "dropped_cols" -> "string",
-      "features" -> "string")
+      "features" -> "string",
+      // row tracking (round 14): per-file id-range start + the
+      // sentinel's next-id watermark
+      "base_row_id" -> "bigint", "row_id_high" -> "bigint")
     want.foldLeft(df) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(t))
@@ -309,12 +312,49 @@ object DeletionVectors {
     * simulate a gate-stripped build.
     */
   val ReaderFeatures: Set[String] =
-    Set("column-mapping", "partition-evolution", "cdf-updates")
+    Set("column-mapping", "partition-evolution", "cdf-updates",
+      "row-tracking")
 
   private def supportedReaderFeatures(spark: SparkSession): Set[String] =
     spark.conf.getOption("spark.graft.dv.readerFeatures")
       .map(_.split(',').toSet.filter(_.nonEmpty).map(_.trim))
       .getOrElse(ReaderFeatures)
+
+  /** Writer features this build implements — the WRITER half of the
+    * protocol (the Delta `minWriterVersion` shape, feature-granular).
+    * Every current feature constrains the write path too:
+    * column-mapping freezes the physical parquet field names staged
+    * files must be laid out under; partition-evolution means multiple
+    * live layout generations the writer must classify against;
+    * cdf-updates obliges mutating commits to record their change
+    * images (a stripped writer would silently starve feed consumers).
+    * The conf simulates a stripped build (protocol specs).
+    */
+  val WriterFeatures: Set[String] = ReaderFeatures
+
+  private def supportedWriterFeatures(spark: SparkSession): Set[String] =
+    spark.conf.getOption("spark.graft.dv.writerFeatures")
+      .map(_.split(',').toSet.filter(_.nonEmpty).map(_.trim))
+      .getOrElse(WriterFeatures)
+
+  /** Writer-side protocol gate — the HEAD of every mutating path
+    * (stage, tombstone, maintenance, metadata flip), so a stripped
+    * writer fails LOUDLY with the table untouched: never a
+    * wrong-physical-name staged file waiting on a CAS, never a
+    * commit missing the change images the table's consumers rely on.
+    */
+  private[graft] def requireWriterFeatures(spark: SparkSession,
+      root: String): Unit =
+    currentMeta(spark, root).foreach { m =>
+      val missing = m.features -- supportedWriterFeatures(spark)
+      require(missing.isEmpty,
+        s"graft-dv table at $root requires writer feature(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} this writer does " +
+          "not support — a stripped writer would stage files under " +
+          "wrong physical names or skip required change-data " +
+          "recording; upgrade the writer (refusing before any state " +
+          "was touched)")
+    }
 
   /** [[metaAt0]] + the protocol gate: enforcement sits OUTSIDE the
     * meta cache so a reader-capability change is honored immediately.
@@ -702,7 +742,9 @@ object DeletionVectors {
 
   private def relationOver(spark: SparkSession, root: String,
       entries: Seq[GraftDvApi.LiveFile],
-      meta: Option[TableMeta]): DataFrame = {
+      meta: Option[TableMeta],
+      physExtra: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     val partCols = meta.map(_.partCols).getOrElse {
       val vectors = entries.map(e =>
         GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
@@ -718,12 +760,19 @@ object DeletionVectors {
     // entry's parquet FOOTER — never string-path DataSource resolution
     // (re-encodes escaped partition segments, PATH_NOT_FOUND) and
     // never a directory probe (stale pre-vacuum siblings)
-    val dataSchema = meta.map(m => m.physicalSchema(m.dataSchema))
+    val dataSchema0 = meta.map(m => m.physicalSchema(m.dataSchema))
       .getOrElse {
       val head = GraftDvApi.pathOf(entries.head.path)
       GraftDvApi.fileSchema(spark,
         hfs(spark, entries.head.path).getFileStatus(head))
     }
+    // physExtra: physical columns OUTSIDE the logical schema (the
+    // row-tracking __row_id materialized into rewrite replacements) —
+    // files without them null-fill (the parquet missing-column rule)
+    val dataSchema =
+      if (physExtra.isEmpty) dataSchema0
+      else org.apache.spark.sql.types.StructType(
+        dataSchema0.fields ++ physExtra)
     GraftDvApi.relation(spark, dataDir(root), partCols,
       entries, dataSchema)
   }
@@ -763,7 +812,9 @@ object DeletionVectors {
     */
   private def posScanUnmasked(spark: SparkSession, root: String,
       entries: Seq[GraftDvApi.LiveFile],
-      meta: Option[TableMeta]): DataFrame = {
+      meta: Option[TableMeta],
+      physExtra: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     val layouts = entries
       .map(e => GraftDvApi.parsePartitions(e.path).map(_._1)).distinct
     // a SINGLE-layout subset may still be an OLD generation (a
@@ -775,7 +826,7 @@ object DeletionVectors {
     val oldGeneration = meta.exists(m =>
       layouts.size == 1 && layouts.head != m.partCols)
     if (layouts.size <= 1 && !oldGeneration)
-      toLogicalCols(relationOver(spark, root, entries, meta)
+      toLogicalCols(relationOver(spark, root, entries, meta, physExtra)
         .withColumn("__file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index")), meta)
     else {
@@ -783,14 +834,16 @@ object DeletionVectors {
         s"mixed partition layouts under $root need a schema-in-log " +
           "manifest (legacy manifests cannot evolve partitioning)"))
       val full = m.fullSchema
-      val outCols = (full.fieldNames.toSeq :+ "__file" :+ "__pos")
-        .map(col)
+      val outCols = (full.fieldNames.toSeq ++
+        physExtra.map(_.name) :+ "__file" :+ "__pos").map(col)
       val parts = entries
         .groupBy(e => GraftDvApi.parsePartitions(e.path).map(_._1))
         .toSeq.sortBy(_._1.mkString("\u0000"))
         .map { case (layout, es) =>
-          val ds = m.physicalSchema(org.apache.spark.sql.types.StructType(
+          val ds0 = m.physicalSchema(org.apache.spark.sql.types.StructType(
             full.filterNot(fd => layout.contains(fd.name))))
+          val ds = org.apache.spark.sql.types.StructType(
+            ds0.fields ++ physExtra)
           toLogicalCols(
             GraftDvApi.relation(spark, dataDir(root), layout, es, ds)
               .withColumn("__file", col("_metadata.file_path"))
@@ -1173,6 +1226,121 @@ object DeletionVectors {
       currentMeta(spark, root))
       .drop("__file", "__pos")
 
+  // ---- row tracking (round 14) ---------------------------------------
+  //
+  // STABLE ROW IDS surviving purge/pack/zorder/migrate — the Delta
+  // row-tracking shape: the prerequisite for join-shaped IVM (state
+  // keyed by row id, which (file, pos) cannot be — every rewrite
+  // destroys it) and the CDF correlation key across rewrites.
+  //
+  //  - Id space: `row_id = base_row_id(file) + __pos` for fresh
+  //    appends; the sentinel carries a `row_id_high` watermark and
+  //    each committed file takes base = high, high += rows. Ids are
+  //    never reused (the watermark only grows; DML re-inserts get
+  //    FRESH ids — update identity preservation is out of scope,
+  //    exactly Delta's baseline).
+  //  - Rewrites MATERIALIZE: purge/pack/zorder/migrate change row
+  //    order and positions, so replacement files carry a physical
+  //    `__row_id` column computed from the source scan during staging;
+  //    their manifest rows record base_row_id = null.
+  //  - Read: coalesce(physical __row_id, base + __pos). Plain reads
+  //    never see the column (it is outside dataSchema).
+  //  - Gated as a table FEATURE (reader and writer — a stripped
+  //    writer must refuse before staging files that would lose ids).
+  //  - Cost: one manifest long per appended file; rewrites pay one
+  //    int64 column in exactly the rows they already rewrite.
+
+  private[graft] def rowTrackingOn(spark: SparkSession,
+      root: String): Boolean =
+    currentMeta(spark, root).exists(_.features.contains("row-tracking"))
+
+  private val RowIdField = org.apache.spark.sql.types.StructField(
+    "__row_id", org.apache.spark.sql.types.LongType)
+
+  /** Enable row tracking: one metadata-only flip assigning every live
+    * file its id-range start (deterministic: file-name order,
+    * cumulative row counts) and pinning the watermark. Idempotent by
+    * refusal; existing rows get ids retroactively (base + position).
+    */
+  def enableRowTracking(spark: SparkSession, root: String): Long = {
+    require(!rowTrackingOn(spark, root),
+      s"row tracking is already enabled on the graft-dv table at $root")
+    sentinelFlip(spark, root, "alter") { (base, latest) =>
+      val meta = metaAt(spark, root, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-dv table at $root has a legacy manifest without " +
+            "schema metadata — row tracking needs a schema-in-log table"))
+      val total = latest.filter(col("file") =!= Sentinel)
+        .agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("file"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      withFeatures(ensureMetaCols(latest), meta.features + "row-tracking")
+        .withColumn("base_row_id",
+          when(col("file") === Sentinel, lit(null).cast("long"))
+            .otherwise(coalesce(
+              sum(when(col("file") === Sentinel, lit(0L))
+                .otherwise(col("rows"))).over(w), lit(0L))))
+        .withColumn("row_id_high",
+          when(col("file") === Sentinel, lit(total))
+            .otherwise(lit(null).cast("long")))
+    }
+  }
+
+  /** Masked read with the stable `__row_id` attached — the row-id
+    * serve face. Per-file cost is the plain masked scan plus one
+    * manifest-sized join (file → id-range start); rewritten files
+    * serve their MATERIALIZED ids straight from the physical column.
+    */
+  def readWithRowId(spark: SparkSession, root: String): DataFrame = {
+    require(rowTrackingOn(spark, root),
+      s"row tracking is not enabled on the graft-dv table at $root " +
+        "(DV.enableRowTracking)")
+    posScanRowId(spark, root, liveEntries(spark, root),
+      currentMeta(spark, root)).drop("__file", "__pos")
+  }
+
+  /** Masked positional scan with `__row_id` resolved (materialized
+    * column first, else base + position) — the shared source for
+    * [[readWithRowId]] and every id-preserving rewrite staging.
+    */
+  private def posScanRowId(spark: SparkSession, root: String,
+      entries: Seq[GraftDvApi.LiveFile],
+      meta: Option[TableMeta]): DataFrame = {
+    if (entries.isEmpty)
+      return scanWithPos(spark, root, entries, meta)
+        .withColumn("__row_id", lit(null).cast("long"))
+    val raw = posScanUnmasked(spark, root, entries, meta,
+      physExtra = Seq(RowIdField))
+    val masked =
+      if (DvBlobs.hasAny(root))
+        raw.filter(GraftFunctions.dvAlive(spark,
+          col("__file"), col("__pos"), root))
+      else raw
+    val bases = ensureMetaCols(manifestFull(spark, root))
+      .filter(col("file") =!= Sentinel)
+      .select(col("file").as("__file"), col("base_row_id"))
+    masked.join(bases, Seq("__file"), "left")
+      .withColumn("__row_id",
+        coalesce(col("__row_id"), col("base_row_id") + col("__pos")))
+      .drop("base_row_id")
+  }
+
+  /** The staging SOURCE for a content-preserving rewrite
+    * (purge/pack/zorder/migrate): the masked rows of `entries` under
+    * the current schema — plus, when the table tracks rows, the
+    * materialized `__row_id` column, so every surviving row's stable
+    * id rides into the replacement files.
+    */
+  private def rewriteSource(spark: SparkSession, root: String,
+      entries: Seq[GraftDvApi.LiveFile],
+      meta: Option[TableMeta]): DataFrame =
+    if (meta.exists(_.features.contains("row-tracking")))
+      posScanRowId(spark, root, entries, meta).drop("__file", "__pos")
+    else
+      scanWithPos(spark, root, entries, meta).drop("__file", "__pos")
+
   /** Masked positional scan — the table's columns plus `__file` /
     * `__pos` (the physical coordinates tombstones address). The hook
     * the SQL DML layer ([[graft.plans.DvDml]]) classifies against; an
@@ -1209,9 +1377,11 @@ object DeletionVectors {
 
   // ---- maintenance claim ---------------------------------------------
 
-  private def claimMaintenance(spark: SparkSession, root: String): Unit =
+  private def claimMaintenance(spark: SparkSession, root: String): Unit = {
+    requireWriterFeatures(spark, root)
     require(Snapshots.tryExclusiveCreate(spark, maintMarker(root)),
       s"another maintenance operation (purge/vacuum) holds $root/_maint")
+  }
 
   private def releaseMaintenance(spark: SparkSession, root: String): Unit =
     Snapshots.removeMarker(spark, maintMarker(root))
@@ -1280,6 +1450,7 @@ object DeletionVectors {
   private[graft] def markWhere(spark: SparkSession, root: String,
       mark: DataFrame => DataFrame,
       maintWaitMs: Long = 15L * 60 * 1000): Long = {
+    requireWriterFeatures(spark, root)
     val dbg = sys.env.contains("GRAFT_DV_DEBUG_TIMING")
     var tMark = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
@@ -1422,9 +1593,9 @@ object DeletionVectors {
         f.delete(new Path(stage), true)
         // staged under the CURRENT schema: a purge after evolution
         // materializes the null-filled columns into the replacements
-        toPhysicalCols(scanWithPos(spark, root, entriesOf(spark, hot),
+        toPhysicalCols(rewriteSource(spark, root,
+            entriesOf(spark, hot), currentMeta(spark, root)),
             currentMeta(spark, root))
-          .drop("__file", "__pos"), currentMeta(spark, root))
           .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
         val moved = moveStaged(spark, root, stage, "purged")
 
@@ -1688,8 +1859,8 @@ object DeletionVectors {
               org.apache.spark.sql.types.StringType)) :+
               org.apache.spark.sql.types.StructField("__bins",
                 org.apache.spark.sql.types.IntegerType)))
-        val scan = scanWithPos(spark, root, entriesOf(spark, victims),
-          meta).drop("__file", "__pos")
+        val scan = rewriteSource(spark, root,
+          entriesOf(spark, victims), meta)
         val dataCols = scan.columns.filterNot(partCols.contains).toSeq
         val totalBins = binsOf.values.sum
         toPhysicalCols(scan.join(broadcast(planDf), partCols)
@@ -1807,6 +1978,7 @@ object DeletionVectors {
     */
   private def sentinelFlip(spark: SparkSession, root: String,
       op: String)(next: (Long, DataFrame) => DataFrame): Long = {
+    requireWriterFeatures(spark, root)
     val mt = manifestTable(root)
     var out = -1L
     var casAttempts = 0
@@ -2175,8 +2347,8 @@ object DeletionVectors {
         val stage = s"$root/_migrate_stage"
         f.delete(new Path(stage), true)
         toPhysicalCols(
-          scanWithPos(spark, root, entriesOf(spark, victims), Some(meta))
-            .drop("__file", "__pos"), Some(meta))
+          rewriteSource(spark, root, entriesOf(spark, victims),
+            Some(meta)), Some(meta))
           .write.mode("overwrite").partitionBy(partCols: _*)
           .parquet(stage)
         val moved = moveStaged(spark, root, stage, "migrated")
@@ -2303,10 +2475,24 @@ object DeletionVectors {
     * This is the expensive, explicitly-requested layout operation
     * (Delta's OPTIMIZE ZORDER): a full rewrite of the live bytes —
     * never triggered implicitly. Returns the replaced files.
+    *
+    * INCREMENTAL mode (the liquid-clustering shape): rewrite ONLY the
+    * live files a previous zorder did not produce — clusteredness is
+    * a property of the FILE (its `zordered-` replacement name), so a
+    * CDC trickle's appended slivers re-cluster in O(new bytes) while
+    * every previously-clustered file stays byte-identical, and an
+    * append racing the commit (whose files the CAS rebase keeps) is
+    * simply picked up by the NEXT incremental pass instead of being
+    * skipped forever. Files a later purge/pack rewrote lose the name
+    * and re-cluster — wasteful at worst, never wrong. The clustering
+    * columns are pinned in a `_zorder_cols` marker: an incremental
+    * pass with DIFFERENT columns refuses loudly (its skipped files
+    * would be clustered by the wrong key), a full pass re-pins.
     */
   def zorder(spark: SparkSession, root: String, zCols: Seq[String],
       onBeforeCommit: () => Unit = () => (),
-      scope: Option[String] = None): Seq[String] = {
+      scope: Option[String] = None,
+      incremental: Boolean = false): Seq[String] = {
     require(zCols.nonEmpty && zCols.size <= 2,
       s"ZORDER BY takes 1 or 2 columns; got ${zCols.mkString(", ")}")
     claimMaintenance(spark, root)
@@ -2317,6 +2503,13 @@ object DeletionVectors {
       zCols.foreach(c => require(!partCols.contains(c),
         s"ZORDER BY column $c is a partition column — partition values " +
           "are constant within a file; z-ordering them is a no-op"))
+      if (incremental)
+        zorderColsMarker(spark, root).foreach(pinned =>
+          require(pinned == zCols,
+            s"OPTIMIZE INCREMENTAL ZORDER BY (${zCols.mkString(", ")}) " +
+              s"does not match the table's pinned clustering columns " +
+              s"(${pinned.mkString(", ")}) — run a FULL OPTIMIZE ... " +
+              "ZORDER BY to re-cluster under the new key"))
       var sigAttempts = 0
       var result: Seq[String] = null
       while (result == null) {
@@ -2324,13 +2517,19 @@ object DeletionVectors {
         val live = liveEntries(spark, root)
           .filter(e => GraftDvApi.parsePartitions(e.path)
             .map(_._1) == partCols) // migrateLayout owns old layouts
-          .filter(e => inScope.forall(_.contains(e.path))).map(_.path)
-        if (live.isEmpty) return Seq.empty
+          .filter(e => inScope.forall(_.contains(e.path)))
+          .filter(e => !incremental ||
+            !new Path(e.path).getName.startsWith("zordered-"))
+          .map(_.path)
+        if (live.isEmpty) {
+          writeZorderColsMarker(spark, root, zCols)
+          return Seq.empty
+        }
         val sig0 = live.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
 
         val meta = currentMeta(spark, root)
-        val scan = scanWithPos(spark, root, entriesOf(spark, live), meta)
-          .drop("__file", "__pos")
+        val scan = rewriteSource(spark, root, entriesOf(spark, live),
+          meta)
         // range-normalize each z column over the LIVE rows (one tiny
         // stats pass — the same pre-pass Delta's ZORDER does), then
         // interleave; single-column form is a plain range cluster
@@ -2412,11 +2611,38 @@ object DeletionVectors {
             committed = Snapshots.publishCas(
               spark, manifestTable(root), base, next)
           }
+          writeZorderColsMarker(spark, root, zCols)
           result = live
         }
       }
       result
     } finally releaseMaintenance(spark, root)
+  }
+
+  /** The clustering columns the table was last z-ordered by, if any. */
+  private def zorderColsMarker(spark: SparkSession,
+      root: String): Option[Seq[String]] = {
+    val p = new Path(s"$root/_zorder_cols")
+    val f = hfs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val bytes = new Array[Byte](256)
+        var n = in.read(bytes)
+        while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        val s = new String(buf.toByteArray, "UTF-8").trim
+        if (s.isEmpty) None else Some(s.split("\n").toSeq)
+      } finally in.close()
+    }
+  }
+
+  private def writeZorderColsMarker(spark: SparkSession, root: String,
+      zCols: Seq[String]): Unit = {
+    val out = hfs(spark, root).create(new Path(s"$root/_zorder_cols"), true)
+    try out.write(zCols.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Move staged partition dirs into the live data dirs under fresh
@@ -2726,6 +2952,7 @@ object DeletionVectors {
       prefix: String, onBeforeCommit: () => Unit = () => (),
       onCommitted: Long => Unit = _ => (),
       extraFeatures: Set[String] = Set.empty): Seq[String] = {
+    requireWriterFeatures(spark, root)
     // SCHEMA EVOLUTION happens here — the one write-side gate every
     // mutating path (append, upsert, CDC, DML update/merge) funnels
     // through: merge the table's committed schema with the batch's
@@ -2825,6 +3052,11 @@ object DeletionVectors {
       if (cdcBatch.isDefined)
         Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
       else None
+    // row tracking: total appended rows (one aggregate, evaluated at
+    // most once — only when the feature is on and files were staged)
+    lazy val movedRowsTotal: Long =
+      movedStats.agg(coalesce(sum(col("rows")), lit(0L)))
+        .head().getLong(0)
     onBeforeCommit() // test hook: the staged-but-uncommitted window
     var committed = false
     var casAttempts = 0
@@ -2886,9 +3118,29 @@ object DeletionVectors {
         if (extraFeatures.isEmpty) df
         else withFeatures(df, baseMeta.map(_.features)
           .getOrElse(Set.empty) ++ extraFeatures)
+      // row tracking: each appended file takes the next id range off
+      // the sentinel watermark (deterministic: file-name order), and
+      // the watermark advances ON the same flip. Rebased per CAS
+      // attempt — a rival append's bump is honored, never overwritten.
+      val rtOn = baseMeta.exists(_.features.contains("row-tracking"))
+      val (statsWithIds, newHigh) =
+        if (!rtOn || newFiles.isEmpty) (movedStats, None)
+        else {
+          val latestM = ensureMetaCols(latest)
+          val high = latestM.filter(col("file") === Sentinel)
+            .select(col("row_id_high")).collect().headOption
+            .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("file"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)
+          (movedStats.withColumn("base_row_id",
+            lit(high) + coalesce(sum(col("rows")).over(w), lit(0L))),
+            Some(high + movedRowsTotal))
+        }
       val next = withSentinelOp(
         withFeats(ensureMetaCols(latest)).unionByName(ensureMetaCols(
-          movedStats.withColumn("cdc_batch", lit(cdc))))
+          statsWithIds.withColumn("cdc_batch", lit(cdc))))
         .withColumn("cdc_batch",
           if (takeover) lit(cdc) else greatest(col("cdc_batch"), lit(cdc)))
         .withColumn("cdc_stream", when(col("file") === Sentinel,
@@ -2899,7 +3151,11 @@ object DeletionVectors {
         .withColumn("part_cols", when(col("file") === Sentinel,
           lit(partColsJson(partCols))).otherwise(col("part_cols")))
         .withColumn("stats_cols", when(col("file") === Sentinel,
-          lit(statsSchema.json)).otherwise(col("stats_cols"))), prefix)
+          lit(statsSchema.json)).otherwise(col("stats_cols")))
+        .withColumn("row_id_high", when(col("file") === Sentinel,
+          newHigh.map(h => lit(h).cast("long"))
+            .getOrElse(col("row_id_high")))
+          .otherwise(lit(null).cast("long"))), prefix)
       committed = Snapshots.publishCas(spark, manifestTable(root), base, next)
       if (committed) onCommitted(base + 1)
     }
@@ -2920,6 +3176,7 @@ object DeletionVectors {
       stage: String, rowSchema: org.apache.spark.sql.types.StructType,
       op: String, onCommitted: Long => Unit = _ => (),
       extraFeatures: Set[String] = Set.empty): Seq[String] = {
+    requireWriterFeatures(spark, root)
     val partCols = partitionColsOf(spark, root)
     val incoming = org.apache.spark.sql.types.StructType(
       rowSchema.filterNot(fd => partCols.contains(fd.name)))

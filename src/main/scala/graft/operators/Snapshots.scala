@@ -76,8 +76,73 @@ object Snapshots {
       .map(_.toLong)
       .sorted
 
+  // ---- commit-log checkpoint (the Delta `_last_checkpoint` shape) ----
+  //
+  // A 1-version-per-batch CDC stream mints ~100k versions/year, and
+  // every read resolves `latestVersion` from a `_commits` listing —
+  // O(retained versions) names per resolution. The checkpoint FOLDS
+  // the committed-version index (version, commit instant) into ONE
+  // immutable file `_commits/_index.<foldedMax>.<gen>`; readers take
+  // the newest index (one file read) plus the listed UNFOLDED markers,
+  // so a resolution costs O(versions since last fold), not
+  // O(versions ever). Two-phase cleanup makes it race-free on stores
+  // with non-atomic listings: fold N writes its index but deletes
+  // NOTHING; fold N+1 deletes the markers fold N already covers (and
+  // indexes older than N) — so any reader, however stale its listing,
+  // finds every committed version in a surviving marker or a
+  // surviving index. New commits are untouched: the exclusive-create
+  // marker remains the one atomic visibility step, and folding stays
+  // `lag` versions behind the tip so racing CAS writers always
+  // resolve against real markers.
+
+  private val IndexRe = """_index\.(\d+)\.(\d+)""".r
+
+  /** (version, commit-instant) pairs — ONE `_commits` listing plus at
+    * most one index-file read; the merged committed view every
+    * resolution below rides.
+    */
+  private def commitEntries(spark: SparkSession,
+      table: String): Seq[(Long, Long)] = {
+    val f = fs(spark, table)
+    val listed = LogStore.forPath(table)
+      .listMarkers(f, new Path(s"$table/_commits"))
+    val markerEntries = listed
+      .filter(e => e._1.nonEmpty && e._1.forall(_.isDigit))
+      .map(e => e._1.toLong -> e._2)
+    val newest = listed.flatMap(e => e._1 match {
+      case IndexRe(m, g) => Some((m.toLong, g.toLong, e._1))
+      case _ => None
+    }).sortBy(x => (x._1, x._2)).lastOption
+    val idxEntries = newest.toSeq.flatMap(ix =>
+      readIndexFile(spark, table, ix._3))
+    // markers win on dup (same instant anyway; an index never outlives
+    // its markers' truth — it snapshots their mtimes at fold time)
+    (idxEntries.toMap ++ markerEntries.toMap).toSeq.sortBy(_._1)
+  }
+
+  private def readIndexFile(spark: SparkSession, table: String,
+      name: String): Seq[(Long, Long)] = {
+    val p = new Path(s"$table/_commits/$name")
+    val f = fs(spark, table)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(4096)
+        val bytes = new Array[Byte](4096)
+        var n = in.read(bytes)
+        while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        new String(buf.toByteArray, "UTF-8").split("\n")
+          .filter(_.nonEmpty).toSeq.map { line =>
+            val Array(v, t) = line.split(",", 2)
+            v.toLong -> t.toLong
+          }
+      } finally in.close()
+    }
+  }
+
   def committedVersions(spark: SparkSession, table: String): Seq[Long] =
-    markers(spark, table, "_commits")
+    commitEntries(spark, table).map(_._1)
 
   def claimedVersions(spark: SparkSession, table: String): Seq[Long] =
     markers(spark, table, "_claims")
@@ -88,15 +153,12 @@ object Snapshots {
   /** Commit instant (epoch millis) per committed version — the commit
     * marker's filesystem mtime, the same clock [[versionAsOf]] resolves
     * `TIMESTAMP AS OF` against (the marker create IS the atomic
-    * visibility step). One `_commits` listing; metadata scale.
+    * visibility step). One `_commits` listing (+ one index read);
+    * metadata scale.
     */
   def commitInstants(spark: SparkSession,
       table: String): Map[Long, Long] =
-    LogStore.forPath(table)
-      .listMarkers(fs(spark, table), new Path(s"$table/_commits"))
-      .filter(e => e._1.nonEmpty && e._1.forall(_.isDigit))
-      .map(e => e._1.toLong -> e._2)
-      .toMap
+    commitEntries(spark, table).toMap
 
   /** Highest version committed AT OR BEFORE `tsMillis` — the
     * `TIMESTAMP AS OF` resolution rule. The commit INSTANT is the
@@ -107,11 +169,99 @@ object Snapshots {
     */
   def versionAsOf(spark: SparkSession, table: String,
       tsMillis: Long): Option[Long] =
-    LogStore.forPath(table)
-      .listMarkers(fs(spark, table), new Path(s"$table/_commits"))
-      .filter { case (n, mtime) =>
-        n.nonEmpty && n.forall(_.isDigit) && mtime <= tsMillis }
-      .map(_._1.toLong).sorted.lastOption
+    commitEntries(spark, table)
+      .filter(_._2 <= tsMillis).map(_._1).sorted.lastOption
+
+  /** FOLD the commit log: write a fresh `_index.<foldedMax>.<gen>`
+    * covering every committed version up to `lag` behind the tip,
+    * then (two-phase) delete the markers and indexes the PREVIOUS
+    * fold already covers. No-op (false) when fewer than `minUnfolded`
+    * markers would fold — the threshold that makes an every-commit
+    * call cheap. Never touches the newest `lag` versions, so racing
+    * claim/CAS writers keep resolving against real markers. Loses
+    * gracefully: the index create is an atomic rename to a unique
+    * name, so two concurrent folders produce one winner and one
+    * harmless no-op.
+    */
+  def checkpointLog(spark: SparkSession, table: String, lag: Int = 8,
+      minUnfolded: Int = 48): Boolean = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/_commits")
+    if (!f.exists(dir)) return false
+    val listed = LogStore.forPath(table).listMarkers(f, dir)
+    val markerEntries = listed
+      .filter(e => e._1.nonEmpty && e._1.forall(_.isDigit))
+      .map(e => e._1.toLong -> e._2)
+    val indexes = listed.flatMap(e => e._1 match {
+      case IndexRe(m, g) => Some((m.toLong, g.toLong, e._1))
+      case _ => None
+    }).sortBy(x => (x._1, x._2))
+    val prev = indexes.lastOption
+    val prevEntries = prev.toSeq.flatMap(ix =>
+      readIndexFile(spark, table, ix._3))
+    val merged = (prevEntries.toMap ++ markerEntries.toMap)
+      .toSeq.sortBy(_._1)
+    if (merged.isEmpty) return false
+    val foldMax = merged.last._1 - lag
+    val unfolded = markerEntries.count(e =>
+      e._1 <= foldMax && !prev.exists(_._1 >= e._1))
+    if (unfolded < minUnfolded) return false
+    val entries = merged.filter(_._1 <= foldMax)
+    val gen = prev.map(_._2 + 1).getOrElse(0L)
+    val tmp = new Path(dir,
+      s".tmp-idx-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, true)
+    try out.write(entries.map(e => s"${e._1},${e._2}")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, s"_index.$foldMax.$gen")
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false) // a rival folded first — their index wins
+      return false
+    }
+    // two-phase cleanup: everything the PREVIOUS index already covers
+    // is now covered twice — safe to drop whatever a stale listing
+    // might miss of this fold
+    prev.foreach { case (prevMax, _, _) =>
+      markerEntries.filter(_._1 <= prevMax).foreach(e =>
+        LogStore.forPath(table).removeMarker(f, new Path(dir, s"${e._1}")))
+      indexes.dropRight(1).foreach(ix =>
+        f.delete(new Path(dir, ix._3), false): Unit)
+    }
+    true
+  }
+
+  /** Drop `removed` versions from the current index (vacuum's hook —
+    * a vacuumed version must stop resolving even if folded). Writes a
+    * gen-bumped index without them; the old index stays for the
+    * two-phase rule and dies at the next fold.
+    */
+  private[operators] def dropFromIndex(spark: SparkSession,
+      table: String, removed: Set[Long]): Unit = {
+    if (removed.isEmpty) return
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/_commits")
+    val listed = LogStore.forPath(table).listMarkers(f, dir)
+    val indexes = listed.flatMap(e => e._1 match {
+      case IndexRe(m, g) => Some((m.toLong, g.toLong, e._1))
+      case _ => None
+    }).sortBy(x => (x._1, x._2))
+    indexes.lastOption.foreach { ix =>
+      val kept = readIndexFile(spark, table, ix._3)
+        .filterNot(e => removed.contains(e._1))
+      if (kept.size < readIndexFile(spark, table, ix._3).size ||
+          removed.exists(_ <= ix._1)) {
+        val tmp = new Path(dir,
+          s".tmp-idx-${java.util.UUID.randomUUID().toString.take(12)}")
+        val out = f.create(tmp, true)
+        try out.write(kept.map(e => s"${e._1},${e._2}")
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        val dest = new Path(dir, s"_index.${ix._1}.${ix._2 + 1}")
+        if (!f.rename(tmp, dest)) f.delete(tmp, false): Unit
+      }
+    }
+  }
 
   /** Atomic exclusive create of an empty marker, through the
     * table-scoped [[LogStore]] (POSIX `O_CREAT|O_EXCL` / HDFS
@@ -204,8 +354,19 @@ object Snapshots {
         releaseClaim(spark, table, attempt)
       }
     }
+    maybeCheckpoint(spark, table, committed)
     committed
   }
+
+  /** Version-cadence fold trigger shared by the publish faces: every
+    * 64th commit folds the log (zero extra listings on the other 63 —
+    * the cadence check is arithmetic on the just-committed version).
+    * A long-running CDC stream therefore keeps its `_commits` listing
+    * bounded at ~64 + lag names without any scheduler.
+    */
+  private def maybeCheckpoint(spark: SparkSession, table: String,
+      v: Long): Unit =
+    if (v > 0 && v % 64 == 0) checkpointLog(spark, table): Unit
 
   /** COMPARE-AND-SWAP publish: commit `df` as version `base + 1` iff
     * `base` is still the maximum committed version — the optimistic-
@@ -240,6 +401,7 @@ object Snapshots {
     df.write.mode("overwrite").parquet(s"$table/v=$v")
     val won = tryCommit(spark, table, v)
     releaseClaim(spark, table, v)
+    if (won) maybeCheckpoint(spark, table, v)
     won
   }
 
@@ -259,6 +421,7 @@ object Snapshots {
       df.write.mode("overwrite").parquet(s"$table/v=$v")
       val won = tryCommit(spark, table, v)
       releaseClaim(spark, table, v)
+      if (won) maybeCheckpoint(spark, table, v)
       won
     }
   }
@@ -296,11 +459,17 @@ object Snapshots {
     val dataDirs = f.listStatus(new Path(table)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
+    val removed = Set.newBuilder[Long]
     for (v <- dataDirs
          if v <= max && !keepSet.contains(v)
          && !(claimed.contains(v) && !committed.contains(v))) {
       f.delete(new Path(s"$table/v=$v"), true)
       removeMarker(spark, s"$table/_commits/$v")
+      removed += v
     }
+    // folded versions resolve from the index, not markers — a
+    // vacuumed one must stop resolving there too (fail-fast time
+    // travel, unchanged semantics)
+    dropFromIndex(spark, table, removed.result())
   }
 }

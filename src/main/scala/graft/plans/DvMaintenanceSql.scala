@@ -55,7 +55,7 @@ object DvMaintenanceSql {
   private val DetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(\s+INCREMENTAL)?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*;?\s*""".r
   private val AddConsRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConsRe =
@@ -86,14 +86,19 @@ object DvMaintenanceSql {
       Some(DvSetPartitioningCommand(ident, cs))
     case MigrateRe(ident, where) => Some(DvMigrateCommand(ident,
       Option(where).map(_.trim).filter(_.nonEmpty)))
-    case OptimizeRe(ident, where, zcols) =>
+    case OptimizeRe(ident, incr, where, zcols) =>
       val zs = Option(zcols).map(splitZorderCols)
       // `ZORDER BY ()` must ERROR, not silently degrade to plain
       // OPTIMIZE — the user asked for clustering and would get none.
       zs.foreach(s => require(s.nonEmpty,
         "OPTIMIZE … ZORDER BY (…) requires at least one column"))
+      require(incr == null || zs.nonEmpty,
+        "OPTIMIZE … INCREMENTAL requires a ZORDER BY (…) clause — " +
+          "plain OPTIMIZE (purge + bin-pack) is already incremental " +
+          "by construction")
       Some(DvOptimizeCommand(ident, zs.getOrElse(Nil),
-        Option(where).map(_.trim).filter(_.nonEmpty)))
+        Option(where).map(_.trim).filter(_.nonEmpty),
+        incremental = incr != null))
     case AddConsRe(ident, name, check) =>
       Some(DvAddConstraintCommand(ident, name, check.trim))
     case DropConsRe(ident, name) =>
@@ -240,9 +245,14 @@ case class DvDetailCommand(identText: String)
   * rows Morton-clustered on the given columns ([[DV.zorder]]): the
   * explicit layout operation; masks fold into the replacements, so no
   * separate purge or bin-pack pass runs.
+  * `OPTIMIZE t INCREMENTAL ZORDER BY (c1[, c2])` — the liquid shape:
+  * cluster ONLY files a previous zorder did not produce, O(new bytes)
+  * instead of a full table rewrite, previously-clustered files
+  * byte-identical.
   */
 case class DvOptimizeCommand(identText: String,
-    zorderCols: Seq[String] = Nil, where: Option[String] = None)
+    zorderCols: Seq[String] = Nil, where: Option[String] = None,
+    incremental: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -255,7 +265,7 @@ case class DvOptimizeCommand(identText: String,
     val root = DvMaintenanceSql.rootOf(session, identText)
     if (zorderCols.nonEmpty) {
       val rewritten = DV.zorder(session, root, zorderCols,
-        scope = where).size.toLong
+        scope = where, incremental = incremental).size.toLong
       Seq(Row(0L, 0L, rewritten, 0L))
     } else {
       // blob folding stays table-wide: it is already bounded by

@@ -433,7 +433,9 @@ object FuzzQueries {
     * divergence both ways) → partition evolution → cross-generation
     * upsert → scoped migration → DSv2 MERGE → full migration →
     * RENAME COLUMN → upsert THROUGH the mapping → DROP COLUMN →
-    * autoMerge-widening MERGE → restore ACROSS the rename (24 legs)
+    * autoMerge-widening MERGE → restore ACROSS the rename → DROP +
+    * re-ADD type-changed (the resurrection fence) → upsert through
+    * the re-added column → rename of the re-added column (27 legs)
     * runs against a FRESH
     * deletion-vector table (rebuilt per invocation — the legs observe
     * intermediate states, so memoization would corrupt leg 0 on
@@ -595,6 +597,28 @@ object FuzzQueries {
       // tombstones mask its keys' pre-upsert images even at v18
       DV.restore(spark, root, v18): Unit
       legOf("L23", root, "value")
+      // ---- round-14 legs: DROP + re-ADD (type-changed) ----
+      // L24: DROP value, then re-ADD `value` as INT — the
+      // resurrection guard: the re-added column gets a FRESH physical
+      // name (droppedPhys fence), so every pre-existing row reads
+      // NULL; any resurrection of the old double bytes breaks this
+      // leg's hash (value_sum must be NULL per type)
+      DV.alterDropColumn(spark, root, "value"): Unit
+      DV.alterAddColumns(spark, root,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.IntegerType)))): Unit
+      leg("L24")
+      // L25: keyed upsert THROUGH the re-added (type-changed) column
+      // — u7 keys carry 77; everything else stays NULL
+      DV.upsert(spark, root, Seq("event_type"), "event_id",
+        ev0.filter(h("fzb_", col("event_id")) % 10 === 0)
+          .withColumn("value", lit(77)), None)
+      leg("L25")
+      // L26: RENAME the re-added column — the mapping must bind the
+      // FRESH physical name, never the retired one
+      DV.alterRenameColumn(spark, root, "value", "val2"): Unit
+      legOf("L26", root, "val2")
       out.result()
     }
 
@@ -777,13 +801,45 @@ object FuzzQueries {
          |  WHERE $u3 AND NOT ($u5) AND NOT ($u6)
          |UNION ALL SELECT event_type, user_id + 30000000, value
          |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
+    // round-14 legs: DROP + re-ADD value (type-changed to INT) reads
+    // NULL everywhere (L24 — the droppedPhys resurrection fence);
+    // the through-the-re-added-column upsert (L25) gives u7 keys 77
+    // unconditionally (re-insert rule), everything else stays NULL
+    // (shifted i1 inserts carry different event_ids — never matched);
+    // the rename of the re-added column (L26) is content-invariant
+    val u7 = s"${h("fzb_", "event_id")} % 10 = 0"
+    val s24 =
+      s"""SELECT event_type, user_id, CAST(NULL AS DOUBLE) AS value
+         |FROM ($s23)""".stripMargin
+    val s25 =
+      s"""SELECT event_type, user_id, CAST(NULL AS DOUBLE) AS value
+         |  FROM events
+         |  WHERE NOT ($d1) AND NOT ($u1) AND NOT ($u2) AND NOT ($u3)
+         |    AND NOT ($d2) AND NOT ($u5) AND NOT ($u6) AND NOT ($u7)
+         |UNION ALL SELECT event_type, user_id,
+         |  CAST(NULL AS DOUBLE) AS value FROM events
+         |  WHERE $u1 AND NOT ($u2) AND NOT ($u3) AND NOT ($d2)
+         |    AND NOT ($u5) AND NOT ($u6) AND NOT ($u7)
+         |UNION ALL SELECT event_type, user_id,
+         |  CAST(NULL AS DOUBLE) AS value FROM events
+         |  WHERE $u2 AND NOT ($u3) AND NOT ($u5) AND NOT ($u6)
+         |    AND NOT ($u7)
+         |UNION ALL SELECT event_type, user_id,
+         |  CAST(NULL AS DOUBLE) AS value FROM events
+         |  WHERE $u3 AND NOT ($u5) AND NOT ($u6) AND NOT ($u7)
+         |UNION ALL SELECT event_type, user_id, 77 AS value
+         |  FROM events WHERE $u7
+         |UNION ALL SELECT event_type, user_id + 30000000,
+         |  CAST(NULL AS DOUBLE) AS value
+         |  FROM events WHERE $i1 AND NOT ($d2s)""".stripMargin
     val legStates = Seq(
       "L0" -> s0, "L1" -> s1, "L2" -> s2, "L3" -> s2, "L4" -> s2,
       "L5" -> s5, "L6" -> s5, "L7" -> s7, "L8" -> s7, "L9" -> s7,
       "L10" -> s7, "L11" -> s7, "L12" -> s12, "L13" -> s7,
       "L14" -> s7, "L15" -> s15, "L16" -> s15, "L17" -> s17,
       "L18" -> s17, "L19" -> s17, "L20" -> s20, "L21" -> s20,
-      "L22" -> s22, "L23" -> s23)
+      "L22" -> s22, "L23" -> s23, "L24" -> s24, "L25" -> s25,
+      "L26" -> s25)
     val legs = legStates.map { case (id, st) =>
       s"SELECT '$id' AS leg_id, event_type, user_id, value FROM ($st)"
     }.mkString("\nUNION ALL ")

@@ -175,6 +175,9 @@ private[sources] class DvDeltaBatchWrite(root: String,
 
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+    // writer-feature protocol gate BEFORE anything stages: a stripped
+    // writer must fail here with zero staged bytes, zero claims held
+    DV.requireWriterFeatures(spark, root)
     // hold the maintenance claim across the whole task phase: no
     // purge may replace a file while executors tombstone into it
     DV.acquireMaintenanceClaim(spark, root)

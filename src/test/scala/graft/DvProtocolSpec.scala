@@ -31,6 +31,11 @@ class DvProtocolSpec extends SparkSpec {
     try body finally spark.conf.unset("spark.graft.dv.readerFeatures")
   }
 
+  private def withWriterFeatures[T](feats: String)(body: => T): T = {
+    spark.conf.set("spark.graft.dv.writerFeatures", feats)
+    try body finally spark.conf.unset("spark.graft.dv.writerFeatures")
+  }
+
   test("a pre-feature table carries no requirement and reads under " +
       "ANY reader; each capability's first use records it exactly once") {
     val (root, _) = fresh()
@@ -97,5 +102,67 @@ class DvProtocolSpec extends SparkSpec {
       val e = intercept[Exception](DV.read(spark, root).count())
       assert(e.getMessage.contains("cdf-updates"))
     }
+  }
+
+  test("a gate-stripped WRITER fails loudly PRE-commit on every " +
+      "mutating path — append, delete, DSv2 DML, maintenance, ALTER " +
+      "— and the table is unharmed (round-14 writer features)") {
+    val (root, ev) = fresh()
+    DV.alterRenameColumn(spark, root, "value", "amount"): Unit
+    val before = DV.read(spark, root)
+      .agg(count(lit(1)), sum(col("amount").cast("decimal(28,4)")))
+      .head()
+    val dataBytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(DV.dataDir(root))).map(_.length()).sum
+    }
+    val v0 = graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+
+    spark.conf.set("spark.sql.catalog.graftdv",
+      "graft.sources.GraftDvCatalog")
+    withWriterFeatures("partition-evolution,cdf-updates") {
+      def refused(body: => Unit): Unit = {
+        val e = intercept[Exception](body)
+        def chain(t: Throwable): Boolean =
+          t != null && (t.getMessage != null &&
+            t.getMessage.contains("writer feature") || chain(t.getCause))
+        assert(chain(e), s"not the writer gate: ${e.getMessage}")
+      }
+      refused(DV.append(spark, root, Seq("day"),
+        ev.limit(5).withColumnRenamed("value", "amount")): Unit)
+      refused(DV.delete(spark, root, "user_id",
+        ev.select("user_id").limit(3)): Unit)
+      refused(spark.sql(
+        s"DELETE FROM graftdv.`$root` WHERE user_id % 2 = 0").collect())
+      refused(DV.purge(spark, root, "day", 0.0): Unit)
+      refused(DV.zorder(spark, root, Seq("event_id")): Unit)
+      refused(DV.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L): Unit)
+      refused(DV.alterAddColumns(spark, root,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("zz",
+            org.apache.spark.sql.types.LongType)))): Unit)
+      // a READ is NOT gated by writer features
+      assert(DV.read(spark, root).count() == 200)
+    }
+    // unharmed: same version, same bytes, same content
+    assert(graft.operators.Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).contains(v0))
+    val after = DV.read(spark, root)
+      .agg(count(lit(1)), sum(col("amount").cast("decimal(28,4)")))
+      .head()
+    assert(after == before)
+    val bytesAfter = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(DV.dataDir(root))).map(_.length()).sum
+    }
+    assert(bytesAfter == dataBytes, "no staged debris may land")
+    // a FULL writer proceeds normally afterwards
+    DV.append(spark, root, Seq("day"),
+      ev.limit(5).withColumn("event_id", col("event_id") + 999999L)
+        .withColumnRenamed("value", "amount")): Unit
+    assert(DV.read(spark, root).count() == 205)
   }
 }

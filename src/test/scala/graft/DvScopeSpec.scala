@@ -100,6 +100,57 @@ class DvScopeSpec extends SparkSpec {
       .select("operation").head().getString(0) == "zorder")
   }
 
+  test("INCREMENTAL ZORDER clusters only files added since the last " +
+      "zorder: previously-clustered files stay byte-identical, a " +
+      "second pass is a no-op, mismatched clustering columns refuse, " +
+      "and INCREMENTAL without ZORDER is an error") {
+    val root = Files.createTempDirectory("graft_dvincz").toString
+    val name = s"dvincz_t_${math.abs(root.hashCode)}"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .orderBy("event_id").limit(400).localCheckpoint()
+    DV.init(spark, ev.limit(300).repartition(6), root,
+      Seq("event_type"), statsCols = Seq("user_id"))
+    spark.sql(s"CREATE TABLE $name USING `graft-dv` OPTIONS (path '$root')")
+    graft.GraftSql.sql(spark,
+      s"OPTIMIZE $name ZORDER BY (user_id)").head(): Unit
+    def liveSet: Set[String] = DV.manifest(spark, root).select("file")
+      .collect().map(_.getString(0)).toSet
+    def fp(fs: Set[String]): Map[String, (Long, Long)] = fs.map { u =>
+      val f = new java.io.File(new java.net.URI(
+        java.net.URLDecoder.decode(u, "UTF-8")).getPath)
+      u -> (f.length(), f.lastModified())
+    }.toMap
+    val clustered = liveSet
+    val clusteredFp = fp(clustered)
+    // a CDC-style sliver lands after the zorder
+    DV.append(spark, root, Seq("event_type"),
+      ev.filter(col("event_id") % 4 === 1).limit(60)
+        .withColumn("event_id", col("event_id") + 900000L)): Unit
+    val added = liveSet -- clustered
+    assert(added.nonEmpty)
+    val out = graft.GraftSql.sql(spark,
+      s"OPTIMIZE $name INCREMENTAL ZORDER BY (user_id)").head()
+    assert(out.getLong(2) == added.size,
+      s"incremental must rewrite exactly the ${added.size} new files, " +
+        s"got ${out.getLong(2)}")
+    // every previously-clustered file survives byte-identical
+    assert(clustered.subsetOf(liveSet),
+      "incremental must not replace previously-clustered files")
+    assert(fp(clustered) == clusteredFp,
+      "previously-clustered files must stay byte-identical")
+    assert(spark.table(name).count() == 360)
+    // second pass: nothing new, nothing rewritten
+    assert(graft.GraftSql.sql(spark,
+      s"OPTIMIZE $name INCREMENTAL ZORDER BY (user_id)")
+      .head().getLong(2) == 0)
+    // pinned-columns refusal and the keyword contract
+    val e = intercept[Exception](graft.GraftSql.sql(spark,
+      s"OPTIMIZE $name INCREMENTAL ZORDER BY (value)").collect())
+    assert(e.getMessage.contains("pinned clustering columns"))
+    intercept[Exception](graft.GraftSql.sql(spark,
+      s"OPTIMIZE $name INCREMENTAL").collect())
+  }
+
   test("DESCRIBE HISTORY LIMIT n returns the last n versions with " +
       "REAL deltas (the window's oldest reads its predecessor)") {
     val (root, name, ev) = trickle(4)
