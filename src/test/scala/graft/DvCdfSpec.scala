@@ -83,6 +83,52 @@ class DvCdfSpec extends SparkSpec {
     }
   }
 
+  test("delete rows (round 14): with change data ON a DELETE records " +
+      "its victims' old images keyed to a metadata-only commit, the " +
+      "feed emits them as 'delete' rows, and the fold law is " +
+      "unaffected (snapshots never contained them — exceptAll no-op)") {
+    val (root, ev) = mkTable()
+    val name = s"dvcdf_del_${math.abs(root.hashCode)}"
+    spark.sql(s"CREATE TABLE $name USING `graft-dv` OPTIONS (path '$root')")
+    val mt = DV.manifestTable(root)
+    val v1 = Snapshots.latestVersion(spark, mt).get
+    spark.conf.set("spark.graft.dv.cdf", "true")
+    try {
+      GraftSql.sql(spark,
+        s"DELETE FROM $name WHERE user_id % 6 = 0").collect(): Unit
+    } finally spark.conf.unset("spark.graft.dv.cdf")
+    val vN = Snapshots.latestVersion(spark, mt).get
+    assert(vN == v1 + 1, "the delete must mint a metadata-only commit")
+    assert(DV.history(spark, root).orderBy(desc("version"))
+      .select("operation").head().getString(0) == "delete")
+    val feed = DV.readChanges(spark, root, v1, vN).localCheckpoint()
+    val dels = feed.filter(col("_change_type") === "delete")
+    // exactly the victims' old images, no other change rows
+    assert(multisetEqual(
+      dels.select(col("event_id"), col("value")),
+      ev.filter(col("user_id") % 6 === 0)
+        .select(col("event_id"), col("value"))))
+    assert(feed.count() == dels.count(),
+      "a pure delete commit emits only 'delete' rows")
+    // fold law: the v1 snapshot is retroactively masked, so folding
+    // the delete rows over it is a no-op and reproduces the endpoint
+    val cols = feed.columns.filterNot(
+      Set("_change_type", "_commit_version", "_commit_timestamp"))
+    val folded = DV.readVersion(spark, root, v1)
+      .select(cols.map(col): _*)
+      .exceptAll(dels.select(cols.map(col): _*))
+    assert(multisetEqual(folded,
+      DV.read(spark, root).select(cols.map(col): _*)))
+    // a DERIVED consumer (not retroactively masked) genuinely needs
+    // them: v1's UNMASKED row multiset minus the delete rows equals
+    // the live table — the retraction arithmetic IVM folds
+    val mirror = spark.read.parquet(DV.dataDir(root))
+      .select(cols.map(col): _*)
+      .exceptAll(dels.select(cols.map(col): _*))
+    assert(multisetEqual(mirror,
+      DV.read(spark, root).select(cols.map(col): _*)))
+  }
+
   test("update pre/post images: with change data ON, update-verb " +
       "commits emit paired update_preimage/update_postimage rows " +
       "keyed by _commit_version; the fold law holds across the " +
