@@ -1272,6 +1272,10 @@ object DeletionVectors {
             "schema metadata — row tracking needs a schema-in-log table"))
       val total = latest.filter(col("file") =!= Sentinel)
         .agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+      // global window = ONE task over MANIFEST rows (metadata scale:
+      // file count, never data) — a one-time enablement cost; the
+      // per-commit assignment in commitMovedFiles windows only the
+      // batch's own files
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("file"))
         .rowsBetween(org.apache.spark.sql.expressions.Window

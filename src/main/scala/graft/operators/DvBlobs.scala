@@ -155,8 +155,15 @@ object DvBlobs {
     * commands — a replay must never apply tombstones whose replacement
     * images were discarded.
     */
+  /** Intents live in their OWN subdir so the per-commit existence
+    * check and the replay walk list O(intents), never the O(files-
+    * with-deletes) `f=` dir population.
+    */
+  def intentDir(tableRoot: String): String =
+    s"${dvRoot(tableRoot)}/_intents"
+
   def writeIntent(tableRoot: String, pending: Seq[String]): String = {
-    val dir = new Path(dvRoot(tableRoot))
+    val dir = new Path(intentDir(tableRoot))
     val f = fs(dir)
     f.mkdirs(dir)
     val uuid = java.util.UUID.randomUUID().toString.take(12)
@@ -188,7 +195,7 @@ object DvBlobs {
     * recover); both just drop the intent. Returns intents replayed.
     */
   def replayIntents(tableRoot: String): Int = {
-    val root = new Path(dvRoot(tableRoot))
+    val root = new Path(intentDir(tableRoot))
     val f = fs(root)
     if (!f.exists(root)) 0
     else {

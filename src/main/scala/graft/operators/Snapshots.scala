@@ -102,7 +102,11 @@ object Snapshots {
     * resolution below rides.
     */
   private def commitEntries(spark: SparkSession,
-      table: String): Seq[(Long, Long)] = {
+      table: String): Seq[(Long, Long)] =
+    commitEntriesAttempt(spark, table, attempts = 5)
+
+  private def commitEntriesAttempt(spark: SparkSession,
+      table: String, attempts: Int): Seq[(Long, Long)] = {
     val f = fs(spark, table)
     val listed = LogStore.forPath(table)
       .listMarkers(f, new Path(s"$table/_commits"))
@@ -115,9 +119,16 @@ object Snapshots {
     }).sortBy(x => (x._1, x._2)).lastOption
     val idxEntries = newest.toSeq.flatMap(ix =>
       readIndexFile(spark, table, ix._3))
-    // markers win on dup (same instant anyway; an index never outlives
-    // its markers' truth — it snapshots their mtimes at fold time)
-    (idxEntries.toMap ++ markerEntries.toMap).toSeq.sortBy(_._1)
+    // SUPERSESSION retry (the DvBlobs.merged rule): a listed index
+    // found missing at read time means ≥2 folds landed since our
+    // listing (only the fold after next deletes an index) — re-list
+    // and converge on the newer one rather than serving markers alone
+    if (newest.isDefined && idxEntries.isEmpty && attempts > 1)
+      commitEntriesAttempt(spark, table, attempts - 1)
+    else
+      // markers win on dup (same instant anyway; an index never
+      // outlives its markers' truth — it snapshots their mtimes)
+      (idxEntries.toMap ++ markerEntries.toMap).toSeq.sortBy(_._1)
   }
 
   private def readIndexFile(spark: SparkSession, table: String,
@@ -237,8 +248,8 @@ object Snapshots {
     * two-phase rule and dies at the next fold.
     */
   private[operators] def dropFromIndex(spark: SparkSession,
-      table: String, removed: Set[Long]): Unit = {
-    if (removed.isEmpty) return
+      table: String, removed: Set[Long], attempts: Int = 3): Unit = {
+    if (removed.isEmpty || attempts <= 0) return
     val f = fs(spark, table)
     val dir = new Path(s"$table/_commits")
     val listed = LogStore.forPath(table).listMarkers(f, dir)
@@ -247,10 +258,9 @@ object Snapshots {
       case _ => None
     }).sortBy(x => (x._1, x._2))
     indexes.lastOption.foreach { ix =>
-      val kept = readIndexFile(spark, table, ix._3)
-        .filterNot(e => removed.contains(e._1))
-      if (kept.size < readIndexFile(spark, table, ix._3).size ||
-          removed.exists(_ <= ix._1)) {
+      val cur = readIndexFile(spark, table, ix._3)
+      val kept = cur.filterNot(e => removed.contains(e._1))
+      if (kept.size < cur.size) {
         val tmp = new Path(dir,
           s".tmp-idx-${java.util.UUID.randomUUID().toString.take(12)}")
         val out = f.create(tmp, true)
@@ -258,7 +268,12 @@ object Snapshots {
           .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         val dest = new Path(dir, s"_index.${ix._1}.${ix._2 + 1}")
-        if (!f.rename(tmp, dest)) f.delete(tmp, false): Unit
+        if (!f.rename(tmp, dest)) {
+          // a concurrent fold took this gen — its index re-includes
+          // the versions we're dropping; rebase onto it and retry
+          f.delete(tmp, false): Unit
+          dropFromIndex(spark, table, removed, attempts - 1)
+        }
       }
     }
   }

@@ -325,12 +325,42 @@ private[sources] class DvDeltaBatchWrite(root: String,
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true): Unit
     // the pending-blob sibling (unpublished tombstones on abort;
-    // empty f= husks after a successful publish)
+    // empty f= husks after a successful publish). EXCEPTION-path
+    // guard: if a publish intent still references blobs under it —
+    // an IOException mid-publish unwound here before removeIntent —
+    // the pendings must OUTLIVE this cleanup so the replay (next
+    // writer / vacuum, which replays BEFORE its debris sweep) can
+    // finish the half-applied delete instead of stranding it.
     val pend = new Path(s"${stage}_dvpending")
-    if (fs.exists(pend)) fs.delete(pend, true): Unit
+    if (fs.exists(pend) && !intentReferences(fs, pend.toString))
+      fs.delete(pend, true): Unit
     if (claimed) {
       claimed = false
       DV.releaseMaintenanceClaim(spark, root)
+    }
+  }
+
+  /** Does any live publish intent reference a pending blob under
+    * `pendPrefix`? One listing of the (rare, usually empty) intent
+    * set + one small read per intent.
+    */
+  private def intentReferences(fs: org.apache.hadoop.fs.FileSystem,
+      pendPrefix: String): Boolean = {
+    val dvDir = new Path(DvBlobs.intentDir(root))
+    fs.exists(dvDir) && fs.listStatus(dvDir).exists { st =>
+      st.isFile && st.getPath.getName.startsWith("intent-") &&
+        st.getPath.getName.endsWith(".pub") && {
+          val in = fs.open(st.getPath)
+          val body =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val bytes = new Array[Byte](4096)
+              var n = in.read(bytes)
+              while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+              new String(buf.toByteArray, "UTF-8")
+            } finally in.close()
+          body.split("\n").exists(_.startsWith(pendPrefix))
+        }
     }
   }
 }

@@ -138,6 +138,7 @@ object MvDmlMaintain {
         mvDir, grain, shapes)
       prev = v
     }
+    compact(spark, mvDir, grain, shapes): Unit
     committed.size.toLong
   }
 
@@ -167,8 +168,68 @@ object MvDmlMaintain {
         // construction
         applyChanges(batch.sparkSession, root, batch, mvDir, grain,
           shapes)
+        // bound the store on stream cadence: a 1-version-per-batch
+        // CDC year must not accrete 100k slices
+        compact(batch.sparkSession, mvDir, grain, shapes): Unit
       }
       .start()
+
+  /** COMPACTION — bounds the store at O(grain cardinality) instead of
+    * O(batches ever): per bucket, fold the ACTIVE row set (each
+    * grain's last reset + partials newer than it — exactly what
+    * [[merged]] serves) into one slice and drop the input slices.
+    * Crash-safe WITHOUT coordination, by the store's own read rules:
+    * folded rows keep their original (grain, sid) keys, so a crash
+    * between the fold write and the input deletes leaves EXACT
+    * duplicates ([[merged]]'s dropDuplicates absorbs them), and any
+    * INACTIVE rows surviving in un-deleted inputs are filtered by the
+    * last-reset rule regardless of which slice they sit in — leftover
+    * slices cost bytes, never correctness. Returns input slices
+    * removed, 0 when under `minSlices`.
+    */
+  def compact(spark: SparkSession, mvDir: String, grain: Seq[String],
+      shapes: Seq[MvShape], minSlices: Int = 8): Long = {
+    val root = new org.apache.hadoop.fs.Path(mvDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val buckets = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
+    val victims = buckets.flatMap { b =>
+      fs.listStatus(b.getPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("slice="))
+        .map(s => (b.getPath.getName, s.getPath))
+    }
+    val perBucket = victims.groupBy(_._1)
+    val hot = perBucket.filter(_._2.size >= minSlices)
+    if (hot.isEmpty) return 0L
+    val maxBid = spark.read.parquet(mvDir)
+      .agg(max(col("bid"))).head().getLong(0)
+    val foldSlice = s"c$maxBid"
+    val hotP = hot.keys.map(_.stripPrefix("p=").toLong).toSeq
+    // the active set of the hot buckets, re-sliced under one fold id
+    // (rows keep their own sid/bid/kind — the fold only RELOCATES)
+    val rows = spark.read.parquet(mvDir)
+      .filter(col("p").isin(hotP: _*))
+      .dropDuplicates(grain :+ "sid")
+    val lastReset = rows.filter(col("kind") === "r")
+      .groupBy(grain.map(col): _*)
+      .agg(max(col("bid")).as("__rb"))
+    val active = rows.join(lastReset, grain, "left")
+      .filter(col("__rb").isNull || col("bid") > col("__rb") ||
+        (col("kind") === "r" && col("bid") === col("__rb")))
+      .drop("__rb")
+      .localCheckpoint() // freeze BEFORE the inputs are removed
+    Scd2Log.withDynamicOverwrite(spark) {
+      active.withColumn("slice", lit(foldSlice))
+        .write.mode("overwrite").partitionBy("p", "slice").parquet(mvDir)
+    }
+    var removed = 0L
+    hot.values.flatten.foreach { case (_, slicePath) =>
+      if (slicePath.getName != s"slice=$foldSlice" &&
+          fs.delete(slicePath, true)) removed += 1
+    }
+    removed
+  }
 
   /** The maintained summary folded to one row per grain: per grain,
     * the LAST reset (absolute) plus every partial NEWER than it —

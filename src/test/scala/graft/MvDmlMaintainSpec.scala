@@ -164,6 +164,61 @@ class MvDmlMaintainSpec extends SparkSpec {
     assert(mergedOf(mvDir) == before)
   }
 
+  test("compaction bounds the store at O(grains) across a long DML " +
+      "run — the merged answers are invariant, and a crash between " +
+      "the fold write and the input deletes (leftover slices) " +
+      "changes nothing") {
+    val (root, name, ev) = freshTable()
+    val v0 = Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+    val mvDir = s"$root/../mv_compact"
+    MvDmlMaintain.seed(spark, root, mvDir, grain, shapes, v0)
+    // a long alternating history: 12 DML commits, one batch each
+    spark.conf.set("spark.graft.dv.cdf", "true")
+    try {
+      var prev = v0
+      (1 to 6).foreach { i =>
+        GraftSql.sql(spark,
+          s"UPDATE $name SET value = value + $i " +
+            s"WHERE event_id % ${7 + i} = 0").collect(): Unit
+        GraftSql.sql(spark,
+          s"DELETE FROM $name WHERE user_id % ${31 + i} = 0")
+          .collect(): Unit
+        MvDmlMaintain.catchUp(spark, root, mvDir, grain, shapes, prev)
+        prev = Snapshots.latestVersion(
+          spark, DV.manifestTable(root)).get
+      }
+    } finally spark.conf.unset("spark.graft.dv.cdf")
+    def sliceCount: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f
+        else Seq.empty
+      walk(new java.io.File(mvDir))
+        .count(_.getName.startsWith("slice="))
+    }
+    val before = mergedOf(mvDir)
+    assert(before == baseAgg(root))
+    // force a fold now regardless of threshold
+    MvDmlMaintain.compact(spark, mvDir, grain, shapes,
+      minSlices = 2): Unit
+    assert(mergedOf(mvDir) == before, "compaction must not change " +
+      "the served summary")
+    assert(sliceCount <= 2 * MvDmlMaintain.NB,
+      s"store must fold to O(buckets), got $sliceCount slice dirs")
+    // crash simulation: re-run the SAME fold (idempotent overwrite of
+    // its own slice) and also leave a stale duplicate input behind by
+    // re-applying the last batch — merged stays exact through both
+    val committed = Snapshots.committedVersions(
+      spark, DV.manifestTable(root))
+    MvDmlMaintain.applyChanges(spark, root,
+      DV.readChanges(spark, root,
+        committed(committed.size - 2), committed.last),
+      mvDir, grain, shapes)
+    MvDmlMaintain.compact(spark, mvDir, grain, shapes,
+      minSlices = 2): Unit
+    assert(mergedOf(mvDir) == before)
+  }
+
   test("streaming face: the CDF-fed maintainer converges to the base " +
       "aggregate") {
     val (root, name, ev) = freshTable()

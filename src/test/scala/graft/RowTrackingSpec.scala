@@ -86,6 +86,34 @@ class RowTrackingSpec extends SparkSpec {
       "plain reads must not see the physical id column")
   }
 
+  test("mixed partition generations: ids stay stable through " +
+      "partition evolution, a SCOPED migration (mixed-layout reads), " +
+      "and the remaining old-generation files — the per-layout scan " +
+      "carries the materialized id column in every generation") {
+    val (root, ev) = fresh()
+    DV.enableRowTracking(spark, root): Unit
+    val ids0 = idMap(root)
+    DV.setPartitioning(spark, root, Seq("event_type"))
+    assert(idMap(root) == ids0, "the metadata flip changes no id")
+    // scoped migration rewrites only matching old-generation files —
+    // the table then serves MIXED generations, some rewritten
+    // (materialized ids), some original (base + pos)
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    DV.migrateLayout(spark, root,
+      Some(s"day >= '${days(days.length / 2)}'")): Unit
+    assert(idMap(root) == ids0,
+      "a scoped migration must preserve every id across BOTH " +
+        "generations")
+    // an append into the NEW layout mints fresh ids alongside
+    DV.append(spark, root, Seq("event_type"),
+      ev.limit(20).withColumn("event_id", col("event_id") + 800000L))
+    val after = idMap(root)
+    assert(after.filterKeys(_ < 800000L).toMap == ids0)
+    assert(after.size == 320 &&
+      after.values.toSeq.distinct.size == 320)
+  }
+
   test("a keyed upsert mints FRESH ids for its images (delete+insert " +
       "identity, the Delta baseline) and the watermark only grows") {
     val (root, ev) = fresh()
