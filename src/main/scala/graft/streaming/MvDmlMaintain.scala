@@ -63,16 +63,33 @@ object MvDmlMaintain {
     * `_commit_version`). Idempotent: the batch's rows land under its
     * own `slice` (keyed by its max commit version), so a replay
     * dynamic-overwrites exactly itself.
+    *
+    * `prepare` turns raw FACT rows into the frame the shapes
+    * aggregate over — identity for a single-table summary; for a
+    * STAR summary it joins the batch (and the reset base) to the
+    * dimension tables: fact-delta ⋈ dims is the textbook star IVM,
+    * O(batch) broadcast-join cost for the additive side, and the
+    * retraction resets re-derive THROUGH the same join — so a grain
+    * keyed by a DIM attribute stays exactly maintainable under
+    * DELETE/UPDATE/MERGE on the fact. Dims are static between
+    * seeds (the [[MvMaintain]] boundary: dimension churn needs
+    * retro-propagation, deliberately out of scope — re-seed).
     */
   def applyChanges(spark: SparkSession, root: String, changes: DataFrame,
-      mvDir: String, grain: Seq[String], shapes: Seq[MvShape]): Unit = {
+      mvDir: String, grain: Seq[String], shapes: Seq[MvShape],
+      prepare: DataFrame => DataFrame = identity): Unit = {
     val ch = changes.localCheckpoint()
     if (ch.isEmpty) return
     val bid = ch.agg(max(col("_commit_version"))).head().getLong(0)
-    val adds = ch.filter(col("_change_type")
-      .isin("insert", "update_postimage"))
-    val rets = ch.filter(col("_change_type")
-      .isin("delete", "update_preimage"))
+    val changeCols = Seq("_change_type", "_commit_version",
+      "_commit_timestamp").filter(ch.columns.contains)
+    // prepare sees FACT rows only (grain may be dim-side, so grains
+    // resolve on the PREPARED frame)
+    def facts(types: String*) = prepare(
+      ch.filter(col("_change_type").isin(types: _*))
+        .drop(changeCols: _*))
+    val adds = facts("insert", "update_postimage")
+    val rets = facts("delete", "update_preimage")
     val dirty = rets.select(grain.map(col): _*).distinct()
       .localCheckpoint()
     // additive partials: adds of grains this batch also retracts from
@@ -87,7 +104,7 @@ object MvDmlMaintain {
     val resets =
       if (dirty.isEmpty) None
       else {
-        val base = DV.readVersion(spark, root, bid)
+        val base = prepare(DV.readVersion(spark, root, bid))
         val derived = base.join(dirty, grain, "left_semi")
           .groupBy(grain.map(col): _*)
           .agg(partialExprs(shapes).head, partialExprs(shapes).tail: _*)
@@ -115,12 +132,13 @@ object MvDmlMaintain {
     * snapshot at v, then [[catchUp]]/[[maintain]] strictly after v.
     */
   def seed(spark: SparkSession, root: String, mvDir: String,
-      grain: Seq[String], shapes: Seq[MvShape], v: Long): Unit =
+      grain: Seq[String], shapes: Seq[MvShape], v: Long,
+      prepare: DataFrame => DataFrame = identity): Unit =
     applyChanges(spark, root,
       DV.readVersion(spark, root, v)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v)),
-      mvDir, grain, shapes)
+      mvDir, grain, shapes, prepare)
 
   /** Batch catch-up: fold every committed version in `(fromV, latest]`
     * through [[applyChanges]], one batch per commit — the face a
@@ -128,14 +146,15 @@ object MvDmlMaintain {
     * the number of versions applied.
     */
   def catchUp(spark: SparkSession, root: String, mvDir: String,
-      grain: Seq[String], shapes: Seq[MvShape], fromV: Long): Long = {
+      grain: Seq[String], shapes: Seq[MvShape], fromV: Long,
+      prepare: DataFrame => DataFrame = identity): Long = {
     val committed = Snapshots
       .committedVersions(spark, DV.manifestTable(root))
       .filter(_ > fromV).sorted
     var prev = fromV
     committed.foreach { v =>
       applyChanges(spark, root, DV.readChanges(spark, root, prev, v),
-        mvDir, grain, shapes)
+        mvDir, grain, shapes, prepare)
       prev = v
     }
     compact(spark, mvDir, grain, shapes): Unit
@@ -149,7 +168,8 @@ object MvDmlMaintain {
   def maintain(spark: SparkSession, root: String, checkpoint: String,
       mvDir: String, grain: Seq[String], shapes: Seq[MvShape],
       startingVersion: Long,
-      trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      prepare: DataFrame => DataFrame = identity)
       : StreamingQuery =
     spark.readStream.format("graft-dv-cdf")
       .option("path", root)
@@ -167,7 +187,7 @@ object MvDmlMaintain {
         // same slice; mixed batch/stream maintenance is safe by
         // construction
         applyChanges(batch.sparkSession, root, batch, mvDir, grain,
-          shapes)
+          shapes, prepare)
         // bound the store on stream cadence: a 1-version-per-batch
         // CDC year must not accrete 100k slices
         compact(batch.sparkSession, mvDir, grain, shapes): Unit

@@ -164,6 +164,37 @@ class MvDmlMaintainSpec extends SparkSpec {
     assert(mergedOf(mvDir) == before)
   }
 
+  test("STAR summary (fact-delta JOIN dims via prepare): a grain " +
+      "keyed by a DIM attribute stays exactly maintainable under the " +
+      "mixed DML history — retraction resets re-derive THROUGH the " +
+      "join") {
+    val (root, name, ev) = freshTable()
+    // a tiny static dimension: event_type -> weight bucket
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("w", (length(col("event_type")) % 3).cast("long"))
+      .localCheckpoint()
+    val prepare: DataFrame => DataFrame = f => f.join(dim, "event_type")
+    val starGrain = Seq("w")
+    val v0 = Snapshots.latestVersion(
+      spark, DV.manifestTable(root)).get
+    val mvDir = s"$root/../mv_star"
+    MvDmlMaintain.seed(spark, root, mvDir, starGrain, shapes, v0,
+      prepare)
+    runDml(root, name, ev)
+    MvDmlMaintain.catchUp(spark, root, mvDir, starGrain, shapes, v0,
+      prepare)
+    val got = MvDmlMaintain.merged(spark, mvDir, starGrain, shapes)
+      .select(col("w"), col("s_v"), col("n"), col("mn"), col("mx"))
+      .orderBy(col("w")).collect().toSeq
+    val want = prepare(DV.read(spark, root)).groupBy(col("w"))
+      .agg(sum(col("value").cast("decimal(28,4)")).as("s_v"),
+        count(lit(1)).as("n"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy(col("w")).collect().toSeq
+    assert(got == want,
+      "the star summary must equal the base join-aggregate")
+  }
+
   test("compaction bounds the store at O(grains) across a long DML " +
       "run — the merged answers are invariant, and a crash between " +
       "the fold write and the input deletes (leftover slices) " +
