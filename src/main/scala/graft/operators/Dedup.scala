@@ -139,16 +139,19 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), "dst")
         .groupBy(col("src")).agg(min(col("dst_lbl")).as("nbr_lbl"))
+      // the convergence check rides IN the label row (round 15): the
+      // former shape re-joined next⋈labels just to count changed rows —
+      // one extra shuffle join + count job per round; the flag is known
+      // at update time, so the count is a 1-column aggregate over the
+      // already-materialized checkpoint.
       val next = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_lbl")), Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (col("nbr_lbl") < col("lbl")).cast("int").as("chg"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
-      labels = next
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       iter += 1
     }

@@ -1473,48 +1473,99 @@ object DeletionVectors {
       val marked = mark(
           scanWithPos(spark, root, entries, currentMeta(spark, root)))
         .select(col("__file"), col("__pos"))
-      val nAcc = spark.sparkContext.longAccumulator("dv_marked")
-      val touchedAcc =
-        spark.sparkContext.collectionAccumulator[String]("dv_touched")
-      // explicit partition count: AQE would coalesce this KB-sized
-      // shuffle to ONE partition, serializing the per-file blob
-      // writes behind a single task (measured 10s -> 1s at 1020
-      // files); blob IO parallelism must track file count, not
-      // shuffle bytes
-      val writeTasks = math.max(1, math.min(entries.size,
-        spark.sparkContext.defaultParallelism))
-      marked.groupBy(col("__file"))
-        .agg(collect_list(col("__pos")).as("poss"))
-        .repartition(writeTasks, col("__file"))
-        .foreachPartition {
-          (it: Iterator[org.apache.spark.sql.Row]) =>
-            it.foreach { r =>
-              val file = r.getString(0)
-              val poss = r.getSeq[Long](1).toArray
-              DvBlobs.writeDelta(root, file, poss): Unit
-              nAcc.add(poss.length.toLong)
-              touchedAcc.add(file)
-            }
-        }
+      val (nMarked, touched) = writeMarks(spark, root, marked, entries.size)
       lap("mark+write job")
-      if (firstPass < 0) firstPass = nAcc.value
+      if (firstPass < 0) firstPass = nMarked
       // nothing marked ⇒ nothing a racing rewrite could lose: no
       // fence needed (this also lets an insert-only upsert proceed
       // while a purge holds the maintenance claim)
-      if (touchedAcc.value.isEmpty) return math.max(firstPass, 0L)
+      if (touched.isEmpty) return math.max(firstPass, 0L)
       // fence: wait out maintenance, then confirm nothing we marked
       // was concurrently replaced
       waitNoMaintenance(spark, root, maintWaitMs)
       lap("fence wait")
       val liveNow = manifest(spark, root).select("file")
         .collect().map(_.getString(0)).toSet
-      val touched = touchedAcc.value.asScala.toSet
       lap("fence manifest recheck")
       if (touched.forall(liveNow.contains)) return firstPass
       // else: loop — the masked re-scan marks only the rows whose
       // tombstones went inert with their replaced files
     }
     firstPass // unreachable
+  }
+
+  /** One tombstone-write pass shared by [[markWhere]]'s fence loop and
+    * [[markCoordsUnderClaim]]: groups the marked (file, pos) rows per
+    * file and writes one delta blob per file from the executors.
+    * Returns (rows marked, files touched).
+    */
+  private def writeMarks(spark: SparkSession, root: String,
+      marked: DataFrame, liveFileCount: Int): (Long, Set[String]) = {
+    val nAcc = spark.sparkContext.longAccumulator("dv_marked")
+    val touchedAcc =
+      spark.sparkContext.collectionAccumulator[String]("dv_touched")
+    // explicit partition count: AQE would coalesce this KB-sized
+    // shuffle to ONE partition, serializing the per-file blob
+    // writes behind a single task (measured 10s -> 1s at 1020
+    // files); blob IO parallelism must track file count, not
+    // shuffle bytes
+    val writeTasks = math.max(1, math.min(liveFileCount,
+      spark.sparkContext.defaultParallelism))
+    marked.groupBy(col("__file"))
+      .agg(collect_list(col("__pos")).as("poss"))
+      .repartition(writeTasks, col("__file"))
+      .foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val file = r.getString(0)
+            val poss = r.getSeq[Long](1).toArray
+            DvBlobs.writeDelta(root, file, poss): Unit
+            nAcc.add(poss.length.toLong)
+            touchedAcc.add(file)
+          }
+      }
+    (nAcc.value, touchedAcc.value.asScala.toSet)
+  }
+
+  /** DELETE with change data, r14 ADVICE fix (low): the former shape
+    * snapshotted the victims' images and THEN ran the cond-based
+    * marking scan with no fence between — a row inserted (and
+    * matching) in that window was tombstoned yet absent from the
+    * 'del' sidecar, silently drifting derived consumers until reseed.
+    * Here the victim set is computed ONCE (images + coordinates in the
+    * same masked scan, frozen by a localCheckpoint); the sidecar
+    * records exactly those images and the tombstones land on exactly
+    * those coordinates — the two can no longer disagree. The whole
+    * statement runs under the maintenance claim (the DSv2 delta
+    * write's discipline) so no purge/zorder can replace a touched
+    * file between the freeze and the blob writes — which is what lets
+    * the frozen (file, pos) set stay valid without [[markWhere]]'s
+    * re-mark fence. A row inserted after the freeze simply isn't part
+    * of this statement's snapshot (and so is neither tombstoned nor
+    * recorded — consistent).
+    *
+    * @param victimize maps the masked positional scan to the victim
+    *        rows, keeping `__file`/`__pos` plus the table columns
+    *        (the images the sidecar records)
+    * @return rows marked
+    */
+  private[graft] def deleteWithChangeData(spark: SparkSession,
+      root: String, victimize: DataFrame => DataFrame, cdf: CdfStage,
+      maintWaitMs: Long = 15L * 60 * 1000): Long = {
+    requireWriterFeatures(spark, root)
+    acquireMaintenanceClaim(spark, root, maintWaitMs)
+    try {
+      val entries = liveEntries(spark, root)
+      if (entries.isEmpty) return 0L
+      val victims = victimize(
+          scanWithPos(spark, root, entries, currentMeta(spark, root)))
+        .localCheckpoint(true)
+      if (victims.isEmpty) return 0L
+      cdf.writeDeleted(victims.drop("__file", "__pos"))
+      val (n, _) = writeMarks(spark, root,
+        victims.select(col("__file"), col("__pos")), entries.size)
+      n
+    } finally releaseMaintenanceClaim(spark, root)
   }
 
   // ---- purge ----------------------------------------------------------
@@ -2507,13 +2558,25 @@ object DeletionVectors {
       zCols.foreach(c => require(!partCols.contains(c),
         s"ZORDER BY column $c is a partition column — partition values " +
           "are constant within a file; z-ordering them is a no-op"))
-      if (incremental)
-        zorderColsMarker(spark, root).foreach(pinned =>
+      if (incremental) zorderColsMarker(spark, root) match {
+        case Some(pinned) =>
           require(pinned == zCols,
             s"OPTIMIZE INCREMENTAL ZORDER BY (${zCols.mkString(", ")}) " +
               s"does not match the table's pinned clustering columns " +
               s"(${pinned.mkString(", ")}) — run a FULL OPTIMIZE ... " +
-              "ZORDER BY to re-cluster under the new key"))
+              "ZORDER BY to re-cluster under the new key")
+        case None =>
+          // r14 ADVICE companion: no pin + clustered-named files means
+          // the pin was invalidated (a WHERE-scoped pass under a
+          // different key) or lost — skipping by name would trust
+          // files clustered by an unknown key
+          require(!liveEntries(spark, root).exists(e =>
+              new Path(e.path).getName.startsWith("zordered-")),
+            "OPTIMIZE INCREMENTAL ZORDER: this table has " +
+              "clustered-named files but no pinned clustering columns " +
+              "(a scoped ZORDER under a different key invalidates the " +
+              "pin) — run a full OPTIMIZE ... ZORDER BY first")
+      }
       var sigAttempts = 0
       var result: Seq[String] = null
       while (result == null) {
@@ -2526,7 +2589,7 @@ object DeletionVectors {
             !new Path(e.path).getName.startsWith("zordered-"))
           .map(_.path)
         if (live.isEmpty) {
-          writeZorderColsMarker(spark, root, zCols)
+          pinOrInvalidateZorderCols(spark, root, zCols, scope)
           return Seq.empty
         }
         val sig0 = live.map(f0 => f0 -> DvBlobs.signature(root, f0)).toMap
@@ -2615,7 +2678,7 @@ object DeletionVectors {
             committed = Snapshots.publishCas(
               spark, manifestTable(root), base, next)
           }
-          writeZorderColsMarker(spark, root, zCols)
+          pinOrInvalidateZorderCols(spark, root, zCols, scope)
           result = live
         }
       }
@@ -2642,11 +2705,47 @@ object DeletionVectors {
     }
   }
 
+  /** Marker maintenance after a zorder pass, r14 ADVICE fix (low):
+    * only an UNSCOPED full pass may (re)pin `_zorder_cols` — a
+    * WHERE-scoped pass leaves out-of-scope files carrying `zordered-`
+    * names earned under the OLD key, and re-pinning would make later
+    * INCREMENTAL passes skip files clustered by the wrong key (the
+    * exact hazard the pin guard exists to prevent). A scoped pass
+    * whose columns differ from the pin instead CLEARS the marker: the
+    * table now mixes clustering keys, so no incremental pass may
+    * trust file names until a full pass re-pins. (A scoped pass
+    * matching the pin changes nothing — the pin stays valid.)
+    */
+  private def pinOrInvalidateZorderCols(spark: SparkSession, root: String,
+      zCols: Seq[String], scope: Option[String]): Unit =
+    if (scope.isEmpty) writeZorderColsMarker(spark, root, zCols)
+    else zorderColsMarker(spark, root).foreach { pinned =>
+      if (pinned != zCols)
+        hfs(spark, root).delete(new Path(s"$root/_zorder_cols"), false): Unit
+    }
+
+  /** r14 ADVICE fix (low): tmp + rename like every other marker in
+    * this file (writeIntent/writeDelta) — a crash mid-write must not
+    * leave a truncated marker that reads back as None (incremental
+    * pin check silently skipped) or as a wrong column list. The
+    * caller holds the maintenance claim, so the delete+rename pair
+    * cannot race another marker writer.
+    */
   private def writeZorderColsMarker(spark: SparkSession, root: String,
       zCols: Seq[String]): Unit = {
-    val out = hfs(spark, root).create(new Path(s"$root/_zorder_cols"), true)
+    val f = hfs(spark, root)
+    val dest = new Path(s"$root/_zorder_cols")
+    val tmp = new Path(s"$root/.zorder_cols.tmp-" +
+      java.util.UUID.randomUUID().toString.take(12))
+    val out = f.create(tmp, true)
     try out.write(zCols.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (f.exists(dest)) f.delete(dest, false)
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"zorder-cols marker rename to $dest failed")
+    }
   }
 
   /** Move staged partition dirs into the live data dirs under fresh

@@ -131,6 +131,13 @@ object Erasure {
           // partition column must come last for partitionBy round-trip
           .select(table.columns.filter(_ != partCol).map(col)
             :+ col(partCol): _*)
+          // cluster the rewrite by its partition value (round 15):
+          // without it every staging task holds rows of every affected
+          // partition and the overwrite emits tasks×partitions sliver
+          // files (guide §6 small-files). REBALANCE (not a plain
+          // repartition) so AQE coalesces tiny partitions AND splits a
+          // skewed one across tasks at scale.
+          .hint("rebalance", col(partCol))
           // stage BEFORE replacing: the overwrite job must never read
           // the directories it is about to rewrite (crash-window
           // discipline shared with Scd2Log.compact)

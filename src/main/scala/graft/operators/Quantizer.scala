@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Coarse-quantizer TRAINING for the ANN / SemDeDup family: Lloyd's
@@ -31,27 +31,81 @@ import org.apache.spark.sql.functions._
   */
 object Quantizer {
 
+  /** Largest codebook the assignment will inline as plan literals.
+    * Every quantizer in the repo is ≤16 cells; the bound exists so an
+    * unexpectedly large centroid table falls back to the distributed
+    * crossJoin+max_by form instead of building a megabyte expression
+    * tree (and so the collect below stays metadata-scale by
+    * construction).
+    */
+  private val MaxInlineCentroids = 1024
+
+  /** Pull the (tiny, ≤[[MaxInlineCentroids]]-row) codebook to the
+    * driver, c_id-sorted. Same metadata-scale collect class as the ANN
+    * probe lists: a coarse quantizer is O(cells) rows by design.
+    */
+  private def centRows(cent: DataFrame): Array[(Long, Seq[Double])] =
+    cent.select(col("c_id").cast("long"), col("c_emb"))
+      .limit(MaxInlineCentroids + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** `struct(c_id, c_cos)` of the argmax-cosine centroid (ties →
+    * lowest c_id — the repo-wide quantizer contract), as ONE native
+    * codegen'd expression ([[graft.functions.NearestCentroid]]) with
+    * the codebook riding along as a constant — a tight primitive loop
+    * per row, bit-identical to the former crossJoin-of-cosineSim
+    * arithmetic (see the expression's doc for why a composition of
+    * built-in struct/array_max expressions was measurably WORSE).
+    */
+  private def bestCentroidExpr(spark: SparkSession,
+      cs: Array[(Long, Seq[Double])], emb: Column): Column =
+    org.apache.spark.sql.GraftPlanApi.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftPlanApi.expression(emb),
+        cs.map(_._1), cs.map(_._2.toArray)))
+
   /** Nearest-centroid assignment WITHOUT the embedding column:
     * (vec_id, c_id, c_cos) where c_id is the argmax-cosine centroid
     * (ties → lowest c_id — the repo-wide quantizer contract).
     *
-    * This is the scale-critical form. The round-5 implementations
-    * ranked the corpus×centroids cross join with
-    * `row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC)`,
-    * which shuffles and SORTS all n×NC rows — each still carrying the
-    * 64-double embedding. The 100× scale probe measured that directly:
-    * 39.6 GB of memory spill in `dedup_semantic`'s assignment at 500k
-    * vecs × 160 cells. Here the argmax is a `max_by` hash aggregate
-    * over rows that carry only (vec_id, c_id, c_cos) — ~24 bytes, the
-    * embedding never enters the aggregate — so map-side partial
-    * aggregation reduces n×NC rows to n BEFORE the shuffle, and even
-    * the sort-based fallback path sorts slim rows. The ordering key
-    * `struct(c_cos, -c_id)` is unique per group (c_id is unique), so
-    * the pick is deterministic and identical to the window form:
-    * lexicographic max = highest c_cos, then lowest c_id.
+    * Round-15 shape: the codebook is ≤NC rows by design, so the
+    * assignment is a NARROW per-row expression — the centroids inline
+    * as array literals (the way a production ANN build ships its
+    * codebook to workers) and the argmax is `array_max` over
+    * `struct(c_cos, -c_id)` candidates, all inside whole-stage
+    * codegen. Zero joins, zero aggregates, zero shuffles.
+    *
+    * History (both prior shapes are strictly dominated): round 5
+    * ranked the corpus×centroids cross join with a window — shuffling
+    * and SORTING n×NC embedding-bearing rows, measured 39.6 GB of
+    * spill at the 100× probe; round 6 replaced it with a slim max_by
+    * aggregate (n×NC slim rows, map-side partials) + an n-row
+    * join-back for callers that need the embedding. The expression
+    * form removes the remaining aggregate exchange AND the join-back
+    * entirely; an over-sized codebook (>[[MaxInlineCentroids]]) falls
+    * back to the round-6 aggregate form.
     */
   def assignNearestSlim(spark: SparkSession, vecs: DataFrame,
       cent: DataFrame): DataFrame = {
+    val cs = centRows(cent)
+    if (cs.isEmpty) // empty codebook assigns nothing (old crossJoin shape)
+      vecs.filter(lit(false))
+        .select(col("vec_id"), lit(0L).as("c_id"), lit(0.0).as("c_cos"))
+    else if (cs.length > MaxInlineCentroids)
+      assignNearestSlimAgg(spark, vecs, cent)
+    else {
+      val best = bestCentroidExpr(spark, cs, col("emb"))
+      vecs.select(col("vec_id"), best.getField("c_id").as("c_id"),
+        best.getField("c_cos").as("c_cos"))
+    }
+  }
+
+  /** The round-6 distributed fallback (crossJoin + slim max_by): kept
+    * for codebooks too large to inline as literals.
+    */
+  private[graft] def assignNearestSlimAgg(spark: SparkSession,
+      vecs: DataFrame, cent: DataFrame): DataFrame = {
     val ccos = graft.functions.GraftFunctions
       .cosineSim(spark, col("emb"), col("c_emb"))
     vecs.crossJoin(broadcast(cent))
@@ -63,16 +117,26 @@ object Quantizer {
         col("best.c_cos").as("c_cos"))
   }
 
-  /** [[assignNearestSlim]] with the embedding re-attached:
-    * (vec_id, emb, c_id, c_cos). The join back to `vecs` is one
-    * LINEAR n-row shuffle — NC× lighter than sorting the n×NC
-    * cross-join rows with embeddings aboard, which is what the
-    * window form costs.
+  /** [[assignNearestSlim]] with the embedding kept aboard:
+    * (vec_id, emb, c_id, c_cos). With the expression-form assignment
+    * this is a pure projection — the round-6 n-row join-back shuffle
+    * is gone (the fallback path joins back as before).
     */
   def assignNearest(spark: SparkSession, vecs: DataFrame,
-      cent: DataFrame): DataFrame =
-    vecs.join(assignNearestSlim(spark, vecs, cent), Seq("vec_id"))
-      .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
+      cent: DataFrame): DataFrame = {
+    val cs = centRows(cent)
+    if (cs.isEmpty) // empty codebook assigns nothing (old crossJoin shape)
+      vecs.filter(lit(false)).select(col("vec_id"), col("emb"),
+        lit(0L).as("c_id"), lit(0.0).as("c_cos"))
+    else if (cs.length > MaxInlineCentroids)
+      vecs.join(assignNearestSlimAgg(spark, vecs, cent), Seq("vec_id"))
+        .select(col("vec_id"), col("emb"), col("c_id"), col("c_cos"))
+    else {
+      val best = bestCentroidExpr(spark, cs, col("emb"))
+      vecs.select(col("vec_id"), col("emb"), best.getField("c_id").as("c_id"),
+        best.getField("c_cos").as("c_cos"))
+    }
+  }
 
   /** k-means iterations used by the trained-quantizer query paths.
     * Two is enough to move every centroid off its seed (spec-checked)

@@ -239,6 +239,32 @@ object Snapshots {
       indexes.dropRight(1).foreach(ix =>
         f.delete(new Path(dir, ix._3), false): Unit)
     }
+    // r14 ADVICE (vacuum race): a vacuum's dropFromIndex that landed on
+    // the index WE folded from (same foldMax, higher gen — the drop
+    // never collides with our new name, so neither side's rename retry
+    // fires) would have its removals resurrected by this fold. Re-list:
+    // if such an index appeared, re-drop the versions it removed from
+    // our own (now-newest) index. Together with dropFromIndex's own
+    // post-rename re-check this heals every interleaving a non-lagged
+    // listing can observe; a store with lagged listings needs a
+    // conditional-put LogStore to close the residual window.
+    prev.foreach { case (prevMax, prevGen, _) =>
+      val rivals = LogStore.forPath(table).listMarkers(f, dir)
+        .flatMap(e => e._1 match {
+          case IndexRe(m, g) if m.toLong == prevMax && g.toLong > prevGen =>
+            Some((g.toLong, e._1))
+          case _ => None
+        })
+      if (rivals.nonEmpty) {
+        // only the NEWEST drop generation is authoritative — an older
+        // one may still contain versions a newer drop removed
+        val stillThere = readIndexFile(spark, table,
+          rivals.maxBy(_._1)._2).map(_._1).toSet
+        val droppedMeanwhile = prevEntries.map(_._1).toSet -- stillThere
+        if (droppedMeanwhile.nonEmpty)
+          dropFromIndex(spark, table, droppedMeanwhile)
+      }
+    }
     true
   }
 
@@ -246,6 +272,20 @@ object Snapshots {
     * a vacuumed version must stop resolving even if folded). Writes a
     * gen-bumped index without them; the old index stays for the
     * two-phase rule and dies at the next fold.
+    *
+    * r14 ADVICE (medium): a commit-triggered [[checkpointLog]] races
+    * this without holding any claim, and because a fold writes a NEW
+    * index NAME (higher foldMax), the rename-collision retry below
+    * never fires for it — the fold's index, built from the pre-drop
+    * listing, would resurrect the vacuumed versions. Two closures:
+    * after a successful rewrite the newest index is RE-READ and the
+    * drop repeated until it is stable (handles folds that land before
+    * our re-check), and [[checkpointLog]] itself refuses to fold a
+    * marker-less version whose v= data dir is gone (handles folds that
+    * READ after vacuum's deletes). A fold that both read before the
+    * deletes and renames after the last re-check here can still slip
+    * through — that residual window needs a store-side conditional
+    * put to close completely; the next fold's data-dir check heals it.
     */
   private[operators] def dropFromIndex(spark: SparkSession,
       table: String, removed: Set[Long], attempts: Int = 3): Unit = {
@@ -273,6 +313,22 @@ object Snapshots {
           // the versions we're dropping; rebase onto it and retry
           f.delete(tmp, false): Unit
           dropFromIndex(spark, table, removed, attempts - 1)
+        } else {
+          // rename won — but a fold may have renamed a HIGHER index
+          // built from the pre-drop listing in the meantime. Re-read
+          // the newest index; if any removed version resurfaced,
+          // re-drop onto it (loop until stable, bounded).
+          val after = LogStore.forPath(table).listMarkers(f, dir)
+            .flatMap(e => e._1 match {
+              case IndexRe(m, g) => Some((m.toLong, g.toLong, e._1))
+              case _ => None
+            }).sortBy(x => (x._1, x._2))
+          after.lastOption.foreach { nx =>
+            if (nx._3 != dest.getName &&
+                readIndexFile(spark, table, nx._3)
+                  .exists(e => removed.contains(e._1)))
+              dropFromIndex(spark, table, removed, attempts - 1)
+          }
         }
       }
     }

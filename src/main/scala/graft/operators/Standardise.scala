@@ -41,10 +41,26 @@ object Standardise {
     * the same single shuffle.
     */
   def dedupFirst(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(key: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // min(struct(order…, payload…)) instead of a row_number window
+    // (round 15): the window form shuffles EVERY input row to its key
+    // partition and sorts there before discarding all but one row per
+    // key; the aggregate form collapses to one row per key per map
+    // partition BEFORE the exchange (partial aggregation), so the
+    // shuffle carries |keys|-bounded rows instead of the corpus —
+    // guide §2.3 "aggregate before you shuffle". Equivalence: the
+    // struct comparator is field-by-field ascending with nulls first,
+    // exactly the window's default orderBy; payload columns ride
+    // BEHIND the order columns in the struct, so residual ties break
+    // deterministically on the full row (the window form left such
+    // ties to sort stability — callers already require tied rows to be
+    // output-identical, where both forms agree).
+    val payload = df.columns
+    val packed = struct(
+      order.zipWithIndex.map { case (o, i) => o.as(s"__o$i") } ++
+        payload.map(c => col(c).as(c)): _*)
+    df.groupBy(key: _*)
+      .agg(min(packed).as("__first"))
+      .select(payload.map(c => col(s"__first.$c").as(c)): _*)
   }
 
   /** Abort on empty input (`dag.py:129-130` ValueError guard).

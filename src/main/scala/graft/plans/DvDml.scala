@@ -180,27 +180,34 @@ case class DvDeleteCommand(root: String, targetOutput: Seq[Attribute],
     Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    // change data (opt-in): snapshot the victims' OLD images before
-    // the first tombstone lands and key them to a metadata-only
-    // 'delete' commit — the retraction rows derived consumers (IVM,
-    // replication) fold; snapshots are unaffected (retroactive mask)
+    // change data (opt-in): victim images and tombstone coordinates
+    // come from ONE frozen scan (r14 ADVICE fix — the former
+    // snapshot-then-mark pair left a window where a racing insert was
+    // tombstoned but never recorded in the 'del' sidecar), keyed to a
+    // metadata-only 'delete' commit — the retraction rows derived
+    // consumers (IVM, replication) fold; snapshots are unaffected
+    // (retroactive mask)
     val cdf = if (DV.cdfEnabled(session))
       Some(new DV.CdfStage(session, root)) else None
     try {
-      cdf.foreach { c =>
-        val (proj0, _, _) = DvDml.rebound(DV.readWithPos(session, root),
-          targetOutput)
-        val victims = GraftPlanApi.ofRows(session, Filter(cond, proj0))
-          .select(targetOutput.map(o =>
-            GraftPlanApi.column(o).as(o.name)): _*)
-        if (!victims.isEmpty) c.writeDeleted(victims)
+      val n = cdf match {
+        case Some(c) =>
+          DV.deleteWithChangeData(session, root, { scan =>
+            val (proj, f, p) = DvDml.rebound(scan, targetOutput)
+            GraftPlanApi.ofRows(session, Filter(cond, proj))
+              .select(targetOutput.map(o =>
+                GraftPlanApi.column(o).as(o.name)) :+
+                GraftPlanApi.column(f).as("__file") :+
+                GraftPlanApi.column(p).as("__pos"): _*)
+          }, c)
+        case None =>
+          DV.markWhere(session, root, { scan =>
+            val (proj, f, p) = DvDml.rebound(scan, targetOutput)
+            GraftPlanApi.ofRows(session, Filter(cond, proj))
+              .select(GraftPlanApi.column(f).as("__file"),
+                GraftPlanApi.column(p).as("__pos"))
+          })
       }
-      val n = DV.markWhere(session, root, { scan =>
-        val (proj, f, p) = DvDml.rebound(scan, targetOutput)
-        GraftPlanApi.ofRows(session, Filter(cond, proj))
-          .select(GraftPlanApi.column(f).as("__file"),
-            GraftPlanApi.column(p).as("__pos"))
-      })
       if (n > 0 && cdf.exists(_.recorded))
         DV.commitChangeDataOnly(session, root, cdf.get): Unit
       Seq(Row(n))

@@ -166,19 +166,29 @@ object DedupQueries {
     // self-join AND both sides of the verification join (recomputing it
     // 4× ran 150 s at sf0.1)
     val sz = Dedup.shingled(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
-    val hsz = Dedup.hashSets(sz)
-    // signature as ONE codegen'd aggregation (32 fused min() exprs over
-    // the exploded hashes) instead of 32 interpreted array lambdas
-    val ex = Dedup.explodedHashes(sz).select(col("id"), col("h"))
+    // ONE aggregation over the exploded hashes produces BOTH per-doc
+    // artifacts (round 15): the 32 fused permutation minima (the
+    // signature) AND the sorted hash-set array the verification join
+    // intersects. The former shape ran two independent groupBy(id)
+    // passes over the exploded corpus — two explode+md5 evaluations and
+    // two corpus-sized exchanges; this halves both. (The signature
+    // stays 32 codegen'd min() exprs, not array lambdas — round-2
+    // lesson unchanged.)
+    val ex = Dedup.explodedHashes(sz)
     val mins = (0 until numHashes).map(i =>
       min(((col("h") % TextOps.P31) * Dedup.aCoef(i) + Dedup.bCoef(i)) % TextOps.P31)
         .as(s"m$i"))
-    val sig = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val perDocAggs = Seq(
+      sort_array(collect_list(col("h"))).as("hs"), max(col("n")).as("n")) ++ mins
+    val perDoc = ex.groupBy(col("id"))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+      .persist()
+    val hsz = perDoc.select(col("id"), col("hs"), col("n"))
     val bandStructs = (0 until numHashes / 2).map { j =>
       struct(lit(j).as("band"),
         concat_ws("_", col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("key"))
     }
-    val bandRows = sig
+    val bandRows = perDoc
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
       .persist()

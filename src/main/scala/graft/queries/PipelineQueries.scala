@@ -734,6 +734,14 @@ object PipelineQueries {
     * sampling are RNG layers over the same shapes.
     */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOTE (round 15, measured dead end): hash-partitioning this cache
+    // by doc_id to make the 9 forward aggregates exchange-free made
+    // the query 1.4–2× SLOWER — it forces the per-iteration gradient
+    // join into co-partitioned sort-merge (8 sorts of the feature
+    // table) where AQE was already BROADCASTING the per-doc resid
+    // frame (a no-shuffle, no-sort hash join; at production scale
+    // resid grows corpus-sized and AQE flips the same join back to
+    // shuffle — the right strategy at each scale, left to AQE).
     val perDoc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
         explode(TextOps.words(col("text"))).as("word"))
@@ -758,8 +766,9 @@ object PipelineQueries {
       // grow a deep self-referential plan whose ANALYSIS dominates
       // wall-clock (persist alone bounds recompute, not plan depth —
       // measured 153 s → ~10 s; same lineage-truncation pattern as
-      // Dedup.connectedComponents / graph_pagerank)
-      w = w.join(grad, Seq("b"), "left").na.fill(0L, Seq("gq"))
+      // Dedup.connectedComponents / graph_pagerank). grad is ≤QC_NB
+      // rows too — broadcast it so the weight update never exchanges.
+      w = w.join(broadcast(grad), Seq("b"), "left").na.fill(0L, Seq("gq"))
         .select(col("b"), (col("wq") + col("gq")).as("wq"))
         .localCheckpoint()
     }

@@ -254,7 +254,12 @@ object PrivacyQueries {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_erasure"
     val ev = Tables.events(spark, sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    // REBALANCE by the partition value before the day-partitioned
+    // write (round 15, guide §6): unclustered, every writer task holds
+    // every day and the sink fragments into tasks×days sliver files —
+    // which the erase rewrite and the read-back then pay for again.
+    ev.hint("rebalance", col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
     val victims = ev.select(col("user_id")).distinct()
       .filter(TextOps.h60(
         concat(lit("erase_"), col("user_id").cast("string"))) % 11 === 0)

@@ -240,11 +240,19 @@ object ScaleQueries {
       date_format(col("o_orderdate"), "yyyy-MM").as("month"))
     val src = Tables.orders(spark, sfDir)
     val bad = date_format(col("o_orderdate"), "yyyy-MM") === BackfillBadMonth
-    monthly(src).write.mode("overwrite").partitionBy("month").parquet(path)
+    // every write REBALANCEs on the partition value (round 15, guide
+    // §6): the unclustered form fragments the nightly sink into
+    // tasks×months sliver files, and each dynamic overwrite commit
+    // then lists/moves that many files again. Clustered, a month is
+    // O(1) files and the backfill commit is O(affected files).
+    monthly(src).hint("rebalance", col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(path)
     monthly(src.filter(bad).filter(col("o_orderkey") % 2 === 0))
+      .hint("rebalance", col("month"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("month").parquet(path)
     monthly(src.filter(bad))
+      .hint("rebalance", col("month"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("month").parquet(path)
   }
@@ -306,10 +314,21 @@ object ScaleQueries {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       rm(new java.io.File(s"$wh/$t"))
     }
+    // repartition on the bucket key with the bucket count BEFORE the
+    // bucketed write (round 15, guide §6): repartition's hash is the
+    // same murmur3-pmod the bucket spec uses, so each writer task holds
+    // exactly one bucket and each table lands as 8 files — unclustered,
+    // every task wrote a sliver of every bucket (tasks×buckets files)
+    // and both the commit and the bucketed join's read paid the
+    // per-file open cost. (In production the bucket count is sized so
+    // one bucket ≈ one healthy file; the alignment principle is the
+    // same.)
     Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("graft_orders_b")
     Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(8, col("l_orderkey"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("graft_lineitem_b")
     spark.table("graft_lineitem_b").hint("merge")

@@ -247,15 +247,30 @@ object StatsQueries {
       .filter(col("w") =!= "")
     def bucket(d: Column, w: Column): Column =
       TextOps.h60(concat_ws("_", lit("cms"), d, w)) % CMS_W
-    val counters = toks
-      .select(col("w"), explode(typedLit((0 until CMS_D).toList)).as("d"))
-      .select(col("d"), bucket(col("d"), col("w")).as("b"))
-      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("cnt"))
+    // One exact word-count aggregate feeds BOTH faces (round 15): the
+    // sketch counters derive from the Heaps'-bounded distinct-word
+    // table — `cnt(d,b) = Σ_{w: bucket(d,w)=b} n_true(w)` is identical
+    // to counting occurrences, but the md5 bucket hash now runs
+    // D×|vocab| times instead of D×|corpus tokens| (the former plan
+    // md5'd every token occurrence at every depth — 4× the corpus in
+    // pure hashing), and the exploded (d,b) rows entering the counter
+    // aggregate shrink by the same corpus/vocab factor. The top-N
+    // probe reuses the same aggregate instead of re-counting the token
+    // stream. (In a true streaming CMS the per-occurrence update is
+    // the point; this batch build is exactly the "aggregate before you
+    // shuffle" form of it — guide §2.3.)
+    val wordCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
+      .persist()
+    val counters = wordCounts
+      .select(col("w"), col("n_true"),
+        explode(typedLit((0 until CMS_D).toList)).as("d"))
+      .select(col("d"), bucket(col("d"), col("w")).as("b"), col("n_true"))
+      .groupBy(col("d"), col("b")).agg(sum(col("n_true")).as("cnt"))
     // top-N via orderBy+limit (TakeOrderedAndProject: per-partition
     // partial top-N, never a single-partition sort of the whole vocab —
     // the 100× probe caught the global-window form shipping every
     // distinct word to one task); rank re-derived over the 20 survivors
-    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
+    val top = wordCounts
       .orderBy(col("n_true").desc, col("w"))
       .limit(CMS_TOP)
       .withColumn("rank",

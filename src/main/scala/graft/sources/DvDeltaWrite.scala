@@ -272,11 +272,24 @@ private[sources] class DvDeltaBatchWrite(root: String,
         // were discarded.
         DvBlobs.replayIntents(root): Unit
         val pending = msgs.flatMap(_.blobs)
-        val intent =
-          if (pending.nonEmpty) Some(DvBlobs.writeIntent(root, pending))
-          else None
-        publishBlobs(pending)
-        intent.foreach(DvBlobs.removeIntent)
+        // r14 ADVICE fix (low): journal the intent only AFTER the
+        // first blob publishes. Journal-first meant a statement that
+        // threw before ANY publish reported failure to the caller yet
+        // was rolled FORWARD by the next replayIntents — a delete the
+        // user saw fail silently taking effect later. Now a failure
+        // before the first publish leaves no intent and no state (the
+        // statement failed cleanly); once partial state exists the
+        // intent covers ALL pending blobs (publish is
+        // rename-idempotent, so replaying the already-published first
+        // blob is a no-op) and replay completes exactly the
+        // partially-applied statements — partial state is the only
+        // roll-forward trigger.
+        pending.headOption.foreach { first =>
+          DvBlobs.publish(first, root): Unit
+          val intent = DvBlobs.writeIntent(root, pending)
+          publishBlobs(pending.drop(1))
+          DvBlobs.removeIntent(intent)
+        }
         // delete-only + change data recorded: key the 'del' sidecar to
         // its own metadata-only commit AFTER the tombstones are live
         if (!anyInserts && pending.nonEmpty)
