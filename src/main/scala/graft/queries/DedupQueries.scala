@@ -442,10 +442,15 @@ object DedupQueries {
     */
   def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // per-doc distinct BEFORE the explode (round 15): windows only
+      // repeat WITHIN a document here (doc_id rides every row), so
+      // array_distinct on the per-doc window array replaces a
+      // full-corpus distinct — removing the shuffle+dedup of every
+      // (doc, window-string) row (guide §2.4); the groupBy below is
+      // then the only corpus exchange. Same rows by construction.
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.wordNGrams(
-          spark, TextOps.words(col("text")), 8)).as("win"))
-      .distinct()
+        explode(array_distinct(graft.functions.GraftFunctions.wordNGrams(
+          spark, TextOps.words(col("text")), 8))).as("win"))
       .groupBy(col("win"))
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
@@ -485,11 +490,12 @@ object DedupQueries {
     * no repetition evidence either way).
     */
   def interdocDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // per-doc array_distinct replaces the full-corpus distinct — see
+    // substringDedup (round 15): one corpus string-shuffle removed.
     val w = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.wordNGrams(
-          spark, TextOps.words(col("text")), 8)).as("win"))
-      .distinct()
+        explode(array_distinct(graft.functions.GraftFunctions.wordNGrams(
+          spark, TextOps.words(col("text")), 8))).as("win"))
     val df = w.groupBy(col("win")).agg(count(lit(1)).as("n_docs"))
     val perDoc = w.join(df, "win")
       .groupBy(col("doc_id"))
