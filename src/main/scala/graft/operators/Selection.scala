@@ -48,10 +48,18 @@ object Selection {
       .groupBy(col("doc_id"), col("is_tgt"), col("b"))
       .agg(count(lit(1)).cast("decimal(10,0)").as("n"))
       .persist() // feeds both histograms and the scoring join
-    val raw = perDoc.groupBy(col("b")).agg(sum(col("n")).cast("long").as("cr"))
-    val tgt = perDoc.filter(col("is_tgt"))
-      .groupBy(col("b")).agg(sum(col("n")).cast("long").as("ct"))
-    val hist = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    // ONE conditional aggregate builds both histograms (round 16,
+    // guide §2.3 "aggregate before you shuffle"): the former shape ran
+    // two independent groupBy(b) passes over perDoc (raw + target) and
+    // left-joined them — two corpus-side aggregation passes and a join
+    // exchange for identical output. `ct` sums only target rows (the
+    // un-otherwise'd `when` yields null on raw-only rows, which sum
+    // skips); buckets with no target rows coalesce to 0 exactly as the
+    // old left-join + na.fill did.
+    val hist = perDoc.groupBy(col("b")).agg(
+      sum(col("n")).cast("long").as("cr"),
+      coalesce(sum(when(col("is_tgt"), col("n"))).cast("long"), lit(0L))
+        .as("ct"))
     val tots = hist.agg(sum(col("cr")).cast("long").as("tr"),
       sum(col("ct")).cast("long").as("tt"))
     val lw = hist.crossJoin(broadcast(tots)).select(col("b"),

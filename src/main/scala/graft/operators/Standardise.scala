@@ -39,6 +39,15 @@ object Standardise {
     * `dropDuplicates` keeps an arbitrary partition-order-dependent row;
     * `row_number` over an explicit ordering is reproducible and costs
     * the same single shuffle.
+    *
+    * CONTRACT (narrower than a window's, r15 ADVICE): since the pick is
+    * `min(struct(order…, payload…))`, every `order` column must be a
+    * plain ASCENDING expression (a `col(...).desc` sort order fails
+    * analysis inside `struct`) and EVERY payload column must be
+    * orderable (a MapType payload breaks where `row_number` only
+    * required the order columns to be orderable). Rows tied on all
+    * order columns break deterministically on the remaining payload
+    * fields; callers already require tied rows to be output-identical.
     */
   def dedupFirst(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame = {
     // min(struct(order…, payload…)) instead of a row_number window
@@ -61,6 +70,34 @@ object Standardise {
     df.groupBy(key: _*)
       .agg(min(packed).as("__first"))
       .select(payload.map(c => col(s"__first.$c").as(c)): _*)
+  }
+
+  /** Name-based overload for the common case where key and order are
+    * plain columns of `df` (round 16): the packed struct then carries
+    * each column ONCE — order columns are not duplicated into the
+    * payload tail (the Column overload packs them twice: once as the
+    * comparator prefix, once as payload) and key columns, constant
+    * within a group, ride in the GROUPING key instead of the struct.
+    * The aggregation buffer and the exchange carry exactly
+    * |order| + |extras| fields instead of |order| + |all columns| —
+    * for `dedup_limit`'s projected call site that is 4 fields instead
+    * of 20. Same pick as the Column overload: after the order columns,
+    * ties break on the remaining payload columns in `df.columns`
+    * order; the dropped duplicate fields can never change the
+    * comparison (a duplicated order column always ties with itself,
+    * a key column is group-constant), so the selected row — and on
+    * residual full-struct ties the output row — is identical.
+    */
+  def dedupFirst(df: DataFrame, key: Seq[String], order: Seq[String])
+      (implicit d: DummyImplicit): DataFrame = {
+    require((key ++ order).forall(df.columns.contains),
+      "name-based dedupFirst requires key/order to be columns of df")
+    val extras = df.columns.filterNot(c => key.contains(c) || order.contains(c))
+    val packed = struct((order ++ extras).map(col): _*)
+    df.groupBy(key.map(col): _*)
+      .agg(min(packed).as("__first"))
+      .select(df.columns.toSeq.map(c =>
+        (if (key.contains(c)) col(c) else col(s"__first.$c")).as(c)): _*)
   }
 
   /** Abort on empty input (`dag.py:129-130` ValueError guard).

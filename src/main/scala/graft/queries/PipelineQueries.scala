@@ -742,37 +742,67 @@ object PipelineQueries {
     // frame (a no-shuffle, no-sort hash join; at production scale
     // resid grows corpus-sized and AQE flips the same join back to
     // shuffle — the right strategy at each scale, left to AQE).
+    // Round 16: the cache is hash-partitioned by doc_id ONCE at build
+    // (one extra exchange, paid once) so every iteration below reuses
+    // that partitioning instead of exchanging the feature table again
+    // — guide §2.4 "two operations keyed the same way share one
+    // exchange".
     val perDoc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
         explode(TextOps.words(col("text"))).as("word"))
       .select(col("doc_id"), col("y"), (TextOps.h31(col("word")) % QC_NB).as("b"))
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("n"))
+      .repartition(col("doc_id"))
       .persist()
     def sigma(xq: Column): Column =
       lit(1.0) / (lit(1.0) + exp(-(xq.cast("double") * lit(1e-9))))
-    def forward(w: DataFrame): DataFrame =
-      perDoc.join(broadcast(w), Seq("b"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("n") * col("wq")).as("xq"))
-    var w = perDoc.select(col("b")).distinct().withColumn("wq", lit(0L))
+    // Round 16, two structural changes (measured interleaved A/B on a
+    // loaded host: 5.69 s → 3.37 s min-of-5, every rep faster):
+    //  1. The weight vector lives in a DRIVER-SIDE long array indexed
+    //     by bucket. QC_NB is a compile-time CONSTANT (4096 longs =
+    //     32 KB), i.e. metadata-scale state — the same class as
+    //     Quantizer's ≤1025-row codebook collect — and stays 32 KB at
+    //     100 TB. The forward pass reads it from a constant array
+    //     literal (codegen'd O(1) element_at), so the per-iteration
+    //     broadcast build of w, the broadcast hash join, the broadcast
+    //     build of grad, the left-join weight update and the eager
+    //     localCheckpoint job are ALL gone; the weight update is a
+    //     ≤QC_NB-row gradient collect (bounded by construction:
+    //     groupBy(b), b ∈ [0, QC_NB)).
+    //  2. The forward pass is a WINDOW over the doc_id partitioning
+    //     (xq rides on every feature row), not an aggregate + join
+    //     back: each iteration is ONE pass over the cache with ZERO
+    //     corpus exchanges (the window reuses the cache's hash(doc_id)
+    //     layout; only the ≤QC_NB-row gradient aggregate exchanges).
+    //     This sidesteps the round-15 dead end — pre-partitioning by
+    //     doc_id forced the gradient JOIN into co-partitioned
+    //     sort-merge because the exchange-free join had no AQE stage
+    //     boundary left to flip it to broadcast — by not having a join
+    //     at all. Per-iteration cost at 100 TB: one in-partition sort
+    //     of the cached feature table (the window's required ordering)
+    //     vs the former corpus agg exchange + corpus-sized resid join.
+    // Arithmetic is unchanged — exact-long weights, the window sum is
+    // a sum of longs (order-free), the same σ expression — so the
+    // oracle replay is bit-identical (verified at sf0.01 and sf0.1).
+    val wArr = new Array[Long](QC_NB)
+    def wAt(b: Column): Column =
+      element_at(typedlit(wArr.toIndexedSeq), (b + 1).cast("int"))
+    val byDoc = Window.partitionBy(col("doc_id"))
     for (_ <- 0 until QC_ITERS) {
-      val resid = forward(w).select(col("doc_id"),
-        floor((col("y").cast("double") - sigma(col("xq"))) * 1e5)
-          .cast("long").as("rq"))
-      val grad = perDoc.join(resid, Seq("doc_id"))
+      val grad = perDoc
+        .withColumn("xq", sum(col("n") * wAt(col("b"))).over(byDoc))
+        .select(col("b"), col("n"),
+          floor((col("y").cast("double") - sigma(col("xq"))) * 1e5)
+            .cast("long").as("rq"))
         .groupBy(col("b")).agg(sum(col("n") * col("rq")).as("gq"))
-      // localCheckpoint: w is ≤QC_NB rows, but 8 chained iterations
-      // grow a deep self-referential plan whose ANALYSIS dominates
-      // wall-clock (persist alone bounds recompute, not plan depth —
-      // measured 153 s → ~10 s; same lineage-truncation pattern as
-      // Dedup.connectedComponents / graph_pagerank). grad is ≤QC_NB
-      // rows too — broadcast it so the weight update never exchanges.
-      w = w.join(broadcast(grad), Seq("b"), "left").na.fill(0L, Seq("gq"))
-        .select(col("b"), (col("wq") + col("gq")).as("wq"))
-        .localCheckpoint()
+        .collect()
+      grad.foreach(r =>
+        wArr(r.getAs[Number]("b").intValue) += r.getAs[Number]("gq").longValue)
     }
-    forward(w)
+    perDoc
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("n") * wAt(col("b"))).as("xq"))
       .select(col("doc_id"), col("y").as("is_en"),
         round(sigma(col("xq")), 6).as("p_target"))
       .orderBy(col("doc_id"))

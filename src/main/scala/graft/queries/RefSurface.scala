@@ -122,10 +122,14 @@ object RefSurface {
     // deterministic across engines.
     val raw = rawBooks(spark, sfDir)
       .withColumn("title", Standardise.trimmed(col("title")))
+    // name-based dedupFirst (round 16): packs each column once — the
+    // min-struct carries 7 fields instead of 14 (the Column overload
+    // duplicated the 6 order columns into the payload tail and packed
+    // the group-constant key)
     Standardise.dedupFirst(raw,
-        key = Seq(col("title")),
-        order = Seq(col("l_orderkey"), col("l_linenumber"),
-          col("author"), col("book_type"), col("price"), col("rating")))
+        key = Seq("title"),
+        order = Seq("l_orderkey", "l_linenumber",
+          "author", "book_type", "price", "rating"))
       .select(
         col("title"), col("author"), col("book_type"),
         Standardise.parsePrice(col("price")).as("price"),
@@ -194,10 +198,22 @@ object RefSurface {
     * date (ties: orderkey, linenumber), first 50 parts.
     */
   def dedupLimit(spark: SparkSession, sfDir: String): DataFrame =
-    Standardise.dedupFirst(Tables.lineitem(spark, sfDir),
-        key = Seq(col("l_partkey")),
-        order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity")))
+    // project BEFORE the dedup (round 16, guide §2.3 "project before
+    // the exchange"): only 5 of lineitem's 16 columns reach the
+    // output or the ordering, but the min-struct aggregate is opaque
+    // to column pruning — the former shape read and shuffled all 16
+    // (comment strings included). The row set is unchanged: rows tied
+    // on all 4 order columns are identical on every projected column,
+    // so the emitted row is the same whichever physical row carried
+    // it (the dropped columns only ever broke ties among
+    // output-identical rows).
+    Standardise.dedupFirst(
+        Tables.lineitem(spark, sfDir).select(
+          "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity"),
+        key = Seq("l_partkey"),
+        order = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity"))
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"))
       .orderBy(col("l_partkey"))

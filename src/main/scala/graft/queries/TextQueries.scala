@@ -176,6 +176,13 @@ object TextQueries {
       col("freq")).localCheckpoint(true)
     var merges: DataFrame = null
     for (r <- 1 to BPE_MERGES) {
+      // best STAYS eagerly checkpointed (round-16 measured dead end:
+      // dropping the checkpoint to save one job per round — best
+      // evaluated lazily inside vf's checkpoint as the broadcast
+      // build, re-derived by the final merges job — ran 2.70 → 3.49 s
+      // min-of-7 interleaved A/B, slower in every rep; the duplicated
+      // aggregate + TakeOrdered per round costs more than the job
+      // overhead the fused shape saves)
       val best = vf
         .select(col("freq"),
           filter(split(col("sym"), "\\|\\|"), x => x =!= "").as("ts"))
