@@ -113,10 +113,51 @@ object AbProbe {
         .orderBy(col("doc_id"))
     }
 
+    def ccLabels(seeded: Boolean): DataFrame = {
+      val pairs = graft.queries.DedupQueries
+        .queries.find(_.name == "dedup_minhash_lsh").get
+        .build(spark, sfDir).select(col("id_a"), col("id_b"))
+      val maxIter = 20
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(true)
+      var labels =
+        if (seeded)
+          edges.groupBy(col("src").as("id"))
+            .agg(least(min(col("dst")), first(col("src"))).as("lbl"))
+            .select(col("id"), col("lbl"))
+            .localCheckpoint(true)
+        else
+          edges.select(col("src").as("id")).distinct()
+            .withColumn("lbl", col("id"))
+            .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), "dst")
+          .groupBy(col("src")).agg(min(col("dst_lbl")).as("nbr_lbl"))
+        val next = labels
+          .join(nbrMin.select(col("src").as("id"), col("nbr_lbl")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+            (col("nbr_lbl") < col("lbl")).cast("int").as("chg"))
+          .localCheckpoint(true)
+        val changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+        labels = next.select(col("id"), col("lbl"))
+        converged = changed == 0
+        iter += 1
+      }
+      System.err.println(s"[abprobe] cc seeded=$seeded rounds=$iter")
+      labels.select(col("id"), col("lbl").as("cluster")).orderBy(col("id"))
+    }
+
     val (a, b): (() => DataFrame, () => DataFrame) = which match {
       case "std" => (stdOld _, stdNew _)
       case "tbt" => (() => bpeTrain(true), () => bpeTrain(false))
       case "dsr" => (() => dsir(false), () => dsir(true))
+      case "cc"  => (() => ccLabels(false), () => ccLabels(true))
       case other => sys.error(s"unknown probe $other")
     }
     def run(f: () => DataFrame): Double = {

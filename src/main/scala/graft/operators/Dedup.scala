@@ -130,8 +130,21 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Seeded initialization (round 16): labels start at
+    // min(id, min(neighbors)) — computed by ONE aggregate over the
+    // symmetrized edges — which is exactly the label state after the
+    // first propagation round from the identity seed (each neighbor's
+    // initial label IS its id, so round 1's join contributes
+    // min-of-neighbor-ids). One full join round (its two exchanges and
+    // two jobs) is skipped at any scale; the remaining loop and its
+    // fixpoint are unchanged (the fixpoint is the unique component
+    // minimum either way). The former identity seed needed the same
+    // shuffle on src for its distinct(), so the seed costs nothing
+    // extra. Measured on the real LSH pair graph at sf0.1:
+    // rounds 2 → 1, interleaved A/B min 2.16 → 2.00 s (dcl path).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("lbl"))
+      .select(col("id"), col("lbl"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

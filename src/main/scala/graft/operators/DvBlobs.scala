@@ -185,14 +185,40 @@ object DvBlobs {
     fs(p).delete(p, false): Unit
   }
 
-  /** Replay any crashed publish intents: for each journaled pending
-    * blob still on disk, finish its rename-publish; then drop the
-    * intent. Callers MUST hold the table's maintenance claim (a live
-    * writer's in-flight intent must not be raced) — the DSv2 commit
-    * and vacuum both do. A pending path that is gone means either a
-    * prior attempt already published it (dest exists — fine) or the
-    * stage was swept underneath a pre-journal crash (nothing left to
-    * recover); both just drop the intent. Returns intents replayed.
+  /** Live destination a pending blob publishes to (the same mapping
+    * [[publish]] applies: the `f=<md5>` parent and blob name are
+    * preserved under the live blob root).
+    */
+  def liveDest(pendingBlob: String, tableRoot: String): Path = {
+    val src = new Path(pendingBlob)
+    new Path(s"${dvRoot(tableRoot)}/${src.getParent.getName}/${src.getName}")
+  }
+
+  /** Has `pendingBlob` already been published into `tableRoot`? */
+  def publishedDestExists(pendingBlob: String, tableRoot: String): Boolean = {
+    val d = liveDest(pendingBlob, tableRoot)
+    fs(d).exists(d)
+  }
+
+  /** Replay any crashed publish intents. Callers MUST hold the
+    * table's maintenance claim (a live writer's in-flight intent must
+    * not be raced) — the DSv2 commit and vacuum both do.
+    *
+    * PARTIAL STATE IS THE ONLY ROLL-FORWARD TRIGGER (r15 ADVICE,
+    * high): intents are journaled BEFORE the first publish, so an
+    * intent may exist for a statement that failed (and reported
+    * failure) before ANY blob went live. Replaying such an intent
+    * would silently apply a delete the caller saw fail — so an intent
+    * none of whose journaled DESTINATIONS exists is DROPPED without
+    * publishing. Once at least one destination exists the statement
+    * is partially applied and replay finishes it: every journaled
+    * pending blob still on disk is rename-published (idempotent — a
+    * dest that already exists wins), then the intent is dropped.
+    * A pending path that is gone means either a prior attempt already
+    * published it (dest exists — fine) or the stage was swept
+    * underneath a pre-publish crash (nothing to recover); both just
+    * drop the intent. Returns intents replayed (dropped-unapplied
+    * intents are not counted).
     */
   def replayIntents(tableRoot: String): Int = {
     val root = new Path(intentDir(tableRoot))
@@ -202,6 +228,7 @@ object DvBlobs {
       val intents = f.listStatus(root).toSeq.filter(s =>
         s.isFile && s.getPath.getName.startsWith("intent-") &&
           s.getPath.getName.endsWith(".pub"))
+      var replayed = 0
       intents.foreach { st =>
         val in = f.open(st.getPath)
         val body =
@@ -212,13 +239,19 @@ object DvBlobs {
             while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
             new String(buf.toByteArray, "UTF-8")
           } finally in.close()
-        body.split("\n").filter(_.nonEmpty).foreach { pending =>
-          if (f.exists(new Path(pending)))
-            publish(pending, tableRoot): Unit
+        val pendings = body.split("\n").filter(_.nonEmpty).toSeq
+        val partiallyApplied =
+          pendings.exists(p => publishedDestExists(p, tableRoot))
+        if (partiallyApplied) {
+          pendings.foreach { pending =>
+            if (f.exists(new Path(pending)))
+              publish(pending, tableRoot): Unit
+          }
+          replayed += 1
         }
         f.delete(st.getPath, false): Unit
       }
-      intents.size
+      replayed
     }
   }
 

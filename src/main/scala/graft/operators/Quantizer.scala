@@ -70,11 +70,15 @@ object Quantizer {
     * (ties → lowest c_id — the repo-wide quantizer contract).
     *
     * Round-15 shape: the codebook is ≤NC rows by design, so the
-    * assignment is a NARROW per-row expression — the centroids inline
-    * as array literals (the way a production ANN build ships its
-    * codebook to workers) and the argmax is `array_max` over
-    * `struct(c_cos, -c_id)` candidates, all inside whole-stage
-    * codegen. Zero joins, zero aggregates, zero shuffles.
+    * assignment is a NARROW per-row expression — the codegen'd
+    * [[graft.functions.NearestCentroid]] with the collected codebook
+    * carried as a constant reference object (the way a production ANN
+    * build ships its codebook to workers); the argmax-cosine runs as
+    * a tight primitive loop per row inside whole-stage codegen. Zero
+    * joins, zero aggregates, zero shuffles. (An `array_max` over
+    * `struct(c_cos, -c_id)` composition of built-ins was measured
+    * SLOWER than the aggregate it replaced and abandoned — see the
+    * NearestCentroid doc.)
     *
     * History (both prior shapes are strictly dominated): round 5
     * ranked the corpus×centroids cross join with a window — shuffling

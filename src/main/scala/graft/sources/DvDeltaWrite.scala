@@ -272,23 +272,37 @@ private[sources] class DvDeltaBatchWrite(root: String,
         // were discarded.
         DvBlobs.replayIntents(root): Unit
         val pending = msgs.flatMap(_.blobs)
-        // r14 ADVICE fix (low): journal the intent only AFTER the
-        // first blob publishes. Journal-first meant a statement that
-        // threw before ANY publish reported failure to the caller yet
-        // was rolled FORWARD by the next replayIntents — a delete the
-        // user saw fail silently taking effect later. Now a failure
-        // before the first publish leaves no intent and no state (the
-        // statement failed cleanly); once partial state exists the
-        // intent covers ALL pending blobs (publish is
-        // rename-idempotent, so replaying the already-published first
-        // blob is a no-op) and replay completes exactly the
-        // partially-applied statements — partial state is the only
-        // roll-forward trigger.
-        pending.headOption.foreach { first =>
-          DvBlobs.publish(first, root): Unit
+        // r15 ADVICE fix (high): journal FIRST, publish second. The
+        // r14 publish-first ordering reopened the permanent
+        // half-applied window the journal exists to close: if
+        // writeIntent threw (its rename can fail) or the process died
+        // between publish(first) and writeIntent, the first blob was
+        // already live (renamed out of the stage, beyond abort()'s
+        // sweep) with NO intent — the remaining blobs could never
+        // publish, the statement reported failure yet one file's
+        // tombstones stuck forever, and a CDF DELETE's 'del' sidecar
+        // was never committed. Now the intent always covers the
+        // publishes, and "partial state is the only roll-forward
+        // trigger" is enforced where it belongs — in replayIntents,
+        // which DROPS an intent none of whose destinations exists
+        // (statement failed before any publish) instead of rolling it
+        // forward. Best-effort: a failure here that published NOTHING
+        // also removes its own intent immediately, so the failed
+        // statement leaves zero state without waiting for a replay.
+        pending.headOption.foreach { _ =>
           val intent = DvBlobs.writeIntent(root, pending)
-          publishBlobs(pending.drop(1))
-          DvBlobs.removeIntent(intent)
+          try {
+            publishBlobs(pending)
+            DvBlobs.removeIntent(intent)
+          } catch {
+            case e: Throwable =>
+              try {
+                if (!pending.exists(p =>
+                    DvBlobs.publishedDestExists(p, root)))
+                  DvBlobs.removeIntent(intent)
+              } catch { case _: Throwable => () }
+              throw e
+          }
         }
         // delete-only + change data recorded: key the 'del' sidecar to
         // its own metadata-only commit AFTER the tombstones are live

@@ -172,24 +172,33 @@ class Round14AdviceSpec extends SparkSpec {
 
   test("a crashed delete-only publish converges: the intent journal " +
       "replays pending tombstone blobs idempotently") {
+    // r16 update (r15 ADVICE high): intents are journaled BEFORE the
+    // first publish, so "crashed mid-publish" now means at least one
+    // blob already landed — replay completes the REST. An intent with
+    // zero published destinations is a failed statement and is
+    // dropped unapplied (Round16AdviceSpec pins that leg).
     val (root, _) = freshTable()
     val before = DV.read(spark, root).count()
-    val file = DV.manifest(spark, root)
-      .select("file").head.getString(0)
-    // the file must hold at least 3 rows for the staged positions
-    assert(spark.read.parquet(file).count() >= 3)
-    // simulate a crash mid-publish: pending blobs + journal on disk,
-    // publish never ran, stage never cleaned
+    val files = DV.manifest(spark, root)
+      .select("file").collect().map(_.getString(0)).take(2)
+    assert(files.length == 2)
+    files.foreach(f => assert(spark.read.parquet(f).count() >= 3))
+    // simulate a crash mid-publish: two pending blobs journaled, the
+    // FIRST one's rename landed, then the process died
     val pendingRoot = s"$root/_dml_stage_r14crash_dvpending"
-    val blob = DvBlobs.writeDelta(pendingRoot, file, Array(0L, 1L, 2L))
-    DvBlobs.writeIntent(root, Seq(blob)): Unit
+    val blobs = files.map(f =>
+      DvBlobs.writeDelta(pendingRoot, f, Array(0L, 1L, 2L))).toSeq
+    DvBlobs.writeIntent(root, blobs): Unit
     assert(DV.read(spark, root).count() == before,
       "pending tombstones must stay invisible")
-    assert(DvBlobs.replayIntents(root) == 1)
+    DvBlobs.publish(blobs.head, root): Unit
     assert(DV.read(spark, root).count() == before - 3,
+      "the one published blob is live (partial state)")
+    assert(DvBlobs.replayIntents(root) == 1)
+    assert(DV.read(spark, root).count() == before - 6,
       "replay must complete the crashed delete")
     // idempotent: nothing left to replay, mask unchanged
     assert(DvBlobs.replayIntents(root) == 0)
-    assert(DV.read(spark, root).count() == before - 3)
+    assert(DV.read(spark, root).count() == before - 6)
   }
 }
