@@ -153,11 +153,66 @@ object AbProbe {
       labels.select(col("id"), col("lbl").as("cluster")).orderBy(col("id"))
     }
 
+    import graft.operators.Quantizer
+
+    def trainedCentroidsOld(vecs: DataFrame, nCent: Int,
+        iters: Int = 2, dims: Int = 64): DataFrame = {
+      val QuantScale = 1000
+      var cent = vecs.filter(col("vec_id") < nCent)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+        .localCheckpoint()
+      for (_ <- 0 until iters) {
+        val assigned = Quantizer.assignNearest(spark, vecs, cent)
+          .select(col("vec_id"), col("emb"), col("c_id"))
+        val means = assigned
+          .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+          .select(col("c_id"), col("pos"),
+            floor(col("v") * QuantScale).cast("long").as("q"))
+          .groupBy(col("c_id"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+          .withColumn("cv",
+            col("sq").cast("double") / (col("n") * lit(QuantScale.toDouble)))
+          .groupBy(col("c_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("cv")))),
+            s => s.getField("cv")).as("new_emb"))
+        cent = cent.join(means, Seq("c_id"), "left")
+          .select(col("c_id"),
+            coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+          .localCheckpoint()
+      }
+      cent
+    }
+
+    // 128-dim Lloyd A/B (the mfd fused-space shape: dims past the
+    // whole-stage-codegen maxFields default)
+    def c128(old: Boolean): DataFrame = {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          concat(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>")).as("emb"))
+        .localCheckpoint()
+      val cent = if (old) trainedCentroidsOld(e, 16, dims = 128)
+        else Quantizer.trainedCentroids(spark, e, 16, dims = 128)
+      cent.select(col("c_id")).orderBy(col("c_id"))
+    }
+
+    // pure Lloyd A/B on the image corpus (dims=64, NC=1024 — the emc shape)
+    def emcLike(old: Boolean): DataFrame = {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cent = if (old) trainedCentroidsOld(e, 1024, dims = 64)
+        else Quantizer.trainedCentroids(spark, e, 1024, dims = 64)
+      cent.select(col("c_id")).orderBy(col("c_id"))
+    }
+
     val (a, b): (() => DataFrame, () => DataFrame) = which match {
       case "std" => (stdOld _, stdNew _)
       case "tbt" => (() => bpeTrain(true), () => bpeTrain(false))
       case "dsr" => (() => dsir(false), () => dsir(true))
       case "cc"  => (() => ccLabels(false), () => ccLabels(true))
+      case "emc" => (() => emcLike(true), () => emcLike(false))
+      case "c128" => (() => c128(true), () => c128(false))
       case other => sys.error(s"unknown probe $other")
     }
     def run(f: () => DataFrame): Double = {

@@ -165,6 +165,16 @@ object Quantizer {
     for (_ <- 0 until iters) {
       val assigned = assignNearest(spark, vecs, cent)
         .select(col("vec_id"), col("emb"), col("c_id"))
+      // The posexplode + two-level aggregate STAYS (round-16 measured
+      // dead end): fusing the means into one groupBy(c_id) with `dims`
+      // sum(element_at(emb, d)) expressions — one exchange, no explode
+      // — measured FLAT at dims=64/NC=1024 (interleaved A/B min 2.02
+      // vs 2.04 s) and 1.7× SLOWER at dims=128/NC=16 (0.78 vs 1.35 s
+      // min-of-7): past ~100 output fields the wide aggregate falls
+      // out of whole-stage codegen (spark.sql.codegen.maxFields),
+      // while the exploded form keeps every operator narrow and fused.
+      // The (c_id, pos) partials map-side-combine to ≤NC·dims rows per
+      // map partition, so the explode never reaches the exchange.
       val means = assigned
         .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
         .select(col("c_id"), col("pos"),

@@ -492,20 +492,40 @@ object DedupQueries {
   def interdocDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // per-doc array_distinct replaces the full-corpus distinct — see
     // substringDedup (round 15): one corpus string-shuffle removed.
-    val w = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.GraftFunctions.wordNGrams(
-          spark, TextOps.words(col("text")), 8))).as("win"))
-    val df = w.groupBy(col("win")).agg(count(lit(1)).as("n_docs"))
-    val perDoc = w.join(df, "win")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_win"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
-    Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_win"), lit(0L)).as("n_win"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    //
+    // Round 16 (guide §2.4): the join-back of the exploded window
+    // stream to the window-frequency table is GONE. n_shared is
+    // derived by complement — n_shared = n_win − n_unique — where
+    //  · n_win (a doc's distinct windows) is the SIZE of the per-doc
+    //    distinct window array, computed narrowly at the scan with no
+    //    shuffle at all (it equals the count the old per-doc aggregate
+    //    produced, by construction: the explode emits exactly that
+    //    array's elements);
+    //  · n_unique (windows owned by exactly one doc) rides in the SAME
+    //    groupBy(win) that computed the doc-frequency: a window with
+    //    n_docs = 1 has min(doc_id) = its sole owner, so a second
+    //    small aggregate keyed by that owner counts them.
+    // The old shape exploded the corpus TWICE (the frequency build and
+    // the join probe) and re-shuffled every (doc, window-string) row
+    // through the join; this explodes once and shuffles window strings
+    // once. It is also skew-safe where a postings-list rewrite would
+    // not be: boilerplate windows (huge n_docs) are filtered before
+    // the second aggregate, never collected.
+    val docs = Tables.documents(spark, sfDir)
+    val wins = array_distinct(graft.functions.GraftFunctions.wordNGrams(
+      spark, TextOps.words(col("text")), 8))
+    val uniq = docs
+      .select(col("doc_id"), explode(wins).as("win"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    docs.select(col("doc_id"),
+        coalesce(size(wins).cast("long"), lit(0L)).as("n_win"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_win"),
+        (col("n_win") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
       .withColumn("shared_frac",
         when(col("n_win") > 0,
           round(col("n_shared").cast("double") / col("n_win"), 4))
